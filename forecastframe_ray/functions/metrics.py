@@ -1,0 +1,87 @@
+"""Distributed error metrics (SURVEY.md A6; reference
+``/root/reference/forecastframe/interpret.py:47-115``).
+
+Row-local errors (AE/APE/APA/SE) are a stateless ``map_batches``; the mean
+metrics (MAPE/MAPA/MSE/RMSE) are null-masked partial+final aggregates —
+per-batch (sum, count) partials then one tiny reduce, so the full prediction
+table is never materialized. Weighted averages use Sum(w·x)/Sum(w)
+(reference ``_calc_weighted_average``, utilities.py:478-481).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Count, Sum
+
+
+def append_errors_batch(batch: pd.DataFrame, actual_col: str, pred_col: str) -> pd.DataFrame:
+    a = batch[actual_col].to_numpy(dtype=np.float64, na_value=np.nan)
+    p = batch[pred_col].to_numpy(dtype=np.float64, na_value=np.nan)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ae = np.abs(a - p)
+        ape = np.abs((a - p) / a)
+        se = (a - p) ** 2
+    batch["AE"] = ae
+    batch["APE"] = ape
+    batch["APA"] = 1.0 - ape
+    batch["SE"] = se
+    return batch
+
+
+def error_summary(ds, actual_col: str, pred_col: str, group_cols: list[str] | None = None):
+    """MAPE / MAPA / MSE / RMSE (+ row count), optionally per group.
+
+    Null actuals are masked out before any mean (reference
+    ``_calc_error_metric``, interpret.py:104-115).
+    """
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[actual_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        p = batch[pred_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        mask = ~np.isnan(a)
+        a, p = a[mask], p[mask]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            batch = batch.loc[mask, list(group_cols or [])].copy()
+            batch["__ape"] = np.abs((a - p) / a)
+            batch["__se"] = (a - p) ** 2
+        return batch
+
+    partial = ds.map_batches(partials, batch_format="pandas")
+    aggs = [
+        Sum("__ape", alias_name="sum_ape"),
+        Sum("__se", alias_name="sum_se"),
+        Count(alias_name="n"),
+    ]
+    if group_cols:
+        out = partial.groupby(list(group_cols)).aggregate(*aggs)
+    else:
+        row = partial.aggregate(*aggs)
+        out = pd.DataFrame([row])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["MAPE"] = df["sum_ape"] / df["n"]
+        df["MAPA"] = 1.0 - df["MAPE"]
+        df["MSE"] = df["sum_se"] / df["n"]
+        df["RMSE"] = np.sqrt(df["MSE"])
+        return df.drop(columns=["sum_ape", "sum_se"])
+
+    if isinstance(out, pd.DataFrame):
+        return finalize(out)
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def weighted_average(ds, value_col: str, weight_col: str) -> float:
+    """Null-masked weighted mean = Sum(w·x)/Sum(w) over non-null x."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        w = batch[weight_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        mask = ~np.isnan(x)
+        return pd.DataFrame({"__wx": x[mask] * w[mask], "__w": w[mask]})
+
+    row = ds.map_batches(partials, batch_format="pandas").aggregate(
+        Sum("__wx", alias_name="swx"), Sum("__w", alias_name="sw")
+    )
+    return float(row["swx"]) / float(row["sw"])

@@ -1,0 +1,96 @@
+"""Key derivation: url → (tld, registered domain, host) hierarchy, timestamp →
+retention-tier buckets, and deterministic row/partition hashing.
+
+The web-corpus hierarchy (``tld → domain → host``) plays the role of the
+reference's flat hierarchy columns (``/root/reference/forecastframe/main.py:39``,
+hierarchy is just a list of group columns); bucketing plays the role of its
+daily datetime index.
+
+Everything here is deterministic across processes and Ray workers (no
+``hash()`` — Python string hashing is salted per process).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Bucket widths for the retention tiers, in microseconds.
+TIER_US = {
+    "1h": 3_600_000_000,
+    "1d": 86_400_000_000,
+    "7d": 7 * 86_400_000_000,
+}
+TIERS = ("1h", "1d", "7d")
+
+
+def split_url(urls: pa.Array) -> dict[str, pa.Array]:
+    """Vectorized ``url → host / domain / tld`` using Arrow compute kernels.
+
+    host = authority of ``scheme://host/path``; registered domain = last two
+    dot-labels of the host (heuristic — no public-suffix list, documented);
+    tld = last label.
+    """
+    # strip scheme
+    no_scheme = pc.replace_substring_regex(urls, pattern=r"^[a-z][a-z0-9+.-]*://", replacement="")
+    host = pc.replace_substring_regex(no_scheme, pattern=r"[/:?#].*$", replacement="")
+    # registered domain: last two labels; tld: last label
+    domain = pc.extract_regex(host, pattern=r"(?P<d>[^.]+\.[^.]+)$")
+    domain = pc.struct_field(domain, "d")
+    # hosts with a single label: domain = host
+    domain = pc.if_else(pc.is_valid(domain), domain, host)
+    tld = pc.extract_regex(host, pattern=r"(?P<t>[^.]+)$")
+    tld = pc.struct_field(tld, "t")
+    return {"host": host, "domain": domain, "tld": tld}
+
+
+def derive_keys_batch(batch: pa.Table, url_col: str = "url", ts_col: str = "warc_ts") -> pa.Table:
+    """map_batches fn: append host/domain/tld + one bucket column per tier."""
+    parts = split_url(batch[url_col])
+    for name, arr in parts.items():
+        batch = batch.append_column(name, arr)
+    batch = append_bucket_columns(batch, ts_col)
+    return batch
+
+
+def append_bucket_columns(batch: pa.Table, ts_col: str) -> pa.Table:
+    ts = batch[ts_col]
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    us = ts.cast(pa.int64())
+    for tier, width in TIER_US.items():
+        bucket = pc.multiply(pc.floor(pc.divide(us.cast(pa.float64()), float(width))).cast(pa.int64()), width)
+        batch = batch.append_column(f"bucket_{tier}", bucket.cast(pa.timestamp("us")))
+    return batch
+
+
+def floor_ts(ts_us: np.ndarray, tier: str) -> np.ndarray:
+    """Floor int64 microsecond timestamps to the tier bucket."""
+    width = TIER_US[tier]
+    return (ts_us // width) * width
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hashing (stable across processes; no PYTHONHASHSEED issues)
+# ---------------------------------------------------------------------------
+
+def hash_key_columns(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Deterministic uint64 row hash over the key columns.
+
+    Uses ``pd.util.hash_pandas_object`` with the default fixed hash key —
+    stable across processes and machines, vectorized in C.
+    """
+    return pd.util.hash_pandas_object(df[list(keys)], index=False).to_numpy(dtype=np.uint64)
+
+
+def partition_ids(df: pd.DataFrame, keys: list[str], num_partitions: int) -> np.ndarray:
+    return (hash_key_columns(df, keys) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def salt_ids(df: pd.DataFrame, salt_from: str, num_salts: int) -> np.ndarray:
+    """Salt column for skew-busting pre-aggregation: hash a *secondary* column
+    (e.g. the timestamp) so one hot key spreads over ``num_salts`` reducers."""
+    h = pd.util.hash_pandas_object(df[salt_from], index=False).to_numpy(dtype=np.uint64)
+    return (h % np.uint64(num_salts)).astype(np.int32)

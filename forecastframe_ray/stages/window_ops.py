@@ -1,0 +1,279 @@
+"""Group-local window operator kernels (SURVEY.md §2.7 W1–W9).
+
+Each kernel runs inside a :class:`~forecastframe_ray.stages.keyed.WindowKernel`
+on one hash-partition that has already been **sorted by (keys, ts)** — every
+series is contiguous and wholly present. Kernels are vectorized pandas/numpy;
+per-group Python is limited to ops whose pandas semantics require a
+ts-indexed frame (time-based rolling, EWMA, gap-fill reindex).
+
+Semantics replicate the reference exactly (pinned by its golden tests, ported
+in ``tests/``):
+
+- rolling: per group ``x.shift(lag).rolling(f"{w}D", min_periods).agg(...)``
+  — calendar-time trailing window ``(t-wD, t]``, NaN-skipping aggs, ddof=1
+  std (``/root/reference/forecastframe/feature_engineering.py:368-374``)
+- ewma: ``x.shift(lag).ewm(span=w, min_periods, adjust).mean()``
+  (``feature_engineering.py:559-567``)
+- pct-change: ``(shift(lag) - shift(lag+1)) / shift(lag+1)``, ±inf→NaN
+  (``feature_engineering.py:724-743``; computed per group — the reference
+  applies pct_change to the concatenated shifted series, leaking the first
+  ``lag`` rows across group boundaries; our grouped form matches its golden
+  test and its documented intent)
+- momentums/percentages: grouped ``shift(lag)`` numerator (the reference uses
+  an ungrouped shift, ``feature_engineering.py:408,420`` — a documented
+  divergence that its own golden fixture cannot distinguish)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_DEFAULT_AGGS = ["max", "min", "std", "mean", "median"]
+
+
+def lag_str(lag: int) -> str:
+    return f"_lag{lag}" if lag != 0 else ""
+
+
+def stat_name(feature: str, agg: str, window, lag: int, grouper_name: str | None = None,
+              designator: str = "") -> str:
+    """Reference column-naming rule (feature_engineering.py:696-721, 303-311)."""
+    g = f"_{grouper_name}" if grouper_name else ""
+    a = f"_{agg}" if agg else ""
+    return f"{feature}{a}{g}{designator}_roll{window}{lag_str(lag)}"
+
+
+def default_min_periods(window: int, min_periods) -> int:
+    """feature_engineering.py:479-483: ceil(window**0.8) when falsy."""
+    if not min_periods:
+        return int(np.ceil(window ** 0.8))
+    return int(min_periods)
+
+
+def _grouped(df: pd.DataFrame, keys: list[str]):
+    return df.groupby(keys, sort=False, dropna=False, group_keys=False)
+
+
+def _grouped_ts_apply(df: pd.DataFrame, keys: list[str], ts_col: str,
+                      cols: list[str], fn) -> np.ndarray:
+    """Apply ``fn(ts-indexed sub-frame) -> same-length frame`` per group and
+    return values aligned positionally with ``df`` (which is sorted by
+    keys+ts, so the per-group concat order equals row order)."""
+    sub = df[keys + [ts_col] + cols].set_index(ts_col)
+    out = sub.groupby(keys, sort=False, dropna=False, group_keys=False)[cols].apply(fn)
+    vals = out.to_numpy()
+    assert vals.shape[0] == len(df), "group apply misaligned"
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# W2 lags  /  W3 differencing  /  W5 pct change
+# ---------------------------------------------------------------------------
+
+def op_lag(df, keys, ts_col, features, lags):
+    g = _grouped(df, keys)[features]
+    for lag in lags:
+        names = [f"{f}_lag{lag}" for f in features]
+        df[names] = g.shift(lag).astype(float)
+    return df
+
+
+def op_difference(df, keys, ts_col, features, periods=1):
+    names = [f"{f}_differenced_{periods}" for f in features]
+    df[names] = _grouped(df, keys)[features].diff(periods=periods)
+    return df
+
+
+def op_pct_change(df, keys, ts_col, feature, lag=1, out_name=None):
+    out_name = out_name or f"{feature}_pct_change_lag{lag}"
+    g = _grouped(df, keys)[feature]
+    s = g.shift(lag)
+    prev = g.shift(lag + 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = (s - prev) / prev
+    df[out_name] = r.replace([np.inf, -np.inf], np.nan)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# W1 rolling time-window stats (+ momentums / percentages)
+# ---------------------------------------------------------------------------
+
+def op_rolling_stats(df, keys, ts_col, features, window, aggregations=None, lag=1,
+                     min_periods=1, grouper_name=None, momentums=False,
+                     percentages=False):
+    aggs = list(aggregations or _DEFAULT_AGGS)
+    mp = int(min_periods)
+
+    def fn(x: pd.DataFrame) -> pd.DataFrame:
+        return x.shift(lag).rolling(f"{window}D", min_periods=mp).agg(aggs)
+
+    vals = _grouped_ts_apply(df, keys, ts_col, features, fn)
+    names = [stat_name(f, a, window, lag, grouper_name) for f in features for a in aggs]
+    df[names] = vals
+
+    if momentums or percentages:
+        shifted = _grouped(df, keys)[features].shift(lag)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if momentums:
+                assert "mean" in aggs
+                mean_names = [stat_name(f, "mean", window, lag, grouper_name) for f in features]
+                df[[f"{n}_momentum" for n in mean_names]] = (
+                    shifted.to_numpy() / df[mean_names].to_numpy()
+                )
+            if percentages:
+                assert "sum" in aggs
+                sum_names = [stat_name(f, "sum", window, lag, grouper_name) for f in features]
+                df[[f"{n}_perc" for n in sum_names]] = (
+                    shifted.to_numpy() / df[sum_names].to_numpy()
+                )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# W4 EWMA (+ crossovers are assembled by the caller from multiple windows)
+# ---------------------------------------------------------------------------
+
+def op_ewma(df, keys, ts_col, features, window, lag=1, min_periods=1,
+            adjust=True, grouper_name=None):
+    mp = int(min_periods)
+
+    def fn(x: pd.DataFrame) -> pd.DataFrame:
+        return x.shift(lag).ewm(span=window, min_periods=mp, adjust=adjust).mean()
+
+    vals = _grouped_ts_apply(df, keys, ts_col, features, fn)
+    names = [stat_name(f, "", window, lag, grouper_name, designator="_ewma") for f in features]
+    df[names] = vals
+    return df
+
+
+def op_shift_ratio(df, keys, ts_col, features, denom_cols, out_names, lag=1):
+    """momentum / percentage columns when the stats were computed at a rollup
+    level and joined back: grouped shift(lag) of the base feature divided by
+    the joined rolled-up column (feature_engineering.py:400-422)."""
+    shifted = _grouped(df, keys)[list(features)].shift(lag)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        df[list(out_names)] = shifted.to_numpy() / df[list(denom_cols)].to_numpy()
+    return df
+
+
+def op_crossover(df, keys, ts_col, first_cols, second_cols, suffix_window):
+    """{c}_cross{w2} = ewma(w1)/ewma(w2), columns aligned pairwise."""
+    names = [f"{c}_cross{suffix_window}" for c in first_cols]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        df[names] = df[first_cols].to_numpy() / df[second_cols].to_numpy()
+    return df
+
+
+# ---------------------------------------------------------------------------
+# W6 percent relative to threshold
+# ---------------------------------------------------------------------------
+
+_THRESH_OPS = {
+    "greater": np.greater,
+    "less": np.less,
+    "equal": np.equal,
+    "not equal": np.not_equal,
+}
+
+
+def op_rolling_threshold(df, keys, ts_col, features, window, lag=1, min_periods=1,
+                         threshold=0, operator="greater", grouper_name=None):
+    mp = int(min_periods)
+    cmp = _THRESH_OPS[operator]
+    flags = [f"__thr_{f}" for f in features]
+    # NaN counts as "not satisfying" via fillna(threshold) before compare
+    # (feature_engineering.py:915-917); flags are real observations, not NaN.
+    df[flags] = cmp(df[features].fillna(threshold).to_numpy(), threshold).astype(np.float64)
+
+    def fn(x: pd.DataFrame) -> pd.DataFrame:
+        return x.shift(lag).rolling(f"{window}D", min_periods=mp).agg(["mean"])
+
+    vals = _grouped_ts_apply(df, keys, ts_col, flags, fn)
+    names = [
+        stat_name(f, "", window, lag, grouper_name, designator=f"_perc_{operator}{threshold}")
+        for f in features
+    ]
+    df[names] = vals
+    return df.drop(columns=flags)
+
+
+# ---------------------------------------------------------------------------
+# W7 days since release
+# ---------------------------------------------------------------------------
+
+def op_days_since_release(df, keys, ts_col, target, ignore_leading_zeroes=True,
+                          out_name="days_since_release"):
+    ts = df[ts_col]
+    if ignore_leading_zeroes:
+        pos = ts.where(df[target].to_numpy() > 0)  # NaN target → False → masked
+        first = _grouped(df.assign(__pos_ts=pos), keys)["__pos_ts"].transform("min")
+    else:
+        first = _grouped(df, keys)[ts_col].transform("min")
+    first = first.fillna(ts)  # group never sold → 0 days (main divergence note:
+    # the reference's inner merge drops such groups, feature_engineering.py:83-87)
+    df[out_name] = (ts - first).dt.days.astype(int)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# W8 gap fill  /  W9 fill missings
+# ---------------------------------------------------------------------------
+
+def op_gap_fill(df, keys, ts_col, freq="D", start=None, end=None):
+    """Reindex each group to a complete grid at ``freq``.
+
+    ``start``/``end`` None → per-group first/last seen (scale-safe default).
+    The reference reindexes every group to the *global* range
+    (transform.py:454-465, pinned by its test tests/test_transform.py:8-28);
+    pass the global min/max in for that mode — the frame API computes them
+    with a cheap Dataset aggregate.
+    """
+    value_cols = [c for c in df.columns if c not in keys and c != ts_col]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        lo = start if start is not None else g[ts_col].min()
+        hi = end if end is not None else g[ts_col].max()
+        idx = pd.date_range(lo, hi, freq=freq)
+        out = g.set_index(ts_col)[value_cols].reindex(idx)
+        out.index.name = ts_col
+        out = out.reset_index()
+        for k in keys:
+            out[k] = g[k].iloc[0]
+        return out
+
+    parts = [fn(g) for _, g in df.groupby(keys, sort=False, dropna=False)]
+    out = pd.concat(parts, ignore_index=True)
+    return out[[ts_col] + keys + value_cols]
+
+
+def op_fill_missing(df, keys, ts_col, features, method="ffill"):
+    g = _grouped(df, keys)[features]
+    if method == "ffill":
+        df[features] = g.ffill()
+    elif method == "bfill":
+        df[features] = g.bfill()
+    elif method == "interpolate":
+        # linear-in-time interpolation inside gaps (north_rule addition; the
+        # reference only has ffill/bfill, transform.py:475-500)
+        def fn(x: pd.DataFrame) -> pd.DataFrame:
+            return x.interpolate(method="time", limit_area="inside")
+        df[features] = _grouped_ts_apply(df, keys, ts_col, list(features), fn)
+    else:
+        raise ValueError(f"unknown fill method: {method}")
+    return df
+
+
+def _register_all(register_op):
+    register_op("lag")(op_lag)
+    register_op("difference")(op_difference)
+    register_op("pct_change")(op_pct_change)
+    register_op("rolling_stats")(op_rolling_stats)
+    register_op("ewma")(op_ewma)
+    register_op("shift_ratio")(op_shift_ratio)
+    register_op("crossover")(op_crossover)
+    register_op("rolling_threshold")(op_rolling_threshold)
+    register_op("days_since_release")(op_days_since_release)
+    register_op("gap_fill")(op_gap_fill)
+    register_op("fill_missing")(op_fill_missing)

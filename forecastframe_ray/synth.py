@@ -1,0 +1,164 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (FIXTURES.md F3).
+
+Schema per ``BASELINE.json`` input_hint:
+``url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string``.
+
+Design goals:
+
+- **Deterministic & batch-independent**: every field of row ``i`` is a pure
+  function of ``(seed, i)`` via a splitmix64-style mixer — the same corpus is
+  produced at any parallelism / block split, so bench runs at 8 and 32 CPUs
+  see identical input.
+- **Zipf-skewed domains** (log-uniform rank ⇒ the top domain holds ~15% of
+  pages) to exercise salted repartitioning before windowed aggregation.
+- **Crawl-time gaps** within hosts to exercise gap-fill.
+- **Non-circular text oracle**: the stored ``text`` column is assembled from
+  the canonical pieces (title, body, entity marker), while ``html`` embeds
+  escaped versions of the same pieces inside tags/script/style noise. The
+  engine's extractor (:mod:`forecastframe_ray.extract`) must reproduce
+  ``text`` byte-identically.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+SPAN_DAYS = 28
+_DAY_US = 86_400_000_000
+
+_TLDS = ("com", "org", "net", "io", "de")
+_SUBS = ("www", "blog", "shop", "docs")
+_LANGS = ("en", "en", "en", "en", "en", "en", "en", "de", "fr", "es")  # 70% en
+
+_WORDS = (
+    "data stream batch arrow shard block window rollup tier bucket crawl page "
+    "host domain fetch parse index token vector metric series gap fill lag "
+    "delta gorilla codec chunk point value count mean total merge sort group "
+    "key hash salt skew spill queue actor pool task node cluster scale "
+    "byte text html link title body head style script render cache store "
+    "read write scan filter map join union limit sample rank label class "
+    "model train test split fold error score loss grad step rate decay "
+    "time stamp hour day week month year zone epoch range span slice bound"
+).split()
+assert len(_WORDS) >= 128
+_WORDS2 = _WORDS * 3  # wraparound slicing
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mixer)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _fields(ids: np.ndarray, seed: int, num_domains: int) -> dict[str, np.ndarray]:
+    """All numeric per-row fields as vectorized numpy (no Python loop)."""
+    base = ids.astype(np.uint64) + (np.uint64(seed) << np.uint64(32))
+    m1 = _mix(base)
+    m2 = _mix(base + np.uint64(1))
+    m3 = _mix(base + np.uint64(2))
+    m4 = _mix(base + np.uint64(3))
+    m5 = _mix(base + np.uint64(4))
+    m6 = _mix(base + np.uint64(5))
+    m7 = _mix(base + np.uint64(6))
+
+    u = m1.astype(np.float64) / 2.0**64
+    # log-uniform domain rank in [1, D] → Zipf-ish skew
+    rank = np.minimum(num_domains, np.floor(num_domains**u).astype(np.int64) + 0) + 0
+    rank = np.maximum(rank, 1)
+
+    day = (m3 % np.uint64(SPAN_DAYS)).astype(np.int64)
+    # carve weekly-ish holes per (domain, weekday) to guarantee gaps
+    hole = (day + rank) % 5 == 0
+    day = np.where(hole, (day + 1) % SPAN_DAYS, day)
+    intra = (m4 % np.uint64(_DAY_US)).astype(np.int64)
+    ts_us = BASE_TS_US + day * _DAY_US + intra
+
+    return {
+        "rank": rank,
+        "sub_ix": (m2 % np.uint64(1) + (m2 % np.uint64(4))).astype(np.int64) % (1 + rank % 3),
+        "ts_us": ts_us,
+        "lang_ix": (m5 % np.uint64(len(_LANGS))).astype(np.int64),
+        "n_words": (20 + m6 % np.uint64(108)).astype(np.int64),
+        "word_off": (m7 % np.uint64(len(_WORDS))).astype(np.int64),
+    }
+
+
+def _make_batch(ids: np.ndarray, seed: int, num_domains: int) -> pa.Table:
+    f = _fields(ids, seed, num_domains)
+    n = len(ids)
+    urls = np.empty(n, dtype=object)
+    htmls = np.empty(n, dtype=object)
+    texts = np.empty(n, dtype=object)
+    langs = np.empty(n, dtype=object)
+
+    rank, sub_ix = f["rank"], f["sub_ix"]
+    n_words, word_off, lang_ix = f["n_words"], f["word_off"], f["lang_ix"]
+    for j in range(n):
+        i = int(ids[j])
+        k = int(rank[j])
+        tld = _TLDS[k % len(_TLDS)]
+        host = f"{_SUBS[int(sub_ix[j])]}.site{k:05d}.{tld}"
+        url = f"https://{host}/p/{i}"
+        title = f"Page {i} — {host}"
+        body = " ".join(_WORDS2[int(word_off[j]): int(word_off[j]) + int(n_words[j])])
+        pieces = [title, title, body]  # <title> and <h1> both surface the title
+        marker = ""
+        if i % 7 == 0:
+            pieces.append("Tom & Jerry <3")
+            marker = "<p>Tom &amp; Jerry &lt;3</p>"
+        text = " ".join(pieces)
+        et = _html.escape(title)
+        eb = _html.escape(body)
+        html_doc = (
+            f"<!DOCTYPE html><html><head><title>{et}</title>"
+            f"<style>body{{margin:0;color:#222}}</style>"
+            f"<script>var p={i};if(p>1){{p=0}}</script></head>"
+            f"<body>\n  <h1>{et}</h1>\n  <p>{eb}</p>{marker}\n"
+            f"<!-- crawl {i} --></body></html>"
+        )
+        urls[j] = url
+        htmls[j] = html_doc.encode("utf-8")
+        texts[j] = text
+        langs[j] = _LANGS[int(lang_ix[j])]
+
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(f["ts_us"], type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
+def pages_dataset(num_pages: int, seed: int = 42, num_domains: int = 500,
+                  override_num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Lazy, distributed, deterministic pages corpus as a Ray Dataset."""
+
+    def gen(batch: dict) -> pa.Table:
+        return _make_batch(np.asarray(batch["id"], dtype=np.int64), seed, num_domains)
+
+    ds = ray.data.range(num_pages, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen, batch_format="numpy", batch_size=8192)
+
+
+def pages_table(num_pages: int, seed: int = 42, num_domains: int = 500) -> pa.Table:
+    """Driver-side small corpus for unit tests (no Ray needed)."""
+    return _make_batch(np.arange(num_pages, dtype=np.int64), seed, num_domains)
+
+
+def write_pages_corpus(path: str, num_pages: int, seed: int = 42,
+                       num_domains: int = 500, num_blocks: int = 64) -> None:
+    """Materialize a corpus to partitioned Parquet (bench input, cached)."""
+    pages_dataset(num_pages, seed, num_domains, override_num_blocks=num_blocks).write_parquet(path)

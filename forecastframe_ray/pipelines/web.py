@@ -1,0 +1,153 @@
+"""The flagship web pipeline (north_star): Common-Crawl-style pages →
+deterministic text extraction → url-hierarchy keys → per-host crawl-rate
+series → exact 1h/1d/7d retention tiers → gap-filled feature series →
+Gorilla-compressed chunks, with partition-granular checkpoint/resume.
+
+Every stage is a lazy Ray Data transform; the only materializations are the
+(small) tier tables and the driver-side manifest."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from forecastframe_ray import extract
+from forecastframe_ray import keys as K
+from forecastframe_ray.pipelines import rollup
+from forecastframe_ray.stages import gorilla
+from forecastframe_ray.state import checkpoint
+
+
+def prepare_pages(pages_ds, extract_html: bool = True):
+    """pages → pages + (host, domain, tld, text_bytes). Stateless Arrow maps."""
+    if extract_html:
+        pages_ds = pages_ds.map_batches(extract.extract_text_batch, batch_format="pyarrow")
+
+    def keys_fn(batch: pa.Table) -> pa.Table:
+        parts = K.split_url(batch["url"])
+        for name, arr in parts.items():
+            batch = batch.append_column(name, arr)
+        tb = pc.binary_length(batch["text"].cast(pa.binary()))
+        return batch.append_column("text_bytes", tb.cast(pa.int64()))
+
+    return pages_ds.map_batches(keys_fn, batch_format="pyarrow")
+
+
+def build_tiers(prepared, series_keys=("host",), num_salts: int = 16) -> dict:
+    """Exact per-(host, bucket) tier tables: pages count, bytes, and value
+    stats over ``text_bytes`` (the per-bucket crawl-rate series)."""
+    slim = prepared.select_columns(list(series_keys) + ["warc_ts", "text_bytes"])
+    return rollup.rollup_tiers(
+        slim, list(series_keys), "warc_ts",
+        value_col="text_bytes", size_col="text_bytes", num_salts=num_salts,
+    )
+
+
+def tier_points(tiers: dict) -> dict[str, int]:
+    return {t: ds.count() for t, ds in tiers.items()}
+
+
+def write_tiers(tiers: dict, out_dir: str, series_keys=("host",),
+                num_partitions: int = 32, fail_after: int | None = None):
+    """Checkpointed tier writes; resume skips completed (tier, part) pairs."""
+    rows = []
+    for tier, ds in tiers.items():
+        rows += checkpoint.write_partitioned(
+            ds, out_dir, tier, list(series_keys), num_partitions=num_partitions,
+            sort_cols=list(series_keys) + ["bucket_us"],
+            fail_after=fail_after,
+        )
+    return rows
+
+
+def compress_tier(tier_ds, series_keys=("host",), tier: str = "1h",
+                  value_col: str = "pages", num_partitions: int = 32):
+    """Gorilla-encode one tier's (host → bucket series) into chunk rows."""
+    slim = tier_ds.map_batches(
+        lambda b: b[list(series_keys) + ["bucket_us", value_col]].copy(),
+        batch_format="pandas",
+    )
+    return gorilla.encode_series_dataset(
+        slim, list(series_keys), "bucket_us", value_col,
+        tier=tier, num_partitions=num_partitions,
+    )
+
+
+def run(pages_ds, out_dir: str | None = None, series_keys=("host",),
+        num_salts: int = 16, num_partitions: int = 32,
+        compress: bool = True) -> dict:
+    """End-to-end flagship run. Returns metrics incl. the north-star
+    rolled-up points/sec across tiers."""
+    t_start = time.perf_counter()
+    prepared = prepare_pages(pages_ds)
+    tiers = build_tiers(prepared, series_keys, num_salts)
+    points = tier_points(tiers)
+
+    if out_dir:
+        write_tiers(tiers, out_dir, series_keys, num_partitions)
+
+    chunk_stats = None
+    if compress:
+        chunks = compress_tier(tiers["1h"], series_keys, "1h", "pages", num_partitions)
+        if out_dir:
+            chunk_rows = checkpoint.write_partitioned(
+                chunks, out_dir, "chunks_1h", list(series_keys),
+                num_partitions=num_partitions, sort_cols=list(series_keys),
+            )
+            chunk_stats = {"chunks": int(sum(r["rows"] for r in chunk_rows))}
+        else:
+            cdf = chunks.to_pandas()
+            payload = int(cdf["ts_payload"].map(len).sum() + cdf["val_payload"].map(len).sum())
+            chunk_stats = {
+                "chunks": len(cdf),
+                "payload_bytes": payload,
+                "raw_bytes": int(cdf["n_points"].sum()) * 16,
+            }
+
+    wall = time.perf_counter() - t_start
+    total_points = int(sum(points.values()))
+    return {
+        "tier_points": points,
+        "total_points": total_points,
+        "wall_s": round(wall, 3),
+        "points_per_sec": round(total_points / wall, 1),
+        "chunk_stats": chunk_stats,
+    }
+
+
+# ---------------------------------------------------------------------------
+# pandas oracle (tests): reference-semantics tiers computed single-node
+# ---------------------------------------------------------------------------
+
+def oracle_tiers(pages_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    """Exact expected tier values from raw pages with plain pandas, using the
+    same (count,sum,min,max,Σx²) definitions. ``text`` must be the extracted
+    text (byte-identity is asserted separately)."""
+    df = pages_df.copy()
+    host = df["url"].str.replace(r"^[a-z][a-z0-9+.-]*://", "", regex=True) \
+        .str.replace(r"[/:?#].*$", "", regex=True)
+    df["host"] = host
+    df["text_bytes"] = df["text"].str.encode("utf-8").str.len().astype("int64")
+    ts_us = df["warc_ts"].astype("datetime64[us]").astype("int64")
+    out = {}
+    for tier, width in K.TIER_US.items():
+        b = (ts_us // width) * width
+        g = df.assign(bucket_us=b).groupby(["host", "bucket_us"])["text_bytes"]
+        agg = g.agg(pages="count", bytes="sum", sum_val="sum", min_val="min",
+                    max_val="max").reset_index()
+        agg["sum_sq"] = g.apply(lambda x: float(np.sum(np.square(x, dtype=np.float64)))).values
+        agg["pages"] = agg["pages"].astype(np.float64)
+        agg["bytes"] = agg["bytes"].astype(np.float64)
+        n = agg["pages"].to_numpy()
+        s = agg["sum_val"].to_numpy(dtype=np.float64)
+        ss = agg["sum_sq"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            agg["mean_val"] = s / n
+            var = np.where(n > 1, (ss - s * s / n) / (n - 1), np.nan)
+        agg["std_val"] = np.sqrt(np.maximum(var, 0.0))
+        out[tier] = agg.sort_values(["host", "bucket_us"]).reset_index(drop=True)
+    return out

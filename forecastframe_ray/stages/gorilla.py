@@ -1,0 +1,342 @@
+"""Gorilla-style time-series chunk codec (north_rule; no analog in the
+reference, whose only "compression" is lossless dtype downcasting,
+``/root/reference/forecastframe/transform.py:11-39``).
+
+Format (our variant of the scheme from Pelkonen et al., "Gorilla: A Fast,
+Scalable, In-Memory Time Series Database", VLDB 2015 — public paper):
+
+Timestamps (int64 microseconds, delta-of-delta):
+  header  t0: 64 raw bits, then d1 = t1-t0: 64 raw bits (zigzag)
+  per point i≥2, dod = d_i - d_{i-1} (zigzag-encoded u):
+    u == 0        → ``0``
+    u < 2**7      → ``10``   + 7 bits
+    u < 2**12     → ``110``  + 12 bits
+    u < 2**20     → ``1110`` + 20 bits
+    else          → ``1111`` + 64 bits
+
+Values (float64 → uint64 bit pattern, XOR with previous; bit-exact incl.
+NaN/±0/inf/denormals):
+  first value: 64 raw bits
+  xor == 0 → ``0``
+  xor fits the previous (leading, meaningful-length) window → ``10`` + bits
+  else → ``11`` + 6 bits leading-zero count (capped 63) + 6 bits
+  (meaningful length - 1) + meaningful bits
+
+Chunks are one row per (series, tier): ``(…keys, tier, t0, n_points,
+ts_payload:binary, val_payload:binary, checksum:int64)``. Encode/decode run
+in **actor pools** (``map_batches(cls, concurrency=…)``) so scratch buffers
+are allocated once per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int):
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+    def reset(self):
+        self.buf.clear()
+        self.acc = 0
+        self.nbits = 0
+
+
+class BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, bits: int) -> int:
+        out = 0
+        pos = self.pos
+        data = self.data
+        end = pos + bits
+        while pos < end:
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, end - pos)
+            shift = avail - take
+            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+        self.pos = end
+        return out
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def encode_timestamps(ts_us: np.ndarray, w: BitWriter | None = None) -> bytes:
+    w = w or BitWriter()
+    w.reset() if w.buf or w.nbits else None
+    ts = [int(x) for x in ts_us]
+    n = len(ts)
+    if n == 0:
+        return b""
+    w.write(ts[0] & ((1 << 64) - 1), 64)
+    if n == 1:
+        return w.getvalue()
+    d_prev = ts[1] - ts[0]
+    w.write(_zigzag(d_prev), 64)
+    for i in range(2, n):
+        d = ts[i] - ts[i - 1]
+        u = _zigzag(d - d_prev)
+        d_prev = d
+        if u == 0:
+            w.write(0, 1)
+        elif u < (1 << 7):
+            w.write(0b10, 2); w.write(u, 7)
+        elif u < (1 << 12):
+            w.write(0b110, 3); w.write(u, 12)
+        elif u < (1 << 20):
+            w.write(0b1110, 4); w.write(u, 20)
+        else:
+            w.write(0b1111, 4); w.write(u, 64)
+    return w.getvalue()
+
+
+def decode_timestamps(payload: bytes, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    r = BitReader(payload)
+    t = r.read(64)
+    if t >= (1 << 63):
+        t -= 1 << 64
+    out[0] = t
+    if n == 1:
+        return out
+    d = _unzigzag(r.read(64))
+    t += d
+    out[1] = t
+    for i in range(2, n):
+        tag = r.read(1)
+        if tag == 0:
+            dod = 0
+        else:
+            tag = (tag << 1) | r.read(1)
+            if tag == 0b10:
+                dod = _unzigzag(r.read(7))
+            else:
+                tag = (tag << 1) | r.read(1)
+                if tag == 0b110:
+                    dod = _unzigzag(r.read(12))
+                else:
+                    tag = (tag << 1) | r.read(1)
+                    dod = _unzigzag(r.read(20)) if tag == 0b1110 else _unzigzag(r.read(64))
+        d += dod
+        t += d
+        out[i] = t
+    return out
+
+
+def encode_values(vals: np.ndarray, w: BitWriter | None = None) -> bytes:
+    w = w or BitWriter()
+    bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+    n = len(bits)
+    if n == 0:
+        return b""
+    prev = int(bits[0])
+    w.write(prev, 64)
+    lead_prev, len_prev = -1, -1  # no reusable window yet
+    for i in range(1, n):
+        cur = int(bits[i])
+        x = prev ^ cur
+        prev = cur
+        if x == 0:
+            w.write(0, 1)
+            continue
+        lead = 64 - x.bit_length()
+        trail = (x & -x).bit_length() - 1
+        if lead > 63:
+            lead = 63
+        if (
+            lead_prev >= 0
+            and lead >= lead_prev
+            and trail >= 64 - lead_prev - len_prev
+        ):
+            w.write(0b10, 2)
+            w.write(x >> (64 - lead_prev - len_prev), len_prev)
+        else:
+            mlen = 64 - lead - trail
+            w.write(0b11, 2)
+            w.write(lead, 6)
+            w.write(mlen - 1, 6)
+            w.write(x >> trail, mlen)
+            lead_prev, len_prev = lead, mlen
+    return w.getvalue()
+
+
+def decode_values(payload: bytes, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    r = BitReader(payload)
+    prev = r.read(64)
+    out[0] = prev
+    lead, mlen = 0, 0
+    for i in range(1, n):
+        tag = r.read(1)
+        if tag == 0:
+            out[i] = prev
+            continue
+        tag = (tag << 1) | r.read(1)
+        if tag == 0b11:
+            lead = r.read(6)
+            mlen = r.read(6) + 1
+        x = r.read(mlen) << (64 - lead - mlen)
+        prev ^= x
+        out[i] = prev
+    return out.view(np.float64)
+
+
+def chunk_checksum(ts_payload: bytes, val_payload: bytes) -> int:
+    return zlib.crc32(val_payload, zlib.crc32(ts_payload))
+
+
+# ---------------------------------------------------------------------------
+# Ray stages
+# ---------------------------------------------------------------------------
+
+def pack_series(part_df: pd.DataFrame, series_keys: list[str], ts_col: str,
+                value_col: str) -> pd.DataFrame:
+    """Partition-level kernel: one output row per series with its sorted
+    timestamp / value arrays (object columns → Arrow lists)."""
+    part_df = part_df.sort_values(series_keys + [ts_col], kind="mergesort")
+    rows = []
+    for key, g in part_df.groupby(series_keys, sort=False, dropna=False):
+        if not isinstance(key, tuple):
+            key = (key,)
+        ts_series = g[ts_col]
+        if np.issubdtype(ts_series.dtype, np.datetime64):
+            ts = ts_series.astype("datetime64[us]").astype("int64").to_numpy()
+        else:
+            ts = ts_series.astype("int64").to_numpy()
+        vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        rows.append(key + (ts, vals))
+    return pd.DataFrame(rows, columns=series_keys + ["ts_list", "val_list"])
+
+
+class GorillaEncoder:
+    """Actor-pool stage: series rows → compressed chunk rows. The bit
+    writer is allocated once per actor (``__init__``), reused per series."""
+
+    def __init__(self, tier: str = ""):
+        self.w = BitWriter()
+        self.tier = tier
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ts_payloads, val_payloads, t0s, ns, csums = [], [], [], [], []
+        for ts, vals in zip(batch["ts_list"], batch["val_list"]):
+            ts = np.asarray(ts, dtype=np.int64)
+            vals = np.asarray(vals, dtype=np.float64)
+            self.w.reset()
+            tp = encode_timestamps(ts, self.w)
+            self.w.reset()
+            vp = encode_values(vals, self.w)
+            ts_payloads.append(tp)
+            val_payloads.append(vp)
+            t0s.append(int(ts[0]) if len(ts) else 0)
+            ns.append(len(ts))
+            csums.append(chunk_checksum(tp, vp))
+        out = batch.drop(columns=["ts_list", "val_list"]).reset_index(drop=True)
+        out["tier"] = self.tier
+        out["t0"] = pd.to_datetime(np.array(t0s, dtype=np.int64), unit="us")
+        out["n_points"] = np.array(ns, dtype=np.int32)
+        out["ts_payload"] = ts_payloads
+        out["val_payload"] = val_payloads
+        out["checksum"] = np.array(csums, dtype=np.int64)
+        return out
+
+
+class GorillaDecoder:
+    """Actor-pool stage mirroring the encoder: chunk rows → exploded
+    (keys, ts, value) rows, verifying the checksum per chunk."""
+
+    def __init__(self, series_keys: list[str], ts_col: str = "bucket_ts",
+                 value_col: str = "value"):
+        self.series_keys = list(series_keys)
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, row in batch.iterrows():
+            tp, vp, n = row["ts_payload"], row["val_payload"], int(row["n_points"])
+            if chunk_checksum(tp, vp) != int(row["checksum"]):
+                raise ValueError("gorilla chunk checksum mismatch")
+            ts = decode_timestamps(tp, n)
+            vals = decode_values(vp, n)
+            df = pd.DataFrame({self.ts_col: pd.to_datetime(ts, unit="us"),
+                               self.value_col: vals})
+            for k in self.series_keys:
+                df[k] = row[k]
+            frames.append(df[self.series_keys + [self.ts_col, self.value_col]])
+        if not frames:
+            return pd.DataFrame(columns=self.series_keys + [self.ts_col, self.value_col])
+        return pd.concat(frames, ignore_index=True)
+
+
+def encode_series_dataset(ds, series_keys: list[str], ts_col: str, value_col: str,
+                          tier: str, num_partitions: int = 32,
+                          concurrency=(1, 8)):
+    """series-point Dataset → chunk Dataset: partition-pack (one shuffle on
+    the series key hash) then the encoder actor pool."""
+    from forecastframe_ray.stages.keyed import PART_COL
+    from forecastframe_ray import keys as K
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[PART_COL] = K.partition_ids(batch, series_keys, num_partitions)
+        return batch
+
+    def pack(part_df: pd.DataFrame) -> pd.DataFrame:
+        return pack_series(part_df.drop(columns=[PART_COL]), series_keys, ts_col, value_col)
+
+    packed = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby(PART_COL)
+        .map_groups(pack, batch_format="pandas")
+    )
+    return packed.map_batches(
+        GorillaEncoder, fn_constructor_kwargs={"tier": tier},
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+
+def decode_chunk_dataset(chunks, series_keys: list[str], ts_col: str = "bucket_ts",
+                         value_col: str = "value", concurrency=(1, 8)):
+    return chunks.map_batches(
+        GorillaDecoder,
+        fn_constructor_kwargs={"series_keys": list(series_keys),
+                               "ts_col": ts_col, "value_col": value_col},
+        batch_format="pandas", concurrency=concurrency,
+    )

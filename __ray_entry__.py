@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ``ray.init`` / ``ray.shutdown`` here or in the library code these
+callables use — the driver owns the Ray session.
 """
 
 from __future__ import annotations
@@ -20,25 +16,127 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: Common-Crawl-style pages synthesized
+    deterministically FROM the sf0.001 documents+events tables (url/html
+    wrapped around each document, crawl timestamps from the event stream) →
+    deterministic text extraction → url-hierarchy keys → salted 1h/1d/7d tier
+    cascade. Returns the 1h tier Dataset."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from forecastframe_ray.pipelines import web
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+
+    def to_pages(b: pd.DataFrame) -> pa.Table:
+        import html as _html
+        urls, htmls, ts = [], [], []
+        for doc_id, text, source in zip(b["doc_id"], b["text"], b["source"]):
+            host = f"{source}.example.com".lower().replace(" ", "-")
+            urls.append(f"https://{host}/doc/{doc_id}")
+            htmls.append((
+                f"<html><head><title>doc {doc_id}</title></head>"
+                f"<body><p>{_html.escape(text)}</p></body></html>"
+            ).encode("utf-8"))
+            # deterministic crawl timestamp: spread over 28 days by doc_id
+            ts.append(1_704_067_200_000_000 +
+                      (int(doc_id) * 9_999_999_989) % (28 * 86_400_000_000))
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+        })
+
+    pages = docs.map_batches(to_pages, batch_format="pandas")
+    prepared = web.prepare_pages(pages)
+    tiers = web.build_tiers(prepared, series_keys=("host",), num_salts=4)
+    return tiers["1h"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 and the
+    training-data stages (dedup / similarity / text analysis / multimodal)."""
+    from forecastframe_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # tier rollup cascade (north_rule flagship, A1)
+        "tier_1h_events": Q.q_tier_1h_events,
+        "tier_1d_events": Q.q_tier_1d_events,
+        "tier_7d_events": Q.q_tier_7d_events,
+        # keyed window stage ops (W1-W9)
+        "lag_daily_events": Q.q_lag_daily_events,
+        "diff_daily_events": Q.q_diff_daily_events,
+        "pct_change_daily_events": Q.q_pct_change_daily_events,
+        "rolling7_daily_events": Q.q_rolling7_daily_events,
+        "threshold_daily_events": Q.q_threshold_daily_events,
+        "days_since_release_events": Q.q_days_since_release_events,
+        "gapfill_ffill_hourly_events": Q.q_gapfill_ffill_hourly_events,
+        "ewma_daily_events": Q.q_ewma_daily_events,
+        "calendar_daily_events": Q.q_calendar_daily_events,
+        # aggregations / scalers / encoding (M1-M8, A1-A6)
+        "rollup_q1_lineitem": Q.q_rollup_q1_lineitem,
+        "standardize_lineitem": Q.q_standardize_lineitem,
+        "normalize_events": Q.q_normalize_events,
+        "log1p_lineitem": Q.q_log1p_lineitem,
+        "correct_negatives_events": Q.q_correct_negatives_events,
+        "encode_priority_orders": Q.q_encode_priority_orders,
+        "error_metrics_naive": Q.q_error_metrics_naive,
+        # joins / sorts / distinct (J1-J6, O1-O7)
+        "join_orders_customer": Q.q_join_orders_customer,
+        "semi_join_orders": Q.q_semi_join_orders,
+        "topk_orders": Q.q_topk_orders,
+        "distinct_event_types": Q.q_distinct_event_types,
+        # dedup / text / similarity / codec / multimodal
+        "exact_dedup_documents": Q.q_exact_dedup_documents,
+        "dup_counts_documents": Q.q_dup_counts_documents,
+        "token_counts_documents": Q.q_token_counts_documents,
+        "text_analysis_documents": Q.q_text_analysis_documents,
+        "minhash_pairs_documents": Q.q_minhash_pairs_documents,
+        "simhash_pairs_documents": Q.q_simhash_pairs_documents,
+        "embedding_near_dup": Q.q_embedding_near_dup,
+        "ann_bruteforce_embeddings": Q.q_ann_bruteforce_embeddings,
+        "ann_ivf_embeddings": Q.q_ann_ivf_embeddings,
+        "gorilla_roundtrip_events": Q.q_gorilla_roundtrip_events,
+        "multimodal_decode": Q.q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for every SQL-expressible query (same column names).
+    Omitted (rows-only): ewma (row-sequential state), text_analysis /
+    minhash / simhash / embedding near-dup / IVF (heuristic or approximate),
+    multimodal (synthetic stub input)."""
+    from forecastframe_ray.pipelines import queries as Q
+
+    return {
+        "tier_1h_events": Q.TIER_SQL["1h"],
+        "tier_1d_events": Q.TIER_SQL["1d"],
+        "tier_7d_events": Q.TIER_SQL["7d"],
+        "lag_daily_events": Q.SQL_LAG_DAILY,
+        "diff_daily_events": Q.SQL_DIFF_DAILY,
+        "pct_change_daily_events": Q.SQL_PCT_CHANGE_DAILY,
+        "rolling7_daily_events": Q.SQL_ROLLING7_DAILY,
+        "threshold_daily_events": Q.SQL_THRESHOLD_DAILY,
+        "days_since_release_events": Q.SQL_DAYS_SINCE,
+        "gapfill_ffill_hourly_events": Q.SQL_GAPFILL_FFILL_HOURLY,
+        "calendar_daily_events": Q.SQL_CALENDAR_DAILY,
+        "rollup_q1_lineitem": Q.SQL_ROLLUP_Q1,
+        "standardize_lineitem": Q.SQL_STANDARDIZE_LINEITEM,
+        "normalize_events": Q.SQL_NORMALIZE_EVENTS,
+        "log1p_lineitem": Q.SQL_LOG1P_LINEITEM,
+        "correct_negatives_events": Q.SQL_CORRECT_NEGATIVES,
+        "encode_priority_orders": Q.SQL_ENCODE_PRIORITY,
+        "error_metrics_naive": Q.SQL_ERROR_METRICS_NAIVE,
+        "join_orders_customer": Q.SQL_JOIN_ORDERS_CUSTOMER,
+        "semi_join_orders": Q.SQL_SEMI_JOIN_ORDERS,
+        "topk_orders": Q.SQL_TOPK_ORDERS,
+        "distinct_event_types": Q.SQL_DISTINCT_EVENT_TYPES,
+        "exact_dedup_documents": Q.SQL_EXACT_DEDUP_DOCS,
+        "dup_counts_documents": Q.SQL_DUP_COUNTS_DOCS,
+        "token_counts_documents": Q.SQL_TOKEN_COUNTS_DOCS,
+        "ann_bruteforce_embeddings": Q.SQL_ANN_BRUTEFORCE,
+        "gorilla_roundtrip_events": Q.SQL_GORILLA_ROUNDTRIP,
+    }

@@ -1,0 +1,158 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), run the flagship
+web-pages tier pipeline (synthetic deterministic corpus — north-star
+points/sec) plus representative operator pipelines over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1), and print ONE JSON line:
+  {"metric": ..., "value": <flagship sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: run the flagship twice in FRESH processes at num_cpus=8 and 32
+on the same input (sandbox proxy for N- vs 4N-node clusters) and report
+both throughputs + scaling efficiency; also appends the numbers to
+BENCH_SCALING.json.
+
+--single-run N: internal child mode for --scaling (flagship only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _flagship(num_pages: int, num_cpus: int) -> dict:
+    """Synthetic pages → extract → keys → salted 1h/1d/7d tier cascade.
+    Returns the web.run metrics (incl. rolled-up points/sec)."""
+    from forecastframe_ray import synth
+    from forecastframe_ray.pipelines import web
+
+    pages = synth.pages_dataset(num_pages, seed=42, num_domains=2000,
+                                override_num_blocks=max(16, num_cpus * 4))
+    return web.run(pages, out_dir=None, series_keys=("host",),
+                   num_salts=16, num_partitions=num_cpus * 2, compress=True)
+
+
+_BENCH_QUERIES = [
+    "tier_1h_events",
+    "rolling7_daily_events",
+    "gapfill_ffill_hourly_events",
+    "ewma_daily_events",
+    "rollup_q1_lineitem",
+    "standardize_lineitem",
+    "topk_orders",
+    "join_orders_customer",
+    "exact_dedup_documents",
+    "minhash_pairs_documents",
+    "simhash_pairs_documents",
+    "text_analysis_documents",
+    "ann_bruteforce_embeddings",
+    "gorilla_roundtrip_events",
+]
+
+
+def run_bench(sf_dir: str, num_cpus: int, num_pages: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    t0 = time.perf_counter()
+    fm = _flagship(num_pages, num_cpus)
+    flagship_sec = round(time.perf_counter() - t0, 3)
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in _BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume lazily-returned datasets so timing covers execution
+        if hasattr(res, "count") and not hasattr(res, "columns"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "flagship 1h/1d/7d tier cascade wall-clock (synthetic "
+                  f"{num_pages}-page corpus) + operator pipeline timings",
+        "value": flagship_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "flagship": fm,
+        "points_per_sec": fm["points_per_sec"],
+    }
+
+
+def run_scaling(num_pages: int) -> dict:
+    """Same flagship job, fresh processes, num_cpus=8 vs 32 → efficiency."""
+    out = {}
+    for n in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-run", str(n),
+             "--pages", str(num_pages)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out[n] = json.loads(line)
+    tp8, tp32 = out[8]["points_per_sec"], out[32]["points_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    result = {
+        "metric": "flagship points/sec at num_cpus=8 vs 32 (fresh processes, "
+                  "same input; sandbox proxy for N vs 4N nodes)",
+        "num_pages": num_pages,
+        "points_per_sec_8": tp8,
+        "points_per_sec_32": tp32,
+        "wall_s_8": out[8]["wall_s"],
+        "wall_s_32": out[32]["wall_s"],
+        "scaling_efficiency": round(eff, 3),
+        "unit": "points/sec",
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def main():
+    args = sys.argv[1:]
+    if "--single-run" in args:
+        n = int(args[args.index("--single-run") + 1])
+        num_pages = int(args[args.index("--pages") + 1]) if "--pages" in args else 300_000
+        _init_ray(n)
+        t0 = time.perf_counter()
+        fm = _flagship(num_pages, n)
+        fm["wall_s"] = round(time.perf_counter() - t0, 3)
+        fm["points_per_sec"] = round(fm["total_points"] / fm["wall_s"], 1)
+        print(json.dumps(fm))
+        import ray
+        ray.shutdown()
+        return
+
+    if "--scaling" in args:
+        num_pages = int(args[args.index("--pages") + 1]) if "--pages" in args else 300_000
+        print(json.dumps(run_scaling(num_pages)))
+        return
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    num_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "300000"))
+    _init_ray(num_cpus)
+    result = run_bench(sf_dir, num_cpus, num_pages)
+    print(json.dumps(result))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

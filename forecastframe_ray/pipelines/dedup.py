@@ -1,0 +1,314 @@
+"""Deduplication stages for training-data pipelines (session brief
+"Deduplication"): exact, MinHash+LSH, SimHash, n-gram Jaccard verification,
+and embedding-cosine near-dup. The reference has only PK-uniqueness exact
+dedup (/root/reference/forecastframe/main.py:61-69); everything else here is
+built from public algorithms (Broder'97 MinHash, Charikar'02 SimHash,
+Leskovec-Rajaraman-Ullman "Mining of Massive Datasets" LSH banding).
+
+Scale design (100 TB framing):
+
+- digests/signatures are computed in stateless ``map_batches`` (per-row
+  numpy over rolling-hash shingle arrays — no Python-per-byte work);
+- the shuffle key is always a *small fixed-width* column (16-byte digest,
+  uint64 band bucket), never the document text;
+- candidate verification happens inside ``groupby(bucket).map_groups`` so
+  only same-bucket docs ever meet; bucket sizes are bounded by band width;
+- cluster assignment (union-find) runs on the driver over the candidate-PAIR
+  list only — pairs ≪ corpus (the standard LSH contract). For corpora where
+  even pairs are huge, the same pair table can be fed to an iterative
+  hash-min connected-components over Dataset joins; documented, not needed
+  at this scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from forecastframe_ray.pipelines.textstats import rolling_hashes
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _digest_batch(batch: pd.DataFrame, text_col: str, out_col: str = "__digest") -> pd.DataFrame:
+    """MD5 hex digest of the exact text bytes — a 32-char shuffle key standing
+    in for the full document."""
+    batch = batch.copy()
+    batch[out_col] = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].fillna("")
+    ]
+    return batch
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact duplicate removal: keep the row with the smallest ``id_col`` per
+    distinct text. Shuffles digests (32 B/row), not documents: digest →
+    groupby(digest) → min(id) keep-set → semi-join filter (broadcast at this
+    scale; at 100 TB the keep-set is itself a Dataset joined by digest)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    with_digest = ds.map_batches(
+        lambda b: _digest_batch(b, text_col), batch_format="pandas"
+    ).materialize()
+    keep = with_digest.groupby("__digest").aggregate(Min(id_col, alias_name="__keep_id"))
+    keep_ids = set(keep.to_pandas()["__keep_id"].tolist())
+    keep_ref = ray.put(keep_ids)
+
+    def keep_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(keep_ref)  # zero-copy from local object store after 1st call
+        return batch[batch[id_col].isin(ids)].drop(columns=["__digest"])
+
+    return with_digest.map_batches(keep_fn, batch_format="pandas")
+
+
+def duplicate_counts(ds, text_col: str = "text"):
+    """Per-digest multiplicity (groupby count over the digest key) — the
+    monitoring view of exact dedup."""
+    from ray.data.aggregate import Count
+
+    with_digest = ds.map_batches(lambda b: _digest_batch(b, text_col), batch_format="pandas")
+    return with_digest.groupby("__digest").aggregate(Count(alias_name="n_copies"))
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash signatures
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)  # fixed seed → deterministic across runs
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, width: int = 5) -> np.ndarray:
+    """Distinct uint64 hashes of all ``width``-byte shingles (rolling hash —
+    one vectorized pass, shared with the fingerprint stage)."""
+    return np.unique(rolling_hashes(text.encode("utf-8"), width))
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm-wide MinHash: min over (a_i * h + b_i mod M) per permutation.
+    One (num_perm × n_shingles) broadcast — no Python loop."""
+    if len(sh) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_batch(batch: pd.DataFrame, text_col: str, num_perm: int,
+                  shingle_width: int, num_bands: int, seed: int = 7) -> pd.DataFrame:
+    """map_batches fn: text → one row per (doc, band) with a uint64 bucket id.
+    Emits only (id cols, band, bucket) — the LSH shuffle moves 24 B/band/doc."""
+    a, b = _perm_params(num_perm, seed)
+    rows_per_band = num_perm // num_bands
+    out_band, out_bucket, out_idx = [], [], []
+    for i, txt in enumerate(batch[text_col].fillna("")):
+        sig = minhash_signature(shingle_hashes(txt, shingle_width), a, b)
+        bands = sig[: num_bands * rows_per_band].reshape(num_bands, rows_per_band)
+        # bucket id = blake2b of the band's bytes (deterministic, collision-safe)
+        for bi in range(num_bands):
+            h = hashlib.blake2b(bands[bi].tobytes(), digest_size=8).digest()
+            out_band.append(bi)
+            out_bucket.append(int.from_bytes(h, "little"))
+            out_idx.append(i)
+    ids = batch.iloc[out_idx][[c for c in batch.columns if c != text_col]].reset_index(drop=True)
+    ids["band"] = np.asarray(out_band, dtype=np.int32)
+    ids["bucket"] = np.asarray(out_bucket, dtype=np.uint64)
+    return ids
+
+
+def ngram_jaccard(text_a: str, text_b: str, width: int = 5) -> float:
+    """Exact n-gram Jaccard similarity (the verification oracle for LSH
+    candidates)."""
+    sa, sb = shingle_hashes(text_a, width), shingle_hashes(text_b, width)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True)
+    return len(inter) / (len(sa) + len(sb) - len(inter))
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, num_bands: int = 16,
+                      shingle_width: int = 5, threshold: float = 0.7,
+                      seed: int = 7):
+    """Candidate generation + exact verification:
+
+    1. signature stage (stateless map_batches, text stays put);
+    2. ``groupby(band, bucket)`` — only docs agreeing on a full band collide;
+    3. per-bucket exact n-gram Jaccard on the (re-fetched) texts, emitting
+       verified pairs ≥ threshold.
+
+    Returns a Dataset of ``(id_a, id_b, jaccard)`` with id_a < id_b.
+    The text re-fetch uses a broadcast id→text map (fine while distinct
+    bucket members ≪ memory; at 100 TB replace with a join on id).
+    """
+    import ray
+
+    sigs = ds.map_batches(
+        lambda b: minhash_batch(b[[id_col, text_col]], text_col, num_perm,
+                                shingle_width, num_bands, seed),
+        batch_format="pandas",
+    )
+    texts_df = ds.select_columns([id_col, text_col]).to_pandas()
+    text_map_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        tmap = ray.get(text_map_ref)
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                sim = ngram_jaccard(tmap[ids[i]], tmap[ids[j]], shingle_width)
+                if sim >= threshold:
+                    rows.append((ids[i], ids[j], sim))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    pairs = sigs.groupby(["band", "bucket"]).map_groups(verify, batch_format="pandas")
+    # same pair can surface from several bands → dedup on (id_a, id_b)
+    return pairs.groupby(["id_a", "id_b"]).max("jaccard")
+
+
+def clusters_from_pairs(pairs_df: pd.DataFrame, id_a: str = "id_a",
+                        id_b: str = "id_b") -> dict:
+    """Driver-side union-find over the verified pair list → {doc_id: rep_id}
+    with rep = min id of the connected component."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df[id_a], pairs_df[id_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pd.DataFrame, text_col: str, out_col: str = "simhash") -> pd.DataFrame:
+    """64-bit SimHash per doc: sign-sum of token-hash bit columns weighted by
+    token counts. Token hashing via ``pd.util.hash_pandas_object`` (C
+    vectorized); the 64-bit unpack is one numpy broadcast per doc."""
+    batch = batch.copy()
+    out = np.empty(len(batch), dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, txt in enumerate(batch[text_col].fillna("")):
+        toks = pd.Series(txt.lower().split(), dtype="object")
+        if toks.empty:
+            out[i] = 0
+            continue
+        counts = toks.value_counts()
+        h = pd.util.hash_pandas_object(pd.Series(counts.index), index=False).to_numpy(np.uint64)
+        w = counts.to_numpy(np.float64)
+        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.float64)
+        sums = ((bits * 2.0 - 1.0) * w[:, None]).sum(axis=0)
+        out[i] = np.bitwise_or.reduce(
+            (sums > 0).astype(np.uint64) << bit_idx
+        )
+    batch[out_col] = out
+    return batch
+
+
+def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3):
+    """Near-dup candidates via the 4×16-bit band trick (any pair within
+    Hamming distance ≤3 of 64 bits must agree exactly on ≥1 of 4 bands);
+    verified by exact Hamming distance inside the bucket group."""
+    hashed = ds.map_batches(
+        lambda b: simhash_batch(b[[id_col, text_col]], text_col), batch_format="pandas"
+    ).materialize()
+
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["simhash"].to_numpy(np.uint64)
+        rows = []
+        for bi in range(4):
+            band = (sh >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
+            rows.append(pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                "simhash": sh,
+                "band": np.int32(bi),
+                "bucket": band.astype(np.int64),
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    bands = hashed.map_batches(explode_bands, batch_format="pandas")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy(np.uint64)
+        x = sh[:, None] ^ sh[None, :]
+        ham = np.array([[bin(int(v)).count("1") for v in row] for row in x])
+        ia, ib = np.where(np.triu(ham <= max_hamming, k=1))
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham[ia, ib]})
+
+    pairs = bands.groupby(["band", "bucket"]).map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).min("hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                             threshold: float = 0.95, num_planes: int = 12,
+                             seed: int = 11, dim: int | None = None):
+    """Near-duplicate vectors: random-hyperplane LSH buckets (Charikar'02) →
+    within-bucket exact cosine ≥ threshold. The plane matrix is seeded and
+    broadcast; signature stage is one matmul per batch."""
+    import ray
+
+    if dim is None:
+        first = ds.take(1)[0][vec_col]
+        dim = len(first)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes))
+    planes_ref = ray.put(planes)
+    powers = (1 << np.arange(num_planes)).astype(np.int64)
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        P = ray.get(planes_ref)
+        M = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        bits = (M @ P) > 0
+        batch = batch.copy()
+        batch["bucket"] = bits @ powers
+        return batch
+
+    bucketed = ds.map_batches(sig, batch_format="pandas")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        C = Mn @ Mn.T
+        ia, ib = np.where(np.triu(C >= threshold, k=1))
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos_sim": C[ia, ib]})
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")

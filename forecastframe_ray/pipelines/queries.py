@@ -1,0 +1,729 @@
+"""Driver-contract query implementations over the ``/root/testdata`` tables.
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a pandas DataFrame
+(small results) or a Ray Dataset, matching a DuckDB oracle in
+``__ray_entry__.oracle_sql`` column-for-column. The pipelines exercise the
+engine's real operators (tier cascade, keyed window stage, scalers,
+broadcast joins, dedup/similarity/text stages) — not ad-hoc reimplementations.
+
+Float policy: any column whose value is produced by order-sensitive float
+arithmetic (sums, means) is ``round(…, k)`` on BOTH sides so the driver's
+value-hash compares stable digits; NULL-able float columns are filled with
+the ``NULLF`` sentinel on both sides (pandas NaN and SQL NULL hash
+differently).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from forecastframe_ray.frame import RayForecastFrame
+from forecastframe_ray.functions import encoding, metrics, scalers
+from forecastframe_ray.pipelines import dedup, rollup, similarity, textstats
+from forecastframe_ray.stages import gorilla
+from forecastframe_ray.stages.join import broadcast_semi_join
+
+NULLF = -999.0
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+# modest parallelism for sf0.01-scale driver checks; bench overrides
+_NP = 8
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round(df: pd.DataFrame, cols: list[str], digits: int = 6) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.round(df[c].to_numpy(dtype=np.float64), digits)
+    return df
+
+
+def _fill(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].fillna(NULLF)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# tier rollups over events (the flagship operator on driver tables)
+# ---------------------------------------------------------------------------
+
+
+def _tier_output(tier_ds, tier: str) -> pd.DataFrame:
+    df = tier_ds.to_pandas()
+    df = df[["event_type", "bucket_us", "pages", "sum_val", "min_val", "max_val",
+             "mean_val", "std_val"]].copy()
+    df = _round(df, ["sum_val", "min_val", "max_val", "mean_val"], 6)
+    df["std_val"] = np.round(df["std_val"].to_numpy(dtype=np.float64), 6)
+    df = _fill(df, ["std_val"])  # single-point buckets: NaN ↔ SQL NULL
+    return df.reset_index(drop=True)
+
+
+def _event_tiers(sf_dir: str) -> dict:
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return rollup.rollup_tiers(ev, ["event_type"], "ts", value_col="value",
+                               size_col=None, num_salts=8)
+
+
+def q_tier_1h_events(sf_dir: str) -> pd.DataFrame:
+    return _tier_output(_event_tiers(sf_dir)["1h"], "1h")
+
+
+def q_tier_1d_events(sf_dir: str) -> pd.DataFrame:
+    """1d tier produced by CASCADE from 1h (exactness of the algebraic
+    (count,sum,min,max,Σx²) carry is what the oracle checks)."""
+    return _tier_output(_event_tiers(sf_dir)["1d"], "1d")
+
+
+def q_tier_7d_events(sf_dir: str) -> pd.DataFrame:
+    return _tier_output(_event_tiers(sf_dir)["7d"], "7d")
+
+
+def _tier_sql(width_us: int) -> str:
+    return f"""
+    SELECT event_type,
+           (epoch_us(ts) // {width_us}) * {width_us} AS bucket_us,
+           CAST(count(*) AS DOUBLE) AS pages,
+           round(sum(value), 6) AS sum_val,
+           round(min(value), 6) AS min_val,
+           round(max(value), 6) AS max_val,
+           round(avg(value), 6) AS mean_val,
+           COALESCE(round(stddev_samp(value), 6), {NULLF}) AS std_val
+    FROM events GROUP BY 1, 2
+    """
+
+
+TIER_SQL = {t: _tier_sql(w) for t, w in
+            (("1h", HOUR_US), ("1d", DAY_US), ("7d", 7 * DAY_US))}
+
+
+# ---------------------------------------------------------------------------
+# bucketed series + keyed window ops (daily / hourly event series)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_series(sf_dir: str, width_us: int, ts_name: str):
+    """events → (event_type, ts_name, v=round(sum(value),6)) series Dataset."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def floor_fn(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        b = b[["event_type", "value"]].copy()
+        b[ts_name] = pd.to_datetime((us // width_us) * width_us, unit="us")
+        return b
+
+    agg = ev.map_batches(floor_fn, batch_format="pandas") \
+        .groupby(["event_type", ts_name]).aggregate(Sum("value", alias_name="v"))
+
+    def round_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b["v"] = np.round(b["v"].to_numpy(dtype=np.float64), 6)
+        return b
+
+    return agg.map_batches(round_fn, batch_format="pandas")
+
+
+_DAILY_SQL = """
+    SELECT event_type, date_trunc('day', ts) AS d, round(sum(value), 6) AS v
+    FROM events GROUP BY 1, 2
+"""
+_HOURLY_SQL = """
+    SELECT event_type, date_trunc('hour', ts) AS h, round(sum(value), 6) AS v
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _daily_frame(sf_dir: str) -> RayForecastFrame:
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    return RayForecastFrame(daily, datetime_column="d", target="v",
+                            hierarchy=["event_type"], num_partitions=_NP)
+
+
+def q_lag_daily_events(sf_dir: str) -> pd.DataFrame:
+    fr = _daily_frame(sf_dir).lag_features("v", [1, 2])
+    df = fr.to_pandas()[["event_type", "d", "v", "v_lag1", "v_lag2"]]
+    return _fill(df, ["v_lag1", "v_lag2"])
+
+
+SQL_LAG_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           COALESCE(LAG(v, 1) OVER w, {NULLF}) AS v_lag1,
+           COALESCE(LAG(v, 2) OVER w, {NULLF}) AS v_lag2
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+"""
+
+
+def q_diff_daily_events(sf_dir: str) -> pd.DataFrame:
+    fr = _daily_frame(sf_dir).difference_features("v", periods=1)
+    df = fr.to_pandas()[["event_type", "d", "v", "v_differenced_1"]]
+    return _fill(df, ["v_differenced_1"])
+
+
+SQL_DIFF_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           COALESCE(v - LAG(v, 1) OVER w, {NULLF}) AS v_differenced_1
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+"""
+
+
+def q_pct_change_daily_events(sf_dir: str) -> pd.DataFrame:
+    fr = _daily_frame(sf_dir).calc_percent_change("v", lag=1)
+    df = fr.to_pandas()[["event_type", "d", "v", "v_pct_change_lag1"]]
+    df = _round(df, ["v_pct_change_lag1"], 6)
+    return _fill(df, ["v_pct_change_lag1"])
+
+
+SQL_PCT_CHANGE_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           COALESCE(round((LAG(v, 1) OVER w - LAG(v, 2) OVER w)
+                          / LAG(v, 2) OVER w, 6), {NULLF}) AS v_pct_change_lag1
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+"""
+
+
+_ROLL_COLS = [f"v_{a}_roll7_lag1" for a in ("mean", "sum", "min", "max")]
+
+
+def q_rolling7_daily_events(sf_dir: str) -> pd.DataFrame:
+    fr = _daily_frame(sf_dir).calc_statistical_features(
+        "v", windows=7, aggregations=["mean", "sum", "min", "max"],
+        lag=1, min_periods=1)
+    df = fr.to_pandas()[["event_type", "d", "v"] + _ROLL_COLS]
+    df = _round(df, _ROLL_COLS, 6)
+    return _fill(df, _ROLL_COLS)
+
+
+SQL_ROLLING7_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               epoch_us(d) // {DAY_US} AS dn,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    )
+    SELECT event_type, d, v,
+           COALESCE(round(avg(lv) OVER w, 6), {NULLF}) AS v_mean_roll7_lag1,
+           COALESCE(round(sum(lv) OVER w, 6), {NULLF}) AS v_sum_roll7_lag1,
+           COALESCE(round(min(lv) OVER w, 6), {NULLF}) AS v_min_roll7_lag1,
+           COALESCE(round(max(lv) OVER w, 6), {NULLF}) AS v_max_roll7_lag1
+    FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_threshold_daily_events(sf_dir: str) -> pd.DataFrame:
+    fr = _daily_frame(sf_dir).calc_percent_relative_to_threshold(
+        features="v", windows=7, lag=1, min_periods=1,
+        threshold=100, operator="greater")
+    col = "v_perc_greater100_roll7_lag1"
+    df = fr.to_pandas()[["event_type", "d", "v", col]]
+    df = _round(df, [col], 6)
+    return _fill(df, [col])
+
+
+SQL_THRESHOLD_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v, epoch_us(d) // {DAY_US} AS dn,
+               LAG(CASE WHEN v > 100 THEN 1.0 ELSE 0.0 END, 1)
+                   OVER (PARTITION BY event_type ORDER BY d) AS lf
+        FROM daily
+    )
+    SELECT event_type, d, v,
+           COALESCE(round(avg(lf) OVER w, 6), {NULLF}) AS v_perc_greater100_roll7_lag1
+    FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_days_since_release_events(sf_dir: str) -> pd.DataFrame:
+    fr = _daily_frame(sf_dir).calc_days_since_release(ignore_leading_zeroes=True)
+    df = fr.to_pandas()[["event_type", "d", "days_since_release"]]
+    df["days_since_release"] = df["days_since_release"].astype("int64")
+    return df
+
+
+SQL_DAYS_SINCE = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d,
+           CAST(datediff('day',
+               min(CASE WHEN v > 0 THEN d END) OVER (PARTITION BY event_type),
+               d) AS BIGINT) AS days_since_release
+    FROM daily
+"""
+
+
+def q_gapfill_ffill_hourly_events(sf_dir: str) -> pd.DataFrame:
+    """W8 gap-fill to each type's own [min,max] hourly grid + W9 ffill."""
+    hourly = _bucket_series(sf_dir, HOUR_US, "h")
+    fr = RayForecastFrame(hourly, datetime_column="h", target="v",
+                          hierarchy=["event_type"], num_partitions=_NP)
+    fr.fill_time_gaps(freq="h", mode="local").fill_missings(method="ffill", features=["v"])
+    df = fr.to_pandas()[["event_type", "h", "v"]]
+    return _fill(df, ["v"])
+
+
+SQL_GAPFILL_FFILL_HOURLY = f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+    grid AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT g.event_type, g.h,
+           COALESCE(LAST_VALUE(hr.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {NULLF}) AS v
+    FROM grid g LEFT JOIN hourly hr USING (event_type, h)
+"""
+
+
+def q_ewma_daily_events(sf_dir: str) -> pd.DataFrame:
+    """W4 EWMA + crossovers — not SQL-expressible (row-sequential state);
+    rows-only driver check, exact values pinned by the ported golden tests."""
+    fr = _daily_frame(sf_dir).calc_ewma("v", windows=[3, 7], lag=1,
+                                        crossovers=True, adjust=True)
+    cols = ["event_type", "d", "v", "v_ewma_roll3_lag1", "v_ewma_roll7_lag1",
+            "v_ewma_roll3_lag1_cross7"]
+    df = fr.to_pandas()[cols]
+    return _fill(_round(df, cols[3:], 6), cols[3:])
+
+
+def q_calendar_daily_events(sf_dir: str) -> pd.DataFrame:
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    fr = RayForecastFrame(daily, datetime_column="d", target="v",
+                          hierarchy=["event_type"], num_partitions=_NP)
+    fr.calc_datetime_features(["day", "day_of_week", "weekend_flag", "week",
+                               "month", "year", "quarter", "month_year",
+                               "quarter_year"])
+    df = fr.to_pandas()
+    intcols = ["day", "day_of_week", "week", "month", "year", "quarter"]
+    for c in intcols:
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "d"] + intcols + ["weekend_flag", "month_year",
+                                               "quarter_year"]]
+
+
+SQL_CALENDAR_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d,
+           CAST(EXTRACT(day FROM d) AS BIGINT) AS day,
+           CAST(isodow(d) - 1 AS BIGINT) AS day_of_week,
+           CAST(CAST(strftime(d, '%U') AS INTEGER) + 1 AS BIGINT) AS week,
+           CAST(EXTRACT(month FROM d) AS BIGINT) AS month,
+           CAST(EXTRACT(year FROM d) % 100 AS BIGINT) AS year,
+           CAST(EXTRACT(quarter FROM d) AS BIGINT) AS quarter,
+           isodow(d) - 1 >= 5 AS weekend_flag,
+           strftime(d, '%y') || 'M' || strftime(d, '%m') AS month_year,
+           strftime(d, '%y') || 'Q' || CAST(EXTRACT(quarter FROM d) AS VARCHAR)
+               AS quarter_year
+    FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation / scalers / encoding / joins / sort over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_q1_lineitem(sf_dir: str) -> pd.DataFrame:
+    """A1 hierarchy rollup in TPC-H q1 shape: salted-combiner groupby."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def disc(b: pd.DataFrame) -> pd.DataFrame:
+        b["l_disc_price"] = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        return b
+
+    li = li.map_batches(disc, batch_format="pandas")
+    agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("l_disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+    df = agg.to_pandas()
+    df["avg_qty"] = np.round(df["sum_qty"] / df["count_order"], 6)
+    df = _round(df, ["sum_qty"], 4)
+    df = _round(df, ["sum_base_price", "sum_disc_price"], 2)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "count_order"]]
+
+
+SQL_ROLLUP_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_quantity) / count(*), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_standardize_lineitem(sf_dir: str) -> pd.DataFrame:
+    """M3 two-phase standardize (ddof=1), applied distributed."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    li = li.materialize()
+    params = scalers.fit_standardize(li, ["l_quantity"])
+    out = li.map_batches(lambda b: scalers.apply_standardize(b, params),
+                         batch_format="pandas").to_pandas()
+    out = out.rename(columns={"l_quantity": "q_std"})
+    return _round(out, ["q_std"], 6)
+
+
+SQL_STANDARDIZE_LINEITEM = """
+    SELECT l_orderkey, l_linenumber,
+           round((l_quantity - avg(l_quantity) OVER ())
+                 / stddev_samp(l_quantity) OVER (), 6) AS q_std
+    FROM lineitem
+"""
+
+
+def q_normalize_events(sf_dir: str) -> pd.DataFrame:
+    ev = _read(sf_dir, "events", ["event_id", "value"]).materialize()
+    params = scalers.fit_normalize(ev, ["value"])
+    out = ev.map_batches(lambda b: scalers.apply_normalize(b, params),
+                         batch_format="pandas").to_pandas()
+    out = out.rename(columns={"value": "v_norm"})
+    return _round(out, ["v_norm"], 6)
+
+
+SQL_NORMALIZE_EVENTS = """
+    SELECT event_id,
+           round((value - min(value) OVER ())
+                 / (max(value) OVER () - min(value) OVER ()), 6) AS v_norm
+    FROM events
+"""
+
+
+def q_log1p_lineitem(sf_dir: str) -> pd.DataFrame:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = li.map_batches(lambda b: scalers.apply_log1p(b, ["l_quantity"]),
+                         batch_format="pandas").to_pandas()
+    out = out.rename(columns={"l_quantity": "q_log"})
+    return _round(out, ["q_log"], 9)
+
+
+SQL_LOG1P_LINEITEM = """
+    SELECT l_orderkey, l_linenumber, round(ln(1.0 + l_quantity), 9) AS q_log
+    FROM lineitem
+"""
+
+
+def q_correct_negatives_events(sf_dir: str) -> pd.DataFrame:
+    """M1 clamp, on a centered copy so negatives actually occur."""
+    from forecastframe_ray.functions import scalar
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def center(b: pd.DataFrame) -> pd.DataFrame:
+        b["v_clamped"] = b["value"] - 100.0
+        return b[["event_id", "v_clamped"]]
+
+    out = ev.map_batches(center, batch_format="pandas").map_batches(
+        lambda b: scalar.correct_negatives_batch(b, ["v_clamped"], 0),
+        batch_format="pandas").to_pandas()
+    return _round(out, ["v_clamped"], 6)
+
+
+SQL_CORRECT_NEGATIVES = """
+    SELECT event_id,
+           round(CASE WHEN value - 100.0 < 0 THEN 0 ELSE value - 100.0 END, 6)
+               AS v_clamped
+    FROM events
+"""
+
+
+def q_encode_priority_orders(sf_dir: str) -> pd.DataFrame:
+    """M6 globally-consistent ordinal encoding (code = rank in sorted
+    distinct values)."""
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    keys = encoding.fit_categories(od, ["o_orderpriority"])
+    out = od.map_batches(encoding.encode_batch_fn(keys),
+                         batch_format="pandas").to_pandas()
+    out = out.rename(columns={"o_orderpriority": "priority_code"})
+    out["priority_code"] = out["priority_code"].astype("int64")
+    return out
+
+
+SQL_ENCODE_PRIORITY = """
+    SELECT o_orderkey,
+           CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT)
+               AS priority_code
+    FROM orders
+"""
+
+
+def q_join_orders_customer(sf_dir: str) -> pd.DataFrame:
+    """J2 broadcast small-side join + rollup: per-nation order totals."""
+    od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    from forecastframe_ray.stages.join import broadcast_left_join
+    joined = broadcast_left_join(
+        od, cust.rename(columns={"c_custkey": "o_custkey"}), on=["o_custkey"])
+    agg = joined.groupby("c_nationkey").aggregate(
+        Sum("o_totalprice", alias_name="total_price"),
+        Count(alias_name="n_orders"),
+    ).to_pandas()
+    agg["c_nationkey"] = agg["c_nationkey"].astype("int64")
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    return _round(agg, ["total_price"], 2)[["c_nationkey", "total_price", "n_orders"]]
+
+
+SQL_JOIN_ORDERS_CUSTOMER = """
+    SELECT c_nationkey, round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
+def q_semi_join_orders(sf_dir: str) -> pd.DataFrame:
+    """J6 broadcast semi-join: orders from high-balance customers, counted
+    per status."""
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal"]).to_pandas()
+    keys = cust[cust["c_acctbal"] > 5000][["c_custkey"]] \
+        .rename(columns={"c_custkey": "o_custkey"})
+    kept = broadcast_semi_join(od, keys, on=["o_custkey"])
+    out = kept.groupby("o_orderstatus").aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out[["o_orderstatus", "n"]]
+
+
+SQL_SEMI_JOIN_ORDERS = """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    GROUP BY 1
+"""
+
+
+def q_topk_orders(sf_dir: str) -> pd.DataFrame:
+    """O4 top-k: distributed sort (range shuffle) + limit."""
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = od.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.to_pandas()
+
+
+SQL_TOPK_ORDERS = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """A5/O5: distinct + counts."""
+    ev = _read(sf_dir, "events", ["event_type"])
+    out = ev.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "n"]]
+
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
+
+def q_error_metrics_naive(sf_dir: str) -> pd.DataFrame:
+    """A6 error metrics of the naive lag-1 daily forecast (partial+final
+    distributed aggregation, never materializing the error table)."""
+    fr = _daily_frame(sf_dir).lag_features("v", [1])
+    preds = fr.dataset.map_batches(
+        lambda b: b[b["v_lag1"].notna()], batch_format="pandas")
+    out = metrics.error_summary(preds, "v", "v_lag1")
+    out = out[["n", "MAPE", "MAPA", "MSE", "RMSE"]].copy()
+    out["n"] = out["n"].astype("int64")
+    out = _round(out, ["MAPE", "MAPA"], 6)
+    out = _round(out, ["MSE"], 2)
+    return _round(out, ["RMSE"], 4)
+
+
+SQL_ERROR_METRICS_NAIVE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    )
+    SELECT count(*) AS n,
+           round(avg(abs((v - lv) / v)), 6) AS MAPE,
+           round(1.0 - avg(abs((v - lv) / v)), 6) AS MAPA,
+           round(avg((v - lv) * (v - lv)), 2) AS MSE,
+           round(sqrt(avg((v - lv) * (v - lv))), 4) AS RMSE
+    FROM l WHERE lv IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / text analysis / similarity over documents + embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: surviving doc_ids (min id per distinct text)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.exact_dedup(docs).to_pandas()
+    return out[["doc_id"]]
+
+
+SQL_EXACT_DEDUP_DOCS = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_dup_counts_documents(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.duplicate_counts(docs).to_pandas()
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out[["__digest", "n_copies"]]
+
+
+SQL_DUP_COUNTS_DOCS = """
+    SELECT md5(text) AS __digest, count(*) AS n_copies
+    FROM documents GROUP BY 1
+"""
+
+
+def q_token_counts_documents(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(textstats.token_counts_batch,
+                           batch_format="pyarrow").to_pandas()
+    return out[["doc_id", "n_chars_text", "n_tokens_ws"]]
+
+
+SQL_TOKEN_COUNTS_DOCS = r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws
+    FROM documents
+"""
+
+
+def q_text_analysis_documents(sf_dir: str) -> pd.DataFrame:
+    """Lang-ID + quality + fingerprint (heuristic stages — rows-only check)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textstats.analyze_documents(docs).to_pandas()
+    cols = ["alpha_ratio", "punct_ratio", "stopword_frac", "quality_score"]
+    out = _round(out, cols, 6)
+    out["doc_fingerprint"] = out["doc_fingerprint"].astype("uint64")
+    return out[["doc_id", "lang_pred"] + cols + ["doc_fingerprint"]]
+
+
+def q_minhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidate pairs, n-gram-Jaccard-verified
+    (rows-only: the banding itself is not SQL-expressible)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    pairs = pairs.rename(columns={"max(jaccard)": "jaccard"})
+    return _round(pairs[["id_a", "id_b", "jaccard"]], ["jaccard"], 6)
+
+
+def q_simhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).to_pandas()
+    pairs = pairs.rename(columns={"min(hamming)": "hamming"})
+    pairs["hamming"] = pairs["hamming"].astype("int64")
+    return pairs[["id_a", "id_b", "hamming"]]
+
+
+def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.3,
+                                           num_planes=4).to_pandas()
+    if pairs.empty:  # no near-dups at this sf: stable empty schema
+        pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cos_sim": pd.Series([], dtype="float64")})
+    return _round(pairs[["id_a", "id_b", "cos_sim"]], ["cos_sim"], 6)
+
+
+def _query_vectors(sf_dir: str, ids=(0, 1)) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().set_index("vec_id")
+    return np.stack([np.asarray(df.loc[i, "embedding"], dtype=np.float64)
+                     for i in ids])
+
+
+def q_ann_bruteforce_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-10 for query vectors vec_id 0 and 1 (ids-only output
+    so the oracle compares integer ranks, not float paths)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = similarity.brute_force_topk(emb, _query_vectors(sf_dir), k=10)
+    top["query_ix"] = top["query_ix"].astype("int64")
+    return top[["query_ix", "rank", "vec_id"]]
+
+
+SQL_ANN_BRUTEFORCE = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id IN (0, 1)),
+    s AS (SELECT qid, e.vec_id,
+                 list_cosine_similarity(e.embedding, qv) AS sim
+          FROM embeddings e CROSS JOIN q),
+    r AS (SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM s)
+    SELECT CAST(qid AS BIGINT) AS query_ix, CAST(rn - 1 AS BIGINT) AS rank,
+           vec_id
+    FROM r WHERE rn <= 10
+"""
+
+
+def q_ann_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-10 (rows-only: approximate by construction)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = similarity.ivf_topk(emb, _query_vectors(sf_dir), k=10,
+                              num_centroids=16, nprobe=4)
+    top["query_ix"] = top["query_ix"].astype("int64")
+    return top[["query_ix", "rank", "vec_id"]]
+
+
+def q_gorilla_roundtrip_events(sf_dir: str) -> pd.DataFrame:
+    """Gorilla XOR + delta-of-delta codec over the daily series, decoded back
+    and re-aggregated — proves bit-exact roundtrip distributed (rows-only)."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket_us"] = b["d"].astype("datetime64[us]").astype("int64")
+        return b[["event_type", "bucket_us", "v"]]
+
+    series = daily.map_batches(to_us, batch_format="pandas")
+    chunks = gorilla.encode_series_dataset(series, ["event_type"], "bucket_us",
+                                           "v", tier="1d", num_partitions=4)
+    decoded = gorilla.decode_chunk_dataset(chunks, ["event_type"],
+                                           ts_col="bucket_us", value_col="v")
+    out = decoded.groupby("event_type").aggregate(
+        Count(alias_name="n_points"), Sum("v", alias_name="sum_v")).to_pandas()
+    out["n_points"] = out["n_points"].astype("int64")
+    return _round(out, ["sum_v"], 6)[["event_type", "n_points", "sum_v"]]
+
+
+SQL_GORILLA_ROUNDTRIP = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, count(*) AS n_points, round(sum(v), 6) AS sum_v
+    FROM daily GROUP BY 1
+"""
+
+
+def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool media decode plumbing over a deterministic synthetic media
+    table (rows-only; codecs are stubbed per the brief)."""
+    from forecastframe_ray.pipelines import multimodal
+
+    mds = ray.data.from_arrow(multimodal.synth_media_table(256))
+    out = multimodal.decode_features(mds, concurrency=(1, 4), batch_size=64)
+    df = out.to_pandas()
+    feat0 = np.stack(df["features"].to_numpy())[:, 0]
+    df["feat0"] = np.round(feat0, 6)
+    return df[["media_id", "kind", "payload_bytes", "feat0"]]

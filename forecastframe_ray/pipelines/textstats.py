@@ -1,0 +1,178 @@
+"""Text-analysis stages for large-scale training-data pipelines: language
+identification, quality scoring, token counting, and document fingerprinting
+(session brief "Text analysis"; no analog in the reference, which has no text
+columns — cited for contrast: /root/reference/forecastframe/main.py:43 holds
+only numeric/categorical frames).
+
+All stages are stateless ``map_batches`` transforms over Arrow/pandas batches;
+the per-row work is vectorized (pandas ``.str`` C kernels / numpy over token
+hash arrays). Nothing here shuffles — these compose with the dedup / rollup
+stages that do.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+#: GPT2-style pre-tokenizer regex (public pattern, simplified to stdlib `re`:
+#: no \p classes — letters/digits/other runs with leading-space handling).
+_BPE_RE = re.compile(r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+
+def token_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_chars_text``, ``n_tokens_ws`` (whitespace tokens) and
+    ``n_tokens_bpe`` (BPE-ish regex pre-tokens). Arrow kernels for the first
+    two; compiled-regex findall for the third."""
+    text = batch[text_col]
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    # whitespace tokens = runs of non-space: split the trimmed string
+    trimmed = pc.utf8_trim_whitespace(text)
+    ws_tokens = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")).cast(pa.int64())
+    # empty / all-whitespace string → split gives [""] (1); fix to 0
+    ws_tokens = pc.if_else(
+        pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int64()), ws_tokens
+    )
+    texts = text.to_pandas()
+    bpe = pa.array([len(_BPE_RE.findall(t)) for t in texts], type=pa.int64())
+    batch = batch.append_column("n_chars_text", n_chars)
+    batch = batch.append_column("n_tokens_ws", ws_tokens)
+    batch = batch.append_column("n_tokens_bpe", bpe)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_EN_STOP = frozenset(
+    "the of and to in a is that it for on with as was at by an be this have "
+    "from or are not but had his they you which one all were her she there".split()
+)
+
+
+def quality_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Heuristic quality features (Gopher/C4-style public heuristics):
+    alpha/punct/space character ratios, mean word length, stopword fraction,
+    and a composite ``quality_score`` in [0, 1]. Pandas ``.str`` C kernels +
+    one exploded-token pass for stopwords (no Python loop over rows)."""
+    t = batch[text_col].astype("string").fillna("")
+    n = t.str.len().astype("int64")
+    n_safe = n.mask(n == 0, 1)
+    alpha = t.str.count(r"[A-Za-z]")
+    digit = t.str.count(r"[0-9]")
+    punct = t.str.count(r"[^\w\s]")
+    space = t.str.count(r"\s")
+    words = t.str.findall(r"\S+")
+    n_words = words.str.len().astype("int64")
+    nw_safe = n_words.mask(n_words == 0, 1)
+    mean_word_len = (n - space) / nw_safe
+
+    ex = words.explode().dropna().str.lower().str.strip(".,;:!?\"'()[]")
+    stop_hits = ex.isin(_EN_STOP).groupby(level=0).sum()
+    stopword_frac = (stop_hits.reindex(batch.index, fill_value=0) / nw_safe).astype(float)
+
+    batch = batch.copy()
+    batch["alpha_ratio"] = (alpha / n_safe).astype(float)
+    batch["digit_ratio"] = (digit / n_safe).astype(float)
+    batch["punct_ratio"] = (punct / n_safe).astype(float)
+    batch["mean_word_len"] = mean_word_len.astype(float)
+    batch["stopword_frac"] = stopword_frac
+    # composite: reward alpha-rich, stopword-bearing, sane word lengths
+    score = (
+        0.4 * batch["alpha_ratio"].clip(0, 1)
+        + 0.3 * batch["stopword_frac"].clip(0, 0.6) / 0.6
+        + 0.3 * (1.0 - (batch["mean_word_len"] - 5.0).abs().clip(0, 5) / 5.0)
+    )
+    batch["quality_score"] = score.where(n_words > 0, 0.0).astype(float)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+#: tiny per-language stopword profiles (public common-word lists).
+_LANG_STOPS = {
+    "en": frozenset("the and of to in is you that it for was with are as have".split()),
+    "de": frozenset("der die und das ist ich nicht mit ein eine den von zu im".split()),
+    "fr": frozenset("le la les et de des un une est pour que dans qui pas sur".split()),
+    "es": frozenset("el la los las y de que en un una es por para con no se".split()),
+}
+_LANG_ORDER = tuple(sorted(_LANG_STOPS))  # deterministic tie-break order
+
+
+def lang_id_batch(batch: pd.DataFrame, text_col: str = "text",
+                  out_col: str = "lang_pred") -> pd.DataFrame:
+    """Stopword-profile language ID over {en,de,fr,es} with ``und`` for
+    no-evidence rows. One exploded-token pass per language set."""
+    t = batch[text_col].astype("string").fillna("")
+    tokens = t.str.lower().str.findall(r"[a-záéíóúäöüßàèùâêîôûç]+")
+    ex = tokens.explode().dropna()
+    scores = np.zeros((len(batch), len(_LANG_ORDER)), dtype=np.int64)
+    for li, lang in enumerate(_LANG_ORDER):
+        hits = ex.isin(_LANG_STOPS[lang]).groupby(level=0).sum()
+        scores[:, li] = hits.reindex(batch.index, fill_value=0).to_numpy()
+    best = scores.argmax(axis=1)
+    has_evidence = scores.max(axis=1) > 0
+    pred = np.where(has_evidence, np.array(_LANG_ORDER, dtype=object)[best], "und")
+    batch = batch.copy()
+    batch[out_col] = pred
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash)
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)       # FNV prime — public constant
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def rolling_hashes(data: bytes, width: int = 8) -> np.ndarray:
+    """Polynomial rolling hashes of every ``width``-byte window (uint64
+    wraparound arithmetic) — the shingle primitive shared with MinHash.
+    Fully vectorized: one sliding-window view + one matvec."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if len(arr) < width:
+        arr = np.pad(arr, (0, width - len(arr)), constant_values=0)
+    win = np.lib.stride_tricks.sliding_window_view(arr, width)
+    powers = _FP_BASE ** np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (win * powers).sum(axis=1, dtype=np.uint64)
+
+
+def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text",
+                      out_col: str = "doc_fingerprint") -> pd.DataFrame:
+    """64-bit content fingerprint per document: min over the rolling-hash
+    windows XOR the document length — robust to small reorderings, cheap,
+    deterministic across processes (no salted ``hash()``)."""
+    fps = np.empty(len(batch), dtype=np.uint64)
+    for i, txt in enumerate(batch[text_col].fillna("")):
+        data = txt.encode("utf-8")
+        rh = rolling_hashes(data)
+        fps[i] = (np.uint64(rh.min()) ^ np.uint64(len(data))) if len(rh) else np.uint64(len(data))
+    batch = batch.copy()
+    batch[out_col] = fps
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# dataset-level wrappers
+# ---------------------------------------------------------------------------
+
+def analyze_documents(ds, text_col: str = "text"):
+    """Full text-analysis pass: token counts (Arrow) → quality + lang-id +
+    fingerprint (pandas). Stateless; streams."""
+    ds = ds.map_batches(lambda b: token_counts_batch(b, text_col), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: quality_batch(b, text_col), batch_format="pandas")
+    ds = ds.map_batches(lambda b: lang_id_batch(b, text_col), batch_format="pandas")
+    ds = ds.map_batches(lambda b: fingerprint_batch(b, text_col), batch_format="pandas")
+    return ds

@@ -511,6 +511,28 @@ class RayForecastFrame:
         self._ds = self._ds.map_batches(cast, batch_format="pandas")
         return self
 
+    # ------------------------------------------------------------------
+    # persistence + replay (S2/S3, §3.3)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str):
+        """Parquet + JSON-manifest persistence (the no-pickle analog of
+        ``save_fframe``, io.py:9-24)."""
+        from forecastframe_ray import io as _io
+        _io.save_frame(self, path)
+        return self
+
+    @classmethod
+    def load(cls, path: str) -> "RayForecastFrame":
+        from forecastframe_ray import io as _io
+        return _io.load_frame(path)
+
+    def replay(self, data, num_partitions: int | None = None) -> "RayForecastFrame":
+        """Apply this frame's recorded scaler + feature plan to new data
+        (the reference's record/replay, model.py:550-628)."""
+        from forecastframe_ray import io as _io
+        return _io.replay(self, data, num_partitions)
+
     def _get_covariates(self) -> list[str]:
         """All non-hierarchy, non-datetime columns (utilities.py:215-224)."""
         drop = set(self._keys) | {self.datetime_column, _GLOBAL_KEY}

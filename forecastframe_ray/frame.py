@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Max, Min
 
 from forecastframe_ray.functions import encoding, scalar, scalers
 from forecastframe_ray.pipelines.rollup import aggregate_features
@@ -139,8 +139,11 @@ class RayForecastFrame:
     def validate_primary_key(self):
         """PK-uniqueness over hierarchy+datetime (main.py:58-69): distributed
         duplicate count, raises on any dup."""
+        from forecastframe_ray.stages.agg import hash_count
+
         by = self._keys + [self.datetime_column]
-        counts = self._ds.groupby(by).aggregate(Count(alias_name="__n"))
+        counts = hash_count(self._ds, by, out_col="__n",
+                            num_partitions=self.num_partitions)
         dups = counts.map_batches(
             lambda b: b[b["__n"] > 1], batch_format="pandas"
         ).count()

@@ -55,7 +55,12 @@ def error_summary(ds, actual_col: str, pred_col: str, group_cols: list[str] | No
         Count(alias_name="n"),
     ]
     if group_cols:
-        out = partial.groupby(list(group_cols)).aggregate(*aggs)
+        from forecastframe_ray.stages.agg import hash_aggregate
+
+        out = hash_aggregate(partial, list(group_cols), {
+            "sum_ape": ("__ape", "sum"), "sum_se": ("__se", "sum"),
+            "n": ("__ape", "size"),
+        })
     else:
         row = partial.aggregate(*aggs)
         out = pd.DataFrame([row])

@@ -50,12 +50,14 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     groupby(digest) → min(id) keep-set → semi-join filter (broadcast at this
     scale; at 100 TB the keep-set is itself a Dataset joined by digest)."""
     import ray
-    from ray.data.aggregate import Min
+
+    from forecastframe_ray.stages.agg import hash_aggregate
 
     with_digest = ds.map_batches(
         lambda b: _digest_batch(b, text_col), batch_format="pandas"
     ).materialize()
-    keep = with_digest.groupby("__digest").aggregate(Min(id_col, alias_name="__keep_id"))
+    keep = hash_aggregate(with_digest, ["__digest"],
+                          {"__keep_id": (id_col, "min")})
     keep_ids = set(keep.to_pandas()["__keep_id"].tolist())
     keep_ref = ray.put(keep_ids)
 
@@ -69,10 +71,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 def duplicate_counts(ds, text_col: str = "text"):
     """Per-digest multiplicity (groupby count over the digest key) — the
     monitoring view of exact dedup."""
-    from ray.data.aggregate import Count
+    from forecastframe_ray.stages.agg import hash_count
 
     with_digest = ds.map_batches(lambda b: _digest_batch(b, text_col), batch_format="pandas")
-    return with_digest.groupby("__digest").aggregate(Count(alias_name="n_copies"))
+    return hash_count(with_digest, ["__digest"], out_col="n_copies")
 
 
 # ---------------------------------------------------------------------------
@@ -174,9 +176,13 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                     rows.append((ids[i], ids[j], sim))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(verify, batch_format="pandas")
+    from forecastframe_ray.stages.agg import bucketed_map_groups, hash_aggregate
+
+    pairs = bucketed_map_groups(sigs, ["band", "bucket"], verify,
+                                num_partitions=32)
     # same pair can surface from several bands → dedup on (id_a, id_b)
-    return pairs.groupby(["id_a", "id_b"]).max("jaccard")
+    return hash_aggregate(pairs, ["id_a", "id_b"],
+                          {"jaccard": ("jaccard", "max")}, num_partitions=16)
 
 
 def clusters_from_pairs(pairs_df: pd.DataFrame, id_a: str = "id_a",
@@ -263,8 +269,12 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ia, ib = np.where(np.triu(ham <= max_hamming, k=1))
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham[ia, ib]})
 
-    pairs = bands.groupby(["band", "bucket"]).map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).min("hamming")
+    from forecastframe_ray.stages.agg import bucketed_map_groups, hash_aggregate
+
+    pairs = bucketed_map_groups(bands, ["band", "bucket"], verify,
+                                num_partitions=32)
+    return hash_aggregate(pairs, ["id_a", "id_b"],
+                          {"hamming": ("hamming", "min")}, num_partitions=16)
 
 
 # ---------------------------------------------------------------------------
@@ -311,4 +321,6 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_
         ia, ib = np.where(np.triu(C >= threshold, k=1))
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos_sim": C[ia, ib]})
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    from forecastframe_ray.stages.agg import bucketed_map_groups
+
+    return bucketed_map_groups(bucketed, ["bucket"], verify, num_partitions=32)

@@ -20,7 +20,8 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 import ray.data
-from ray.data.aggregate import Count, Sum
+
+from forecastframe_ray.stages.agg import hash_aggregate, hash_count
 
 from forecastframe_ray.frame import RayForecastFrame
 from forecastframe_ray.functions import encoding, metrics, scalers
@@ -120,8 +121,9 @@ def _bucket_series(sf_dir: str, width_us: int, ts_name: str):
         b[ts_name] = pd.to_datetime((us // width_us) * width_us, unit="us")
         return b
 
-    agg = ev.map_batches(floor_fn, batch_format="pandas") \
-        .groupby(["event_type", ts_name]).aggregate(Sum("value", alias_name="v"))
+    agg = hash_aggregate(ev.map_batches(floor_fn, batch_format="pandas"),
+                         ["event_type", ts_name], {"v": ("value", "sum")},
+                         num_partitions=_NP)
 
     def round_fn(b: pd.DataFrame) -> pd.DataFrame:
         b["v"] = np.round(b["v"].to_numpy(dtype=np.float64), 6)
@@ -347,12 +349,12 @@ def q_rollup_q1_lineitem(sf_dir: str) -> pd.DataFrame:
         return b
 
     li = li.map_batches(disc, batch_format="pandas")
-    agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("l_disc_price", alias_name="sum_disc_price"),
-        Count(alias_name="count_order"),
-    )
+    agg = hash_aggregate(li, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_base_price": ("l_extendedprice", "sum"),
+        "sum_disc_price": ("l_disc_price", "sum"),
+        "count_order": ("l_quantity", "size"),
+    }, num_partitions=_NP)
     df = agg.to_pandas()
     df["avg_qty"] = np.round(df["sum_qty"] / df["count_order"], 6)
     df = _round(df, ["sum_qty"], 4)
@@ -475,10 +477,10 @@ def q_join_orders_customer(sf_dir: str) -> pd.DataFrame:
     from forecastframe_ray.stages.join import broadcast_left_join
     joined = broadcast_left_join(
         od, cust.rename(columns={"c_custkey": "o_custkey"}), on=["o_custkey"])
-    agg = joined.groupby("c_nationkey").aggregate(
-        Sum("o_totalprice", alias_name="total_price"),
-        Count(alias_name="n_orders"),
-    ).to_pandas()
+    agg = hash_aggregate(joined, ["c_nationkey"], {
+        "total_price": ("o_totalprice", "sum"),
+        "n_orders": ("o_totalprice", "size"),
+    }, num_partitions=_NP).to_pandas()
     agg["c_nationkey"] = agg["c_nationkey"].astype("int64")
     agg["n_orders"] = agg["n_orders"].astype("int64")
     return _round(agg, ["total_price"], 2)[["c_nationkey", "total_price", "n_orders"]]
@@ -501,7 +503,7 @@ def q_semi_join_orders(sf_dir: str) -> pd.DataFrame:
     keys = cust[cust["c_acctbal"] > 5000][["c_custkey"]] \
         .rename(columns={"c_custkey": "o_custkey"})
     kept = broadcast_semi_join(od, keys, on=["o_custkey"])
-    out = kept.groupby("o_orderstatus").aggregate(Count(alias_name="n")).to_pandas()
+    out = hash_count(kept, ["o_orderstatus"], num_partitions=4).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out[["o_orderstatus", "n"]]
 
@@ -530,7 +532,7 @@ SQL_TOPK_ORDERS = """
 def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
     """A5/O5: distinct + counts."""
     ev = _read(sf_dir, "events", ["event_type"])
-    out = ev.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    out = hash_count(ev, ["event_type"], num_partitions=4).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out[["event_type", "n"]]
 
@@ -626,14 +628,12 @@ def q_minhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
     (rows-only: the banding itself is not SQL-expressible)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
-    pairs = pairs.rename(columns={"max(jaccard)": "jaccard"})
     return _round(pairs[["id_a", "id_b", "jaccard"]], ["jaccard"], 6)
 
 
 def q_simhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).to_pandas()
-    pairs = pairs.rename(columns={"min(hamming)": "hamming"})
     pairs["hamming"] = pairs["hamming"].astype("int64")
     return pairs[["id_a", "id_b", "hamming"]]
 
@@ -703,8 +703,9 @@ def q_gorilla_roundtrip_events(sf_dir: str) -> pd.DataFrame:
                                            "v", tier="1d", num_partitions=4)
     decoded = gorilla.decode_chunk_dataset(chunks, ["event_type"],
                                            ts_col="bucket_us", value_col="v")
-    out = decoded.groupby("event_type").aggregate(
-        Count(alias_name="n_points"), Sum("v", alias_name="sum_v")).to_pandas()
+    out = hash_aggregate(decoded, ["event_type"], {
+        "n_points": ("v", "size"), "sum_v": ("v", "sum"),
+    }, num_partitions=4).to_pandas()
     out["n_points"] = out["n_points"].astype("int64")
     return _round(out, ["sum_v"], 6)[["event_type", "n_points", "sum_v"]]
 

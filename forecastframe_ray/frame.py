@@ -514,6 +514,56 @@ class RayForecastFrame:
         self._ds = self._ds.map_batches(cast, batch_format="pandas")
         return self
 
+    def make_future_frame(self, periods: int, freq: str = "D",
+                          include_history: bool = True,
+                          apply_plan: bool = True) -> "RayForecastFrame":
+        """W10 future-frame generation (model.py:717-791): distinct hierarchy
+        tuples × the next ``periods`` dates after the global max, target=NaN,
+        optionally concatenated with history (provenance via NaN target) and
+        run through the recorded feature plan.
+
+        Distributed shape: the distinct-hierarchy scan is a hash_count (the
+        result is tiny — one row per series); the cartesian product with the
+        date grid is generated driver-side and unioned lazily with history.
+        """
+        from forecastframe_ray.stages.agg import hash_count
+
+        dtc, tgt = self.datetime_column, self.target
+        base = self._flush()
+        last = pd.Timestamp(base.aggregate(Max(dtc, alias_name="hi"))["hi"])
+        dates = pd.date_range(start=last, periods=periods + 1, freq=freq)
+        dates = dates[dates > last][:periods]
+
+        if self.hierarchy:
+            hier = hash_count(base, self.hierarchy,
+                              num_partitions=self.num_partitions) \
+                .to_pandas()[self.hierarchy]
+            future = hier.loc[hier.index.repeat(len(dates))].reset_index(drop=True)
+            future[dtc] = np.tile(dates.to_numpy(), len(hier))
+        else:
+            future = pd.DataFrame({dtc: dates})
+            future[_GLOBAL_KEY] = np.int8(0)
+        future[tgt] = np.nan
+
+        # align to the full history schema (missing cols → null), matching
+        # the reference's pandas concat which NaN-fills new future rows
+        schema = base.schema()
+        for name, typ in zip(schema.names, schema.types):
+            if name not in future.columns:
+                is_str = isinstance(typ, pa.DataType) and (
+                    pa.types.is_string(typ) or pa.types.is_large_string(typ))
+                future[name] = None if is_str else np.nan
+        future = future[list(schema.names)]
+
+        future_ds = ray.data.from_pandas(future)
+        data = base.union(future_ds) if include_history else future_ds
+        if not apply_plan:
+            out = RayForecastFrame(data, dtc, tgt, self.hierarchy,
+                                   num_partitions=self.num_partitions)
+            out.function_list = list(self.function_list)
+            return out
+        return self.replay(data)
+
     # ------------------------------------------------------------------
     # persistence + replay (S2/S3, §3.3)
     # ------------------------------------------------------------------

@@ -96,9 +96,10 @@ def cascade_tier(finer, series_keys: list[str], finer_tier: str, coarser_tier: s
     """Exact coarser tier from a finer tier: re-bucket + merge the algebraic
     stats (sum/count/min/max/Σx² compose; mean & std derive at read time)."""
     width = K.TIER_US[coarser_tier]
+    keep = list(series_keys) + ["bucket_us"] + list(TIER_STATS)
 
     def rebucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
+        batch = batch[keep].copy()  # drop derived cols if input is finalized
         batch["bucket_us"] = (batch["bucket_us"] // width) * width
         return batch
 
@@ -132,15 +133,21 @@ def rollup_tiers(ds, series_keys: list[str], ts_col: str, value_col: str | None 
     ``num_salts`` is kept for API stability; hot-key splitting is inherent
     in the combiner + coarse-hash plan (see :mod:`stages.agg` skew note).
     """
-    # materialize the (small) finer tiers so each is computed once — 1h feeds
-    # both its own output and the 1d cascade, 1d feeds 7d.
-    t1h = build_tier(ds, series_keys, ts_col, value_col, size_col, "1h",
-                     num_partitions).materialize()
-    t1d = cascade_tier(t1h, series_keys, "1h", "1d").materialize()
-    t7d = cascade_tier(t1d, series_keys, "1d", "7d")
-    out = {}
-    for tier, t in (("1h", t1h), ("1d", t1d), ("7d", t7d)):
-        out[tier] = t.map_batches(
-            lambda b, tier=tier: finalize_tier_batch(b, tier), batch_format="pandas"
-        )
-    return out
+    # materialize each FINALIZED tier exactly once: 1h feeds its own output
+    # and the 1d cascade (which drops the derived cols), 1d feeds 7d; tier
+    # row counts become block-metadata lookups (no re-execution), and the
+    # compression stage reads the materialized 1h blocks directly.
+    def fin(t, tier):
+        return t.map_batches(
+            lambda b, tier=tier: finalize_tier_batch(b, tier),
+            batch_format="pandas",
+        ).materialize()
+
+    t1h = fin(build_tier(ds, series_keys, ts_col, value_col, size_col, "1h",
+                         num_partitions), "1h")
+    # coarser tiers are orders of magnitude smaller — fewer partitions keeps
+    # the per-task floor from dominating these short execs
+    np_c = min(16, num_partitions)
+    t1d = fin(cascade_tier(t1h, series_keys, "1h", "1d", np_c), "1d")
+    t7d = fin(cascade_tier(t1d, series_keys, "1d", "7d", np_c), "7d")
+    return {"1h": t1h, "1d": t1d, "7d": t7d}

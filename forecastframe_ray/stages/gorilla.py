@@ -308,11 +308,17 @@ class GorillaDecoder:
 
 def encode_series_dataset(ds, series_keys: list[str], ts_col: str, value_col: str,
                           tier: str, num_partitions: int = 32,
-                          concurrency=(1, 8)):
+                          concurrency=None):
     """series-point Dataset → chunk Dataset: partition-pack (one shuffle on
-    the series key hash) then the encoder actor pool."""
+    the series key hash) then the encoder actor pool (sized to the cluster
+    unless ``concurrency`` is given)."""
     from forecastframe_ray.stages.keyed import PART_COL
     from forecastframe_ray import keys as K
+
+    if concurrency is None:
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(8, ncpu))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         batch[PART_COL] = K.partition_ids(batch, series_keys, num_partitions)

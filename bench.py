@@ -94,10 +94,11 @@ def run_bench(sf_dir: str, num_cpus: int, num_pages: int) -> dict:
     }
 
 
-def run_scaling(num_pages: int) -> dict:
-    """Same flagship job, fresh processes, num_cpus=8 vs 32 → efficiency."""
+def run_scaling(num_pages: int, levels=(8, 32)) -> dict:
+    """Same flagship job, fresh processes, num_cpus=N vs 4N → efficiency."""
+    lo, hi = levels
     out = {}
-    for n in (8, 32):
+    for n in (lo, hi):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single-run", str(n),
              "--pages", str(num_pages)],
@@ -105,16 +106,18 @@ def run_scaling(num_pages: int) -> dict:
         )
         line = proc.stdout.strip().splitlines()[-1]
         out[n] = json.loads(line)
-    tp8, tp32 = out[8]["points_per_sec"], out[32]["points_per_sec"]
-    eff = (tp32 / tp8) / (32 / 8)
+    tp_lo, tp_hi = out[lo]["points_per_sec"], out[hi]["points_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
     result = {
-        "metric": "flagship points/sec at num_cpus=8 vs 32 (fresh processes, "
-                  "same input; sandbox proxy for N vs 4N nodes)",
+        "metric": f"flagship points/sec at num_cpus={lo} vs {hi} (fresh "
+                  "processes, same input; sandbox proxy for N vs 4N nodes)",
         "num_pages": num_pages,
-        "points_per_sec_8": tp8,
-        "points_per_sec_32": tp32,
-        "wall_s_8": out[8]["wall_s"],
-        "wall_s_32": out[32]["wall_s"],
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        f"points_per_sec_{lo}": tp_lo,
+        f"points_per_sec_{hi}": tp_hi,
+        f"wall_s_{lo}": out[lo]["wall_s"],
+        f"wall_s_{hi}": out[hi]["wall_s"],
         "scaling_efficiency": round(eff, 3),
         "unit": "points/sec",
     }
@@ -140,8 +143,11 @@ def main():
         return
 
     if "--scaling" in args:
-        num_pages = int(args[args.index("--pages") + 1]) if "--pages" in args else 300_000
-        print(json.dumps(run_scaling(num_pages)))
+        num_pages = int(args[args.index("--pages") + 1]) if "--pages" in args else 2_400_000
+        levels = (8, 32)
+        if "--levels" in args:
+            levels = tuple(int(x) for x in args[args.index("--levels") + 1].split(","))
+        print(json.dumps(run_scaling(num_pages, levels)))
         return
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")

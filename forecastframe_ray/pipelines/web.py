@@ -91,11 +91,12 @@ def compress_tier(tier_ds, series_keys=("host",), tier: str = "1h",
         lambda b: b[list(series_keys) + ["bucket_us", value_col]].copy(),
         batch_format="pandas",
     )
-    # small fixed pool: chunk rows ≈ #series, so encode work per tier is tiny
-    # relative to the spine — a large autoscaling pool only pays startup.
+    # small pool (sized by encode_series_dataset to leave CPU headroom):
+    # chunk rows ≈ #series, so encode work per tier is tiny relative to the
+    # spine — a large autoscaling pool only pays startup.
     return gorilla.encode_series_dataset(
         slim, list(series_keys), "bucket_us", value_col,
-        tier=tier, num_partitions=min(32, num_partitions), concurrency=(2, 8),
+        tier=tier, num_partitions=min(32, num_partitions), concurrency=None,
     )
 
 

@@ -318,7 +318,9 @@ def encode_series_dataset(ds, series_keys: list[str], ts_col: str, value_col: st
     if concurrency is None:
         import ray
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (1, max(8, ncpu))
+        # min 1 and max < cluster CPUs: the pool must never reserve every
+        # slot or the surrounding map/shuffle tasks starve on small clusters
+        concurrency = (1, max(1, min(ncpu - 1, 8)))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         batch[PART_COL] = K.partition_ids(batch, series_keys, num_partitions)

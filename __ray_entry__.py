@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_daily_events": Q.q_threshold_daily_events,
         "days_since_release_events": Q.q_days_since_release_events,
         "gapfill_ffill_hourly_events": Q.q_gapfill_ffill_hourly_events,
+        "interpolate_hourly_events": Q.q_interpolate_hourly_events,
+        "rollup_grouper_stats_events": Q.q_rollup_grouper_stats_events,
         "ewma_daily_events": Q.q_ewma_daily_events,
         "calendar_daily_events": Q.q_calendar_daily_events,
         # aggregations / scalers / encoding (M1-M8, A1-A6)
@@ -122,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "threshold_daily_events": Q.SQL_THRESHOLD_DAILY,
         "days_since_release_events": Q.SQL_DAYS_SINCE,
         "gapfill_ffill_hourly_events": Q.SQL_GAPFILL_FFILL_HOURLY,
+        "interpolate_hourly_events": Q.SQL_INTERPOLATE_HOURLY,
+        "rollup_grouper_stats_events": Q.SQL_ROLLUP_GROUPER_STATS,
         "calendar_daily_events": Q.SQL_CALENDAR_DAILY,
         "rollup_q1_lineitem": Q.SQL_ROLLUP_Q1,
         "standardize_lineitem": Q.SQL_STANDARDIZE_LINEITEM,

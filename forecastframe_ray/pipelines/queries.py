@@ -728,3 +728,113 @@ def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
     feat0 = np.stack(df["features"].to_numpy())[:, 0]
     df["feat0"] = np.round(feat0, 6)
     return df[["media_id", "kind", "payload_bytes", "feat0"]]
+
+
+def q_rollup_grouper_stats_events(sf_dir: str) -> pd.DataFrame:
+    """W1 with ``groupers`` (A1 aggregate → window at rollup grain → J1
+    broadcast join back): base grain (event_type, seg, day), rolling mean
+    computed at the event_type level and joined to every seg row."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "ts", "value"])
+
+    def floor_fn(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        out = pd.DataFrame({
+            "event_type": b["event_type"],
+            "seg": (b["user_id"] % 4).astype("int64"),
+            "d": pd.to_datetime((us // DAY_US) * DAY_US, unit="us"),
+            "value": b["value"],
+        })
+        return out
+
+    base = hash_aggregate(ev.map_batches(floor_fn, batch_format="pandas"),
+                          ["event_type", "seg", "d"], {"v": ("value", "sum")},
+                          num_partitions=_NP)
+
+    def round_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b["v"] = np.round(b["v"].to_numpy(dtype=np.float64), 6)
+        return b
+
+    base = base.map_batches(round_fn, batch_format="pandas")
+    fr = RayForecastFrame(base, datetime_column="d", target="v",
+                          hierarchy=["event_type", "seg"], num_partitions=_NP)
+    fr.calc_statistical_features(
+        "v", windows=7, aggregations=["mean"], lag=1, min_periods=1,
+        groupers={"name": "total", "columns": ["event_type"], "operation": "sum"})
+    col = "v_mean_total_roll7_lag1"
+    df = fr.to_pandas()[["event_type", "seg", "d", "v", col]]
+    df = _round(df, [col], 6)
+    return _fill(df, [col])
+
+
+SQL_ROLLUP_GROUPER_STATS = f"""
+    WITH base AS (
+        SELECT event_type, user_id % 4 AS seg, date_trunc('day', ts) AS d,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2, 3
+    ),
+    lvl AS (SELECT event_type, d, sum(v) AS vt FROM base GROUP BY 1, 2),
+    l2 AS (
+        SELECT event_type, d, epoch_us(d) // {DAY_US} AS dn,
+               LAG(vt) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM lvl
+    ),
+    r AS (
+        SELECT event_type, d,
+               COALESCE(round(avg(lv) OVER (PARTITION BY event_type ORDER BY dn
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6), {NULLF})
+                   AS v_mean_total_roll7_lag1
+        FROM l2
+    )
+    SELECT b.event_type, b.seg, b.d, b.v, r.v_mean_total_roll7_lag1
+    FROM base b JOIN r USING (event_type, d)
+"""
+
+
+def q_interpolate_hourly_events(sf_dir: str) -> pd.DataFrame:
+    """W8 gap-fill + W9 LINEAR-in-time interpolation (north_rule addition;
+    interior gaps only, edges stay null → sentinel)."""
+    hourly = _bucket_series(sf_dir, HOUR_US, "h")
+    fr = RayForecastFrame(hourly, datetime_column="h", target="v",
+                          hierarchy=["event_type"], num_partitions=_NP)
+    fr.fill_time_gaps(freq="h", mode="local")
+    fr.fill_missings(method="interpolate", features=["v"])
+    df = fr.to_pandas()[["event_type", "h", "v"]]
+    df = _round(df, ["v"], 6)
+    return _fill(df, ["v"])
+
+
+SQL_INTERPOLATE_HOURLY = f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+    grid AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    j AS (SELECT g.event_type, g.h, hr.v
+          FROM grid g LEFT JOIN hourly hr USING (event_type, h)),
+    w AS (
+        SELECT event_type, h, v,
+               LAST_VALUE(v IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               FIRST_VALUE(v IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM j
+    )
+    SELECT event_type, h,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv) * (epoch_us(h) - epoch_us(pt))
+                        / (epoch_us(nt) - epoch_us(pt))
+               ELSE {NULLF}
+           END, 6) AS v
+    FROM w
+"""

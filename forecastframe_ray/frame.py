@@ -514,6 +514,72 @@ class RayForecastFrame:
         self._ds = self._ds.map_batches(cast, batch_format="pandas")
         return self
 
+    def remove_min_lags(self, min_lag_dict: dict[str, int]):
+        """M11 ``_remove_min_lags`` (model.py:631-651): for each feature
+        prefix, drop derived columns whose ``_lag{n}`` suffix is below the
+        given minimum (and non-lag derived columns of that prefix); the
+        target column itself is never dropped. Pure schema operation —
+        compiles to one ``drop_columns``."""
+        self._flush()
+        cols = list(self._ds.schema().names)
+        to_remove = []
+        for prefix, lag_value in min_lag_dict.items():
+            affected = [c for c in cols if c.startswith(prefix) and c != self.target]
+            for c in affected:
+                suffix = c.split("_lag")[-1]
+                if suffix.isdigit() and int(suffix) >= lag_value:
+                    continue
+                to_remove.append(c)
+        if to_remove:
+            self._ds = self._ds.drop_columns(sorted(set(to_remove)))
+        return self
+
+    def missing_percentages(self) -> pd.Series:
+        """A7 ``print_missing_percentages`` (utilities.py:511-515): null
+        share per column, via one partial+final aggregate pass (never
+        materializes the table)."""
+        self._flush()
+
+        def partials(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.isnull().sum(axis=0).to_frame().T
+            out["__rows"] = len(b)
+            return out
+
+        totals = self._ds.map_batches(partials, batch_format="pandas") \
+            .sum(ignore_nulls=True)
+        n = totals.pop("sum(__rows)")
+        return pd.Series({k.removeprefix("sum(").removesuffix(")"): v / n
+                          for k, v in totals.items()})
+
+    def merge_actuals(self, prediction_df) -> "ray.data.Dataset":
+        """J3 ``_merge_actuals`` (model.py:170-199): outer-join predictions
+        with the non-null-target actual rows on hierarchy + datetime.
+        Distributed hash join (both sides may be large)."""
+        from forecastframe_ray.stages.join import hash_join
+
+        if isinstance(prediction_df, pd.DataFrame):
+            preds = ray.data.from_pandas(prediction_df)
+        else:
+            preds = prediction_df
+        if self.target in preds.schema().names:
+            return preds
+        keys = (self.hierarchy or []) + [self.datetime_column]
+        actuals = self._flush().map_batches(
+            lambda b: b.loc[b[self.target].notna(), keys + [self.target]],
+            batch_format="pandas")
+        return hash_join(preds, actuals, on=keys, how="outer",
+                         num_partitions=self.num_partitions)
+
+    def update_values(self, patch_df: pd.DataFrame):
+        """J4 ``_update_values`` (utilities.py:189-211): overwrite with the
+        patch's non-NA values aligned on hierarchy + datetime (broadcast)."""
+        from forecastframe_ray.stages.join import broadcast_update
+
+        keys = (self.hierarchy or []) + [self.datetime_column]
+        self._flush()
+        self._ds = broadcast_update(self._ds, patch_df, on=keys)
+        return self
+
     def make_future_frame(self, periods: int, freq: str = "D",
                           include_history: bool = True,
                           apply_plan: bool = True) -> "RayForecastFrame":

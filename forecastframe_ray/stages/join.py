@@ -10,6 +10,7 @@ join instead (documented in SURVEY.md §2.4; not needed by any reference op).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray
 
@@ -47,3 +48,44 @@ def broadcast_semi_join(ds, keys_df: pd.DataFrame, on: list[str], anti: bool = F
             return batch[~mask] if anti else batch[mask]
 
     return ds.map_batches(Filterer, batch_format="pandas", concurrency=(1, 8))
+
+
+_JOIN_TYPES = {"inner": "inner", "left": "left_outer",
+               "right": "right_outer", "outer": "full_outer"}
+
+
+def hash_join(left, right, on: list[str], how: str = "inner",
+              num_partitions: int = 32):
+    """Distributed hash join for the both-sides-large case (J3; SURVEY.md
+    §2.4) — wraps ``Dataset.join`` (hash-partition exchange on ``on``).
+    Prefer :func:`broadcast_left_join` whenever one side is small."""
+    return left.join(right, join_type=_JOIN_TYPES[how],
+                     num_partitions=num_partitions, on=tuple(on))
+
+
+def broadcast_update(ds, patch_df: pd.DataFrame, on: list[str]):
+    """J4 ``_update_values`` (reference utilities.py:189-211): overwrite
+    ``ds`` rows with the non-NA values of ``patch_df`` aligned on ``on``
+    (the patch — e.g. restored test actuals — is broadcast once)."""
+    value_cols = [c for c in patch_df.columns if c not in on]
+    ref = ray.put(patch_df)
+
+    class Updater:
+        def __init__(self):
+            self.patch = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            merged = batch.merge(self.patch, how="left", on=list(on),
+                                 suffixes=("", "__patch"))
+            for c in value_cols:
+                pc_ = f"{c}__patch" if f"{c}__patch" in merged.columns else c
+                if c in batch.columns:
+                    src = merged[pc_]
+                    merged[c] = src.where(src.notna(), merged[c] if pc_ != c else np.nan)
+                else:
+                    merged[c] = merged[pc_]
+                if pc_ != c:
+                    merged = merged.drop(columns=[pc_])
+            return merged[list(batch.columns)]
+
+    return ds.map_batches(Updater, batch_format="pandas", concurrency=(1, 8))

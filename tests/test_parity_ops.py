@@ -1,0 +1,112 @@
+"""Parity ops: M11 remove_min_lags, A7 missing percentages, J3 merge
+actuals (distributed hash join), J4 update values, and the §3.4
+leakage-safe CV folds."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from forecastframe_ray import RayForecastFrame
+from tests.conftest import HIERARCHY, tiny_sales_df
+
+
+def _frame():
+    return RayForecastFrame(tiny_sales_df(), "datetime", "sales_int",
+                            HIERARCHY, num_partitions=4)
+
+
+def test_remove_min_lags():
+    fr = _frame().lag_features("sales_int", [1, 2, 3])
+    fr.remove_min_lags({"sales_int": 2})
+    cols = fr.dataset.schema().names
+    assert "sales_int" in cols                      # target never dropped
+    assert "sales_int_lag1" not in cols             # below min lag
+    assert {"sales_int_lag2", "sales_int_lag3"} <= set(cols)
+
+
+def test_missing_percentages():
+    fr = _frame()
+    pcts = fr.missing_percentages()
+    assert pcts["sales_int"] == pytest.approx(1 / 12)
+    assert pcts["sales_float"] == pytest.approx(2 / 12)
+    assert pcts["category"] == 0.0
+
+
+def test_merge_actuals_outer_join():
+    fr = _frame()
+    preds = tiny_sales_df()[HIERARCHY + ["datetime"]].copy()
+    preds["prediction"] = 1.0
+    merged = fr.merge_actuals(preds).to_pandas()
+    # NaN-target row (Prod_4 @ 2019-12-31) is excluded from the actuals side
+    assert len(merged) == 12
+    row = merged[(merged["product"] == "Prod_4") &
+                 (merged["datetime"] == pd.Timestamp("2019-12-31"))]
+    assert row["sales_int"].isna().all()
+    row2 = merged[(merged["product"] == "Prod_3") &
+                  (merged["datetime"] == pd.Timestamp("2020-01-02"))]
+    assert row2["sales_int"].iloc[0] == 10000
+
+
+def test_update_values_coalesce():
+    fr = _frame()
+    patch = pd.DataFrame({
+        "category": ["Cat_2"], "product": ["Prod_4"], "state": ["CA"],
+        "store": ["Store_1"], "datetime": [pd.Timestamp("2019-12-31")],
+        "sales_int": [99.0],
+    })
+    fr.update_values(patch)
+    df = fr.to_pandas()
+    got = df[(df["product"] == "Prod_4") &
+             (df["datetime"] == pd.Timestamp("2019-12-31"))]["sales_int"]
+    assert got.iloc[0] == 99.0
+    # untouched rows unchanged
+    assert df[(df["product"] == "Prod_3") &
+              (df["datetime"] == pd.Timestamp("2020-01-01"))]["sales_int"].iloc[0] == 113
+
+
+def test_cv_folds_leakage_safe():
+    from forecastframe_ray.pipelines import cv
+
+    # daily single-series frame, 12 days
+    df = pd.DataFrame({
+        "datetime": pd.date_range("2020-01-01", periods=12),
+        "g": ["A"] * 12,
+        "y": np.arange(1.0, 13.0),
+    })
+    fr = RayForecastFrame(df, "datetime", "y", ["g"], num_partitions=2)
+    fr.lag_features("y", [1])
+
+    folds = cv.time_series_folds(df["datetime"].tolist(), n_splits=2)
+    assert folds[0]["test_start"] > folds[0]["train_end"]
+    assert folds[1]["test_start"] > folds[0]["test_end"]
+
+    for fold, out in cv.fold_frames(fr, n_splits=2):
+        res = out.to_pandas().sort_values("datetime")
+        test_rows = res[res["__is_test"]]
+        first_test = test_rows.iloc[0]
+        # first test row's lag sees the last TRAIN actual
+        prev_day = first_test["datetime"] - pd.Timedelta(days=1)
+        if prev_day <= fold["train_end"]:
+            assert first_test["y_lag1"] == float(prev_day.day)
+        # later test rows' lags saw MASKED (NaN) test targets, not actuals
+        if len(test_rows) > 1:
+            assert np.isnan(test_rows.iloc[1]["y_lag1"])
+        # actuals restored after replay
+        assert (test_rows["y"] == test_rows["datetime"].dt.day).all()
+
+
+def test_cv_scalers_fit_on_train_only():
+    from forecastframe_ray.pipelines import cv
+
+    df = pd.DataFrame({
+        "datetime": pd.date_range("2020-01-01", periods=12),
+        "g": ["A"] * 12,
+        "y": np.arange(1.0, 13.0),
+    })
+    fr = RayForecastFrame(df, "datetime", "y", ["g"], num_partitions=2)
+    fr.normalize_features(["y"])
+
+    (fold, out), = list(cv.fold_frames(fr, n_splits=1))
+    # min/max come from the TRAIN window only, not the full series
+    train_days = (pd.Timestamp(fold["train_end"]) - pd.Timestamp("2020-01-01")).days + 1
+    assert out.transforms["normalize"]["maxes"]["y"] == pytest.approx(float(train_days))

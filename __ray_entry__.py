@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_ffill_hourly_events": Q.q_gapfill_ffill_hourly_events,
         "interpolate_hourly_events": Q.q_interpolate_hourly_events,
         "rollup_grouper_stats_events": Q.q_rollup_grouper_stats_events,
+        "momentum_daily_events": Q.q_momentum_daily_events,
         "ewma_daily_events": Q.q_ewma_daily_events,
         "calendar_daily_events": Q.q_calendar_daily_events,
         # aggregations / scalers / encoding (M1-M8, A1-A6)
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_documents": Q.q_token_counts_documents,
         "text_analysis_documents": Q.q_text_analysis_documents,
         "minhash_pairs_documents": Q.q_minhash_pairs_documents,
+        "minhash_clusters_documents": Q.q_minhash_clusters_documents,
         "simhash_pairs_documents": Q.q_simhash_pairs_documents,
         "embedding_near_dup": Q.q_embedding_near_dup,
         "ann_bruteforce_embeddings": Q.q_ann_bruteforce_embeddings,
@@ -126,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_ffill_hourly_events": Q.SQL_GAPFILL_FFILL_HOURLY,
         "interpolate_hourly_events": Q.SQL_INTERPOLATE_HOURLY,
         "rollup_grouper_stats_events": Q.SQL_ROLLUP_GROUPER_STATS,
+        "momentum_daily_events": Q.SQL_MOMENTUM_DAILY,
         "calendar_daily_events": Q.SQL_CALENDAR_DAILY,
         "rollup_q1_lineitem": Q.SQL_ROLLUP_Q1,
         "standardize_lineitem": Q.SQL_STANDARDIZE_LINEITEM,

@@ -838,3 +838,52 @@ SQL_INTERPOLATE_HOURLY = f"""
            END, 6) AS v
     FROM w
 """
+
+
+_MOM_COLS = ["v_mean_roll7_lag1", "v_sum_roll7_lag1",
+             "v_mean_roll7_lag1_momentum", "v_sum_roll7_lag1_perc"]
+
+
+def q_momentum_daily_events(sf_dir: str) -> pd.DataFrame:
+    """W1 momentums + percentages: shift(lag) over rolling mean / rolling
+    sum (feature_engineering.py:400-422, grouped-shift form)."""
+    fr = _daily_frame(sf_dir).calc_statistical_features(
+        "v", windows=7, aggregations=["mean", "sum"], lag=1, min_periods=1,
+        momentums=True, percentages=True)
+    df = fr.to_pandas()[["event_type", "d", "v"] + _MOM_COLS]
+    df = _round(df, _MOM_COLS, 6)
+    return _fill(df, _MOM_COLS)
+
+
+SQL_MOMENTUM_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v, epoch_us(d) // {DAY_US} AS dn,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    ),
+    r AS (
+        SELECT event_type, d, v, lv,
+               avg(lv) OVER w AS m7, sum(lv) OVER w AS s7
+        FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, v,
+           COALESCE(round(m7, 6), {NULLF}) AS v_mean_roll7_lag1,
+           COALESCE(round(s7, 6), {NULLF}) AS v_sum_roll7_lag1,
+           COALESCE(round(lv / m7, 6), {NULLF}) AS v_mean_roll7_lag1_momentum,
+           COALESCE(round(lv / s7, 6), {NULLF}) AS v_sum_roll7_lag1_perc
+    FROM r
+"""
+
+
+def q_minhash_clusters_documents(sf_dir: str) -> pd.DataFrame:
+    """Near-dup cluster assignment: LSH pairs → driver union-find →
+    (doc_id, rep_id) for every doc in a cluster (rows-only)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    rep = dedup.clusters_from_pairs(pairs)
+    out = pd.DataFrame(sorted(rep.items()), columns=["doc_id", "rep_id"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rep_id"] = out["rep_id"].astype("int64")
+    return out

@@ -109,22 +109,54 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
 def minhash_batch(batch: pd.DataFrame, text_col: str, num_perm: int,
                   shingle_width: int, num_bands: int, seed: int = 7) -> pd.DataFrame:
     """map_batches fn: text → one row per (doc, band) with a uint64 bucket id.
-    Emits only (id cols, band, bucket) — the LSH shuffle moves 24 B/band/doc."""
-    a, b = _perm_params(num_perm, seed)
+    Emits only (id cols, band, bucket) — the LSH shuffle moves 24 B/band/doc.
+
+    Vectorized across the WHOLE batch: all docs' shingle hashes concatenate
+    into one array; each permutation is one multiply-add over it and the
+    per-doc minima come from ``np.minimum.reduceat`` at the doc offsets —
+    no per-doc × per-perm Python loop. Permutations are chunked so the
+    (chunk × total_shingles) temporary stays small."""
     rows_per_band = num_perm // num_bands
-    out_band, out_bucket, out_idx = [], [], []
-    for i, txt in enumerate(batch[text_col].fillna("")):
-        sig = minhash_signature(shingle_hashes(txt, shingle_width), a, b)
-        bands = sig[: num_bands * rows_per_band].reshape(num_bands, rows_per_band)
-        # bucket id = blake2b of the band's bytes (deterministic, collision-safe)
-        for bi in range(num_bands):
-            h = hashlib.blake2b(bands[bi].tobytes(), digest_size=8).digest()
-            out_band.append(bi)
-            out_bucket.append(int.from_bytes(h, "little"))
-            out_idx.append(i)
-    ids = batch.iloc[out_idx][[c for c in batch.columns if c != text_col]].reset_index(drop=True)
-    ids["band"] = np.asarray(out_band, dtype=np.int32)
-    ids["bucket"] = np.asarray(out_bucket, dtype=np.uint64)
+    a, b = _perm_params(num_perm, seed)
+    texts = batch[text_col].fillna("")
+    n = len(texts)
+    if n == 0:
+        ids = batch[[c for c in batch.columns if c != text_col]].copy()
+        ids["band"] = np.array([], dtype=np.int32)
+        ids["bucket"] = np.array([], dtype=np.uint64)
+        return ids
+
+    shingles = [shingle_hashes(t, shingle_width) for t in texts]
+    counts = np.array([max(len(s), 1) for s in shingles], dtype=np.int64)
+    # empty docs contribute one MAX sentinel shingle → sig = MAX everywhere
+    flat = np.concatenate([
+        s if len(s) else np.array([np.iinfo(np.uint64).max], dtype=np.uint64)
+        for s in shingles
+    ])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    sig = np.empty((num_perm, n), dtype=np.uint64)
+    chunk = max(1, min(num_perm, (4 << 20) // max(len(flat), 1)))  # ≤32MB tmp
+    for p0 in range(0, num_perm, chunk):
+        p1 = min(p0 + chunk, num_perm)
+        vals = (a[p0:p1, None] * flat[None, :] + b[p0:p1, None]) % _MERSENNE
+        sig[p0:p1] = np.minimum.reduceat(vals, offsets, axis=1)
+
+    # band bucket = splitmix of the band's row values folded together with
+    # the band index (vectorized replacement for per-band blake2b)
+    from forecastframe_ray.keys import _mix_u64
+
+    bands = sig[: num_bands * rows_per_band].reshape(num_bands, rows_per_band, n)
+    acc = np.full((num_bands, n), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for r in range(rows_per_band):
+        acc = _mix_u64(acc ^ bands[:, r, :])
+    acc = _mix_u64(acc ^ (np.arange(num_bands, dtype=np.uint64)[:, None] + np.uint64(1)))
+
+    id_cols = [c for c in batch.columns if c != text_col]
+    rep = np.tile(np.arange(n), num_bands)
+    ids = batch.iloc[rep][id_cols].reset_index(drop=True)
+    ids["band"] = np.repeat(np.arange(num_bands, dtype=np.int32), n)
+    ids["bucket"] = acc.reshape(-1)
     return ids
 
 
@@ -168,10 +200,18 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         tmap = ray.get(text_map_ref)
+        # shingle each bucket member ONCE, not once per pair
+        sh = {i: shingle_hashes(tmap[i], shingle_width) for i in ids}
         rows = []
         for i in range(len(ids)):
+            sa = sh[ids[i]]
             for j in range(i + 1, len(ids)):
-                sim = ngram_jaccard(tmap[ids[i]], tmap[ids[j]], shingle_width)
+                sb = sh[ids[j]]
+                if len(sa) == 0 and len(sb) == 0:
+                    sim = 1.0
+                else:
+                    inter = np.intersect1d(sa, sb, assume_unique=True)
+                    sim = len(inter) / (len(sa) + len(sb) - len(inter))
                 if sim >= threshold:
                     rows.append((ids[i], ids[j], sim))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
@@ -179,7 +219,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     from forecastframe_ray.stages.agg import bucketed_map_groups, hash_aggregate
 
     pairs = bucketed_map_groups(sigs, ["band", "bucket"], verify,
-                                num_partitions=32)
+                                num_partitions=32, min_size=2)
     # same pair can surface from several bands → dedup on (id_a, id_b)
     return hash_aggregate(pairs, ["id_a", "id_b"],
                           {"jaccard": ("jaccard", "max")}, num_partitions=16)
@@ -272,7 +312,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     from forecastframe_ray.stages.agg import bucketed_map_groups, hash_aggregate
 
     pairs = bucketed_map_groups(bands, ["band", "bucket"], verify,
-                                num_partitions=32)
+                                num_partitions=32, min_size=2)
     return hash_aggregate(pairs, ["id_a", "id_b"],
                           {"hamming": ("hamming", "min")}, num_partitions=16)
 
@@ -323,4 +363,5 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_
 
     from forecastframe_ray.stages.agg import bucketed_map_groups
 
-    return bucketed_map_groups(bucketed, ["bucket"], verify, num_partitions=32)
+    return bucketed_map_groups(bucketed, ["bucket"], verify,
+                               num_partitions=32, min_size=2)

@@ -114,13 +114,16 @@ def hash_count(ds, keys: list[str], out_col: str = "n",
 
 
 def bucketed_map_groups(ds, bucket_keys: list[str], fn,
-                        num_partitions: int = 64):
+                        num_partitions: int = 64, min_size: int = 1):
     """Per-bucket kernels (e.g. LSH candidate verification) without a
     per-bucket shuffle: one coarse shuffle on ``hash(bucket_keys)``, then the
     kernel runs over each bucket's sub-frame inside the partition.
 
     ``fn(sub_df) -> DataFrame`` is called once per distinct bucket (Python
     loop over buckets, vectorized inside — buckets are small by design).
+    ``min_size=2`` drops singleton buckets with one vectorized mask before
+    the loop — for LSH the overwhelming majority of buckets are singletons
+    and can never produce a pair.
     """
     bucket_keys = list(bucket_keys)
 
@@ -130,6 +133,8 @@ def bucketed_map_groups(ds, bucket_keys: list[str], fn,
         return batch
 
     def run(part: pd.DataFrame) -> pd.DataFrame:
+        if min_size > 1:
+            part = part[part.duplicated(subset=bucket_keys, keep=False)]
         outs = []
         for _, g in part.groupby(bucket_keys, sort=False, dropna=False):
             out = fn(g)

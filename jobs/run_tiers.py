@@ -1,0 +1,59 @@
+"""Cluster entry point for the flagship tier pipeline — submit with:
+
+    ray job submit --working-dir . -- python jobs/run_tiers.py \\
+        --input s3://bucket/pages/ --out s3://bucket/tiers/ \\
+        --num-partitions 2048
+
+On the fixed-size cluster the same script runs unchanged at N and 4N
+nodes; partitioning is sized by ``--num-partitions`` (≈2–4× total cluster
+cores), and the checkpoint manifest makes re-submission resume-only (a
+failed run skips completed (tier, partition) pairs).
+
+Local smoke (sandbox): ``python jobs/run_tiers.py --synth-pages 100000
+--out /tmp/tiers``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet pages dir (url, warc_ts, html, ...)")
+    ap.add_argument("--synth-pages", type=int, default=0,
+                    help="generate a deterministic synthetic corpus instead")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--num-partitions", type=int, default=64)
+    ap.add_argument("--series-keys", default="host")
+    ap.add_argument("--no-compress", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():  # under `ray job submit` the cluster exists
+        ray.init(address="auto" if args.input else "local",
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from forecastframe_ray import synth
+    from forecastframe_ray.pipelines import web
+
+    if args.synth_pages:
+        pages = synth.pages_dataset(args.synth_pages, seed=42, num_domains=2000)
+    else:
+        pages = ray.data.read_parquet(args.input)
+
+    metrics = web.run(pages, out_dir=args.out,
+                      series_keys=tuple(args.series_keys.split(",")),
+                      num_partitions=args.num_partitions,
+                      compress=not args.no_compress)
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -94,25 +94,37 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
 
 
+def _write_zero_bits(w: BitWriter, k: int):
+    """k zero bits in O(k/64) writes (a '0' tag per point — the dominant
+    case for regular gap-filled tier grids — packs 64 points per call)."""
+    while k >= 64:
+        w.write(0, 64)
+        k -= 64
+    if k:
+        w.write(0, k)
+
+
 def encode_timestamps(ts_us: np.ndarray, w: BitWriter | None = None) -> bytes:
     w = w or BitWriter()
     w.reset() if w.buf or w.nbits else None
-    ts = [int(x) for x in ts_us]
-    n = len(ts)
+    arr = np.asarray(ts_us, dtype=np.int64)
+    n = len(arr)
     if n == 0:
         return b""
-    w.write(ts[0] & ((1 << 64) - 1), 64)
+    w.write(int(arr[0]) & ((1 << 64) - 1), 64)
     if n == 1:
         return w.getvalue()
-    d_prev = ts[1] - ts[0]
-    w.write(_zigzag(d_prev), 64)
-    for i in range(2, n):
-        d = ts[i] - ts[i - 1]
-        u = _zigzag(d - d_prev)
-        d_prev = d
-        if u == 0:
-            w.write(0, 1)
-        elif u < (1 << 7):
+    d = np.diff(arr)
+    w.write(_zigzag(int(d[0])), 64)
+    # vectorized dod: points with dod==0 (regular grid) are bulk-emitted as
+    # zero-bit runs; only irregular points fall into the Python branch.
+    dod = np.diff(d)
+    nz = np.flatnonzero(dod)
+    prev_ix = -1
+    for ix in nz:
+        _write_zero_bits(w, int(ix - prev_ix - 1))
+        u = _zigzag(int(dod[ix]))
+        if u < (1 << 7):
             w.write(0b10, 2); w.write(u, 7)
         elif u < (1 << 12):
             w.write(0b110, 3); w.write(u, 12)
@@ -120,6 +132,8 @@ def encode_timestamps(ts_us: np.ndarray, w: BitWriter | None = None) -> bytes:
             w.write(0b1110, 4); w.write(u, 20)
         else:
             w.write(0b1111, 4); w.write(u, 64)
+        prev_ix = ix
+    _write_zero_bits(w, int(len(dod) - 1 - prev_ix))
     return w.getvalue()
 
 
@@ -164,16 +178,17 @@ def encode_values(vals: np.ndarray, w: BitWriter | None = None) -> bytes:
     n = len(bits)
     if n == 0:
         return b""
-    prev = int(bits[0])
-    w.write(prev, 64)
+    w.write(int(bits[0]), 64)
+    # vectorized XOR chain: zero-xor runs (constant values — common in
+    # count/byte series) bulk-emit as zero-bit runs; only changing points
+    # take the Python branch.
+    xors = bits[:-1] ^ bits[1:]
+    nz = np.flatnonzero(xors)
     lead_prev, len_prev = -1, -1  # no reusable window yet
-    for i in range(1, n):
-        cur = int(bits[i])
-        x = prev ^ cur
-        prev = cur
-        if x == 0:
-            w.write(0, 1)
-            continue
+    prev_ix = -1
+    for ix in nz:
+        _write_zero_bits(w, int(ix - prev_ix - 1))
+        x = int(xors[ix])
         lead = 64 - x.bit_length()
         trail = (x & -x).bit_length() - 1
         if lead > 63:
@@ -192,6 +207,8 @@ def encode_values(vals: np.ndarray, w: BitWriter | None = None) -> bytes:
             w.write(mlen - 1, 6)
             w.write(x >> trail, mlen)
             lead_prev, len_prev = lead, mlen
+        prev_ix = ix
+    _write_zero_bits(w, int(len(xors) - 1 - prev_ix))
     return w.getvalue()
 
 

@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_counts_documents": Q.q_dup_counts_documents,
         "token_counts_documents": Q.q_token_counts_documents,
         "text_analysis_documents": Q.q_text_analysis_documents,
+        "c4_boilerplate_documents": Q.q_c4_boilerplate_documents,
         "minhash_pairs_documents": Q.q_minhash_pairs_documents,
         "minhash_clusters_documents": Q.q_minhash_clusters_documents,
         "simhash_pairs_documents": Q.q_simhash_pairs_documents,

@@ -887,3 +887,20 @@ def q_minhash_clusters_documents(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype("int64")
     out["rep_id"] = out["rep_id"].astype("int64")
     return out
+
+
+def q_c4_boilerplate_documents(sf_dir: str) -> pd.DataFrame:
+    """C4-style line cleaning + corpus-level boilerplate-line removal
+    (two-pass distributed; rows-only)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    stripped = textstats.remove_boilerplate_lines(docs, max_repeats=3)
+    cleaned = stripped.map_batches(
+        lambda b: textstats.c4_clean_batch(b, min_words_per_line=3,
+                                           require_terminal=False),
+        batch_format="pandas")
+    out = cleaned.to_pandas()
+    cols = ["doc_id", "n_lines_kept", "n_boilerplate_removed", "n_chars_clean"]
+    if out.empty or "text_clean" not in out.columns:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out["n_chars_clean"] = out["text_clean"].str.len().astype("int64")
+    return out[cols]

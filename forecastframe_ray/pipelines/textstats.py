@@ -176,3 +176,102 @@ def analyze_documents(ds, text_col: str = "text"):
     ds = ds.map_batches(lambda b: lang_id_batch(b, text_col), batch_format="pandas")
     ds = ds.map_batches(lambda b: fingerprint_batch(b, text_col), batch_format="pandas")
     return ds
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleaning + corpus-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+_TERMINALS = (".", "!", "?", '"', "'")
+
+
+def c4_clean_batch(batch: pd.DataFrame, text_col: str = "text",
+                   min_words_per_line: int = 5,
+                   min_lines: int = 1,
+                   require_terminal: bool = True) -> pd.DataFrame:
+    """Line-level C4-style cleaning (public heuristics from the C4 paper,
+    Raffel et al. 2020): keep only lines with ≥ ``min_words_per_line`` words
+    that end in terminal punctuation and contain no lone curly brace or
+    "lorem ipsum"; drop docs left with < ``min_lines`` lines. Adds
+    ``text_clean`` and ``n_lines_kept``; rows failing ``min_lines`` are
+    filtered out."""
+    kept_texts, kept_counts, keep_mask = [], [], []
+    for txt in batch[text_col].fillna(""):
+        lines = [ln.strip() for ln in txt.split("\n")]
+        good = [
+            ln for ln in lines
+            if len(ln.split()) >= min_words_per_line
+            and (not require_terminal or ln.endswith(_TERMINALS))
+            and "{" not in ln and "}" not in ln
+            and "lorem ipsum" not in ln.lower()
+        ]
+        keep = len(good) >= min_lines
+        keep_mask.append(keep)
+        if keep:
+            kept_texts.append("\n".join(good))
+            kept_counts.append(len(good))
+    out = batch.loc[keep_mask].copy()
+    out["text_clean"] = kept_texts
+    out["n_lines_kept"] = np.asarray(kept_counts, dtype=np.int64)
+    return out
+
+
+def _line_hashes(txt: str) -> np.ndarray:
+    lines = [ln.strip() for ln in txt.split("\n") if ln.strip()]
+    if not lines:
+        return np.array([], dtype=np.uint64)
+    return pd.util.hash_pandas_object(pd.Series(lines, dtype="object"),
+                                      index=False).to_numpy(np.uint64)
+
+
+def remove_boilerplate_lines(ds, text_col: str = "text",
+                             max_repeats: int = 3,
+                             num_partitions: int = 32):
+    """Corpus-level boilerplate removal (two distributed passes): (1) count
+    every distinct line hash across the corpus (stateless per-batch hash →
+    coarse-hash count); (2) broadcast the frequent-line hash set and strip
+    those lines from every document.
+
+    Scale note: the shuffled rows are (uint64 hash) only — document text
+    never moves; the broadcast set holds only hashes seen > ``max_repeats``
+    times (boilerplate is by definition a small distinct set)."""
+    import ray
+
+    from forecastframe_ray.stages.agg import hash_count
+
+    def emit_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = [_line_hashes(t) for t in batch[text_col].fillna("")]
+        flat = np.concatenate(hs) if hs else np.array([], dtype=np.uint64)
+        return pd.DataFrame({"line_hash": flat})
+
+    counts = hash_count(ds.map_batches(emit_hashes, batch_format="pandas"),
+                        ["line_hash"], num_partitions=num_partitions)
+    frequent = counts.map_batches(
+        lambda b: b[b["n"] > max_repeats][["line_hash"]], batch_format="pandas"
+    ).to_pandas()
+    # an all-empty filtered Dataset surfaces with no columns
+    bad_set = (set(frequent["line_hash"].tolist())
+               if "line_hash" in frequent.columns else set())
+    freq_ref = ray.put(bad_set)
+
+    def strip(batch: pd.DataFrame) -> pd.DataFrame:
+        bad = ray.get(freq_ref)
+        out_texts, out_removed = [], []
+        for txt in batch[text_col].fillna(""):
+            lines = [ln for ln in txt.split("\n") if ln.strip()]
+            if not lines:
+                out_texts.append(txt)
+                out_removed.append(0)
+                continue
+            hs = pd.util.hash_pandas_object(
+                pd.Series([ln.strip() for ln in lines], dtype="object"),
+                index=False).to_numpy(np.uint64)
+            keep = [ln for ln, h in zip(lines, hs) if h not in bad]
+            out_texts.append("\n".join(keep))
+            out_removed.append(len(lines) - len(keep))
+        batch = batch.copy()
+        batch[text_col] = out_texts
+        batch["n_boilerplate_removed"] = np.asarray(out_removed, dtype=np.int64)
+        return batch
+
+    return ds.map_batches(strip, batch_format="pandas")

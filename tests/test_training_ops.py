@@ -159,3 +159,31 @@ def test_multimodal_decode_and_resize():
 
     with pytest.raises(NotImplementedError):
         multimodal.DecodeStage(real=True)
+
+
+def test_c4_clean():
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [
+        "This is a good sentence with many words.\nshort\n"
+        "Another proper sentence that ends with punctuation!\nvar x = {1};",
+        "no punct line here at all\nok",
+    ]})
+    out = textstats.c4_clean_batch(df, min_words_per_line=5, min_lines=1)
+    assert out["doc_id"].tolist() == [0]        # doc 1 has no valid lines
+    assert out["n_lines_kept"].iloc[0] == 2     # short + brace lines dropped
+    assert "{" not in out["text_clean"].iloc[0]
+
+
+def test_remove_boilerplate_lines():
+    boiler = "Subscribe to our newsletter today please."
+    docs = [f"Unique content number {i} here.\n{boiler}" for i in range(6)]
+    docs.append("A document with no boilerplate at all.")
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(docs), dtype=np.int64), "text": docs,
+    }))
+    out = textstats.remove_boilerplate_lines(ds, max_repeats=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # the 6x-repeated line is stripped everywhere; unique lines survive
+    assert not out["text"].str.contains("Subscribe").any()
+    assert (out.loc[:5, "n_boilerplate_removed"] == 1).all()
+    assert out.loc[6, "n_boilerplate_removed"] == 0
+    assert out.loc[0, "text"] == "Unique content number 0 here."

@@ -514,6 +514,44 @@ class RayForecastFrame:
         self._ds = self._ds.map_batches(cast, batch_format="pandas")
         return self
 
+    def join_dim_table(self, dim_df: pd.DataFrame, left_on, right_on=None,
+                       how: str = "inner"):
+        """J2 dimension-table join (the reference's ``join_demographics``,
+        feature_engineering.py:7-41, generalized: any small dim table instead
+        of the external demographics package). Broadcast hash-lookup inside
+        ``map_batches`` — the big side never shuffles. Recorded for replay."""
+        left_on = _as_list(left_on)
+        right_on = _as_list(right_on) or left_on
+        self._record("join_dim_table", {"dim_df": dim_df, "left_on": left_on,
+                                        "right_on": right_on, "how": how})
+        self._flush()
+        small = dim_df.rename(columns=dict(zip(right_on, left_on)))
+        if how == "left":
+            self._ds = broadcast_left_join(self._ds, small, on=left_on)
+        else:  # inner: left join then drop non-matches (reference merge default)
+            probe = [c for c in small.columns if c not in left_on][0]
+            self._ds = broadcast_left_join(self._ds, small, on=left_on)
+            self._ds = self._ds.map_batches(
+                lambda b: b[b[probe].notna()], batch_format="pandas")
+        return self
+
+    def format_dates(self) -> list[str]:
+        """Pretty date strings at the inferred granularity (utilities.py:
+        403-438; ``%-d``-style Linux formats, granularity = closest bucket
+        to the median date delta). Driver-side over the distinct dates."""
+        dates = pd.DatetimeIndex(
+            sorted(self.dataset.unique(self.datetime_column)))
+        fmt_by_sec = {
+            1: "%b. %-d %Y %-H:%-M:%-S", 60: "%b. %-d %Y %-H:%-M",
+            3600: "%b. %-d %Y %-H", 86400: "%b. %-d %Y",
+            604800: "Week %U %Y", 2419200: "%b. %Y", 31449600: "%Y",
+        }
+        deltas = pd.Series(dates) - pd.Series(dates).shift(-1)
+        median = abs(deltas.median().total_seconds())
+        fmt = fmt_by_sec[min(fmt_by_sec, key=lambda x: abs(x - median))]
+        self.date_format = fmt
+        return list(dates.strftime(fmt))
+
     def remove_min_lags(self, min_lag_dict: dict[str, int]):
         """M11 ``_remove_min_lags`` (model.py:631-651): for each feature
         prefix, drop derived columns whose ``_lag{n}`` suffix is below the

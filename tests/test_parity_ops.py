@@ -110,3 +110,42 @@ def test_cv_scalers_fit_on_train_only():
     # min/max come from the TRAIN window only, not the full series
     train_days = (pd.Timestamp(fold["train_end"]) - pd.Timestamp("2020-01-01")).days + 1
     assert out.transforms["normalize"]["maxes"]["y"] == pytest.approx(float(train_days))
+
+
+def test_join_dim_table():
+    fr = _frame()
+    dim = pd.DataFrame({"state_key": ["CA", "NY"],
+                        "population": [39_000_000, 19_000_000]})
+    fr.join_dim_table(dim, left_on="state", right_on="state_key")
+    df = fr.to_pandas()
+    assert len(df) == 12                       # inner join, all rows match CA
+    assert (df["population"] == 39_000_000).all()
+    # recorded for replay
+    assert fr.function_list[-1][0] == "join_dim_table"
+
+    fr2 = _frame()
+    dim2 = pd.DataFrame({"state_key": ["NY"], "population": [19_000_000]})
+    fr2.join_dim_table(dim2, left_on="state", right_on="state_key")
+    assert fr2.dataset.count() == 0            # inner semantics drop non-matches
+
+
+def test_format_dates_granularity():
+    # daily fixture → day format (reference golden: "Jan. 5 2020" present;
+    # divergence note: we format the DISTINCT SORTED dates, not raw row order)
+    fr = _frame()
+    vals = fr.format_dates()
+    assert fr.date_format == "%b. %-d %Y"
+    assert "Jan. 5 2020" in vals and "Dec. 30 2019" in vals
+
+    from forecastframe_ray import RayForecastFrame
+    monthly = pd.DataFrame({
+        "datetime": pd.date_range("1980-01-01", periods=3, freq="MS"),
+        "g": ["A"] * 3, "y": [1.0, 2.0, 3.0]})
+    fm = RayForecastFrame(monthly, "datetime", "y", ["g"], num_partitions=2)
+    assert fm.format_dates() == ["Jan. 1980", "Feb. 1980", "Mar. 1980"]
+
+    yearly = pd.DataFrame({
+        "datetime": pd.to_datetime(["1980-12-31", "1981-12-31", "1982-12-31"]),
+        "g": ["A"] * 3, "y": [1.0, 2.0, 3.0]})
+    fy = RayForecastFrame(yearly, "datetime", "y", ["g"], num_partitions=2)
+    assert fy.format_dates() == ["1980", "1981", "1982"]

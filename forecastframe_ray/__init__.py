@@ -22,7 +22,32 @@ Public surface:
   (keyed window stage, Gorilla encoder actor pool, salted repartition).
 """
 
-from forecastframe_ray.frame import RayForecastFrame
+import logging as _logging
+
+
+class _EmptySchemaBundleFilter(_logging.Filter):
+    """Silence Ray Data's spurious schema-mismatch warning for EMPTY bundles.
+
+    The sort-based groupby shuffle emits column-less empty blocks for
+    partitions that received no rows; those blocks bypass every UDF (verified:
+    ``map_groups``/``map_batches`` fns are never invoked on them) so the
+    engine cannot type them, and the executor logs a schema-change warning per
+    empty bundle. Only the names=[] / empty-schema variant is filtered —
+    genuine schema drift still warns."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        if "Operator produced a RefBundle with a different schema" in msg:
+            return not ("names=[], types=[]" in msg
+                        or "new schema: ." in msg)
+        return True
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySchemaBundleFilter())
+
+from forecastframe_ray.frame import RayForecastFrame  # noqa: E402
 
 __all__ = ["RayForecastFrame"]
 __version__ = "0.1.0"

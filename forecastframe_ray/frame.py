@@ -52,6 +52,10 @@ class RayForecastFrame:
     plus the datetime is the primary key; ``target`` the measure column.
     """
 
+    #: max rolled-up rows shipped driver-side for the J1 broadcast join-back;
+    #: above this the join falls back to a distributed hash join
+    ROLLUP_BROADCAST_ROWS = 2_000_000
+
     def __init__(self, data, datetime_column: str, target: str,
                  hierarchy: list[str] | None = None, num_partitions: int = 32,
                  validate: bool = False):
@@ -348,14 +352,24 @@ class RayForecastFrame:
         Scale assumption (documented): the rolled-up table (rollup columns ×
         buckets) is orders of magnitude smaller than base grain, so it is
         safe to window in fewer partitions and broadcast for the join."""
+        from forecastframe_ray.stages.join import hash_join
+
         gcols = list(groupers["columns"])
         dtc = self.datetime_column
         base = self._flush()
         rolled = aggregate_features(base, features, gcols + [dtc], groupers["operation"])
         rolled = keyed_window_stage(rolled, gcols, dtc, ops,
                                     num_partitions=max(4, self.num_partitions // 4))
-        small = rolled.to_pandas()[gcols + [dtc] + new_cols]
-        self._ds = broadcast_left_join(base, small, on=gcols + [dtc])
+        rolled = rolled.select_columns(gcols + [dtc] + new_cols).materialize()
+        # broadcast only when the rolled side is genuinely small; a
+        # high-cardinality grouper (e.g. host×bucket) falls back to a
+        # distributed hash join instead of a driver materialize
+        if rolled.count() <= self.ROLLUP_BROADCAST_ROWS:
+            self._ds = broadcast_left_join(base, rolled.to_pandas(),
+                                           on=gcols + [dtc])
+        else:
+            self._ds = hash_join(base, rolled, on=gcols + [dtc], how="left",
+                                 num_partitions=self.num_partitions)
         return self
 
     # ------------------------------------------------------------------
@@ -522,17 +536,27 @@ class RayForecastFrame:
         ``map_batches`` — the big side never shuffles. Recorded for replay."""
         left_on = _as_list(left_on)
         right_on = _as_list(right_on) or left_on
-        self._record("join_dim_table", {"dim_df": dim_df, "left_on": left_on,
+        if isinstance(dim_df, dict):  # replay/load path (JSON-safe form)
+            dim_df = pd.DataFrame(dim_df)
+        # record the dim table in a JSON-safe column-dict form so save()'s
+        # JSON manifest (io.py) can persist the recorded plan
+        self._record("join_dim_table", {"dim_df": dim_df.to_dict("list"),
+                                        "left_on": left_on,
                                         "right_on": right_on, "how": how})
         self._flush()
         small = dim_df.rename(columns=dict(zip(right_on, left_on)))
         if how == "left":
             self._ds = broadcast_left_join(self._ds, small, on=left_on)
         else:  # inner: left join then drop non-matches (reference merge default)
-            probe = [c for c in small.columns if c not in left_on][0]
+            # explicit match indicator — probing a value column would wrongly
+            # drop matched dim rows whose first value is legitimately NULL
+            probe = "__dim_matched"
+            small = small.copy()
+            small[probe] = True
             self._ds = broadcast_left_join(self._ds, small, on=left_on)
             self._ds = self._ds.map_batches(
-                lambda b: b[b[probe].notna()], batch_format="pandas")
+                lambda b: b[b[probe].notna()].drop(columns=[probe]),
+                batch_format="pandas")
         return self
 
     def format_dates(self) -> list[str]:

@@ -104,10 +104,25 @@ def partition_ids_arrow(batch: pa.Table, keys: list[str], num_partitions: int) -
             dict_hashes = pd.util.hash_pandas_object(
                 de.dictionary.to_pandas(), index=False
             ).to_numpy(dtype=np.uint64)
-            idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            h ^= _mix_u64(dict_hashes[idx])
+            # null values get a dedicated sentinel slot so NaN indices never
+            # take the undefined NaN→int cast (matches hash_pandas_object's
+            # explicit NaN handling in the pandas path)
+            n_dict = len(dict_hashes)
+            dict_hashes = np.append(dict_hashes, np.uint64(0x6E756C6C6B657921))
+            idx = de.indices.fill_null(n_dict).to_numpy(zero_copy_only=False)
+            h ^= _mix_u64(dict_hashes[idx.astype(np.int64)])
         else:
-            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+            # unsigned 64-bit stays uint64 (an int64 cast would overflow
+            # values above 2^63, e.g. uint64 line hashes)
+            wide = pa.uint64() if pa.types.is_unsigned_integer(t) else pa.int64()
+            ints = col.cast(wide)
+            if ints.null_count:
+                # deterministic sentinel for null keys (pandas path hashes
+                # NaN to a fixed value too); avoids undefined NaN→uint64 cast
+                sentinel = 0x123456789ABCDEF if wide == pa.uint64() \
+                    else -0x123456789ABCDEF
+                ints = ints.fill_null(sentinel)
+            vals = ints.to_numpy(zero_copy_only=False).astype(np.uint64)
             h ^= _mix_u64(vals)
     return (h % np.uint64(num_partitions)).astype(np.int32)
 

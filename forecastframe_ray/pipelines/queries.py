@@ -640,12 +640,12 @@ def q_simhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
 
 def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.3,
-                                           num_planes=4).to_pandas()
-    if pairs.empty:  # no near-dups at this sf: stable empty schema
-        pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "cos_sim": pd.Series([], dtype="float64")})
+    from forecastframe_ray.stages.agg import ensure_columns
+
+    pairs = ensure_columns(
+        dedup.embedding_near_dup_pairs(emb, threshold=0.3,
+                                       num_planes=4).to_pandas(),
+        {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
     return _round(pairs[["id_a", "id_b", "cos_sim"]], ["cos_sim"], 6)
 
 

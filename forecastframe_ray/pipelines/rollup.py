@@ -70,7 +70,10 @@ def partial_bucket_aggregate(series_keys: list[str], ts_col: str, value_col: str
         if isinstance(us, pa.ChunkedArray):
             us = us.combine_chunks()
         us = us.cast(pa.int64())  # timestamp[us] → µs since epoch
-        bucket = pc.multiply(pc.divide(us, width), width)  # ts ≥ 0 → floor
+        # numpy // floors toward -inf, so pre-epoch (negative µs) timestamps
+        # bucket correctly (pc.divide on int64 truncates toward zero)
+        usn = us.to_numpy(zero_copy_only=False)
+        bucket = pa.array((usn // width) * width, type=pa.int64())
         val = (batch[value_col].cast(pa.float64()) if value_col
                else pa.array(np.ones(n)))
         size = (batch[size_col].cast(pa.float64()) if size_col
@@ -120,7 +123,8 @@ def cascade_tier(finer, series_keys: list[str], finer_tier: str, coarser_tier: s
         b = batch["bucket_us"]
         if isinstance(b, pa.ChunkedArray):
             b = b.combine_chunks()
-        nb = pc.multiply(pc.divide(b.cast(pa.int64()), width), width)
+        bn = b.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nb = pa.array((bn // width) * width, type=pa.int64())
         cols = {"bucket_us": nb}
         for c in keep:  # drops derived cols if input is finalized
             cols[c] = batch[c]

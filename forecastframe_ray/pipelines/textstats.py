@@ -237,7 +237,7 @@ def remove_boilerplate_lines(ds, text_col: str = "text",
     times (boilerplate is by definition a small distinct set)."""
     import ray
 
-    from forecastframe_ray.stages.agg import hash_count
+    from forecastframe_ray.stages.agg import ensure_columns, hash_count
 
     def emit_hashes(batch: pd.DataFrame) -> pd.DataFrame:
         hs = [_line_hashes(t) for t in batch[text_col].fillna("")]
@@ -246,12 +246,10 @@ def remove_boilerplate_lines(ds, text_col: str = "text",
 
     counts = hash_count(ds.map_batches(emit_hashes, batch_format="pandas"),
                         ["line_hash"], num_partitions=num_partitions)
-    frequent = counts.map_batches(
+    frequent = ensure_columns(counts.map_batches(
         lambda b: b[b["n"] > max_repeats][["line_hash"]], batch_format="pandas"
-    ).to_pandas()
-    # an all-empty filtered Dataset surfaces with no columns
-    bad_set = (set(frequent["line_hash"].tolist())
-               if "line_hash" in frequent.columns else set())
+    ).to_pandas(), {"line_hash": "uint64"})
+    bad_set = set(frequent["line_hash"].tolist())
     freq_ref = ray.put(bad_set)
 
     def strip(batch: pd.DataFrame) -> pd.DataFrame:

@@ -137,38 +137,77 @@ def encode_timestamps(ts_us: np.ndarray, w: BitWriter | None = None) -> bytes:
     return w.getvalue()
 
 
+def _read_bits(data: bytes, p: int, k: int) -> int:
+    """Read ``k ≤ 64`` bits at bit offset ``p`` in O(1): one 12-byte slice →
+    small-int extract (no per-bit loop). Reads past the stream end see zero
+    bits (the encoder's final-byte padding is zeros too)."""
+    b0 = p >> 3
+    chunk = data[b0:b0 + 12]
+    if len(chunk) < 12:
+        chunk = chunk + b"\x00" * (12 - len(chunk))
+    return (int.from_bytes(chunk, "big") >> (96 - (p & 7) - k)) & ((1 << k) - 1)
+
+
+def _set_bit_positions(payload: bytes) -> list:
+    """Sorted bit offsets of every SET bit. Every non-zero-tag record starts
+    with a 1 bit and final-byte padding is zeros, so zero-run skipping can
+    jump straight to the next set bit."""
+    return np.flatnonzero(
+        np.unpackbits(np.frombuffer(payload, np.uint8))).tolist()
+
+
 def decode_timestamps(payload: bytes, n: int) -> np.ndarray:
+    """Vectorized decode: walk only the NON-zero dod records (zero tag runs
+    are skipped via the set-bit index in one step), then reconstruct all
+    timestamps with two cumulative sums."""
+    import bisect
+
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
-    r = BitReader(payload)
-    t = r.read(64)
-    if t >= (1 << 63):
-        t -= 1 << 64
-    out[0] = t
+    t0 = _read_bits(payload, 0, 64)
+    if t0 >= (1 << 63):
+        t0 -= 1 << 64
+    out[0] = t0
     if n == 1:
         return out
-    d = _unzigzag(r.read(64))
-    t += d
-    out[1] = t
-    for i in range(2, n):
-        tag = r.read(1)
-        if tag == 0:
-            dod = 0
-        else:
-            tag = (tag << 1) | r.read(1)
-            if tag == 0b10:
-                dod = _unzigzag(r.read(7))
-            else:
-                tag = (tag << 1) | r.read(1)
-                if tag == 0b110:
-                    dod = _unzigzag(r.read(12))
-                else:
-                    tag = (tag << 1) | r.read(1)
-                    dod = _unzigzag(r.read(20)) if tag == 0b1110 else _unzigzag(r.read(64))
-        d += dod
-        t += d
-        out[i] = t
+    d1 = _unzigzag(_read_bits(payload, 64, 64))
+    dod = np.zeros(max(n - 2, 0), dtype=np.int64)
+    read, nrec = _read_bits, n - 2
+    set_pos, m = None, 0  # built lazily on the first zero-run
+    p, i, j = 128, 0, 0
+    while i < nrec:
+        # adjacent record (set tag bit right at p): no search needed —
+        # the dominant case for irregular series
+        if not (payload[p >> 3] >> (7 - (p & 7))) & 1:
+            if set_pos is None:
+                set_pos = _set_bit_positions(payload)
+                m = len(set_pos)
+            j = bisect.bisect_left(set_pos, p, j)
+            if j >= m:
+                break  # remaining dods are all zero
+            zrun = set_pos[j] - p
+            if zrun >= nrec - i:
+                break
+            i += zrun
+            p = set_pos[j]
+        tag = read(payload, p, 4)
+        if tag < 0b1100:            # '10' + 7
+            u = read(payload, p + 2, 7)
+            p += 9
+        elif tag < 0b1110:          # '110' + 12
+            u = read(payload, p + 3, 12)
+            p += 15
+        elif tag == 0b1110:         # '1110' + 20
+            u = read(payload, p + 4, 20)
+            p += 24
+        else:                       # '1111' + 64
+            u = read(payload, p + 4, 64)
+            p += 68
+        dod[i] = _unzigzag(u)
+        i += 1
+    d = d1 + np.concatenate(([0], np.cumsum(dod)))
+    out[1:] = t0 + np.cumsum(d)
     return out
 
 
@@ -213,26 +252,44 @@ def encode_values(vals: np.ndarray, w: BitWriter | None = None) -> bytes:
 
 
 def decode_values(payload: bytes, n: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint64)
+    """Vectorized decode: only CHANGING points are parsed (zero-xor runs jump
+    via the set-bit index); the value sequence is then one
+    ``np.bitwise_xor.accumulate`` scan over the per-point xor deltas."""
+    import bisect
+
+    xors = np.zeros(n, dtype=np.uint64)
     if n == 0:
-        return out.view(np.float64)
-    r = BitReader(payload)
-    prev = r.read(64)
-    out[0] = prev
-    lead, mlen = 0, 0
-    for i in range(1, n):
-        tag = r.read(1)
-        if tag == 0:
-            out[i] = prev
-            continue
-        tag = (tag << 1) | r.read(1)
-        if tag == 0b11:
-            lead = r.read(6)
-            mlen = r.read(6) + 1
-        x = r.read(mlen) << (64 - lead - mlen)
-        prev ^= x
-        out[i] = prev
-    return out.view(np.float64)
+        return xors.view(np.float64)
+    xors[0] = _read_bits(payload, 0, 64)
+    read = _read_bits
+    set_pos, m = None, 0  # built lazily on the first zero-run
+    p, i, j = 64, 1, 0
+    lead = mlen = shift = 0
+    while i < n:
+        if not (payload[p >> 3] >> (7 - (p & 7))) & 1:
+            if set_pos is None:
+                set_pos = _set_bit_positions(payload)
+                m = len(set_pos)
+            j = bisect.bisect_left(set_pos, p, j)
+            if j >= m:
+                break  # remaining xors are all zero (constant tail)
+            zrun = set_pos[j] - p
+            if zrun >= n - i:
+                break
+            i += zrun
+            p = set_pos[j]
+        hdr = read(payload, p, 14)  # tag (+ lead/mlen when tag='11')
+        if hdr >> 12 == 0b11:
+            lead = (hdr >> 6) & 63
+            mlen = (hdr & 63) + 1
+            shift = 64 - lead - mlen
+            xors[i] = read(payload, p + 14, mlen) << shift
+            p += 14 + mlen
+        else:  # '10' — reuse previous (leading, length) window
+            xors[i] = read(payload, p + 2, mlen) << shift
+            p += 2 + mlen
+        i += 1
+    return np.bitwise_xor.accumulate(xors).view(np.float64)
 
 
 def chunk_checksum(ts_payload: bytes, val_payload: bytes) -> int:
@@ -305,21 +362,25 @@ class GorillaDecoder:
         self.value_col = value_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, row in batch.iterrows():
-            tp, vp, n = row["ts_payload"], row["val_payload"], int(row["n_points"])
-            if chunk_checksum(tp, vp) != int(row["checksum"]):
+        ts_parts, val_parts, counts = [], [], []
+        for tp, vp, n, cs in zip(batch["ts_payload"], batch["val_payload"],
+                                 batch["n_points"], batch["checksum"]):
+            n = int(n)
+            if chunk_checksum(tp, vp) != int(cs):
                 raise ValueError("gorilla chunk checksum mismatch")
-            ts = decode_timestamps(tp, n)
-            vals = decode_values(vp, n)
-            df = pd.DataFrame({self.ts_col: pd.to_datetime(ts, unit="us"),
-                               self.value_col: vals})
-            for k in self.series_keys:
-                df[k] = row[k]
-            frames.append(df[self.series_keys + [self.ts_col, self.value_col]])
-        if not frames:
+            ts_parts.append(decode_timestamps(tp, n))
+            val_parts.append(decode_values(vp, n))
+            counts.append(n)
+        if not counts:
             return pd.DataFrame(columns=self.series_keys + [self.ts_col, self.value_col])
-        return pd.concat(frames, ignore_index=True)
+        reps = np.asarray(counts, dtype=np.int64)
+        out = pd.DataFrame({
+            self.ts_col: pd.to_datetime(np.concatenate(ts_parts), unit="us"),
+            self.value_col: np.concatenate(val_parts),
+        })
+        for k in self.series_keys:  # chunk keys fan out via one repeat each
+            out[k] = np.repeat(batch[k].to_numpy(), reps)
+        return out[self.series_keys + [self.ts_col, self.value_col]]
 
 
 def encode_series_dataset(ds, series_keys: list[str], ts_col: str, value_col: str,

@@ -106,14 +106,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_embeddings": Q.q_ann_ivf_embeddings,
         "gorilla_roundtrip_events": Q.q_gorilla_roundtrip_events,
         "multimodal_decode": Q.q_multimodal_decode,
+        # round-2 oracle-gap entries (S2-S4, M5, M7, M10, M11, J3, J4, A7,
+        # W10, CV) + exact/gated variants of the approximate stages
+        "descale_roundtrip_lineitem": Q.q_descale_roundtrip_lineitem,
+        "decode_priority_orders": Q.q_decode_priority_orders,
+        "compress_lineitem": Q.q_compress_lineitem,
+        "remove_min_lags_daily": Q.q_remove_min_lags_daily,
+        "merge_actuals_daily": Q.q_merge_actuals_daily,
+        "update_values_daily": Q.q_update_values_daily,
+        "future_frame_daily": Q.q_future_frame_daily,
+        "save_load_roundtrip_events": Q.q_save_load_roundtrip_events,
+        "missing_percentages_hourly": Q.q_missing_percentages_hourly,
+        "cv_folds_daily": Q.q_cv_folds_daily,
+        "text_ratios_documents": Q.q_text_ratios_documents,
+        "embedding_neardup_exact": Q.q_embedding_neardup_exact,
+        "ann_ivf_recall": Q.q_ann_ivf_recall,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for every SQL-expressible query (same column names).
-    Omitted (rows-only): ewma (row-sequential state), text_analysis /
-    minhash / simhash / embedding near-dup / IVF (heuristic or approximate),
-    multimodal (synthetic stub input)."""
+    Omitted (rows-only, each justified): minhash / simhash pair sets and the
+    LSH embedding near-dup (banded-LSH candidate generation is approximate
+    by contract — their exact counterparts ``embedding_neardup_exact`` and
+    the jaccard/hamming verifications are oracled), ``ann_ivf_embeddings``
+    (approximate; gated by ``ann_ivf_recall``), ``text_analysis_documents``
+    (full heuristic set; the SQL-expressible ratios are oracled as
+    ``text_ratios_documents``)."""
     from forecastframe_ray.pipelines import queries as Q
 
     return {
@@ -147,4 +166,20 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_documents": Q.SQL_TOKEN_COUNTS_DOCS,
         "ann_bruteforce_embeddings": Q.SQL_ANN_BRUTEFORCE,
         "gorilla_roundtrip_events": Q.SQL_GORILLA_ROUNDTRIP,
+        "ewma_daily_events": Q.SQL_EWMA_DAILY,
+        "c4_boilerplate_documents": Q.SQL_C4_BOILERPLATE,
+        "multimodal_decode": Q.SQL_MULTIMODAL_DECODE,
+        "descale_roundtrip_lineitem": Q.SQL_DESCALE_ROUNDTRIP,
+        "decode_priority_orders": Q.SQL_DECODE_PRIORITY,
+        "compress_lineitem": Q.SQL_COMPRESS_LINEITEM,
+        "remove_min_lags_daily": Q.SQL_REMOVE_MIN_LAGS,
+        "merge_actuals_daily": Q.SQL_MERGE_ACTUALS,
+        "update_values_daily": Q.SQL_UPDATE_VALUES,
+        "future_frame_daily": Q.SQL_FUTURE_FRAME,
+        "save_load_roundtrip_events": Q.SQL_SAVE_LOAD,
+        "missing_percentages_hourly": Q.SQL_MISSING_PCT,
+        "cv_folds_daily": Q.SQL_CV_FOLDS,
+        "text_ratios_documents": Q.SQL_TEXT_RATIOS,
+        "embedding_neardup_exact": Q.SQL_EMBEDDING_NEARDUP_EXACT,
+        "ann_ivf_recall": Q.SQL_ANN_IVF_RECALL,
     }

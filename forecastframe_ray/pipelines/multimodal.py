@@ -54,6 +54,29 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
     })
 
 
+def media_from_documents(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Deterministic media table derived from the documents corpus: payload =
+    the document's UTF-8 bytes, kind = id mod 3 — every metadata column is
+    recomputable in SQL, which gives the decode pipeline a value oracle."""
+    _KINDS = ("image", "audio", "video")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        payloads = [(t or "").encode("utf-8") for t in texts]
+        return pa.table({
+            "media_id": pa.array(ids),
+            "kind": pa.array([_KINDS[i % 3] for i in ids], type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["application/octet-stream"] * len(ids)),
+            "width": pa.array(np.full(len(ids), -1, dtype=np.int32)),
+            "height": pa.array(np.full(len(ids), -1, dtype=np.int32)),
+            "duration_ms": pa.array(np.full(len(ids), -1, dtype=np.int32)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class DecodeStage:
     """Actor-pool decode + feature-extract stage.
 

@@ -718,16 +718,38 @@ SQL_GORILLA_ROUNDTRIP = f"""
 
 
 def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
-    """Actor-pool media decode plumbing over a deterministic synthetic media
-    table (rows-only; codecs are stubbed per the brief)."""
+    """Actor-pool media decode plumbing over a media table derived from the
+    documents corpus (payload = UTF-8 text bytes). Metadata columns are
+    SQL-checkable; the stubbed decode features are verified in-query against
+    a direct recomputation on a sample (blake2b is not SQL-expressible)."""
     from forecastframe_ray.pipelines import multimodal
 
-    mds = ray.data.from_arrow(multimodal.synth_media_table(256))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    mds = multimodal.media_from_documents(docs)
     out = multimodal.decode_features(mds, concurrency=(1, 4), batch_size=64)
     df = out.to_pandas()
-    feat0 = np.stack(df["features"].to_numpy())[:, 0]
-    df["feat0"] = np.round(feat0, 6)
-    return df[["media_id", "kind", "payload_bytes", "feat0"]]
+
+    # value check of the actor-pool decode path against the direct function
+    stage = multimodal.DecodeStage(real=False, feat_dim=16)
+    sample = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).to_pandas().head(10)
+    feats = {int(m): f for m, f in zip(df["media_id"], df["features"])}
+    for _, row in sample.iterrows():
+        expect = stage._fake_decode((row["text"] or "").encode("utf-8"))
+        got = np.asarray(feats[int(row["doc_id"])], dtype=np.float64)
+        assert np.array_equal(expect, got), ("decode mismatch", row["doc_id"])
+
+    df["payload_bytes"] = df["payload_bytes"].astype("int64")
+    return df[["media_id", "kind", "payload_bytes"]]
+
+
+SQL_MULTIMODAL_DECODE = """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(strlen(text) AS BIGINT) AS payload_bytes
+    FROM documents
+"""
 
 
 def q_rollup_grouper_stats_events(sf_dir: str) -> pd.DataFrame:
@@ -891,7 +913,9 @@ def q_minhash_clusters_documents(sf_dir: str) -> pd.DataFrame:
 
 def q_c4_boilerplate_documents(sf_dir: str) -> pd.DataFrame:
     """C4-style line cleaning + corpus-level boilerplate-line removal
-    (two-pass distributed; rows-only)."""
+    (two-pass distributed). The oracle recomputes both passes in SQL over
+    exploded lines (content counts stand in for the engine's uint64 line
+    hashes — equal barring a 2^-64 collision)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     stripped = textstats.remove_boilerplate_lines(docs, max_repeats=3)
     cleaned = stripped.map_batches(
@@ -904,3 +928,452 @@ def q_c4_boilerplate_documents(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     out["n_chars_clean"] = out["text_clean"].str.len().astype("int64")
     return out[cols]
+
+
+SQL_C4_BOILERPLATE = r"""
+    WITH lns AS (
+        SELECT doc_id, trim(ln, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) AS s
+        FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+              FROM documents)
+        WHERE trim(ln, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) <> ''
+    ),
+    cnt AS (SELECT s, count(*) AS c FROM lns GROUP BY 1),
+    j AS (SELECT l.doc_id, l.s, (c.c > 3) AS is_bp
+          FROM lns l JOIN cnt c USING (s)),
+    agg AS (
+        SELECT doc_id,
+            SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_bp,
+            SUM(CASE WHEN NOT is_bp
+                  AND length(regexp_extract_all(s, '\S+')) >= 3
+                  AND NOT contains(s, '{') AND NOT contains(s, '}')
+                  AND NOT contains(lower(s), 'lorem ipsum')
+                THEN 1 ELSE 0 END) AS n_kept,
+            SUM(CASE WHEN NOT is_bp
+                  AND length(regexp_extract_all(s, '\S+')) >= 3
+                  AND NOT contains(s, '{') AND NOT contains(s, '}')
+                  AND NOT contains(lower(s), 'lorem ipsum')
+                THEN length(s) ELSE 0 END) AS kept_chars
+        FROM j GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_kept AS BIGINT) AS n_lines_kept,
+           CAST(n_bp AS BIGINT) AS n_boilerplate_removed,
+           CAST(kept_chars + greatest(n_kept - 1, 0) AS BIGINT) AS n_chars_clean
+    FROM agg WHERE n_kept >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-2 oracle-gap queries: every implemented-but-oracle-less §2 op
+# ---------------------------------------------------------------------------
+
+
+def q_descale_roundtrip_lineitem(sf_dir: str) -> pd.DataFrame:
+    """M5 descale roundtrip: log1p(l_quantity) + standardize(l_extendedprice)
+    then ``descale_features`` — the inverse formulas must restore the
+    original values (transform.py:238-364 semantics)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                "l_shipdate"])
+    fr = RayForecastFrame(li, datetime_column="l_shipdate", target="l_quantity",
+                          hierarchy=None, num_partitions=_NP)
+    fr.log_features(["l_quantity"]).standardize_features(["l_extendedprice"])
+    fr.descale_features()
+    out = fr.to_pandas()[["l_orderkey", "l_linenumber", "l_quantity",
+                          "l_extendedprice"]]
+    out = _round(out, ["l_quantity"], 6)
+    return _round(out, ["l_extendedprice"], 4)
+
+
+SQL_DESCALE_ROUNDTRIP = """
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity, 6) AS l_quantity,
+           round(l_extendedprice, 4) AS l_extendedprice
+    FROM lineitem
+"""
+
+
+def q_decode_priority_orders(sf_dir: str) -> pd.DataFrame:
+    """M7 decode roundtrip: globally-consistent ordinal encode then decode
+    via the stored code→value dictionary restores the original strings."""
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    keys = encoding.fit_categories(od, ["o_orderpriority"])
+    enc = od.map_batches(encoding.encode_batch_fn(keys), batch_format="pandas")
+    dec = enc.map_batches(encoding.decode_batch_fn(keys), batch_format="pandas")
+    return dec.to_pandas()[["o_orderkey", "o_orderpriority"]]
+
+
+SQL_DECODE_PRIORITY = "SELECT o_orderkey, o_orderpriority FROM orders"
+
+
+def q_compress_lineitem(sf_dir: str) -> pd.DataFrame:
+    """M10 compress: global-stat lossless integer downcast; the oracle
+    verifies every value survives the narrowing."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"])
+    fr = RayForecastFrame(li, datetime_column="l_shipdate", target="l_quantity",
+                          hierarchy=None, num_partitions=_NP)
+    fr.compress()
+    out = fr.to_pandas()[["l_orderkey", "l_linenumber", "l_quantity"]]
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    return _round(out, ["l_quantity"], 2)
+
+
+SQL_COMPRESS_LINEITEM = """
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS l_quantity
+    FROM lineitem
+"""
+
+
+def q_remove_min_lags_daily(sf_dir: str) -> pd.DataFrame:
+    """M11 remove_min_lags: lags 1-3 built, minimum lag 2 → the lag-1 column
+    is dropped (schema check is the point; model.py:631-651)."""
+    fr = _daily_frame(sf_dir).lag_features("v", [1, 2, 3])
+    fr.remove_min_lags({"v": 2})
+    cols = list(fr.dataset.schema().names)
+    assert "v_lag1" not in cols, cols
+    df = fr.to_pandas()[["event_type", "d", "v", "v_lag2", "v_lag3"]]
+    return _fill(df, ["v_lag2", "v_lag3"])
+
+
+SQL_REMOVE_MIN_LAGS = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           COALESCE(LAG(v, 2) OVER w, {NULLF}) AS v_lag2,
+           COALESCE(LAG(v, 3) OVER w, {NULLF}) AS v_lag3
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+"""
+
+
+def q_merge_actuals_daily(sf_dir: str) -> pd.DataFrame:
+    """J3 merge_actuals: predictions for even days FULL-OUTER-joined with the
+    actuals on hierarchy + datetime (distributed hash join)."""
+    fr = _daily_frame(sf_dir)
+    base = fr.to_pandas()
+    dn = base["d"].astype("datetime64[us]").astype("int64") // DAY_US
+    preds = base.loc[dn % 2 == 0, ["event_type", "d"]].copy()
+    preds["pred"] = np.round(base.loc[dn % 2 == 0, "v"].to_numpy() * 0.9, 6)
+    merged = fr.merge_actuals(preds).to_pandas()
+    merged = merged[["event_type", "d", "pred", "v"]]
+    merged = _round(merged, ["v"], 6)
+    return _fill(merged, ["pred", "v"])
+
+
+SQL_MERGE_ACTUALS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    preds AS (
+        SELECT event_type, d, round(v * 0.9, 6) AS pred
+        FROM daily WHERE (epoch_us(d) // {DAY_US}) % 2 = 0
+    )
+    SELECT COALESCE(p.event_type, a.event_type) AS event_type,
+           COALESCE(p.d, a.d) AS d,
+           COALESCE(p.pred, {NULLF}) AS pred,
+           COALESCE(round(a.v, 6), {NULLF}) AS v
+    FROM preds p FULL OUTER JOIN daily a
+        ON p.event_type = a.event_type AND p.d = a.d
+"""
+
+
+def q_update_values_daily(sf_dir: str) -> pd.DataFrame:
+    """J4 update_values: every 5th day patched with v+1000 via the broadcast
+    non-NA coalesce (utilities.py:189-211 semantics)."""
+    fr = _daily_frame(sf_dir)
+    base = fr.to_pandas()
+    dn = base["d"].astype("datetime64[us]").astype("int64") // DAY_US
+    patch = base.loc[dn % 5 == 0, ["event_type", "d", "v"]].copy()
+    patch["v"] = np.round(patch["v"].to_numpy() + 1000.0, 6)
+    fr.update_values(patch)
+    out = fr.to_pandas()[["event_type", "d", "v"]]
+    return _round(out, ["v"], 6)
+
+
+SQL_UPDATE_VALUES = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    patch AS (
+        SELECT event_type, d, round(v + 1000.0, 6) AS pv
+        FROM daily WHERE (epoch_us(d) // {DAY_US}) % 5 = 0
+    )
+    SELECT a.event_type, a.d, round(COALESCE(p.pv, a.v), 6) AS v
+    FROM daily a LEFT JOIN patch p USING (event_type, d)
+"""
+
+
+def q_future_frame_daily(sf_dir: str) -> pd.DataFrame:
+    """W10 future frame: distinct hierarchy × the next 7 days after the
+    global max date, NaN target, unioned with history (model.py:717-791)."""
+    fr = _daily_frame(sf_dir)
+    out_fr = fr.make_future_frame(periods=7, freq="D", include_history=True,
+                                  apply_plan=False)
+    df = out_fr.to_pandas()[["event_type", "d", "v"]]
+    df = _round(df, ["v"], 6)
+    return _fill(df, ["v"])
+
+
+SQL_FUTURE_FRAME = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, round(v, 6) AS v FROM daily
+    UNION ALL
+    SELECT t.event_type, f.d, {NULLF} AS v
+    FROM (SELECT DISTINCT event_type FROM daily) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                      maxd + INTERVAL 7 DAY,
+                                      INTERVAL 1 DAY)) AS d
+        FROM (SELECT max(d) AS maxd FROM daily)
+    ) f
+"""
+
+
+def q_save_load_roundtrip_events(sf_dir: str) -> pd.DataFrame:
+    """S2/S3 save/load: parquet + JSON-manifest persistence roundtrip — the
+    reloaded frame (data AND fitted scaler state) matches the source."""
+    import shutil
+
+    path = "/tmp/ffray_query_saveload"
+    shutil.rmtree(path, ignore_errors=True)
+    fr = _daily_frame(sf_dir).log_features(["v"])
+    fr.save(path)
+    fr2 = RayForecastFrame.load(path)
+    assert fr2.transforms.get("log1p", {}).get("features") == ["v"], fr2.transforms
+    out = fr2.to_pandas()[["event_type", "d", "v"]]
+    return _round(out, ["v"], 9)
+
+
+SQL_SAVE_LOAD = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, round(ln(1.0 + v), 9) AS v FROM daily
+"""
+
+
+def q_missing_percentages_hourly(sf_dir: str) -> pd.DataFrame:
+    """A7 missing-percentage profile over the gap-filled hourly series: one
+    partial+final aggregate pass, never materializing the table."""
+    hourly = _bucket_series(sf_dir, HOUR_US, "h")
+    fr = RayForecastFrame(hourly, datetime_column="h", target="v",
+                          hierarchy=["event_type"], num_partitions=_NP)
+    fr.fill_time_gaps(freq="h", mode="local")
+    ser = fr.missing_percentages()
+    out = pd.DataFrame({"column_name": ser.index.to_numpy(dtype=object),
+                        "missing_pct": ser.to_numpy(dtype=np.float64)})
+    return _round(out, ["missing_pct"], 6)
+
+
+SQL_MISSING_PCT = f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+               FROM hourly GROUP BY 1),
+    grid AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    j AS (SELECT g.event_type, g.h, hr.v
+          FROM grid g LEFT JOIN hourly hr USING (event_type, h))
+    SELECT 'event_type' AS column_name, 0.0 AS missing_pct FROM (SELECT 1)
+    UNION ALL SELECT 'h', 0.0
+    UNION ALL
+    SELECT 'v', round(1.0 - CAST(count(v) AS DOUBLE) / count(*), 6) FROM j
+"""
+
+
+def q_cv_folds_daily(sf_dir: str) -> pd.DataFrame:
+    """§3.4 leakage-safe CV: 3 expanding-window folds with gap=1 over the
+    distinct dates; per (fold, series, role) row counts and value sums — the
+    sums also prove the masked test actuals were restored."""
+    from forecastframe_ray.pipelines import cv
+
+    fr = _daily_frame(sf_dir)
+    parts = []
+    for fold_ix, (fold, ffr) in enumerate(cv.fold_frames(fr, n_splits=3, gap=1)):
+        agg = hash_aggregate(ffr.dataset, ["event_type", "__is_test"], {
+            "n_rows": ("v", "size"), "sum_v": ("v", "sum"),
+        }, num_partitions=4).to_pandas()
+        agg["fold"] = fold_ix
+        parts.append(agg)
+    out = pd.concat(parts, ignore_index=True)
+    out["role"] = np.where(out["__is_test"].astype(bool), "test", "train")
+    out["fold"] = out["fold"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out = _round(out, ["sum_v"], 6)
+    return out[["fold", "event_type", "role", "n_rows", "sum_v"]]
+
+
+SQL_CV_FOLDS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    dd AS (SELECT d, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS rn
+           FROM (SELECT DISTINCT d FROM daily)),
+    params AS (SELECT count(*) AS n, count(*) // 4 AS ts FROM dd),
+    folds AS (SELECT unnest([0, 1, 2]) AS fold),
+    bounds AS (SELECT fold, n - (3 - fold) * ts AS tsix, ts
+               FROM folds CROSS JOIN params),
+    lab AS (
+        SELECT b.fold, dd.d,
+               CASE WHEN dd.rn <= b.tsix - 2 THEN 'train'
+                    WHEN dd.rn >= b.tsix AND dd.rn < b.tsix + b.ts THEN 'test'
+               END AS role
+        FROM bounds b CROSS JOIN dd
+    )
+    SELECT CAST(l.fold AS BIGINT) AS fold, dy.event_type, l.role,
+           count(*) AS n_rows, round(sum(dy.v), 6) AS sum_v
+    FROM lab l JOIN daily dy ON dy.d = l.d
+    WHERE l.role IS NOT NULL
+    GROUP BY 1, 2, 3
+"""
+
+
+#: EWMA closed form (adjust=True): ewma_t = Σ x_i (1-α)^(t-i) / Σ (1-α)^(t-i)
+#: — the common (1-α)^t factor cancels, so both sums use pow(1/(1-α), rn).
+#: α = 2/(span+1): span 3 → 1/(1-α) = 2, span 7 → 4/3. min_periods =
+#: ceil(span^0.8) = 3 and 5 (feature_engineering.py:479-483, 559-567).
+SQL_EWMA_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS x,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    e AS (
+        SELECT event_type, d, v,
+               SUM(x * pow(2.0, rn)) OVER w
+                   / SUM(CASE WHEN x IS NOT NULL THEN pow(2.0, rn) END) OVER w
+                   AS e3,
+               SUM(x * pow(4.0 / 3.0, rn)) OVER w
+                   / SUM(CASE WHEN x IS NOT NULL THEN pow(4.0 / 3.0, rn) END)
+                     OVER w AS e7,
+               COUNT(x) OVER w AS cnt
+        FROM l
+        WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, v,
+           CASE WHEN cnt >= 3 THEN round(e3, 6) ELSE {NULLF} END
+               AS v_ewma_roll3_lag1,
+           CASE WHEN cnt >= 5 THEN round(e7, 6) ELSE {NULLF} END
+               AS v_ewma_roll7_lag1,
+           CASE WHEN cnt >= 5 THEN round(e3 / e7, 6) ELSE {NULLF} END
+               AS v_ewma_roll3_lag1_cross7
+    FROM e
+"""
+
+
+def q_text_ratios_documents(sf_dir: str) -> pd.DataFrame:
+    """Quality-scoring character/stopword ratios (the SQL-expressible subset
+    of the text-analysis stage; quality_batch definitions)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda b: textstats.quality_batch(b),
+                           batch_format="pandas").to_pandas()
+    cols = ["alpha_ratio", "digit_ratio", "punct_ratio", "mean_word_len",
+            "stopword_frac"]
+    return _round(out[["doc_id"] + cols], cols, 6)
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(
+    "the of and to in a is that it for on with as was at by an be this have "
+    "from or are not but had his they you which one all were her she there".split()))
+
+SQL_TEXT_RATIOS = rf"""
+    WITH f AS (
+        SELECT doc_id, text,
+               greatest(length(text), 1) AS n,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+               length(regexp_replace(text, '[^0-9A-Za-z_]', '', 'g')) AS nw,
+               length(text) - length(regexp_replace(text, '\s', '', 'g'))
+                   AS nspace,
+               list_transform(regexp_extract_all(text, '\S+'),
+                              t -> trim(lower(t), '.,;:!?"''()[]')) AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           round_even(CAST(na AS DOUBLE) / n, 6) AS alpha_ratio,
+           round_even(CAST(nd AS DOUBLE) / n, 6) AS digit_ratio,
+           round_even(CAST(length(text) - nw - nspace AS DOUBLE) / n, 6)
+               AS punct_ratio,
+           round_even(CAST(length(text) - nspace AS DOUBLE)
+                 / greatest(length(toks), 1), 6) AS mean_word_len,
+           round_even(CAST(length(list_filter(toks, t -> t IN ({_STOP_SQL})))
+                      AS DOUBLE) / greatest(length(toks), 1), 6)
+               AS stopword_frac
+    FROM f
+"""
+
+
+def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact embedding-cosine near-dup pairs (the verification baseline the
+    LSH variant approximates): per-batch matmul against the full normalized
+    matrix shipped worker-side via block refs — no driver collection."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    refs = emb.to_arrow_refs()
+    threshold = 0.3
+
+    class PairFinder:
+        def __init__(self):
+            import pyarrow as pa
+            t = pa.concat_tables(ray.get(list(refs)))
+            self.ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            self.M = M / norms[:, None]
+            order = np.argsort(self.ids)
+            self.ids, self.M = self.ids[order], self.M[order]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(B, axis=1)
+            norms[norms == 0] = 1.0
+            B = B / norms[:, None]
+            C = B @ self.M.T
+            # emit each unordered pair once: from the batch row with lower id
+            mask = (C >= threshold) & (ids[:, None] < self.ids[None, :])
+            ia, ib = np.where(mask)
+            return pd.DataFrame({"id_a": ids[ia], "id_b": self.ids[ib],
+                                 "cos_sim": C[ia, ib]})
+
+    pairs = emb.map_batches(PairFinder, batch_format="pandas",
+                            concurrency=(1, 8)).to_pandas()
+    from forecastframe_ray.stages.agg import ensure_columns
+    pairs = ensure_columns(pairs, {"id_a": "int64", "id_b": "int64",
+                                   "cos_sim": "float64"})
+    return _round(pairs[["id_a", "id_b", "cos_sim"]], ["cos_sim"], 6)
+
+
+#: embeddings are stored float32; cast to DOUBLE[] so the oracle's cosine is
+#: computed in the same precision as the engine (float32 math shifts the 6th
+#: decimal and flips threshold-boundary pairs; round() is also a no-op on
+#: FLOAT in DuckDB).
+SQL_EMBEDDING_NEARDUP_EXACT = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+"""
+
+
+def q_ann_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """IVF recall@10 gate vs the exact brute-force top-k: the driver-visible
+    oracle row asserts recall ≥ 0.9 per query (nprobe=8 of 16 centroids)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    Q = _query_vectors(sf_dir)
+    bf = similarity.brute_force_topk(emb, Q, k=10)
+    ivf = similarity.ivf_topk(emb, Q, k=10, num_centroids=16, nprobe=8)
+    rows = []
+    for qi in range(len(Q)):
+        exact = set(bf.loc[bf["query_ix"] == qi, "vec_id"])
+        approx = set(ivf.loc[ivf["query_ix"] == qi, "vec_id"])
+        rows.append((qi, len(exact & approx) / max(len(exact), 1) >= 0.9))
+    return pd.DataFrame(rows, columns=["query_ix", "recall_ok"]) \
+        .astype({"query_ix": "int64", "recall_ok": "bool"})
+
+
+SQL_ANN_IVF_RECALL = """
+    SELECT CAST(0 AS BIGINT) AS query_ix, true AS recall_ok
+    UNION ALL SELECT CAST(1 AS BIGINT), true
+"""

@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ratios_documents": Q.q_text_ratios_documents,
         "embedding_neardup_exact": Q.q_embedding_neardup_exact,
         "ann_ivf_recall": Q.q_ann_ivf_recall,
+        "ensemble_pred_daily": Q.q_ensemble_pred_daily,
+        "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
     }
 
 
@@ -182,4 +184,6 @@ def oracle_sql() -> dict[str, str]:
         "text_ratios_documents": Q.SQL_TEXT_RATIOS,
         "embedding_neardup_exact": Q.SQL_EMBEDDING_NEARDUP_EXACT,
         "ann_ivf_recall": Q.SQL_ANN_IVF_RECALL,
+        "ensemble_pred_daily": Q.SQL_ENSEMBLE_PRED,
+        "ngram_jaccard_pairs": Q.SQL_NGRAM_JACCARD,
     }

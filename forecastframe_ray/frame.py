@@ -559,6 +559,56 @@ class RayForecastFrame:
                 batch_format="pandas")
         return self
 
+    def calc_ensemble_predictions(self, model: str = "seasonal_mean",
+                                  feature: str | None = None):
+        """Ensemble-feature hook — the engine path for the reference's
+        ``calc_prophet_predictions`` (feature_engineering.py:943-985), which
+        fits a per-group model and appends its predictions as a feature
+        column. Prophet is not available in this container, so the built-in
+        model is a deterministic per-(group, day-of-week) seasonal mean; the
+        physical plan is the one a real model plugs into: a small fit
+        aggregate broadcast via ``ray.put`` + a scorer ACTOR POOL that loads
+        the fitted state once per actor (``__init__``) and scores per batch.
+        """
+        import ray as _ray
+
+        from forecastframe_ray.stages.agg import hash_aggregate
+
+        assert model == "seasonal_mean", model
+        feature = feature or self.target
+        self._record("calc_ensemble_predictions",
+                     {"model": model, "feature": feature})
+        dtc = self.datetime_column
+        keys = self._keys
+        out_col = f"{feature}_ensemble_pred"
+        self._flush()
+        self._ds = self._ds.materialize()  # fit pass + score pass share it
+
+        def add_dow(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__dow"] = b[dtc].dt.dayofweek.astype("int32")
+            return b
+
+        fitted = hash_aggregate(
+            self._ds.map_batches(add_dow, batch_format="pandas"),
+            keys + ["__dow"], {out_col: (feature, "mean")},
+            num_partitions=self.num_partitions)
+        # fitted state is (groups × 7) rows — small by construction
+        model_ref = _ray.put(fitted.to_pandas())
+
+        class Scorer:
+            def __init__(self):
+                self.model = _ray.get(model_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                scored = add_dow(b).merge(self.model, how="left",
+                                          on=keys + ["__dow"])
+                return scored.drop(columns=["__dow"])
+
+        self._ds = self._ds.map_batches(Scorer, batch_format="pandas",
+                                        concurrency=(1, 8))
+        return self
+
     def format_dates(self) -> list[str]:
         """Pretty date strings at the inferred granularity (utilities.py:
         403-438; ``%-d``-style Linux formats, granularity = closest bucket

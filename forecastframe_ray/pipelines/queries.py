@@ -1377,3 +1377,75 @@ SQL_ANN_IVF_RECALL = """
     SELECT CAST(0 AS BIGINT) AS query_ix, true AS recall_ok
     UNION ALL SELECT CAST(1 AS BIGINT), true
 """
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram (5-byte shingle) Jaccard for the fixed pair list
+    (2i, 2i+1) — the dedup verification primitive with its own value oracle
+    (the engine compares distinct shingle HASHES; the oracle compares the
+    distinct substrings themselves — equal barring a 2^-64 collision)."""
+    from forecastframe_ray.pipelines.dedup import ngram_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_up(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pair_id"] = b["doc_id"] // 2
+        return b[["pair_id", "doc_id", "text"]]
+
+    def jac(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        if len(g) != 2:
+            return pd.DataFrame({"pair_id": [], "jaccard": []})
+        j = ngram_jaccard(g["text"].iloc[0] or "", g["text"].iloc[1] or "",
+                          width=5)
+        return pd.DataFrame({"pair_id": [int(g["pair_id"].iloc[0])],
+                             "jaccard": [j]})
+
+    from forecastframe_ray.stages.agg import bucketed_map_groups
+
+    pairs = bucketed_map_groups(docs.map_batches(pair_up, batch_format="pandas"),
+                                ["pair_id"], jac, num_partitions=8)
+    out = pairs.to_pandas()
+    out["pair_id"] = out["pair_id"].astype("int64")
+    return _round(out[["pair_id", "jaccard"]], ["jaccard"], 6)
+
+
+SQL_NGRAM_JACCARD = """
+    WITH sh AS (
+        SELECT doc_id // 2 AS pair_id, doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(strlen(text) - 4, 1)),
+                   i -> substr(text, i, 5))) AS s
+        FROM documents
+    ),
+    p AS (
+        SELECT a.pair_id, a.s AS sa, b.s AS sb
+        FROM sh a JOIN sh b
+            ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id
+    )
+    SELECT pair_id,
+           round(CAST(length(list_intersect(sa, sb)) AS DOUBLE)
+                 / (length(sa) + length(sb) - length(list_intersect(sa, sb))),
+                 6) AS jaccard
+    FROM p
+"""
+
+
+def q_ensemble_pred_daily(sf_dir: str) -> pd.DataFrame:
+    """§2.8 ensemble-feature hook (``calc_prophet_predictions`` engine path):
+    per-(series, day-of-week) seasonal-mean model fit distributed, broadcast,
+    scored by an actor-pool stage."""
+    fr = _daily_frame(sf_dir).calc_ensemble_predictions()
+    df = fr.to_pandas()[["event_type", "d", "v", "v_ensemble_pred"]]
+    df = _round(df, ["v_ensemble_pred"], 6)
+    return _fill(df, ["v_ensemble_pred"])
+
+
+SQL_ENSEMBLE_PRED = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           COALESCE(round(avg(v) OVER (PARTITION BY event_type, isodow(d)), 6),
+                    {NULLF}) AS v_ensemble_pred
+    FROM daily
+"""

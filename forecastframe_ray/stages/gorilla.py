@@ -385,12 +385,36 @@ class GorillaDecoder:
 
 def encode_series_dataset(ds, series_keys: list[str], ts_col: str, value_col: str,
                           tier: str, num_partitions: int = 32,
-                          concurrency=None):
-    """series-point Dataset → chunk Dataset: partition-pack (one shuffle on
-    the series key hash) then the encoder actor pool (sized to the cluster
-    unless ``concurrency`` is given)."""
+                          concurrency=None, fused: bool = True):
+    """series-point Dataset → chunk Dataset.
+
+    ``fused=True`` (default): ONE shuffle on the series key hash whose
+    per-partition kernel packs AND encodes — encode work per point is tiny
+    relative to the shuffle, so a separate encoder operator (and its actor
+    pool spin-up, ~1-2 s) only adds a serial floor. ``fused=False`` keeps the
+    two-stage form with the :class:`GorillaEncoder` actor pool — the layout
+    for heavyweight stateful codecs (model-based, hardware-assisted) whose
+    per-actor setup is worth amortizing."""
     from forecastframe_ray.stages.keyed import PART_COL
     from forecastframe_ray import keys as K
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[PART_COL] = K.partition_ids(batch, series_keys, num_partitions)
+        return batch
+
+    if fused:
+        enc = GorillaEncoder(tier=tier)
+
+        def pack_encode(part_df: pd.DataFrame) -> pd.DataFrame:
+            packed = pack_series(part_df.drop(columns=[PART_COL]),
+                                 series_keys, ts_col, value_col)
+            return enc(packed)
+
+        return (
+            ds.map_batches(assign, batch_format="pandas")
+            .groupby(PART_COL)
+            .map_groups(pack_encode, batch_format="pandas")
+        )
 
     if concurrency is None:
         import ray
@@ -398,10 +422,6 @@ def encode_series_dataset(ds, series_keys: list[str], ts_col: str, value_col: st
         # min 1 and max < cluster CPUs: the pool must never reserve every
         # slot or the surrounding map/shuffle tasks starve on small clusters
         concurrency = (1, max(1, min(ncpu - 1, 8)))
-
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        batch[PART_COL] = K.partition_ids(batch, series_keys, num_partitions)
-        return batch
 
     def pack(part_df: pd.DataFrame) -> pd.DataFrame:
         return pack_series(part_df.drop(columns=[PART_COL]), series_keys, ts_col, value_col)

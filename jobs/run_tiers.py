@@ -36,7 +36,12 @@ def main() -> int:
         ray.init(address="auto" if args.input else "local",
                  include_dashboard=False, logging_level="ERROR")
     import ray.data
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # per-operator resource reservation starves the hot map stage in this
+    # short combiner-reduced DAG (see bench.py _init_ray); upstream output
+    # is pre-reduced so reservation's flood protection is moot here
+    ctx.op_resource_reservation_enabled = False
 
     from forecastframe_ray import synth
     from forecastframe_ray.pipelines import web

@@ -149,3 +149,20 @@ def test_format_dates_granularity():
         "g": ["A"] * 3, "y": [1.0, 2.0, 3.0]})
     fy = RayForecastFrame(yearly, "datetime", "y", ["g"], num_partitions=2)
     assert fy.format_dates() == ["1980", "1981", "1982"]
+
+
+def test_ensemble_predictions_seasonal_mean():
+    # §2.8 ensemble hook: the appended column equals the per-(group, dow)
+    # mean of the target computed directly in pandas
+    fr = _frame().calc_ensemble_predictions()
+    df = fr.to_pandas()
+    dow = df["datetime"].dt.dayofweek
+    expect = df.groupby(HIERARCHY + [dow.rename("dow")])["sales_int"] \
+        .transform("mean")
+    got = df["sales_int_ensemble_pred"]
+    assert np.allclose(got.to_numpy(dtype=float), expect.to_numpy(dtype=float),
+                       equal_nan=True)
+    # recorded for replay
+    assert ("calc_ensemble_predictions",
+            {"model": "seasonal_mean", "feature": "sales_int"}) \
+        in fr.function_list

@@ -1312,7 +1312,8 @@ def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
     class PairFinder:
         def __init__(self):
             import pyarrow as pa
-            t = pa.concat_tables(ray.get(list(refs)))
+            t = pa.concat_tables(
+                [t for t in ray.get(list(refs)) if t.num_rows])
             self.ids = t["vec_id"].to_numpy(zero_copy_only=False)
             M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
                 .astype(np.float64)

@@ -438,7 +438,14 @@ def encode_series_dataset(ds, series_keys: list[str], ts_col: str, value_col: st
 
 
 def decode_chunk_dataset(chunks, series_keys: list[str], ts_col: str = "bucket_ts",
-                         value_col: str = "value", concurrency=(1, 8)):
+                         value_col: str = "value", concurrency=None):
+    """Chunk rows → decoded point rows. Plain tasks by default — the decoder
+    holds no real state, so an actor pool would only add ~1-2 s spin-up;
+    pass ``concurrency`` to get the actor-pool form (the layout for decoders
+    with heavyweight per-actor state)."""
+    if concurrency is None:
+        dec = GorillaDecoder(list(series_keys), ts_col, value_col)
+        return chunks.map_batches(dec, batch_format="pandas")
     return chunks.map_batches(
         GorillaDecoder,
         fn_constructor_kwargs={"series_keys": list(series_keys),

@@ -15,13 +15,35 @@ import pandas as pd
 import ray
 
 
+#: broadcast objects under this size run as PLAIN TASKS (per-call
+#: ``ray.get`` is a local object-store fetch after the first access on a
+#: node); only larger objects justify an actor pool's deserialize-once —
+#: actor-pool spin-up costs ~1-2 s, a serial floor every broadcast stage
+#: would otherwise pay.
+_ACTOR_BYTES = 32 << 20
+
+
+def _df_bytes(obj) -> int:
+    try:
+        return int(obj.memory_usage(deep=True).sum())
+    except AttributeError:
+        return _ACTOR_BYTES + 1  # unknown → be safe, use the actor pool
+
+
 def broadcast_left_join(ds, small_df: pd.DataFrame, on: list[str]):
     """``ds LEFT JOIN small_df USING (on)`` — small side shipped to the object
     store once, merged per batch with a vectorized pandas merge."""
     overlapping = [c for c in small_df.columns if c not in on and c in ds.schema().names]
     if overlapping:
         small_df = small_df.drop(columns=overlapping)
+    small_bytes = _df_bytes(small_df)
     ref = ray.put(small_df)
+
+    if small_bytes <= _ACTOR_BYTES:
+        def join_fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(ref), how="left", on=list(on))
+
+        return ds.map_batches(join_fn, batch_format="pandas")
 
     class Joiner:
         def __init__(self):
@@ -37,7 +59,15 @@ def broadcast_semi_join(ds, keys_df: pd.DataFrame, on: list[str], anti: bool = F
     """Keep (or drop, ``anti=True``) rows whose key tuple appears in
     ``keys_df`` — broadcast key-set filter, no shuffle."""
     key_index = pd.MultiIndex.from_frame(keys_df[list(on)].drop_duplicates())
+    small = key_index.memory_usage(deep=True) <= _ACTOR_BYTES
     ref = ray.put(key_index)
+
+    if small:
+        def filter_fn(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = pd.MultiIndex.from_frame(batch[list(on)]).isin(ray.get(ref))
+            return batch[~mask] if anti else batch[mask]
+
+        return ds.map_batches(filter_fn, batch_format="pandas")
 
     class Filterer:
         def __init__(self):
@@ -68,24 +98,32 @@ def broadcast_update(ds, patch_df: pd.DataFrame, on: list[str]):
     ``ds`` rows with the non-NA values of ``patch_df`` aligned on ``on``
     (the patch — e.g. restored test actuals — is broadcast once)."""
     value_cols = [c for c in patch_df.columns if c not in on]
+    small_bytes = _df_bytes(patch_df)
     ref = ray.put(patch_df)
+
+    def apply_patch(batch: pd.DataFrame, patch: pd.DataFrame) -> pd.DataFrame:
+        merged = batch.merge(patch, how="left", on=list(on),
+                             suffixes=("", "__patch"))
+        for c in value_cols:
+            pc_ = f"{c}__patch" if f"{c}__patch" in merged.columns else c
+            if c in batch.columns:
+                src = merged[pc_]
+                merged[c] = src.where(src.notna(), merged[c] if pc_ != c else np.nan)
+            else:
+                merged[c] = merged[pc_]
+            if pc_ != c:
+                merged = merged.drop(columns=[pc_])
+        return merged[list(batch.columns)]
+
+    if small_bytes <= _ACTOR_BYTES:
+        return ds.map_batches(lambda b: apply_patch(b, ray.get(ref)),
+                              batch_format="pandas")
 
     class Updater:
         def __init__(self):
             self.patch = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            merged = batch.merge(self.patch, how="left", on=list(on),
-                                 suffixes=("", "__patch"))
-            for c in value_cols:
-                pc_ = f"{c}__patch" if f"{c}__patch" in merged.columns else c
-                if c in batch.columns:
-                    src = merged[pc_]
-                    merged[c] = src.where(src.notna(), merged[c] if pc_ != c else np.nan)
-                else:
-                    merged[c] = merged[pc_]
-                if pc_ != c:
-                    merged = merged.drop(columns=[pc_])
-            return merged[list(batch.columns)]
+            return apply_patch(batch, self.patch)
 
     return ds.map_batches(Updater, batch_format="pandas", concurrency=(1, 8))

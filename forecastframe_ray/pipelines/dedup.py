@@ -80,23 +80,34 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     refs = keep.to_arrow_refs()  # block refs only — no driver collection
 
+    def _load_keep() -> np.ndarray:
+        import pyarrow as pa
+        # drop Ray's column-less empty blocks (empty shuffle partitions)
+        tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+        if not tbls:
+            return np.array([], dtype=np.int64)
+        tbl = pa.concat_tables(tbls)
+        return np.sort(tbl["__keep_id"].to_numpy(zero_copy_only=False))
+
+    def _filter(batch: pd.DataFrame, keep_arr: np.ndarray) -> pd.DataFrame:
+        if not len(keep_arr):
+            return batch.iloc[0:0]
+        idx = np.searchsorted(keep_arr, batch[id_col].to_numpy())
+        idx = np.clip(idx, 0, len(keep_arr) - 1)
+        return batch[keep_arr[idx] == batch[id_col].to_numpy()]
+
+    if keep.count() <= 1_000_000:
+        # small keep-set: plain tasks (re-sorting ~1M ids per call is
+        # cheaper than an actor pool's 1-2 s spin-up)
+        return ds.map_batches(lambda b: _filter(b, _load_keep()),
+                              batch_format="pandas")
+
     class KeepFilter:
         def __init__(self):
-            import pyarrow as pa
-            # drop Ray's column-less empty blocks (empty shuffle partitions)
-            tbls = [t for t in ray.get(list(refs)) if t.num_rows]
-            if not tbls:
-                self.keep = np.array([], dtype=np.int64)
-                return
-            tbl = pa.concat_tables(tbls)
-            self.keep = np.sort(tbl["__keep_id"].to_numpy(zero_copy_only=False))
+            self.keep = _load_keep()
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if not len(self.keep):
-                return batch.iloc[0:0]
-            idx = np.searchsorted(self.keep, batch[id_col].to_numpy())
-            idx = np.clip(idx, 0, len(self.keep) - 1)
-            return batch[self.keep[idx] == batch[id_col].to_numpy()]
+            return _filter(batch, self.keep)
 
     return ds.map_batches(KeepFilter, batch_format="pandas",
                           concurrency=(1, 8))

@@ -26,6 +26,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+#: max test-actuals rows collected driver-side for the restore broadcast;
+#: above this the restore runs as a distributed coalesce join (hash_update)
+PATCH_BROADCAST_ROWS = 2_000_000
+
 
 def time_series_folds(dates: list, n_splits: int, gap: int = 0) -> list[dict]:
     """Expanding-window folds over sorted distinct dates: test blocks are
@@ -101,10 +105,15 @@ def fold_frames(fr, n_splits: int, gap: int = 0, restore_actuals: bool = True):
             sliced = S.apply_transform_dict(sliced, transform_dict)
 
         if restore_actuals:
-            # capture SCALED test actuals before masking (model.py:673-680)
-            patch = sliced.map_batches(
+            # capture SCALED test actuals before masking (model.py:673-680);
+            # the slice is keys+target only, but at scale it is a sizeable
+            # fraction of the data — above the broadcast threshold it stays
+            # a Dataset and restores via a distributed coalesce join
+            patch_ds = sliced.map_batches(
                 lambda b: b.loc[b["__is_test"], keys + [tgt]],
-                batch_format="pandas").to_pandas()
+                batch_format="pandas").materialize()
+            patch = (patch_ds.to_pandas()
+                     if patch_ds.count() <= PATCH_BROADCAST_ROWS else None)
 
         def mask_fn(b: pd.DataFrame) -> pd.DataFrame:
             b = b.copy()
@@ -121,5 +130,10 @@ def fold_frames(fr, n_splits: int, gap: int = 0, restore_actuals: bool = True):
             getattr(out, name)(**kwargs)
 
         if restore_actuals:
-            out.update_values(patch)
+            if patch is not None:
+                out.update_values(patch)
+            else:
+                from forecastframe_ray.stages.join import hash_update
+                out._ds = hash_update(out.dataset, patch_ds, on=keys,
+                                      num_partitions=out.num_partitions)
         yield fold, out

@@ -73,10 +73,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     if keep.count() > broadcast_limit:
         from forecastframe_ray.stages.join import hash_join
 
+        # repartition+materialize the (id-only) keep side: consolidates the
+        # coarse shuffle's column-less empty blocks (the join's hash
+        # exchange stalls on them) and keeps the upstream shuffle and the
+        # join's aggregator pool out of one DAG
         keep_ids = keep.map_batches(
             lambda b: b.rename(columns={"__keep_id": id_col}),
-            batch_format="pandas")
-        return hash_join(ds, keep_ids, on=[id_col], how="inner")
+            batch_format="pandas").repartition(8).materialize()
+        return hash_join(ds, keep_ids, on=[id_col], how="inner",
+                         num_partitions=16)
 
     refs = keep.to_arrow_refs()  # block refs only — no driver collection
 
@@ -218,7 +223,7 @@ def ngram_jaccard(text_a: str, text_b: str, width: int = 5) -> float:
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, num_bands: int = 16,
                       shingle_width: int = 5, threshold: float = 0.7,
-                      seed: int = 7):
+                      seed: int = 7, driver_meta_limit: int = 5_000_000):
     """Candidate generation + exact verification:
 
     1. signature stage (stateless map_batches, text stays put);
@@ -269,7 +274,6 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     cand_meta = broadcast_semi_join(sigs, hot, on=["band", "bucket"]) \
         .materialize()
-    driver_meta_limit = 5_000_000
     cand_df = (cand_meta.to_pandas()  # ints only
                if cand_meta.count() <= driver_meta_limit else None)
 
@@ -291,16 +295,18 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                                    member_ids, on=[id_col]) \
             .map_batches(attach_buckets, batch_format="pandas")
     else:
-        # scale path: everything stays distributed (two hash joins with
-        # materialize barriers so their aggregator pools don't co-schedule)
+        # scale path: everything stays distributed. Repartition+materialize
+        # between the shuffles and joins: consolidates column-less empty
+        # blocks (they stall the join exchange) and keeps aggregator pools
+        # from co-scheduling in one DAG
         member_ids = hash_aggregate(cand_meta, [id_col],
                                     {"__m": (id_col, "size")}) \
-            .select_columns([id_col])
+            .select_columns([id_col]).repartition(8).materialize()
         texts = hash_join(ds.select_columns([id_col, text_col]), member_ids,
                           on=[id_col], how="inner",
-                          num_partitions=8).materialize()
-        cand = hash_join(cand_meta, texts, on=[id_col], how="inner",
-                         num_partitions=8)
+                          num_partitions=8).repartition(8).materialize()
+        cand = hash_join(cand_meta.repartition(8), texts, on=[id_col],
+                         how="inner", num_partitions=8)
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         """Per-bucket exact verification, collapsed over EXACT-duplicate

@@ -42,7 +42,9 @@ def token_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int64()), ws_tokens
     )
     texts = text.to_pandas()
-    bpe = pa.array([len(_BPE_RE.findall(t)) for t in texts], type=pa.int64())
+    # count matches without materializing the token strings
+    bpe = pa.array([sum(1 for _ in _BPE_RE.finditer(t)) for t in texts],
+                   type=pa.int64())
     batch = batch.append_column("n_chars_text", n_chars)
     batch = batch.append_column("n_tokens_ws", ws_tokens)
     batch = batch.append_column("n_tokens_bpe", bpe)

@@ -93,6 +93,29 @@ def hash_join(left, right, on: list[str], how: str = "inner",
                      num_partitions=num_partitions, on=tuple(on))
 
 
+def hash_update(ds, patch_ds, on: list[str], num_partitions: int = 32):
+    """Distributed J4 (``_update_values``) for a LARGE patch side: left hash
+    join on the keys, then per-batch coalesce of the patch's non-NA values —
+    no driver materialization of either side."""
+    value_cols = [c for c in patch_ds.schema().names if c not in on]
+    renames = {c: f"{c}__patch" for c in value_cols}
+    # repartition+materialize: consolidate empty blocks (they stall the join
+    # exchange) and keep upstream shuffles out of the join's DAG
+    patch = patch_ds.map_batches(lambda b: b.rename(columns=renames),
+                                 batch_format="pandas") \
+        .repartition(max(2, num_partitions // 4)).materialize()
+    joined = hash_join(ds, patch, on=on, how="left",
+                       num_partitions=num_partitions)
+
+    def coalesce(b: pd.DataFrame) -> pd.DataFrame:
+        for c in value_cols:
+            src = b[f"{c}__patch"]
+            b[c] = src.where(src.notna(), b[c])
+        return b.drop(columns=[f"{c}__patch" for c in value_cols])
+
+    return joined.map_batches(coalesce, batch_format="pandas")
+
+
 def broadcast_update(ds, patch_df: pd.DataFrame, on: list[str]):
     """J4 ``_update_values`` (reference utilities.py:189-211): overwrite
     ``ds`` rows with the non-NA values of ``patch_df`` aligned on ``on``

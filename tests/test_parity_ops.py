@@ -166,3 +166,21 @@ def test_ensemble_predictions_seasonal_mean():
     assert ("calc_ensemble_predictions",
             {"model": "seasonal_mean", "feature": "sales_int"}) \
         in fr.function_list
+
+
+def test_cv_restore_distributed_patch(monkeypatch):
+    # force the distributed coalesce-join restore path (large-patch branch)
+    from forecastframe_ray.pipelines import cv
+
+    monkeypatch.setattr(cv, "PATCH_BROADCAST_ROWS", 0)
+    fr = _frame().lag_features("sales_int", [1])
+    base = fr.to_pandas()
+    for fold, ffr in cv.fold_frames(fr, n_splits=2, gap=0):
+        got = ffr.to_pandas()
+        # restored actuals: every test-window row's target equals the source
+        test = got[got["datetime"] >= fold["test_start"]]
+        src = base.set_index(HIERARCHY + ["datetime"])["sales_int"]
+        for _, r in test.iterrows():
+            key = tuple(r[c] for c in HIERARCHY) + (r["datetime"],)
+            assert np.isclose(r["sales_int"], src.loc[key]) or (
+                np.isnan(r["sales_int"]) and np.isnan(src.loc[key]))

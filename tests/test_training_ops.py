@@ -187,3 +187,18 @@ def test_remove_boilerplate_lines():
     assert (out.loc[:5, "n_boilerplate_removed"] == 1).all()
     assert out.loc[6, "n_boilerplate_removed"] == 0
     assert out.loc[0, "text"] == "Unique content number 0 here."
+
+
+def test_exact_dedup_distributed_join_path():
+    # broadcast_limit=0 forces the scale path (keep-set as a Dataset joined
+    # on id) — must produce the same survivors as the broadcast path
+    out = dedup.exact_dedup(_docs_ds(), broadcast_limit=0).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4, 5, 6]
+
+
+def test_minhash_distributed_join_path():
+    # driver_meta_limit=0 forces the fully distributed candidate-text joins
+    pairs = dedup.minhash_lsh_pairs(_docs_ds(), threshold=0.5,
+                                    driver_meta_limit=0).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got and (0, 2) in got

@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": Q.q_ann_ivf_recall,
         "ensemble_pred_daily": Q.q_ensemble_pred_daily,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        "multimodal_resize": Q.q_multimodal_resize,
+        "csv_roundtrip_events": Q.q_csv_roundtrip_events,
+        "anti_join_orders": Q.q_anti_join_orders,
     }
 
 
@@ -186,4 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": Q.SQL_ANN_IVF_RECALL,
         "ensemble_pred_daily": Q.SQL_ENSEMBLE_PRED,
         "ngram_jaccard_pairs": Q.SQL_NGRAM_JACCARD,
+        "multimodal_resize": Q.SQL_MULTIMODAL_RESIZE,
+        "csv_roundtrip_events": Q.SQL_CSV_ROUNDTRIP,
+        "anti_join_orders": Q.SQL_ANTI_JOIN_ORDERS,
     }

@@ -64,13 +64,16 @@ def media_from_documents(ds, id_col: str = "doc_id", text_col: str = "text"):
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch[text_col].to_pylist()
         payloads = [(t or "").encode("utf-8") for t in texts]
+        # deterministic, SQL-recomputable dimensions (resize oracle)
+        width = (16 + (ids * 7) % 4000).astype(np.int32)
+        height = (16 + (ids * 13) % 3000).astype(np.int32)
         return pa.table({
             "media_id": pa.array(ids),
             "kind": pa.array([_KINDS[i % 3] for i in ids], type=pa.string()),
             "payload": pa.array(payloads, type=pa.binary()),
             "mime": pa.array(["application/octet-stream"] * len(ids)),
-            "width": pa.array(np.full(len(ids), -1, dtype=np.int32)),
-            "height": pa.array(np.full(len(ids), -1, dtype=np.int32)),
+            "width": pa.array(width),
+            "height": pa.array(height),
             "duration_ms": pa.array(np.full(len(ids), -1, dtype=np.int32)),
         })
 

@@ -1433,6 +1433,94 @@ SQL_NGRAM_JACCARD = """
 """
 
 
+def q_multimodal_resize(sf_dir: str) -> pd.DataFrame:
+    """Multimodal resize/frame-sample stage (actor pool): deterministic
+    metadata math (scale to max side 256) and the payload-shrink contract,
+    both recomputed exactly by the oracle."""
+    from forecastframe_ray.pipelines import multimodal
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    mds = multimodal.media_from_documents(docs)
+    out = mds.map_batches(
+        multimodal.ResizeStage, fn_constructor_kwargs={"max_side": 256},
+        concurrency=(1, 4), batch_size=64, batch_format="pyarrow")
+    df = out.to_pandas()
+    df["payload_bytes"] = df["payload"].map(len).astype("int64")
+    df["new_w"] = df["width"].astype("int64")
+    df["new_h"] = df["height"].astype("int64")
+    return df[["media_id", "new_w", "new_h", "payload_bytes"]]
+
+
+SQL_MULTIMODAL_RESIZE = """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(16 + (doc_id * 7) % 4000 AS DOUBLE) AS w,
+               CAST(16 + (doc_id * 13) % 3000 AS DOUBLE) AS h,
+               CAST(strlen(text) AS DOUBLE) AS pb
+        FROM documents
+    ),
+    s AS (SELECT media_id, w, h, pb,
+                 least(1.0, 256.0 / greatest(greatest(w, h), 1.0)) AS sc
+          FROM m)
+    SELECT media_id,
+           CAST(greatest(1, round_even(w * sc, 0)) AS BIGINT) AS new_w,
+           CAST(greatest(1, round_even(h * sc, 0)) AS BIGINT) AS new_h,
+           CAST(greatest(16, floor(pb * sc * sc)) AS BIGINT) AS payload_bytes
+    FROM s
+"""
+
+
+def q_csv_roundtrip_events(sf_dir: str) -> pd.DataFrame:
+    """S1 CSV source: events written to CSV (shortest-roundtrip floats) and
+    read back via ``ray.data.read_csv``, aggregated distributed."""
+    import os
+    import shutil
+
+    import pyarrow.csv as pacsv
+
+    path = "/tmp/ffray_events_csv"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "value"])
+    pacsv.write_csv(t, f"{path}/events.csv")
+    ds = ray.data.read_csv(f"{path}/events.csv")
+    agg = hash_aggregate(ds, ["event_type"], {
+        "n": ("value", "size"), "sum_v": ("value", "sum"),
+    }, num_partitions=4).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    return _round(agg, ["sum_v"], 6)[["event_type", "n", "sum_v"]]
+
+
+SQL_CSV_ROUNDTRIP = """
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_v
+    FROM events GROUP BY 1
+"""
+
+
+def q_anti_join_orders(sf_dir: str) -> pd.DataFrame:
+    """J6 anti-join: orders from customers NOT in the high-balance key set,
+    counted per status (broadcast key-set filter, ``anti=True``)."""
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal"]).to_pandas()
+    keys = cust[cust["c_acctbal"] > 5000][["c_custkey"]] \
+        .rename(columns={"c_custkey": "o_custkey"})
+    kept = broadcast_semi_join(od, keys, on=["o_custkey"], anti=True)
+    out = hash_count(kept, ["o_orderstatus"], num_partitions=4).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out[["o_orderstatus", "n"]]
+
+
+SQL_ANTI_JOIN_ORDERS = """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 5000)
+    GROUP BY 1
+"""
+
+
 def q_ensemble_pred_daily(sf_dir: str) -> pd.DataFrame:
     """§2.8 ensemble-feature hook (``calc_prophet_predictions`` engine path):
     per-(series, day-of-week) seasonal-mean model fit distributed, broadcast,

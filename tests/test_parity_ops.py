@@ -184,3 +184,32 @@ def test_cv_restore_distributed_patch(monkeypatch):
             key = tuple(r[c] for c in HIERARCHY) + (r["datetime"],)
             assert np.isclose(r["sales_int"], src.loc[key]) or (
                 np.isnan(r["sales_int"]) and np.isnan(src.loc[key]))
+
+
+def test_rollup_windows_hash_join_fallback(monkeypatch):
+    # force the distributed join-back path for rollup-level features
+    # (high-cardinality grouper guard, frame._apply_rollup_windows)
+    from forecastframe_ray.frame import RayForecastFrame as RFF
+
+    monkeypatch.setattr(RFF, "ROLLUP_BROADCAST_ROWS", 0)
+    fr = _frame()
+    fr.calc_statistical_features(
+        "sales_int", windows=[2], aggregations=["mean"], lag=1,
+        min_periods=1,
+        groupers={"name": "lvl", "columns": ["store", "state", "category"],
+                  "operation": "sum"})
+    df = fr.to_pandas()
+    col = "sales_int_mean_lvl_roll2_lag1"
+    assert col in df.columns
+    # compare against the broadcast path on identical input
+    monkeypatch.setattr(RFF, "ROLLUP_BROADCAST_ROWS", 2_000_000)
+    fr2 = _frame()
+    fr2.calc_statistical_features(
+        "sales_int", windows=[2], aggregations=["mean"], lag=1,
+        min_periods=1,
+        groupers={"name": "lvl", "columns": ["store", "state", "category"],
+                  "operation": "sum"})
+    df2 = fr2.to_pandas()
+    a = df[col].to_numpy(dtype=float)
+    b = df2[col].to_numpy(dtype=float)
+    assert np.allclose(a, b, equal_nan=True)

@@ -238,44 +238,52 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     fetched by a join on id (colliding docs ≪ corpus), and verification runs
     inside the bucket groups.
     """
-    from forecastframe_ray.stages.agg import (bucketed_map_groups,
-                                              ensure_columns, hash_aggregate)
+    from forecastframe_ray.stages.agg import (PART_COL, bucketed_map_groups,
+                                              hash_aggregate)
     from forecastframe_ray.stages.join import (broadcast_semi_join, hash_join)
 
     sigs = ds.map_batches(
         lambda b: minhash_batch(b[[id_col, text_col]], text_col, num_perm,
                                 shingle_width, num_bands, seed),
         batch_format="pandas",
-    ).materialize()  # feeds both the bucket-size scan and the candidate join
+    )
 
-    # non-singleton buckets only: their (band, bucket) key set is bounded by
-    # the number of colliding docs, not the corpus
-    sizes = hash_aggregate(sigs, ["band", "bucket"],
-                           {"sz": (id_col, "size")}, num_partitions=32)
-    hot = ensure_columns(
-        sizes.map_batches(lambda b: b[b["sz"] >= 2][["band", "bucket"]],
-                          batch_format="pandas").to_pandas(),
-        {"band": "int32", "bucket": "uint64"})
-    if len(hot) == 0:
+    # candidate (id, band, bucket) rows = members of non-singleton buckets:
+    # ONE coarse shuffle + a vectorized duplicated() mask per partition
+    # (singleton buckets can never produce a pair). Collisions only — tiny
+    # vs the corpus.
+    from forecastframe_ray import keys as K
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[PART_COL] = K.partition_ids(batch, ["band", "bucket"], 32)
+        return batch
+
+    def keep_colliding(part: pd.DataFrame) -> pd.DataFrame:
+        dup = part.duplicated(subset=["band", "bucket"], keep=False)
+        return part[dup].drop(columns=[PART_COL])
+
+    cand_meta = (sigs.map_batches(assign, batch_format="pandas")
+                 .groupby(PART_COL)
+                 .map_groups(keep_colliding, batch_format="pandas")
+                 .materialize())
+
+    # Below ``driver_meta_limit`` rows this INT-ONLY metadata is collected
+    # and broadcast (document text never reaches the driver — that was the
+    # r1 scale-killer; an int triple per collision is the documented
+    # broadcast-small-side pattern), and candidate texts are attached by a
+    # broadcast id-filter + bucket fan-out map: zero hash-shuffle joins.
+    # Past the limit, the fully distributed join path runs instead.
+    import ray
+
+    cand_df = (cand_meta.to_pandas()  # ints only
+               if cand_meta.count() <= driver_meta_limit else None)
+    if cand_df is not None and len(cand_df) == 0:
         import ray.data
         return ray.data.from_pandas(pd.DataFrame({
             "id_a": pd.Series([], dtype="int64"),
             "id_b": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64")}))
-    # candidate (id, band, bucket) rows are collisions only — tiny vs the
-    # corpus. Below ``driver_meta_limit`` rows this INT-ONLY metadata is
-    # collected and broadcast (document text never reaches the driver —
-    # that was the r1 scale-killer; an int triple per collision is the
-    # documented broadcast-small-side pattern), and candidate texts are
-    # attached by a broadcast id-filter + bucket fan-out map: zero
-    # hash-shuffle joins. Past the limit, the fully distributed join path
-    # runs instead.
-    import ray
-
-    cand_meta = broadcast_semi_join(sigs, hot, on=["band", "bucket"]) \
-        .materialize()
-    cand_df = (cand_meta.to_pandas()  # ints only
-               if cand_meta.count() <= driver_meta_limit else None)
 
     if cand_df is not None:
         member_ids = pd.DataFrame({id_col: cand_df[id_col].unique()})

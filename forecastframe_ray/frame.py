@@ -712,28 +712,39 @@ class RayForecastFrame:
         dates = pd.date_range(start=last, periods=periods + 1, freq=freq)
         dates = dates[dates > last][:periods]
 
-        if self.hierarchy:
-            hier = hash_count(base, self.hierarchy,
-                              num_partitions=self.num_partitions) \
-                .to_pandas()[self.hierarchy]
-            future = hier.loc[hier.index.repeat(len(dates))].reset_index(drop=True)
-            future[dtc] = np.tile(dates.to_numpy(), len(hier))
-        else:
-            future = pd.DataFrame({dtc: dates})
-            future[_GLOBAL_KEY] = np.int8(0)
-        future[tgt] = np.nan
-
         # align to the full history schema (missing cols → null), matching
         # the reference's pandas concat which NaN-fills new future rows
         schema = base.schema()
-        for name, typ in zip(schema.names, schema.types):
-            if name not in future.columns:
-                is_str = isinstance(typ, pa.DataType) and (
-                    pa.types.is_string(typ) or pa.types.is_large_string(typ))
-                future[name] = None if is_str else np.nan
-        future = future[list(schema.names)]
 
-        future_ds = ray.data.from_pandas(future)
+        def _align(future: pd.DataFrame) -> pd.DataFrame:
+            future[tgt] = np.nan
+            for name, typ in zip(schema.names, schema.types):
+                if name not in future.columns:
+                    is_str = isinstance(typ, pa.DataType) and (
+                        pa.types.is_string(typ) or pa.types.is_large_string(typ))
+                    future[name] = None if is_str else np.nan
+            return future[list(schema.names)]
+
+        if self.hierarchy:
+            # distinct series × date grid, expanded DISTRIBUTED: the
+            # distinct-key Dataset stays sharded and each batch cross-joins
+            # the (tiny, broadcast-by-closure) date list — at web scale the
+            # series set is far too large to enumerate on the driver
+            hier_ds = hash_count(base, self.hierarchy,
+                                 num_partitions=self.num_partitions)
+            hcols, dvals = self.hierarchy, dates.to_numpy()
+
+            def expand(b: pd.DataFrame) -> pd.DataFrame:
+                out = b.loc[b.index.repeat(len(dvals)), hcols] \
+                    .reset_index(drop=True)
+                out[dtc] = np.tile(dvals, len(b))
+                return _align(out)
+
+            future_ds = hier_ds.map_batches(expand, batch_format="pandas")
+        else:
+            future = pd.DataFrame({dtc: dates})
+            future[_GLOBAL_KEY] = np.int8(0)
+            future_ds = ray.data.from_pandas(_align(future))
         data = base.union(future_ds) if include_history else future_ds
         if not apply_plan:
             out = RayForecastFrame(data, dtc, tgt, self.hierarchy,

@@ -68,24 +68,24 @@ def _tier_output(tier_ds, tier: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def _event_tiers(sf_dir: str) -> dict:
+def _event_tiers(sf_dir: str, tiers=("1h", "1d", "7d")) -> dict:
     ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
     return rollup.rollup_tiers(ev, ["event_type"], "ts", value_col="value",
-                               size_col=None, num_salts=8)
+                               size_col=None, num_salts=8, tiers=tiers)
 
 
 def q_tier_1h_events(sf_dir: str) -> pd.DataFrame:
-    return _tier_output(_event_tiers(sf_dir)["1h"], "1h")
+    return _tier_output(_event_tiers(sf_dir, ("1h",))["1h"], "1h")
 
 
 def q_tier_1d_events(sf_dir: str) -> pd.DataFrame:
     """1d tier produced by CASCADE from 1h (exactness of the algebraic
     (count,sum,min,max,Σx²) carry is what the oracle checks)."""
-    return _tier_output(_event_tiers(sf_dir)["1d"], "1d")
+    return _tier_output(_event_tiers(sf_dir, ("1d",))["1d"], "1d")
 
 
 def q_tier_7d_events(sf_dir: str) -> pd.DataFrame:
-    return _tier_output(_event_tiers(sf_dir)["7d"], "7d")
+    return _tier_output(_event_tiers(sf_dir, ("7d",))["7d"], "7d")
 
 
 def _tier_sql(width_us: int) -> str:

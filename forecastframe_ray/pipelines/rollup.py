@@ -153,9 +153,11 @@ def finalize_tier_batch(batch: pd.DataFrame, tier: str) -> pd.DataFrame:
 
 def rollup_tiers(ds, series_keys: list[str], ts_col: str, value_col: str | None = None,
                  size_col: str | None = None, num_salts: int = 16,
-                 num_partitions: int = 64) -> dict:
-    """The full 1h → 1d → 7d cascade. Returns {tier: Dataset} of finalized
-    tier tables (lazy; caller writes or consumes them).
+                 num_partitions: int = 64,
+                 tiers: tuple = ("1h", "1d", "7d")) -> dict:
+    """The 1h → 1d → 7d cascade. Returns {tier: Dataset} of finalized tier
+    tables for the requested ``tiers`` (coarser tiers imply their finer
+    inputs; each execution is skipped when its tier isn't needed).
 
     ``num_salts`` is kept for API stability; hot-key splitting is inherent
     in the combiner + coarse-hash plan (see :mod:`stages.agg` skew note).
@@ -170,11 +172,19 @@ def rollup_tiers(ds, series_keys: list[str], ts_col: str, value_col: str | None 
             batch_format="pandas",
         ).materialize()
 
+    out = {}
     t1h = fin(build_tier(ds, series_keys, ts_col, value_col, size_col, "1h",
                          num_partitions), "1h")
+    if "1h" in tiers:
+        out["1h"] = t1h
     # coarser tiers are orders of magnitude smaller — fewer partitions keeps
     # the per-task floor from dominating these short execs
     np_c = min(16, num_partitions)
-    t1d = fin(cascade_tier(t1h, series_keys, "1h", "1d", np_c), "1d")
-    t7d = fin(cascade_tier(t1d, series_keys, "1d", "7d", np_c), "7d")
-    return {"1h": t1h, "1d": t1d, "7d": t7d}
+    if "1d" in tiers or "7d" in tiers:
+        t1d = fin(cascade_tier(t1h, series_keys, "1h", "1d", np_c), "1d")
+        if "1d" in tiers:
+            out["1d"] = t1d
+        if "7d" in tiers:
+            out["7d"] = fin(cascade_tier(t1d, series_keys, "1d", "7d", np_c),
+                            "7d")
+    return out

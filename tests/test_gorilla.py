@@ -118,3 +118,36 @@ def test_property_roundtrip_random_series(seed):
     ) * rng.choice([1, -1], size=n)
     roundtrip_ts(ts)
     roundtrip_vals(vals)
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrips (hypothesis): arbitrary float payloads incl.
+# NaN / ±0 / ±inf / denormals, arbitrary non-decreasing-ish timestamps
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                          allow_subnormal=True, width=64),
+                min_size=0, max_size=300))
+def test_value_roundtrip_property(vals):
+    arr = np.asarray(vals, dtype=np.float64)
+    payload = G.encode_values(arr)
+    out = G.decode_values(payload, len(arr))
+    assert np.array_equal(arr.view(np.uint64), out.view(np.uint64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                min_size=0, max_size=300))
+def test_timestamp_roundtrip_property(deltas):
+    # timestamps = cumulative irregular deltas (may go backwards — the codec
+    # must be order-agnostic bit-exact)
+    ts = np.cumsum(np.asarray(deltas, dtype=np.int64)) if deltas else \
+        np.array([], dtype=np.int64)
+    payload = G.encode_timestamps(ts)
+    out = G.decode_timestamps(payload, len(ts))
+    assert np.array_equal(ts, out)

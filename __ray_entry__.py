@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_daily_events": Q.q_diff_daily_events,
         "pct_change_daily_events": Q.q_pct_change_daily_events,
         "rolling7_daily_events": Q.q_rolling7_daily_events,
+        "rolling_median_daily": Q.q_rolling_median_daily,
         "threshold_daily_events": Q.q_threshold_daily_events,
         "days_since_release_events": Q.q_days_since_release_events,
         "gapfill_ffill_hourly_events": Q.q_gapfill_ffill_hourly_events,
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "diff_daily_events": Q.SQL_DIFF_DAILY,
         "pct_change_daily_events": Q.SQL_PCT_CHANGE_DAILY,
         "rolling7_daily_events": Q.SQL_ROLLING7_DAILY,
+        "rolling_median_daily": Q.SQL_ROLLING_MEDIAN_DAILY,
         "threshold_daily_events": Q.SQL_THRESHOLD_DAILY,
         "days_since_release_events": Q.SQL_DAYS_SINCE,
         "gapfill_ffill_hourly_events": Q.SQL_GAPFILL_FFILL_HOURLY,

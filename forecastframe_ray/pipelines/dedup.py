@@ -15,9 +15,9 @@ Scale design (100 TB framing):
   only same-bucket docs ever meet; bucket sizes are bounded by band width;
 - cluster assignment (union-find) runs on the driver over the candidate-PAIR
   list only — pairs ≪ corpus (the standard LSH contract). For corpora where
-  even pairs are huge, the same pair table can be fed to an iterative
-  hash-min connected-components over Dataset joins; documented, not needed
-  at this scale.
+  even pairs are huge, :func:`clusters_from_pairs_distributed` runs the same
+  assignment as iterative hash-min connected components over Dataset
+  aggregates (O(diameter) rounds, int rows only).
 """
 
 from __future__ import annotations
@@ -370,6 +370,64 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # same pair can surface from several bands → dedup on (id_a, id_b)
     return hash_aggregate(pairs, ["id_a", "id_b"],
                           {"jaccard": ("jaccard", "max")}, num_partitions=16)
+
+
+def clusters_from_pairs_distributed(pairs, id_a: str = "id_a",
+                                    id_b: str = "id_b",
+                                    max_iters: int = 50):
+    """Distributed connected components over a candidate-PAIR Dataset:
+    iterative hash-min label propagation (each round every node adopts the
+    minimum label among itself and its neighbors; converges in O(graph
+    diameter) rounds). The scale path for corpora whose pair list outgrows
+    the driver — only (node, label) int rows ever move.
+
+    Returns a Dataset of ``(doc_id, rep_id)`` for every node that appears in
+    a pair, rep = min id of its component (same contract as
+    :func:`clusters_from_pairs`). The per-round label map is int-only and
+    ∝ colliding docs; at sizes beyond a broadcast it would swap to a hash
+    join on ``src`` (same plan shape).
+    """
+    import ray
+
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({
+            "src": np.concatenate([b[id_a].to_numpy(), b[id_b].to_numpy()]),
+            "dst": np.concatenate([b[id_b].to_numpy(), b[id_a].to_numpy()]),
+        }), batch_format="pandas").materialize()  # symmetric edge list
+
+    # labels ← min(node, neighbors) to start
+    lab_df = hash_aggregate(edges, ["src"], {"label": ("dst", "min")},
+                            num_partitions=16).to_pandas()
+    lab_df = pd.DataFrame({"node": lab_df["src"],
+                           "label": np.minimum(lab_df["src"], lab_df["label"])})
+
+    for _ in range(max_iters):
+        lab_ref = ray.put(lab_df.set_index("node")["label"])
+
+        def propagate(b: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(lab_ref)
+            return pd.DataFrame({
+                "node": b["dst"].to_numpy(),
+                "cand": lab.reindex(b["src"]).to_numpy(),
+            })
+
+        new_df = hash_aggregate(
+            edges.map_batches(propagate, batch_format="pandas"),
+            ["node"], {"cand": ("cand", "min")}, num_partitions=16).to_pandas()
+        merged = lab_df.merge(new_df, on="node", how="left")
+        new_labels = np.minimum(
+            lab_df["label"].to_numpy(),
+            merged["cand"].fillna(merged["label"]).to_numpy())
+        changed = bool((new_labels != lab_df["label"].to_numpy()).any())
+        lab_df = pd.DataFrame({"node": lab_df["node"], "label": new_labels})
+        if not changed:
+            break
+
+    import ray.data
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": lab_df["node"], "rep_id": lab_df["label"]}))
 
 
 def clusters_from_pairs(pairs_df: pd.DataFrame, id_a: str = "id_a",

@@ -223,6 +223,36 @@ SQL_ROLLING7_DAILY = f"""
 """
 
 
+_MEDSTD_COLS = ["v_median_roll7_lag1", "v_std_roll7_lag1"]
+
+
+def q_rolling_median_daily(sf_dir: str) -> pd.DataFrame:
+    """W1 NON-algebraic rolling aggs (median + ddof=1 std) — the aggs the
+    tier cascade refuses to compose, computed from the finest grain."""
+    fr = _daily_frame(sf_dir).calc_statistical_features(
+        "v", windows=7, aggregations=["median", "std"], lag=1, min_periods=1)
+    df = fr.to_pandas()[["event_type", "d", "v"] + _MEDSTD_COLS]
+    df = _round(df, _MEDSTD_COLS, 6)
+    return _fill(df, _MEDSTD_COLS)
+
+
+SQL_ROLLING_MEDIAN_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v, epoch_us(d) // {DAY_US} AS dn,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    )
+    SELECT event_type, d, v,
+           COALESCE(round(median(lv) OVER w, 6), {NULLF})
+               AS v_median_roll7_lag1,
+           COALESCE(round(stddev_samp(lv) OVER w, 6), {NULLF})
+               AS v_std_roll7_lag1
+    FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_threshold_daily_events(sf_dir: str) -> pd.DataFrame:
     fr = _daily_frame(sf_dir).calc_percent_relative_to_threshold(
         features="v", windows=7, lag=1, min_periods=1,

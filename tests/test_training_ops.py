@@ -202,3 +202,16 @@ def test_minhash_distributed_join_path():
                                     driver_meta_limit=0).to_pandas()
     got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
     assert (0, 1) in got and (0, 2) in got
+
+
+def test_clusters_distributed_matches_union_find():
+    pairs_df = pd.DataFrame({
+        "id_a": [0, 2, 5, 8, 10],
+        "id_b": [1, 0, 6, 9, 11],
+    })  # components: {0,1,2}, {5,6}, {8,9}, {10,11}
+    expect = dedup.clusters_from_pairs(pairs_df)
+    got = dedup.clusters_from_pairs_distributed(
+        ray.data.from_pandas(pairs_df)).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["rep_id"]))
+    assert got_map == expect
+    assert got_map[2] == 0 and got_map[11] == 10

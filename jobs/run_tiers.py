@@ -17,7 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# running as a script puts jobs/ (not the repo root) on sys.path; under
+# `ray job submit --working-dir .` the working dir is the root already
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

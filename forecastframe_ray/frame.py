@@ -529,20 +529,35 @@ class RayForecastFrame:
         return self
 
     def join_dim_table(self, dim_df: pd.DataFrame, left_on, right_on=None,
-                       how: str = "inner"):
+                       how: str = "inner", dim_dtypes: dict | None = None):
         """J2 dimension-table join (the reference's ``join_demographics``,
         feature_engineering.py:7-41, generalized: any small dim table instead
         of the external demographics package). Broadcast hash-lookup inside
-        ``map_batches`` — the big side never shuffles. Recorded for replay."""
+        ``map_batches`` — the big side never shuffles. Recorded for replay.
+
+        ``dim_dtypes`` is only passed by the replay/load path: the recorded
+        column-dict form is JSON (datetimes become ISO strings, io.py
+        ``_jsonable``), so the original per-column dtypes are recorded
+        alongside and restored here."""
         left_on = _as_list(left_on)
         right_on = _as_list(right_on) or left_on
         if isinstance(dim_df, dict):  # replay/load path (JSON-safe form)
             dim_df = pd.DataFrame(dim_df)
-        # record the dim table in a JSON-safe column-dict form so save()'s
-        # JSON manifest (io.py) can persist the recorded plan
-        self._record("join_dim_table", {"dim_df": dim_df.to_dict("list"),
-                                        "left_on": left_on,
-                                        "right_on": right_on, "how": how})
+            for c, dt in (dim_dtypes or {}).items():
+                if dt.startswith("datetime64") or dt.startswith("timedelta64"):
+                    dim_df[c] = pd.to_datetime(dim_df[c]) \
+                        if dt.startswith("datetime64") \
+                        else pd.to_timedelta(dim_df[c])
+                dim_df[c] = dim_df[c].astype(dt)
+        # record the dim table in a JSON-safe column-dict form (plus its
+        # dtypes, for lossless restore) so save()'s JSON manifest (io.py)
+        # can persist the recorded plan
+        self._record("join_dim_table",
+                     {"dim_df": dim_df.to_dict("list"),
+                      "dim_dtypes": {c: str(t) for c, t in
+                                     dim_df.dtypes.items()},
+                      "left_on": left_on,
+                      "right_on": right_on, "how": how})
         self._flush()
         small = dim_df.rename(columns=dict(zip(right_on, left_on)))
         if how == "left":

@@ -16,10 +16,12 @@ fresh frame over new data.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 
 import numpy as np
+import pandas as pd
 
 
 def _jsonable(obj):
@@ -33,6 +35,16 @@ def _jsonable(obj):
         return int(obj)
     if isinstance(obj, (np.bool_,)):
         return bool(obj)
+    # timestamps (e.g. a release-dates dim table recorded for replay) → ISO
+    # strings; the recorded per-column dtypes restore them on load
+    if obj is pd.NaT:
+        return None
+    if isinstance(obj, (pd.Timestamp, _dt.datetime, _dt.date)):
+        return obj.isoformat()
+    if isinstance(obj, np.datetime64):
+        return pd.Timestamp(obj).isoformat()
+    if isinstance(obj, (pd.Timedelta, _dt.timedelta)):
+        return pd.Timedelta(obj).isoformat()
     return obj
 
 

@@ -111,7 +111,16 @@ def partition_ids_arrow(batch: pa.Table, keys: list[str], num_partitions: int) -
             dict_hashes = np.append(dict_hashes, np.uint64(0x6E756C6C6B657921))
             idx = de.indices.fill_null(n_dict).to_numpy(zero_copy_only=False)
             h ^= _mix_u64(dict_hashes[idx.astype(np.int64)])
-        else:
+        elif pa.types.is_floating(t):
+            # hash the IEEE bit pattern — an int64 cast would raise
+            # ArrowInvalid on non-integral keys (e.g. a float 1.5 group key).
+            # ``+ 0.0`` folds -0.0 into +0.0 so keys equal under pandas
+            # groupby land in the same partition; nulls become NaN (one bit
+            # pattern) via to_numpy's fill.
+            vals = col.cast(pa.float64()).to_numpy(zero_copy_only=False) + 0.0
+            h ^= _mix_u64(vals.view(np.uint64))
+        elif pa.types.is_integer(t) or pa.types.is_temporal(t) \
+                or pa.types.is_boolean(t):
             # unsigned 64-bit stays uint64 (an int64 cast would overflow
             # values above 2^63, e.g. uint64 line hashes)
             wide = pa.uint64() if pa.types.is_unsigned_integer(t) else pa.int64()
@@ -123,6 +132,12 @@ def partition_ids_arrow(batch: pa.Table, keys: list[str], num_partitions: int) -
                     else -0x123456789ABCDEF
                 ints = ints.fill_null(sentinel)
             vals = ints.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h ^= _mix_u64(vals)
+        else:
+            # any other dtype (decimal, nested, ...): hash via the pandas
+            # path for this column only — keeps "any key dtype" semantics
+            vals = pd.util.hash_pandas_object(
+                col.to_pandas(), index=False).to_numpy(dtype=np.uint64)
             h ^= _mix_u64(vals)
     return (h % np.uint64(num_partitions)).astype(np.int32)
 

@@ -374,7 +374,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def clusters_from_pairs_distributed(pairs, id_a: str = "id_a",
                                     id_b: str = "id_b",
-                                    max_iters: int = 50):
+                                    max_iters: int = 50,
+                                    broadcast_limit: int = 5_000_000,
+                                    num_partitions: int = 16):
     """Distributed connected components over a candidate-PAIR Dataset:
     iterative hash-min label propagation (each round every node adopts the
     minimum label among itself and its neighbors; converges in O(graph
@@ -383,11 +385,22 @@ def clusters_from_pairs_distributed(pairs, id_a: str = "id_a",
 
     Returns a Dataset of ``(doc_id, rep_id)`` for every node that appears in
     a pair, rep = min id of its component (same contract as
-    :func:`clusters_from_pairs`). The per-round label map is int-only and
-    ∝ colliding docs; at sizes beyond a broadcast it would swap to a hash
-    join on ``src`` (same plan shape).
+    :func:`clusters_from_pairs`).
+
+    Two per-round plans, chosen by node count:
+
+    - ≤ ``broadcast_limit`` nodes: the int-only label map broadcasts via
+      ``ray.put`` and propagation is a per-batch ``reindex`` (no shuffle);
+    - above it, labels STAY a Dataset and each round is a distributed
+      ``hash_join(edges, labels, on="src")`` + min-aggregate + label join —
+      nothing reaches the driver but the per-round changed count.
+
+    Raises ``RuntimeError`` if labels still changed after ``max_iters``
+    rounds (a component's diameter exceeded the budget) — never returns
+    stale labels silently.
     """
     import ray
+    import ray.data
 
     from forecastframe_ray.stages.agg import hash_aggregate
 
@@ -398,36 +411,87 @@ def clusters_from_pairs_distributed(pairs, id_a: str = "id_a",
         }), batch_format="pandas").materialize()  # symmetric edge list
 
     # labels ← min(node, neighbors) to start
-    lab_df = hash_aggregate(edges, ["src"], {"label": ("dst", "min")},
-                            num_partitions=16).to_pandas()
-    lab_df = pd.DataFrame({"node": lab_df["src"],
-                           "label": np.minimum(lab_df["src"], lab_df["label"])})
+    labels = hash_aggregate(edges, ["src"], {"label": ("dst", "min")},
+                            num_partitions=num_partitions)
+    labels = labels.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["src"],
+            "label": np.minimum(b["src"], b["label"])}),
+        batch_format="pandas").materialize()
 
+    if labels.count() <= broadcast_limit:
+        lab_df = labels.to_pandas()
+        converged = False
+        for _ in range(max_iters):
+            lab_ref = ray.put(lab_df.set_index("node")["label"])
+
+            def propagate(b: pd.DataFrame) -> pd.DataFrame:
+                lab = ray.get(lab_ref)
+                return pd.DataFrame({
+                    "node": b["dst"].to_numpy(),
+                    "cand": lab.reindex(b["src"]).to_numpy(),
+                })
+
+            new_df = hash_aggregate(
+                edges.map_batches(propagate, batch_format="pandas"),
+                ["node"], {"cand": ("cand", "min")},
+                num_partitions=num_partitions).to_pandas()
+            merged = lab_df.merge(new_df, on="node", how="left")
+            new_labels = np.minimum(
+                lab_df["label"].to_numpy(),
+                merged["cand"].fillna(merged["label"]).to_numpy())
+            changed = bool((new_labels != lab_df["label"].to_numpy()).any())
+            lab_df = pd.DataFrame({"node": lab_df["node"], "label": new_labels})
+            if not changed:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"label propagation did not converge in {max_iters} rounds "
+                "(component diameter too large); raise max_iters")
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": lab_df["node"], "rep_id": lab_df["label"]}))
+
+    # ---- fully distributed path: labels never leave the cluster ----
+    from forecastframe_ray.stages.join import hash_join
+
+    converged = False
     for _ in range(max_iters):
-        lab_ref = ray.put(lab_df.set_index("node")["label"])
+        # neighbor candidates: edges ⨝ labels on src → (node=dst, cand=label)
+        src_labels = labels.map_batches(
+            lambda b: b.rename(columns={"node": "src", "label": "__cand"}),
+            batch_format="pandas").repartition(
+                max(2, num_partitions // 2)).materialize()
+        prop = hash_join(edges, src_labels, on=["src"], how="inner",
+                         num_partitions=num_partitions).map_batches(
+            lambda b: pd.DataFrame({"node": b["dst"], "cand": b["__cand"]}),
+            batch_format="pandas")
+        new_min = hash_aggregate(prop, ["node"], {"cand": ("cand", "min")},
+                                 num_partitions=num_partitions) \
+            .repartition(max(2, num_partitions // 2)).materialize()
+        merged = hash_join(labels, new_min, on=["node"], how="left",
+                           num_partitions=num_partitions)
 
-        def propagate(b: pd.DataFrame) -> pd.DataFrame:
-            lab = ray.get(lab_ref)
-            return pd.DataFrame({
-                "node": b["dst"].to_numpy(),
-                "cand": lab.reindex(b["src"]).to_numpy(),
-            })
+        def take_min(b: pd.DataFrame) -> pd.DataFrame:
+            old = b["label"].to_numpy()
+            new = np.minimum(old, b["cand"].fillna(b["label"]).to_numpy())
+            return pd.DataFrame({"node": b["node"], "label": new,
+                                 "__changed": (new != old).astype(np.int64)})
 
-        new_df = hash_aggregate(
-            edges.map_batches(propagate, batch_format="pandas"),
-            ["node"], {"cand": ("cand", "min")}, num_partitions=16).to_pandas()
-        merged = lab_df.merge(new_df, on="node", how="left")
-        new_labels = np.minimum(
-            lab_df["label"].to_numpy(),
-            merged["cand"].fillna(merged["label"]).to_numpy())
-        changed = bool((new_labels != lab_df["label"].to_numpy()).any())
-        lab_df = pd.DataFrame({"node": lab_df["node"], "label": new_labels})
-        if not changed:
+        labels = merged.map_batches(take_min,
+                                    batch_format="pandas").materialize()
+        n_changed = labels.sum("__changed")
+        labels = labels.drop_columns(["__changed"]).materialize()
+        if not n_changed:
+            converged = True
             break
-
-    import ray.data
-    return ray.data.from_pandas(
-        pd.DataFrame({"doc_id": lab_df["node"], "rep_id": lab_df["label"]}))
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "(component diameter too large); raise max_iters")
+    return labels.map_batches(
+        lambda b: b.rename(columns={"node": "doc_id", "label": "rep_id"}),
+        batch_format="pandas")
 
 
 def clusters_from_pairs(pairs_df: pd.DataFrame, id_a: str = "id_a",

@@ -112,7 +112,9 @@ def hash_aggregate_arrow(ds, keys: list[str],
             plan.append(("__ones", "sum"))
             sum_like.append(out)
         else:
-            assert op in _ARROW_OPS, op
+            if op not in _ARROW_OPS:
+                raise ValueError(
+                    f"op {op!r} is not Arrow-supported (have {_ARROW_OPS})")
             plan.append((in_col, op))
             if op == "sum":
                 sum_like.append(out)
@@ -130,12 +132,15 @@ def hash_aggregate_arrow(ds, keys: list[str],
         part = part.drop_columns([PART_COL])
         agg = part.group_by(keys, use_threads=False).aggregate(plan)
         # arrow names results "<col>_<op>" in plan order, after the keys —
-        # rename positionally to the requested output names; assert the
+        # rename positionally to the requested output names; check the
         # layout so a future pyarrow reorder/dedupe fails loudly rather
-        # than silently mislabeling columns
-        assert agg.num_columns == len(keys) + len(plan), (
-            agg.column_names, keys, plan)
-        assert agg.column_names[: len(keys)] == keys, (agg.column_names, keys)
+        # than silently mislabeling columns (a hard raise, not an assert:
+        # this must survive ``python -O``)
+        if agg.num_columns != len(keys) + len(plan) \
+                or agg.column_names[: len(keys)] != keys:
+            raise RuntimeError(
+                "pyarrow group_by output layout changed: "
+                f"{agg.column_names} vs keys={keys} plan={plan}")
         agg = agg.rename_columns(keys + out_names)
         if pandas_null_semantics:
             for out in sum_like:  # pandas all-NaN sum (min_count=0) → 0

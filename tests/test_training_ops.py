@@ -215,3 +215,30 @@ def test_clusters_distributed_matches_union_find():
     got_map = dict(zip(got["doc_id"], got["rep_id"]))
     assert got_map == expect
     assert got_map[2] == 0 and got_map[11] == 10
+
+
+def test_clusters_distributed_join_path_matches_union_find():
+    # broadcast_limit=0 forces the labels-stay-a-Dataset path: per-round
+    # hash_join(edges, labels, on=src) + min aggregate, no driver collect
+    pairs_df = pd.DataFrame({
+        "id_a": [0, 2, 5, 8, 10, 3],
+        "id_b": [1, 0, 6, 9, 11, 1],
+    })  # components: {0,1,2,3}, {5,6}, {8,9}, {10,11}
+    expect = dedup.clusters_from_pairs(pairs_df)
+    got = dedup.clusters_from_pairs_distributed(
+        ray.data.from_pandas(pairs_df), broadcast_limit=0,
+        num_partitions=4).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["rep_id"]))
+    assert got_map == expect
+    assert got_map[3] == 0 and got_map[11] == 10
+
+
+def test_clusters_distributed_nonconvergence_raises():
+    # a 9-node chain needs several hash-min rounds; max_iters=1 must raise
+    # rather than silently return stale labels (ADVICE r2)
+    chain = pd.DataFrame({"id_a": np.arange(8, dtype=np.int64),
+                          "id_b": np.arange(1, 9, dtype=np.int64)})
+    for kw in ({}, {"broadcast_limit": 0, "num_partitions": 4}):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.clusters_from_pairs_distributed(
+                ray.data.from_pandas(chain), max_iters=1, **kw)

@@ -26,6 +26,9 @@ import time
 
 def _init_ray(num_cpus: int):
     import ray
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from forecastframe_ray.logutil import silence_schema_hash_warning
+    silence_schema_hash_warning()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR", log_to_driver=False)
     import ray.data

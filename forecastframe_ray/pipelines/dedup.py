@@ -147,6 +147,36 @@ def shingle_hashes(text: str, width: int = 5) -> np.ndarray:
     return np.unique(rolling_hashes(text.encode("utf-8"), width))
 
 
+def batch_shingle_windows(texts, width: int = 5):
+    """Rolling-hash windows for EVERY doc in one vectorized pass (the
+    concat+mask pattern of ``textstats.fingerprint_batch``): all docs' bytes
+    concatenate into a single blob (docs shorter than ``width`` are padded to
+    ``width``, matching ``rolling_hashes``' per-doc pad), the blob is hashed
+    once, and doc-crossing windows are dropped.
+
+    Returns ``(flat, offsets, counts)``: doc ``i``'s (non-unique) window
+    hashes are ``flat[offsets[i] : offsets[i] + counts[i]]``. Per-doc
+    ``np.unique`` over a slice reproduces :func:`shingle_hashes` exactly."""
+    datas = [t.encode("utf-8") for t in texts]
+    n = len(datas)
+    lens = np.array([len(d) for d in datas], dtype=np.int64)
+    pad_lens = np.maximum(lens, width)
+    counts = pad_lens - width + 1
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if n else \
+        np.array([], dtype=np.int64)
+    if n == 0:
+        return np.array([], dtype=np.uint64), offsets, counts
+    blob = b"".join(
+        d if len(d) >= width else d + b"\x00" * (width - len(d))
+        for d in datas)
+    hashes = rolling_hashes(blob, width)
+    starts = np.concatenate(([0], np.cumsum(pad_lens)[:-1]))
+    pos = np.arange(len(hashes))
+    k = np.searchsorted(starts, pos, side="right") - 1
+    keep = (pos - starts[k]) < counts[k]
+    return hashes[keep], offsets, counts
+
+
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """num_perm-wide MinHash: min over (a_i * h + b_i mod M) per permutation.
     One (num_perm × n_shingles) broadcast — no Python loop."""
@@ -161,11 +191,14 @@ def minhash_batch(batch: pd.DataFrame, text_col: str, num_perm: int,
     """map_batches fn: text → one row per (doc, band) with a uint64 bucket id.
     Emits only (id cols, band, bucket) — the LSH shuffle moves 24 B/band/doc.
 
-    Vectorized across the WHOLE batch: all docs' shingle hashes concatenate
-    into one array; each permutation is one multiply-add over it and the
-    per-doc minima come from ``np.minimum.reduceat`` at the doc offsets —
-    no per-doc × per-perm Python loop. Permutations are chunked so the
-    (chunk × total_shingles) temporary stays small."""
+    Vectorized across the WHOLE batch: all docs' shingle-window hashes come
+    from ONE concat+mask rolling-hash pass (:func:`batch_shingle_windows` —
+    no per-doc Python hashing); each permutation is one multiply-add over
+    the flat array and the per-doc minima come from ``np.minimum.reduceat``
+    at the doc offsets. Duplicate windows are NOT deduped first — the min
+    over a multiset equals the min over its support, so the signature is
+    identical to the per-doc ``np.unique`` form. Permutations are chunked so
+    the (chunk × total_windows) temporary stays small."""
     rows_per_band = num_perm // num_bands
     a, b = _perm_params(num_perm, seed)
     texts = batch[text_col].fillna("")
@@ -176,14 +209,7 @@ def minhash_batch(batch: pd.DataFrame, text_col: str, num_perm: int,
         ids["bucket"] = np.array([], dtype=np.uint64)
         return ids
 
-    shingles = [shingle_hashes(t, shingle_width) for t in texts]
-    counts = np.array([max(len(s), 1) for s in shingles], dtype=np.int64)
-    # empty docs contribute one MAX sentinel shingle → sig = MAX everywhere
-    flat = np.concatenate([
-        s if len(s) else np.array([np.iinfo(np.uint64).max], dtype=np.uint64)
-        for s in shingles
-    ])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    flat, offsets, counts = batch_shingle_windows(texts, shingle_width)
 
     sig = np.empty((num_perm, n), dtype=np.uint64)
     chunk = max(1, min(num_perm, (4 << 20) // max(len(flat), 1)))  # ≤32MB tmp
@@ -208,6 +234,211 @@ def minhash_batch(batch: pd.DataFrame, text_col: str, num_perm: int,
     ids["band"] = np.repeat(np.arange(num_bands, dtype=np.int32), n)
     ids["bucket"] = acc.reshape(-1)
     return ids
+
+
+#: giant-LSH-bucket spill policy caps (see :func:`verify_lsh_bucket`)
+CLIQUE_CAP = 1000     # exact-dup class: full clique up to this many members
+CLASS_CAP = 256       # distinct-text classes compared all-pairs up to this
+FANOUT_CAP = 1_000_000  # cross-class id fan-out cap (pairs per class pair)
+
+
+def verify_lsh_bucket(group: pd.DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_width: int = 5,
+                      threshold: float = 0.7) -> pd.DataFrame:
+    """Per-bucket exact verification, collapsed over EXACT-duplicate
+    classes: members are factorized by text first, all classes' shingles
+    come from ONE batch-wide rolling-hash pass
+    (:func:`batch_shingle_windows` + per-class ``np.unique``), pairwise
+    Jaccard runs once per class pair, and the surviving id pairs fan out
+    vectorized — a bucket of k exact dups costs O(1) intersects, not O(k²).
+
+    Giant-bucket spill policy (bounded output for pathological buckets;
+    connected-component closure downstream makes the star form
+    cluster-equivalent to the clique form):
+
+    - an exact-dup class bigger than ``CLIQUE_CAP`` emits a STAR on its
+      min id (k-1 pairs) instead of the full clique (k(k-1)/2);
+    - past ``CLASS_CAP`` distinct classes, each class is compared only to
+      the class holding the bucket's min id (c-1 intersects, not c²/2);
+    - a cross-class fan-out beyond ``FANOUT_CAP`` emits only the two
+      classes' (min_i, min_j) representative pair.
+    """
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    g = group.drop_duplicates(id_col).sort_values(id_col)
+    if len(g) < 2:
+        return empty
+    ids = g[id_col].to_numpy()
+    codes, uniq = pd.factorize(g[text_col].fillna(""), sort=False)
+    flat, offsets, counts = batch_shingle_windows(uniq, shingle_width)
+    sh = [np.unique(flat[offsets[c]: offsets[c] + counts[c]])
+          for c in range(len(uniq))]
+    members = [np.flatnonzero(codes == c) for c in range(len(uniq))]
+    ncls = len(uniq)
+    if ncls > CLASS_CAP:
+        # g is sorted by id → the min-id class is codes[0]
+        pairs_iter = ((min(codes[0], cj), max(codes[0], cj))
+                      for cj in range(ncls) if cj != codes[0])
+        pairs_iter = list(pairs_iter) + [(c, c) for c in range(ncls)]
+    else:
+        pairs_iter = [(ci, cj) for ci in range(ncls) for cj in range(ci, ncls)]
+    out_a, out_b, out_s = [], [], []
+    for ci, cj in pairs_iter:
+        if ci == cj:
+            sim = 1.0
+        else:
+            sa, sb = sh[ci], sh[cj]
+            if len(sa) == 0 and len(sb) == 0:
+                sim = 1.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True)
+                sim = len(inter) / (len(sa) + len(sb) - len(inter))
+        if sim < threshold:
+            continue
+        if ci == cj:
+            m = members[ci]
+            if len(m) < 2:
+                continue
+            if len(m) > CLIQUE_CAP:  # star on the class min id
+                lo = ids[m].min()
+                rest = ids[m][ids[m] != lo]
+                pa_, pb_ = np.full(len(rest), lo), rest
+            else:
+                aa, bb = np.triu_indices(len(m), 1)
+                pa_, pb_ = ids[m[aa]], ids[m[bb]]
+        else:
+            mi, mj = members[ci], members[cj]
+            if len(mi) * len(mj) > FANOUT_CAP:  # representatives only
+                lo, hi = ids[mi].min(), ids[mj].min()
+                pa_ = np.array([min(lo, hi)])
+                pb_ = np.array([max(lo, hi)])
+            else:
+                A, B = np.meshgrid(ids[mi], ids[mj], indexing="ij")
+                pa_, pb_ = A.ravel(), B.ravel()
+                swap = pa_ > pb_
+                pa_, pb_ = (np.where(swap, pb_, pa_),
+                            np.where(swap, pa_, pb_))
+        out_a.append(pa_)
+        out_b.append(pb_)
+        out_s.append(np.full(len(pa_), sim))
+    if not out_a:
+        return empty
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b),
+                         "jaccard": np.concatenate(out_s)})
+
+
+def verify_lsh_partition(part: pd.DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", shingle_width: int = 5,
+                         threshold: float = 0.7) -> pd.DataFrame:
+    """Partition-level LSH verification — the production path (the
+    per-bucket kernel :func:`verify_lsh_bucket` is its semantic reference,
+    pinned equal by pytest). One call verifies ALL buckets in a coarse-hash
+    partition with the per-bucket Python collapsed away:
+
+    - texts factorize ONCE per partition into exact-dup classes;
+    - because exact dups share identical signatures (hence identical
+      buckets), candidate CLASS pairs are bucket-independent: they come from
+      one self-merge of the distinct (bucket, class) membership, deduped
+      across buckets — each class pair pays ONE shingle intersect no matter
+      how many buckets it collides in (the per-bucket form recomputed it);
+    - all classes' shingles come from one :func:`batch_shingle_windows`
+      pass; id fan-out is vectorized.
+
+    Applies the same giant-bucket spill policy (``CLASS_CAP`` buckets star
+    on the bucket's min-id class; ``CLIQUE_CAP`` / ``FANOUT_CAP`` bound the
+    id fan-out)."""
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    # min_size=2 prefilter: singleton buckets can never produce a pair
+    part = part[part.duplicated(subset=["band", "bucket"], keep=False)]
+    if len(part) == 0:
+        return empty
+    part = part.drop_duplicates(["band", "bucket", id_col]) \
+        .sort_values(id_col, kind="mergesort")
+    codes, uniq = pd.factorize(part[text_col].fillna(""), sort=False)
+    ncls = len(uniq)
+    part = part.assign(__cls=codes)
+
+    # distinct (bucket, class) membership; id-sorted → "first" = min-id class
+    m = part[["band", "bucket", "__cls"]].drop_duplicates()
+    grp = m.groupby(["band", "bucket"])["__cls"]
+    sizes = grp.transform("size").to_numpy()
+    first_cls = grp.transform("first").to_numpy()
+
+    normal = m[sizes <= CLASS_CAP]
+    merged = normal.merge(normal, on=["band", "bucket"])
+    cp = merged[["__cls_x", "__cls_y"]].to_numpy()
+    big = sizes > CLASS_CAP
+    if big.any():  # giant bucket: star on the bucket's min-id class
+        star = np.stack([first_cls[big], m["__cls"].to_numpy()[big]], axis=1)
+        cp = np.concatenate([cp, star], axis=0) if len(cp) else star
+    if len(cp) == 0:
+        return empty
+    lo = np.minimum(cp[:, 0], cp[:, 1])
+    hi = np.maximum(cp[:, 0], cp[:, 1])
+    cls_pairs = np.unique(lo.astype(np.int64) * ncls + hi.astype(np.int64))
+    cls_a, cls_b = cls_pairs // ncls, cls_pairs % ncls
+
+    # distinct member ids per class, np.split-style (id-sorted, stable)
+    d = part.drop_duplicates([id_col])  # one row per doc; __cls attached
+    cls_of_doc = d["__cls"].to_numpy()
+    order = np.argsort(cls_of_doc, kind="stable")
+    ids_sorted = d[id_col].to_numpy()[order]
+    cls_counts = np.bincount(cls_of_doc, minlength=ncls)
+    cls_offsets = np.concatenate(([0], np.cumsum(cls_counts)[:-1]))
+
+    def mem(c):
+        return ids_sorted[cls_offsets[c]: cls_offsets[c] + cls_counts[c]]
+
+    flat, offs, cnts = batch_shingle_windows(uniq, shingle_width)
+    sh_cache: dict = {}
+
+    def sh(c):
+        if c not in sh_cache:
+            sh_cache[c] = np.unique(flat[offs[c]: offs[c] + cnts[c]])
+        return sh_cache[c]
+
+    out_a, out_b, out_s = [], [], []
+    for ci, cj in zip(cls_a, cls_b):
+        if ci == cj:
+            mi = mem(ci)
+            if len(mi) < 2:
+                continue
+            if len(mi) > CLIQUE_CAP:  # star on the class min id
+                lo_id = mi.min()
+                rest = mi[mi != lo_id]
+                pa_, pb_ = np.full(len(rest), lo_id), rest
+            else:
+                aa, bb = np.triu_indices(len(mi), 1)
+                pa_, pb_ = mi[aa], mi[bb]
+            sim = 1.0
+        else:
+            sa, sb = sh(ci), sh(cj)
+            if len(sa) == 0 and len(sb) == 0:
+                sim = 1.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True)
+                sim = len(inter) / (len(sa) + len(sb) - len(inter))
+            if sim < threshold:
+                continue
+            mi, mj = mem(ci), mem(cj)
+            if len(mi) * len(mj) > FANOUT_CAP:  # representatives only
+                lo_id, hi_id = mi.min(), mj.min()
+                pa_ = np.array([min(lo_id, hi_id)])
+                pb_ = np.array([max(lo_id, hi_id)])
+            else:
+                A, B = np.meshgrid(mi, mj, indexing="ij")
+                pa_, pb_ = A.ravel(), B.ravel()
+                swap = pa_ > pb_
+                pa_, pb_ = (np.where(swap, pb_, pa_),
+                            np.where(swap, pa_, pb_))
+        out_a.append(pa_)
+        out_b.append(pb_)
+        out_s.append(np.full(len(pa_), sim))
+    if not out_a:
+        return empty
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b),
+                         "jaccard": np.concatenate(out_s)})
 
 
 def ngram_jaccard(text_a: str, text_b: str, width: int = 5) -> float:
@@ -316,57 +547,25 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         cand = hash_join(cand_meta.repartition(8), texts, on=[id_col],
                          how="inner", num_partitions=8)
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        """Per-bucket exact verification, collapsed over EXACT-duplicate
-        classes: members are factorized by text first, shingles and pairwise
-        Jaccard run once per class pair, and the surviving id pairs fan out
-        vectorized — a bucket of k exact dups costs O(1) intersects, not
-        O(k²)."""
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2:
-            return empty
-        ids = g[id_col].to_numpy()
-        codes, uniq = pd.factorize(g[text_col].fillna(""), sort=False)
-        sh = [shingle_hashes(t, shingle_width) for t in uniq]
-        members = [np.flatnonzero(codes == c) for c in range(len(uniq))]
-        out_a, out_b, out_s = [], [], []
-        for ci in range(len(uniq)):
-            for cj in range(ci, len(uniq)):
-                if ci == cj:
-                    sim = 1.0
-                else:
-                    sa, sb = sh[ci], sh[cj]
-                    if len(sa) == 0 and len(sb) == 0:
-                        sim = 1.0
-                    else:
-                        inter = np.intersect1d(sa, sb, assume_unique=True)
-                        sim = len(inter) / (len(sa) + len(sb) - len(inter))
-                if sim < threshold:
-                    continue
-                if ci == cj:
-                    if len(members[ci]) < 2:
-                        continue
-                    aa, bb = np.triu_indices(len(members[ci]), 1)
-                    pa_, pb_ = ids[members[ci][aa]], ids[members[ci][bb]]
-                else:
-                    A, B = np.meshgrid(ids[members[ci]], ids[members[cj]],
-                                       indexing="ij")
-                    pa_, pb_ = A.ravel(), B.ravel()
-                    swap = pa_ > pb_
-                    pa_, pb_ = (np.where(swap, pb_, pa_),
-                                np.where(swap, pa_, pb_))
-                out_a.append(pa_)
-                out_b.append(pb_)
-                out_s.append(np.full(len(pa_), sim))
-        if not out_a:
-            return empty
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b),
-                             "jaccard": np.concatenate(out_s)})
+    from functools import partial
 
-    pairs = bucketed_map_groups(cand, ["band", "bucket"], verify,
-                                num_partitions=32, min_size=2)
+    # partition-level verification: ONE kernel call per coarse partition,
+    # class pairs deduped across buckets (see verify_lsh_partition; the
+    # per-bucket kernel verify_lsh_bucket is the tested reference semantics)
+    verify = partial(verify_lsh_partition, id_col=id_col, text_col=text_col,
+                     shingle_width=shingle_width, threshold=threshold)
+
+    def assign_verify(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[PART_COL] = K.partition_ids(batch, ["band", "bucket"], 32)
+        return batch
+
+    def run_verify(part: pd.DataFrame) -> pd.DataFrame:
+        return verify(part.drop(columns=[PART_COL]))
+
+    pairs = (cand.map_batches(assign_verify, batch_format="pandas")
+             .groupby(PART_COL)
+             .map_groups(run_verify, batch_format="pandas"))
     # same pair can surface from several bands → dedup on (id_a, id_b)
     return hash_aggregate(pairs, ["id_a", "id_b"],
                           {"jaccard": ("jaccard", "max")}, num_partitions=16)

@@ -31,7 +31,8 @@ _BPE_RE = re.compile(r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9
 def token_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append ``n_chars_text``, ``n_tokens_ws`` (whitespace tokens) and
     ``n_tokens_bpe`` (BPE-ish regex pre-tokens). Arrow kernels for the first
-    two; compiled-regex findall for the third."""
+    two; one ``Series.str.count`` C pass (no per-row Python loop, no token
+    materialization) for the third."""
     text = batch[text_col]
     n_chars = pc.utf8_length(text).cast(pa.int64())
     # whitespace tokens = runs of non-space: split the trimmed string
@@ -42,8 +43,7 @@ def token_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int64()), ws_tokens
     )
     texts = text.to_pandas()
-    # count matches without materializing the token strings
-    bpe = pa.array([sum(1 for _ in _BPE_RE.finditer(t)) for t in texts],
+    bpe = pa.array(texts.str.count(_BPE_RE).to_numpy(dtype=np.int64),
                    type=pa.int64())
     batch = batch.append_column("n_chars_text", n_chars)
     batch = batch.append_column("n_tokens_ws", ws_tokens)
@@ -226,25 +226,28 @@ def c4_clean_batch(batch: pd.DataFrame, text_col: str = "text",
     that end in terminal punctuation and contain no lone curly brace or
     "lorem ipsum"; drop docs left with < ``min_lines`` lines. Adds
     ``text_clean`` and ``n_lines_kept``; rows failing ``min_lines`` are
-    filtered out."""
-    kept_texts, kept_counts, keep_mask = [], [], []
-    for txt in batch[text_col].fillna(""):
-        lines = [ln.strip() for ln in txt.split("\n")]
-        good = [
-            ln for ln in lines
-            if len(ln.split()) >= min_words_per_line
-            and (not require_terminal or ln.endswith(_TERMINALS))
-            and "{" not in ln and "}" not in ln
-            and "lorem ipsum" not in ln.lower()
-        ]
-        keep = len(good) >= min_lines
-        keep_mask.append(keep)
-        if keep:
-            kept_texts.append("\n".join(good))
-            kept_counts.append(len(good))
-    out = batch.loc[keep_mask].copy()
-    out["text_clean"] = kept_texts
-    out["n_lines_kept"] = np.asarray(kept_counts, dtype=np.int64)
+    filtered out.
+
+    Vectorized batch-wide: lines explode ONCE per batch, every per-line
+    predicate is a pandas ``.str`` C kernel over the exploded frame, and
+    surviving lines re-join per doc via ``groupby(level=0)`` — no Python
+    loop over documents."""
+    b = batch.reset_index(drop=True)
+    s = b[text_col].fillna("").str.split("\n").explode().str.strip()
+    keep = s.str.count(r"\S+") >= min_words_per_line
+    if require_terminal:
+        keep &= s.str[-1:].isin(list(_TERMINALS))
+    keep &= ~s.str.contains("{", regex=False)
+    keep &= ~s.str.contains("}", regex=False)
+    keep &= ~s.str.lower().str.contains("lorem ipsum", regex=False)
+    good = s[keep]
+    n_kept = good.groupby(level=0).size().reindex(b.index, fill_value=0)
+    doc_keep = (n_kept >= min_lines).to_numpy()
+    joined = good.groupby(level=0).agg("\n".join).reindex(b.index,
+                                                          fill_value="")
+    out = b.loc[doc_keep].copy()
+    out["text_clean"] = joined.to_numpy()[doc_keep]
+    out["n_lines_kept"] = n_kept.to_numpy(dtype=np.int64)[doc_keep]
     return out
 
 
@@ -266,42 +269,53 @@ def remove_boilerplate_lines(ds, text_col: str = "text",
 
     Scale note: the shuffled rows are (uint64 hash) only — document text
     never moves; the broadcast set holds only hashes seen > ``max_repeats``
-    times (boilerplate is by definition a small distinct set)."""
+    times (boilerplate is by definition a small distinct set). Both passes
+    are vectorized batch-wide: lines explode once, hash in ONE
+    ``hash_pandas_object`` call, and (pass 2) membership is a sorted-array
+    ``np.isin`` with per-doc re-join via ``groupby(level=0)``."""
     import ray
 
     from forecastframe_ray.stages.agg import ensure_columns, hash_count
 
+    def _exploded_nonempty(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
+        """(original lines, stripped lines) of every non-blank line, indexed
+        by doc position."""
+        lines = texts.str.split("\n").explode()
+        stripped = lines.str.strip()
+        mask = stripped.str.len() > 0
+        return lines[mask], stripped[mask]
+
     def emit_hashes(batch: pd.DataFrame) -> pd.DataFrame:
-        hs = [_line_hashes(t) for t in batch[text_col].fillna("")]
-        flat = np.concatenate(hs) if hs else np.array([], dtype=np.uint64)
-        return pd.DataFrame({"line_hash": flat})
+        _, stripped = _exploded_nonempty(batch[text_col].fillna(""))
+        hs = pd.util.hash_pandas_object(stripped, index=False) \
+            .to_numpy(np.uint64)
+        return pd.DataFrame({"line_hash": hs})
 
     counts = hash_count(ds.map_batches(emit_hashes, batch_format="pandas"),
                         ["line_hash"], num_partitions=num_partitions)
     frequent = ensure_columns(counts.map_batches(
         lambda b: b[b["n"] > max_repeats][["line_hash"]], batch_format="pandas"
     ).to_pandas(), {"line_hash": "uint64"})
-    bad_set = set(frequent["line_hash"].tolist())
-    freq_ref = ray.put(bad_set)
+    bad_arr = np.sort(frequent["line_hash"].to_numpy(np.uint64))
+    freq_ref = ray.put(bad_arr)
 
     def strip(batch: pd.DataFrame) -> pd.DataFrame:
         bad = ray.get(freq_ref)
-        out_texts, out_removed = [], []
-        for txt in batch[text_col].fillna(""):
-            lines = [ln for ln in txt.split("\n") if ln.strip()]
-            if not lines:
-                out_texts.append(txt)
-                out_removed.append(0)
-                continue
-            hs = pd.util.hash_pandas_object(
-                pd.Series([ln.strip() for ln in lines], dtype="object"),
-                index=False).to_numpy(np.uint64)
-            keep = [ln for ln, h in zip(lines, hs) if h not in bad]
-            out_texts.append("\n".join(keep))
-            out_removed.append(len(lines) - len(keep))
-        batch = batch.copy()
-        batch[text_col] = out_texts
-        batch["n_boilerplate_removed"] = np.asarray(out_removed, dtype=np.int64)
-        return batch
+        b = batch.reset_index(drop=True)
+        texts = b[text_col].fillna("")
+        lines, stripped = _exploded_nonempty(texts)
+        hs = pd.util.hash_pandas_object(stripped, index=False) \
+            .to_numpy(np.uint64)
+        good = ~np.isin(hs, bad)
+        kept = lines[good]
+        n_lines = lines.groupby(level=0).size().reindex(b.index, fill_value=0)
+        n_kept = kept.groupby(level=0).size().reindex(b.index, fill_value=0)
+        joined = kept.groupby(level=0).agg("\n".join).reindex(b.index)
+        # docs with no non-blank lines keep their original text (and remove 0)
+        out_text = joined.where(n_lines > 0, texts).fillna("")
+        b = b.copy()
+        b[text_col] = out_text.to_numpy()
+        b["n_boilerplate_removed"] = (n_lines - n_kept).to_numpy(np.int64)
+        return b
 
     return ds.map_batches(strip, batch_format="pandas")

@@ -37,6 +37,8 @@ def main() -> int:
     args = ap.parse_args()
 
     import ray
+    from forecastframe_ray.logutil import silence_schema_hash_warning
+    silence_schema_hash_warning()
     if not ray.is_initialized():  # under `ray job submit` the cluster exists
         ray.init(address="auto" if args.input else "local",
                  include_dashboard=False, logging_level="ERROR")

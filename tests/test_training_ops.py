@@ -233,6 +233,87 @@ def test_clusters_distributed_join_path_matches_union_find():
     assert got_map[3] == 0 and got_map[11] == 10
 
 
+def test_batch_shingle_windows_matches_per_doc():
+    texts = ["hello world", "", "ab", "the quick brown fox jumps", "ab",
+             "exactly5!", "x" * 4]
+    flat, off, cnt = dedup.batch_shingle_windows(texts, 5)
+    for i, t in enumerate(texts):
+        got = np.unique(flat[off[i]: off[i] + cnt[i]])
+        np.testing.assert_array_equal(got, dedup.shingle_hashes(t, 5))
+
+
+def test_giant_identical_bucket_bounded():
+    # 10k identical docs in one bucket: the exact-dup class exceeds
+    # CLIQUE_CAP, so verify emits a STAR on the min id — k-1 pairs in
+    # bounded time, cluster-equivalent to the O(k²) clique
+    import time
+    n = 10_000
+    g = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                      "text": ["the same boilerplate text"] * n})
+    t0 = time.time()
+    pairs = dedup.verify_lsh_bucket(g)
+    assert time.time() - t0 < 10
+    assert len(pairs) == n - 1
+    assert (pairs["jaccard"] == 1.0).all()
+    assert (pairs["id_a"] == 0).all()
+    rep = dedup.clusters_from_pairs(pairs)
+    assert set(rep.values()) == {0} and len(rep) == n
+
+
+def test_giant_bucket_class_cap_star(monkeypatch):
+    # past CLASS_CAP distinct texts, classes compare only to the min-id
+    # class; exact-dup classes above CLIQUE_CAP emit stars
+    monkeypatch.setattr(dedup, "CLASS_CAP", 2)
+    monkeypatch.setattr(dedup, "CLIQUE_CAP", 2)
+    a = "the quick brown fox jumps over the lazy dog"
+    b = a.replace("jumps", "jumped")                  # near-dup of a
+    c = "completely different content about nothing at all"
+    g = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [a, a, a, b, c, b],
+    })
+    pairs = dedup.verify_lsh_bucket(g, threshold=0.5)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    # star over the 3-member exact-dup class of `a` (clique would be 3 pairs)
+    assert (0, 1) in got and (0, 2) in got and (1, 2) not in got
+    # cross-class pairs vs the min-id class only
+    assert (0, 3) in got and (0, 5) in got
+    assert not any(p for p in got if 4 in p)  # c is not a near-dup
+
+
+def test_verify_partition_matches_per_bucket_reference():
+    # the production partition-level verifier must emit the same deduped
+    # (id_a, id_b, jaccard) set as the per-bucket reference kernel
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    base = [" ".join(rng.choice(words, 12)) for _ in range(40)]
+    texts = []
+    for t in base:
+        texts.append(t)
+        if rng.random() < 0.5:
+            texts.append(t)                       # exact dup
+        if rng.random() < 0.5:
+            texts.append(t.replace("alpha", "ALPHA", 1))  # near dup
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    sig = dedup.minhash_batch(df, "text", 64, 5, 16)
+    cand = sig[sig.duplicated(["band", "bucket"], keep=False)]
+    cand = cand.merge(df, on="doc_id")
+
+    def dedup_max(p):
+        if len(p) == 0:
+            return set()
+        agg = p.groupby(["id_a", "id_b"])["jaccard"].max().reset_index()
+        return set(map(tuple, agg.round(9).to_numpy()))
+
+    ref_parts = [dedup.verify_lsh_bucket(g, threshold=0.4)
+                 for _, g in cand.groupby(["band", "bucket"])]
+    ref = dedup_max(pd.concat(ref_parts, ignore_index=True)
+                    if ref_parts else pd.DataFrame())
+    got = dedup_max(dedup.verify_lsh_partition(cand, threshold=0.4))
+    assert got == ref and len(got) > 0
+
+
 def test_clusters_distributed_nonconvergence_raises():
     # a 9-node chain needs several hash-min rounds; max_iters=1 must raise
     # rather than silently return stale labels (ADVICE r2)

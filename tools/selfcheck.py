@@ -51,11 +51,13 @@ def main():
     only = set(sys.argv[2:])
 
     import ray
+    sys.path.insert(0, "/root/repo")
+    from forecastframe_ray.logutil import silence_schema_hash_warning
+    silence_schema_hash_warning()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", log_to_driver=False)
 
-    sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
 
     con = duckdb.connect()

@@ -495,10 +495,12 @@ class RayForecastFrame:
     # misc parity ops
     # ------------------------------------------------------------------
 
-    def compress(self):
-        """M10: global-stat-driven lossless integer downcast (the Arrow
-        analog of transform.py:11-39; floats stay float64 — see
-        functions/scalar.py)."""
+    def compress(self, categorize_strings: bool = True):
+        """M10: global-stat-driven lossless integer downcast + string →
+        dictionary (category) encoding (the Arrow analog of
+        transform.py:11-39; the string half is the reference's
+        object→category conversion at transform.py:30-33; floats stay
+        float64 — see functions/scalar.py)."""
         self._flush()
         s = self._ds.schema()
 
@@ -510,19 +512,31 @@ class RayForecastFrame:
             except TypeError:
                 return False
 
+        def is_str(t):
+            if isinstance(t, pa.DataType):
+                return pa.types.is_string(t) or pa.types.is_large_string(t)
+            return np.dtype(t) == object
+
         int_cols = [n for n, t in zip(s.names, s.types) if is_int(t) and n != _GLOBAL_KEY]
-        if not int_cols:
+        str_cols = [n for n, t in zip(s.names, s.types)
+                    if categorize_strings and is_str(t)]
+        if not int_cols and not str_cols:
             return self
-        aggs = []
-        for c in int_cols:
-            aggs += [Min(c, alias_name=f"lo_{c}"), Max(c, alias_name=f"hi_{c}")]
-        self._ds = self._ds.materialize()
-        row = self._ds.aggregate(*aggs)
-        plan = scalar.downcast_plan({c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in int_cols})
+        plan = {}
+        if int_cols:
+            aggs = []
+            for c in int_cols:
+                aggs += [Min(c, alias_name=f"lo_{c}"), Max(c, alias_name=f"hi_{c}")]
+            self._ds = self._ds.materialize()
+            row = self._ds.aggregate(*aggs)
+            plan = scalar.downcast_plan(
+                {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in int_cols})
 
         def cast(b: pd.DataFrame) -> pd.DataFrame:
             for c, dt in plan.items():
                 b[c] = b[c].astype(dt)
+            for c in str_cols:
+                b[c] = b[c].astype("category")
             return b
 
         self._ds = self._ds.map_batches(cast, batch_format="pandas")

@@ -51,7 +51,12 @@ def _jsonable(obj):
 def save_frame(fr, path: str) -> None:
     """Write ``fr.dataset`` as Parquet under ``path/data`` + manifest JSON."""
     os.makedirs(path, exist_ok=True)
-    fr.dataset.write_parquet(os.path.join(path, "data"))
+    # dictionary-encoded + zstd data files (reference compress()'s
+    # object→category parity at the storage layer; transform.py:30-33)
+    fr.dataset.write_parquet(
+        os.path.join(path, "data"),
+        arrow_parquet_args_fn=lambda: {"use_dictionary": True,
+                                       "compression": "zstd"})
     manifest = {
         "datetime_column": fr.datetime_column,
         "target": fr.target,

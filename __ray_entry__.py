@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
+        # LLM-pipeline flagship (pipelines/llm.py)
+        "llm_exact_funnel_documents": Q.q_llm_exact_funnel_documents,
+        "llm_pipeline_documents": Q.q_llm_pipeline_documents,
     }
 
 
@@ -138,7 +141,9 @@ def oracle_sql() -> dict[str, str]:
     the jaccard/hamming verifications are oracled), ``ann_ivf_embeddings``
     (approximate; gated by ``ann_ivf_recall``), ``text_analysis_documents``
     (full heuristic set; the SQL-expressible ratios are oracled as
-    ``text_ratios_documents``)."""
+    ``text_ratios_documents``), ``llm_pipeline_documents`` (full chain with
+    MinHash clustering — its exact funnel half is fully oracled as
+    ``llm_exact_funnel_documents``)."""
     from forecastframe_ray.pipelines import queries as Q
 
     return {
@@ -194,4 +199,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": Q.SQL_MULTIMODAL_RESIZE,
         "csv_roundtrip_events": Q.SQL_CSV_ROUNDTRIP,
         "anti_join_orders": Q.SQL_ANTI_JOIN_ORDERS,
+        "llm_exact_funnel_documents": Q.SQL_LLM_EXACT_FUNNEL,
     }

@@ -170,10 +170,15 @@ def batch_shingle_windows(texts, width: int = 5):
         d if len(d) >= width else d + b"\x00" * (width - len(d))
         for d in datas)
     hashes = rolling_hashes(blob, width)
+    total = len(hashes)
     starts = np.concatenate(([0], np.cumsum(pad_lens)[:-1]))
-    pos = np.arange(len(hashes))
-    k = np.searchsorted(starts, pos, side="right") - 1
-    keep = (pos - starts[k]) < counts[k]
+    # crossing windows are the [start+count, next_start) range of each doc:
+    # mark range boundaries, cumsum → mask (no per-window searchsorted;
+    # boundary indices are strictly increasing so plain assignment is safe)
+    delta = np.zeros(total + 1, dtype=np.int32)
+    delta[np.minimum(starts + counts, total)] += 1
+    delta[np.minimum(starts + pad_lens, total)] -= 1
+    keep = np.cumsum(delta[:-1]) == 0
     return hashes[keep], offsets, counts
 
 
@@ -238,13 +243,75 @@ def minhash_batch(batch: pd.DataFrame, text_col: str, num_perm: int,
 
 #: giant-LSH-bucket spill policy caps (see :func:`verify_lsh_bucket`)
 CLIQUE_CAP = 1000     # exact-dup class: full clique up to this many members
-CLASS_CAP = 256       # distinct-text classes compared all-pairs up to this
+CLASS_CAP = 32        # distinct-text classes compared all-pairs up to this
 FANOUT_CAP = 1_000_000  # cross-class id fan-out cap (pairs per class pair)
+
+#: sketch-estimate pre-filter (standard LSH practice — boilerplate-heavy
+#: corpora make candidate class pairs vastly outnumber true near-dups):
+#: each class's bottom-k (KMV) sketch — the k smallest of its sorted
+#: distinct window hashes, FREE once the unique arrays exist — yields a
+#: Jaccard estimate, and only pairs whose estimate clears ``threshold -
+#: FILTER_MARGIN`` pay the exact intersect. At k=32 the estimate's sd is
+#: ~0.08 near j=0.7, so an exactly-at-threshold pair is misfiltered with
+#: p≈1%; higher-similarity pairs are safe. Chosen over an extra MinHash
+#: pass because it adds NO streaming work (per-perm multiply streams were
+#: measured memory-bandwidth-bound under 32-way task concurrency).
+FILTER_K = 32
+FILTER_MARGIN = 0.2
+
+
+def _class_unique_windows(flat: np.ndarray, offsets: np.ndarray,
+                          counts: np.ndarray) -> list:
+    """Per-class sorted distinct window hashes (``shingle_hashes``
+    semantics), used by both the exact intersects and the KMV sketches."""
+    return [np.unique(flat[o: o + c]) for o, c in zip(offsets, counts)]
+
+
+def _filter_class_pairs(cls_a: np.ndarray, cls_b: np.ndarray,
+                        sh_list: list, threshold: float
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Drop cross-class pairs whose bottom-``FILTER_K`` KMV Jaccard
+    estimate is below ``threshold - FILTER_MARGIN`` (intra-class pairs
+    always kept). Exact Jaccard still decides — and is emitted for — every
+    survivor. Fully vectorized over all pairs: concatenate the two k-wide
+    sketches, row-sort, count duplicates among the smallest k_eff distinct
+    values (a duplicate = a hash present in both sketches)."""
+    cross = cls_a != cls_b
+    if not cross.any():
+        return cls_a, cls_b
+    maxu = np.iinfo(np.uint64).max
+    ncls = len(sh_list)
+    sizes = np.fromiter((len(s) for s in sh_list), np.int64, ncls)
+    S = np.full((ncls, FILTER_K), maxu, dtype=np.uint64)
+    for c, s in enumerate(sh_list):
+        m = min(FILTER_K, len(s))
+        S[c, :m] = s[:m]  # unique() output is sorted → bottom-m
+    ca, cb = cls_a[cross], cls_b[cross]
+    cut = max(0.0, threshold - FILTER_MARGIN)
+    keep_cross = np.empty(len(ca), dtype=bool)
+    # chunked: the (chunk × 2k) sort temporary stays ~256 MB regardless of
+    # pair count (millions of candidate pairs per partition at scale)
+    step = 250_000
+    for s0 in range(0, len(ca), step):
+        s1 = min(s0 + step, len(ca))
+        A, B = S[ca[s0:s1]], S[cb[s0:s1]]
+        merged = np.sort(np.concatenate([A, B], axis=1), axis=1)
+        dup = (merged[:, 1:] == merged[:, :-1]) & (merged[:, 1:] != maxu)
+        first = np.concatenate(
+            [np.ones((s1 - s0, 1), dtype=bool), ~dup], axis=1)
+        rank = np.cumsum(first, axis=1)  # distinct rank of each value
+        keff = np.maximum(1, np.minimum(
+            FILTER_K, np.minimum(sizes[ca[s0:s1]], sizes[cb[s0:s1]])))
+        est = (dup & (rank[:, 1:] <= keff[:, None])).sum(axis=1) / keff
+        keep_cross[s0:s1] = est >= cut
+    drop = np.zeros(len(cls_a), dtype=bool)
+    drop[np.flatnonzero(cross)[~keep_cross]] = True
+    return cls_a[~drop], cls_b[~drop]
 
 
 def verify_lsh_bucket(group: pd.DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", shingle_width: int = 5,
-                      threshold: float = 0.7) -> pd.DataFrame:
+                      threshold: float = 0.7, seed: int = 7) -> pd.DataFrame:
     """Per-bucket exact verification, collapsed over EXACT-duplicate
     classes: members are factorized by text first, all classes' shingles
     come from ONE batch-wide rolling-hash pass
@@ -262,6 +329,10 @@ def verify_lsh_bucket(group: pd.DataFrame, id_col: str = "doc_id",
       the class holding the bucket's min id (c-1 intersects, not c²/2);
     - a cross-class fan-out beyond ``FANOUT_CAP`` emits only the two
       classes' (min_i, min_j) representative pair.
+
+    Cross-class pairs are pre-filtered by a ``FILTER_PERMS``-perm signature
+    estimate (:func:`_filter_class_pairs`) before the exact intersect —
+    survivors still get (and emit) the exact Jaccard.
     """
     empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     g = group.drop_duplicates(id_col).sort_values(id_col)
@@ -270,8 +341,7 @@ def verify_lsh_bucket(group: pd.DataFrame, id_col: str = "doc_id",
     ids = g[id_col].to_numpy()
     codes, uniq = pd.factorize(g[text_col].fillna(""), sort=False)
     flat, offsets, counts = batch_shingle_windows(uniq, shingle_width)
-    sh = [np.unique(flat[offsets[c]: offsets[c] + counts[c]])
-          for c in range(len(uniq))]
+    sh = _class_unique_windows(flat, offsets, counts)
     members = [np.flatnonzero(codes == c) for c in range(len(uniq))]
     ncls = len(uniq)
     if ncls > CLASS_CAP:
@@ -281,8 +351,11 @@ def verify_lsh_bucket(group: pd.DataFrame, id_col: str = "doc_id",
         pairs_iter = list(pairs_iter) + [(c, c) for c in range(ncls)]
     else:
         pairs_iter = [(ci, cj) for ci in range(ncls) for cj in range(ci, ncls)]
+    pairs_arr = np.array(pairs_iter, dtype=np.int64).reshape(-1, 2)
+    cls_a, cls_b = _filter_class_pairs(pairs_arr[:, 0], pairs_arr[:, 1],
+                                       sh, threshold)
     out_a, out_b, out_s = [], [], []
-    for ci, cj in pairs_iter:
+    for ci, cj in zip(cls_a, cls_b):
         if ci == cj:
             sim = 1.0
         else:
@@ -329,7 +402,7 @@ def verify_lsh_bucket(group: pd.DataFrame, id_col: str = "doc_id",
 
 def verify_lsh_partition(part: pd.DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", shingle_width: int = 5,
-                         threshold: float = 0.7) -> pd.DataFrame:
+                         threshold: float = 0.7, seed: int = 7) -> pd.DataFrame:
     """Partition-level LSH verification — the production path (the
     per-bucket kernel :func:`verify_lsh_bucket` is its semantic reference,
     pinned equal by pytest). One call verifies ALL buckets in a coarse-hash
@@ -390,12 +463,11 @@ def verify_lsh_partition(part: pd.DataFrame, id_col: str = "doc_id",
         return ids_sorted[cls_offsets[c]: cls_offsets[c] + cls_counts[c]]
 
     flat, offs, cnts = batch_shingle_windows(uniq, shingle_width)
-    sh_cache: dict = {}
+    sh_list = _class_unique_windows(flat, offs, cnts)
+    cls_a, cls_b = _filter_class_pairs(cls_a, cls_b, sh_list, threshold)
 
     def sh(c):
-        if c not in sh_cache:
-            sh_cache[c] = np.unique(flat[offs[c]: offs[c] + cnts[c]])
-        return sh_cache[c]
+        return sh_list[c]
 
     out_a, out_b, out_s = [], [], []
     for ci, cj in zip(cls_a, cls_b):
@@ -454,7 +526,8 @@ def ngram_jaccard(text_a: str, text_b: str, width: int = 5) -> float:
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, num_bands: int = 16,
                       shingle_width: int = 5, threshold: float = 0.7,
-                      seed: int = 7, driver_meta_limit: int = 5_000_000):
+                      seed: int = 7, driver_meta_limit: int = 5_000_000,
+                      bucket_cap: int = 100_000):
     """Candidate generation + exact verification:
 
     1. signature stage (stateless map_batches, text stays put);
@@ -491,8 +564,16 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return batch
 
     def keep_colliding(part: pd.DataFrame) -> pd.DataFrame:
-        dup = part.duplicated(subset=["band", "bucket"], keep=False)
-        return part[dup].drop(columns=[PART_COL])
+        # singleton buckets can never pair; buckets beyond ``bucket_cap``
+        # rows are common-shingle-argmin artifacts, not similarity evidence
+        # (a true near-dup pair agrees on ~s^rows_per_band of the OTHER
+        # bands too, so dropping one noise bucket leaves its pairs ~15
+        # further chances) — dropping them bounds the per-partition skew a
+        # mega-bucket would otherwise pin on one reducer
+        sizes = part.groupby(["band", "bucket"], sort=False)[id_col] \
+            .transform("size")
+        keep = (sizes >= 2) & (sizes <= bucket_cap)
+        return part[keep.to_numpy()].drop(columns=[PART_COL])
 
     cand_meta = (sigs.map_batches(assign, batch_format="pandas")
                  .groupby(PART_COL)
@@ -553,7 +634,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # class pairs deduped across buckets (see verify_lsh_partition; the
     # per-bucket kernel verify_lsh_bucket is the tested reference semantics)
     verify = partial(verify_lsh_partition, id_col=id_col, text_col=text_col,
-                     shingle_width=shingle_width, threshold=threshold)
+                     shingle_width=shingle_width, threshold=threshold,
+                     seed=seed)
 
     def assign_verify(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

@@ -1568,3 +1568,84 @@ SQL_ENSEMBLE_PRED = f"""
                     {NULLF}) AS v_ensemble_pred
     FROM daily
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline flagship queries (pipelines/llm.py)
+# ---------------------------------------------------------------------------
+
+
+def q_llm_exact_funnel_documents(sf_dir: str) -> pd.DataFrame:
+    """The LLM pipeline's exact (non-approximate) funnel end-to-end:
+    corpus-level boilerplate removal → C4 line cleaning → exact dedup
+    keeping min(doc_id) per distinct cleaned text. The SQL oracle rebuilds
+    the cleaned text per doc over exploded lines and applies the same
+    min-id window dedup — content-exact, not just counts."""
+    from forecastframe_ray.pipelines import llm
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    stripped = textstats.remove_boilerplate_lines(docs, max_repeats=3)
+    cleaned = stripped.map_batches(
+        lambda b: textstats.c4_clean_batch(b, min_words_per_line=3,
+                                           require_terminal=False)
+        [["doc_id", "text_clean"]],
+        batch_format="pandas").materialize()
+    kept = dedup.exact_dedup(cleaned, text_col="text_clean", id_col="doc_id")
+    out = kept.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "text_clean": pd.Series([], dtype="object")})
+    return out[["doc_id", "text_clean"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+SQL_LLM_EXACT_FUNNEL = r"""
+    WITH raw AS (
+        SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+    ),
+    lns AS (
+        SELECT doc_id, unnest(l) AS ln, generate_subscripts(l, 1) AS i
+        FROM raw
+    ),
+    t AS (
+        SELECT doc_id, i,
+               trim(ln, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) AS s
+        FROM lns
+        WHERE trim(ln, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) <> ''
+    ),
+    cnt AS (SELECT s, count(*) AS c FROM t GROUP BY 1),
+    good AS (
+        SELECT t.doc_id, t.i, t.s
+        FROM t JOIN cnt USING (s)
+        WHERE cnt.c <= 3
+          AND length(regexp_extract_all(t.s, '\S+')) >= 3
+          AND NOT contains(t.s, '{') AND NOT contains(t.s, '}')
+          AND NOT contains(lower(t.s), 'lorem ipsum')
+    ),
+    docs_clean AS (
+        SELECT doc_id, string_agg(s, chr(10) ORDER BY i) AS text_clean
+        FROM good GROUP BY doc_id
+    )
+    SELECT doc_id, text_clean
+    FROM (SELECT doc_id, text_clean,
+                 min(doc_id) OVER (PARTITION BY text_clean) AS keep_id
+          FROM docs_clean)
+    WHERE doc_id = keep_id
+    ORDER BY doc_id
+"""
+
+
+def q_llm_pipeline_documents(sf_dir: str) -> pd.DataFrame:
+    """Full LLM flagship chain including MinHash near-dup clustering and
+    representative selection (LSH candidate generation is approximate by
+    contract → rows-only; the exact funnel half is oracled as
+    ``llm_exact_funnel_documents`` and the Jaccard verification as
+    ``ngram_jaccard_pairs``)."""
+    from forecastframe_ray.pipelines import llm
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    final, _ = llm.dedup_pipeline(docs, minhash_threshold=0.5,
+                                  min_words_per_line=3,
+                                  require_terminal=False, num_partitions=_NP)
+    out = final.to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)

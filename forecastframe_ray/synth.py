@@ -163,3 +163,143 @@ def write_pages_corpus(path: str, num_pages: int, seed: int = 42,
                        num_domains: int = 500, num_blocks: int = 64) -> None:
     """Materialize a corpus to partitioned Parquet (bench input, cached)."""
     pages_dataset(num_pages, seed, num_domains, override_num_blocks=num_blocks).write_parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# synthetic documents corpus (LLM-pipeline flagship input)
+# ---------------------------------------------------------------------------
+
+#: corpus-wide boilerplate line pool (every line ≥5 words with terminal
+#: punctuation, so C4 cleaning alone would KEEP them — only the corpus-level
+#: frequency pass can remove them; this is what makes the stage ordering in
+#: pipelines/llm.py observable)
+_BOILER = tuple(
+    f"{_WORDS[(7 * k) % len(_WORDS)].capitalize()} {_WORDS[(11 * k + 3) % len(_WORDS)]} "
+    f"site notice number {k:02d} all rights reserved."
+    for k in range(20)
+)
+
+#: doc-kind codes emitted in the test-only ``kind`` column
+DOC_UNIQUE, DOC_EXACT_DUP, DOC_NEAR_DUP, DOC_JUNK = 0, 1, 2, 3
+
+
+def _template_lines(t: int, seed: int) -> list[str]:
+    """Deterministic 3–8 good C4-style lines for template ``t`` (pure
+    function of (seed, t) — exact-dup docs regenerate it bit-identically)."""
+    base = np.uint64(t) + (np.uint64(seed + 101) << np.uint64(32))
+    # re-mix into a per-template 64-bit salt BEFORE deriving per-line
+    # streams: with raw ``base + j`` inputs, template t's line j would
+    # collide with template t+1's line j-1 (a sliding window over one hash
+    # sequence) and neighboring templates would share their entire line sets
+    salt = _mix(np.array([base]))[0]
+    h = _mix(np.array([salt + np.uint64(1)]))[0]
+    nl = 3 + int(h % np.uint64(5))
+    lines = []
+    for j in range(nl):
+        hj = _mix(np.array([salt + np.uint64(10 + j)]))[0]
+        off = int(hj % np.uint64(len(_WORDS)))
+        ln_len = 6 + int((hj >> np.uint64(32)) % np.uint64(9))
+        words = _WORDS2[off: off + ln_len]
+        # high-entropy ref token: ordinary content lines must be (nearly)
+        # unique per (template, line) — without it the ~900-string line
+        # space would make EVERY line corpus-frequent "boilerplate" at scale
+        ref = int(hj >> np.uint64(22)) % 10**12
+        lines.append((" ".join(words)).capitalize() + f" ref{ref:012d}.")
+    return lines
+
+
+def _make_docs_batch(ids: np.ndarray, seed: int, num_templates: int) -> pa.Table:
+    base = ids.astype(np.uint64) + (np.uint64(seed + 7) << np.uint64(32))
+    m1 = _mix(base)
+    m2 = _mix(base + np.uint64(1))
+    m3 = _mix(base + np.uint64(2))
+    m4 = _mix(base + np.uint64(3))
+    m5 = _mix(base + np.uint64(4))
+    m6 = _mix(base + np.uint64(5))
+
+    r = (m1 % np.uint64(100)).astype(np.int64)
+    texts = np.empty(len(ids), dtype=object)
+    templates = np.empty(len(ids), dtype=np.int64)
+    kinds = np.empty(len(ids), dtype=np.int8)
+    tmpl_cache: dict[int, list[str]] = {}
+
+    def tl(t: int) -> list[str]:
+        if t not in tmpl_cache:
+            tmpl_cache[t] = _template_lines(t, seed)
+        return tmpl_cache[t]
+
+    for j in range(len(ids)):
+        i = int(ids[j])
+        if r[j] < 60:            # unique doc: its own template
+            t, kind = i, DOC_UNIQUE
+            lines = list(tl(t))
+        elif r[j] < 80:          # exact duplicate of a pooled template
+            t, kind = int(m2[j] % np.uint64(num_templates)), DOC_EXACT_DUP
+            lines = list(tl(t))
+        elif r[j] < 92:          # near duplicate: one word mutated
+            t, kind = int(m2[j] % np.uint64(num_templates)), DOC_NEAR_DUP
+            lines = list(tl(t))
+            lm = int(m3[j] % np.uint64(len(lines)))
+            words = lines[lm][:-1].split(" ")
+            # mutate one ORDINARY word (never the first, never the trailing
+            # high-entropy ref token) so the doc stays a close near-dup
+            words[1 + int(m4[j] % np.uint64(len(words) - 3))] = \
+                f"mut{int(m4[j] % np.uint64(997))}"
+            lines[lm] = " ".join(words) + "."
+        else:                    # junk: short lines C4 drops
+            t, kind = i, DOC_JUNK
+            lines = ["click here", "main menu", f"page {i}"]
+        nb = int(m5[j] % np.uint64(3))  # 0-2 boilerplate lines appended
+        for b in range(nb):
+            lines.append(_BOILER[int((m6[j] + np.uint64(b)) % np.uint64(len(_BOILER)))])
+        texts[j] = "\n".join(lines)
+        templates[j] = t
+        kinds[j] = kind
+
+    return pa.table({
+        "doc_id": pa.array(ids.astype(np.int64), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "template": pa.array(templates, type=pa.int64()),
+        "kind": pa.array(kinds, type=pa.int8()),
+    })
+
+
+def docs_dataset(num_docs: int, seed: int = 42, num_templates: int | None = None,
+                 override_num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Lazy, distributed, deterministic documents corpus: ~60% unique docs,
+    20% exact duplicates and 12% near duplicates drawn from a shared
+    template pool, 8% junk, all with appended corpus-level boilerplate
+    lines. ``template``/``kind`` are TEST-ONLY ground-truth columns — the
+    LLM pipeline reads ``(doc_id, text)``.
+
+    Corpus-shape contract for the boilerplate threshold: a boilerplate line
+    appears ~``num_docs/20`` times, a duplicate-class template line at most
+    ~``3 × num_docs / num_templates`` ≈ 36× the mean class size of ~3.8 —
+    pick ``max_repeats`` between the two (e.g. ``num_docs // 50``) so the
+    frequency pass removes boilerplate but never duplicate-class content."""
+    if num_templates is None:
+        num_templates = max(1, num_docs // 12)
+
+    def gen(batch: dict) -> pa.Table:
+        return _make_docs_batch(np.asarray(batch["id"], dtype=np.int64),
+                                seed, num_templates)
+
+    ds = ray.data.range(num_docs, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen, batch_format="numpy", batch_size=8192)
+
+
+def docs_table(num_docs: int, seed: int = 42,
+               num_templates: int | None = None) -> pa.Table:
+    """Driver-side small corpus for unit tests (no Ray needed)."""
+    if num_templates is None:
+        num_templates = max(1, num_docs // 12)
+    return _make_docs_batch(np.arange(num_docs, dtype=np.int64), seed,
+                            num_templates)
+
+
+def write_docs_corpus(path: str, num_docs: int, seed: int = 42,
+                      num_templates: int | None = None,
+                      num_blocks: int = 64) -> None:
+    """Materialize a documents corpus to partitioned Parquet (bench input)."""
+    docs_dataset(num_docs, seed, num_templates,
+                 override_num_blocks=num_blocks).write_parquet(path)

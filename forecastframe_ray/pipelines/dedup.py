@@ -632,14 +632,22 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     # partition-level verification: ONE kernel call per coarse partition,
     # class pairs deduped across buckets (see verify_lsh_partition; the
-    # per-bucket kernel verify_lsh_bucket is the tested reference semantics)
+    # per-bucket kernel verify_lsh_bucket is the tested reference semantics).
+    # Partition count SCALES with the candidate-row count (~100k rows per
+    # partition): the kernel holds the partition's texts + per-class window
+    # arrays in heap, so a fixed fan-out would grow per-task memory linearly
+    # with the corpus (measured: 17M candidate rows over 32 partitions ran
+    # ~3 GB/task × 32 concurrent and OOM-killed workers)
+    n_cand = cand_meta.count()
+    verify_partitions = max(32, int(np.ceil(n_cand / 100_000)))
     verify = partial(verify_lsh_partition, id_col=id_col, text_col=text_col,
                      shingle_width=shingle_width, threshold=threshold,
                      seed=seed)
 
     def assign_verify(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch[PART_COL] = K.partition_ids(batch, ["band", "bucket"], 32)
+        batch[PART_COL] = K.partition_ids(batch, ["band", "bucket"],
+                                          verify_partitions)
         return batch
 
     def run_verify(part: pd.DataFrame) -> pd.DataFrame:

@@ -173,7 +173,7 @@ def decode_timestamps(payload: bytes, n: int) -> np.ndarray:
         return out
     d1 = _unzigzag(_read_bits(payload, 64, 64))
     dod = np.zeros(max(n - 2, 0), dtype=np.int64)
-    read, nrec = _read_bits, n - 2
+    nrec = n - 2
     set_pos, m = None, 0  # built lazily on the first zero-run
     p, i, j = 128, 0, 0
     while i < nrec:
@@ -191,18 +191,26 @@ def decode_timestamps(payload: bytes, n: int) -> np.ndarray:
                 break
             i += zrun
             p = set_pos[j]
-        tag = read(payload, p, 4)
+        # ONE 13-byte window read per record (tag + payload ≤ 68 bits all
+        # fit): halves the per-changing-point cost vs two _read_bits calls
+        b0 = p >> 3
+        chunk = payload[b0:b0 + 13]
+        if len(chunk) < 13:
+            chunk = chunk + b"\x00" * (13 - len(chunk))
+        w = int.from_bytes(chunk, "big")
+        sh = 104 - (p & 7)
+        tag = (w >> (sh - 4)) & 0xF
         if tag < 0b1100:            # '10' + 7
-            u = read(payload, p + 2, 7)
+            u = (w >> (sh - 9)) & 0x7F
             p += 9
         elif tag < 0b1110:          # '110' + 12
-            u = read(payload, p + 3, 12)
+            u = (w >> (sh - 15)) & 0xFFF
             p += 15
         elif tag == 0b1110:         # '1110' + 20
-            u = read(payload, p + 4, 20)
+            u = (w >> (sh - 24)) & 0xFFFFF
             p += 24
         else:                       # '1111' + 64
-            u = read(payload, p + 4, 64)
+            u = (w >> (sh - 68)) & 0xFFFFFFFFFFFFFFFF
             p += 68
         dod[i] = _unzigzag(u)
         i += 1
@@ -261,7 +269,6 @@ def decode_values(payload: bytes, n: int) -> np.ndarray:
     if n == 0:
         return xors.view(np.float64)
     xors[0] = _read_bits(payload, 0, 64)
-    read = _read_bits
     set_pos, m = None, 0  # built lazily on the first zero-run
     p, i, j = 64, 1, 0
     lead = mlen = shift = 0
@@ -278,15 +285,24 @@ def decode_values(payload: bytes, n: int) -> np.ndarray:
                 break
             i += zrun
             p = set_pos[j]
-        hdr = read(payload, p, 14)  # tag (+ lead/mlen when tag='11')
-        if hdr >> 12 == 0b11:
-            lead = (hdr >> 6) & 63
+        # ONE 13-byte window read per record: tag+lead+mlen+payload is at
+        # most 14+64=78 bits, within the 97 usable window bits at any
+        # alignment — halves the per-changing-point cost
+        b0 = p >> 3
+        chunk = payload[b0:b0 + 13]
+        if len(chunk) < 13:
+            chunk = chunk + b"\x00" * (13 - len(chunk))
+        w = int.from_bytes(chunk, "big")
+        sh = 104 - (p & 7)
+        if (w >> (sh - 2)) & 0b11 == 0b11:
+            hdr = (w >> (sh - 14)) & 0xFFF  # lead(6) + mlen-1(6)
+            lead = hdr >> 6
             mlen = (hdr & 63) + 1
             shift = 64 - lead - mlen
-            xors[i] = read(payload, p + 14, mlen) << shift
+            xors[i] = ((w >> (sh - 14 - mlen)) & ((1 << mlen) - 1)) << shift
             p += 14 + mlen
         else:  # '10' — reuse previous (leading, length) window
-            xors[i] = read(payload, p + 2, mlen) << shift
+            xors[i] = ((w >> (sh - 2 - mlen)) & ((1 << mlen) - 1)) << shift
             p += 2 + mlen
         i += 1
     return np.bitwise_xor.accumulate(xors).view(np.float64)

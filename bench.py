@@ -118,6 +118,8 @@ def _llm_flagship(num_docs: int, num_cpus: int, out_dir: str | None) -> dict:
 
 
 _BENCH_QUERIES = [
+    "llm_exact_funnel_documents",
+    "llm_pipeline_documents",
     "tier_1h_events",
     "rolling7_daily_events",
     "gapfill_ffill_hourly_events",

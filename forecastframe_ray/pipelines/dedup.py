@@ -330,9 +330,9 @@ def verify_lsh_bucket(group: pd.DataFrame, id_col: str = "doc_id",
     - a cross-class fan-out beyond ``FANOUT_CAP`` emits only the two
       classes' (min_i, min_j) representative pair.
 
-    Cross-class pairs are pre-filtered by a ``FILTER_PERMS``-perm signature
-    estimate (:func:`_filter_class_pairs`) before the exact intersect —
-    survivors still get (and emit) the exact Jaccard.
+    Cross-class pairs are pre-filtered by the bottom-``FILTER_K`` KMV
+    sketch estimate (:func:`_filter_class_pairs`) before the exact
+    intersect — survivors still get (and emit) the exact Jaccard.
     """
     empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     g = group.drop_duplicates(id_col).sort_values(id_col)

@@ -281,6 +281,21 @@ def test_giant_bucket_class_cap_star(monkeypatch):
     assert not any(p for p in got if 4 in p)  # c is not a near-dup
 
 
+def test_minhash_bucket_cap_drops_mega_buckets():
+    # with bucket_cap below the collision size, every bucket of the
+    # exact-dup trio is treated as a common-argmin artifact and dropped →
+    # no pairs; the default cap finds them
+    texts = ["the quick brown fox jumps over the lazy dog"] * 3 + [
+        "completely different content about data processing"]
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64), "text": texts}))
+    full = dedup.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert len(full) == 3  # the trio's clique
+    capped = dedup.minhash_lsh_pairs(ds, threshold=0.5,
+                                     bucket_cap=2).to_pandas()
+    assert len(capped) == 0
+
+
 def test_verify_partition_matches_per_bucket_reference():
     # the production partition-level verifier must emit the same deduped
     # (id_a, id_b, jaccard) set as the per-bucket reference kernel

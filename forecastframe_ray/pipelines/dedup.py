@@ -214,14 +214,31 @@ def minhash_batch(batch: pd.DataFrame, text_col: str, num_perm: int,
         ids["bucket"] = np.array([], dtype=np.uint64)
         return ids
 
-    flat, offsets, counts = batch_shingle_windows(texts, shingle_width)
+    # Byte-bounded doc spans: rolling_hashes holds ~24 B of uint64
+    # temporaries per input byte, so hashing a whole unsplit block's text in
+    # one blob peaks at GBs per task (measured: 20M-doc run OOM-killed 32
+    # workers at ~10 GB RSS each). Spans cap the blob at ~16 MB regardless
+    # of how Ray sized the batch; signatures are per-doc so the split is
+    # invisible to the result.
+    byte_lens = texts.str.len().to_numpy(dtype=np.int64)  # chars ~ bytes
+    span_bounds = [0]
+    acc_bytes = 0
+    for i, L in enumerate(byte_lens):
+        if acc_bytes > 0 and acc_bytes + L > (16 << 20):
+            span_bounds.append(i)
+            acc_bytes = 0
+        acc_bytes += int(L)
+    span_bounds.append(n)
 
     sig = np.empty((num_perm, n), dtype=np.uint64)
-    chunk = max(1, min(num_perm, (4 << 20) // max(len(flat), 1)))  # ≤32MB tmp
-    for p0 in range(0, num_perm, chunk):
-        p1 = min(p0 + chunk, num_perm)
-        vals = (a[p0:p1, None] * flat[None, :] + b[p0:p1, None]) % _MERSENNE
-        sig[p0:p1] = np.minimum.reduceat(vals, offsets, axis=1)
+    for s0, s1 in zip(span_bounds[:-1], span_bounds[1:]):
+        flat, offsets, counts = batch_shingle_windows(
+            texts.iloc[s0:s1], shingle_width)
+        chunk = max(1, min(num_perm, (4 << 20) // max(len(flat), 1)))  # ≤32MB
+        for p0 in range(0, num_perm, chunk):
+            p1 = min(p0 + chunk, num_perm)
+            vals = (a[p0:p1, None] * flat[None, :] + b[p0:p1, None]) % _MERSENNE
+            sig[p0:p1, s0:s1] = np.minimum.reduceat(vals, offsets, axis=1)
 
     # band bucket = splitmix of the band's row values folded together with
     # the band index (vectorized replacement for per-band blake2b)
@@ -542,9 +559,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     fetched by a join on id (colliding docs ≪ corpus), and verification runs
     inside the bucket groups.
     """
-    from forecastframe_ray.stages.agg import (PART_COL, bucketed_map_groups,
-                                              hash_aggregate)
-    from forecastframe_ray.stages.join import (broadcast_semi_join, hash_join)
+    from forecastframe_ray.stages.agg import PART_COL, hash_aggregate
+    from forecastframe_ray.stages.join import hash_join
 
     sigs = ds.map_batches(
         lambda b: minhash_batch(b[[id_col, text_col]], text_col, num_perm,
@@ -588,8 +604,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # Past the limit, the fully distributed join path runs instead.
     import ray
 
-    cand_df = (cand_meta.to_pandas()  # ints only
-               if cand_meta.count() <= driver_meta_limit else None)
+    n_cand = cand_meta.count()
+    cand_df = cand_meta.to_pandas() if n_cand <= driver_meta_limit else None
     if cand_df is not None and len(cand_df) == 0:
         import ray.data
         return ray.data.from_pandas(pd.DataFrame({
@@ -597,38 +613,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             "id_b": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64")}))
 
-    if cand_df is not None:
-        member_ids = pd.DataFrame({id_col: cand_df[id_col].unique()})
-        bucket_map_ref = ray.put(cand_df)
-
-        def attach_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-            """text row → one row per (band, bucket) the doc collided in.
-            Plain task: the int metadata is a local object-store fetch and
-            the per-batch merge is one vectorized pandas join."""
-            m = ray.get(bucket_map_ref)
-            out = batch.merge(m, how="inner", on=id_col)
-            out["band"] = out["band"].astype(np.int32)
-            out["bucket"] = out["bucket"].astype(np.uint64)
-            return out
-
-        cand = broadcast_semi_join(ds.select_columns([id_col, text_col]),
-                                   member_ids, on=[id_col]) \
-            .map_batches(attach_buckets, batch_format="pandas")
-    else:
-        # scale path: everything stays distributed. Repartition+materialize
-        # between the shuffles and joins: consolidates column-less empty
-        # blocks (they stall the join exchange) and keeps aggregator pools
-        # from co-scheduling in one DAG
-        member_ids = hash_aggregate(cand_meta, [id_col],
-                                    {"__m": (id_col, "size")}) \
-            .select_columns([id_col]).repartition(8).materialize()
-        texts = hash_join(ds.select_columns([id_col, text_col]), member_ids,
-                          on=[id_col], how="inner",
-                          num_partitions=8).repartition(8).materialize()
-        cand = hash_join(cand_meta.repartition(8), texts, on=[id_col],
-                         how="inner", num_partitions=8)
-
     from functools import partial
+
+    VPART = "__vpart"
 
     # partition-level verification: ONE kernel call per coarse partition,
     # class pairs deduped across buckets (see verify_lsh_partition; the
@@ -638,23 +625,76 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # arrays in heap, so a fixed fan-out would grow per-task memory linearly
     # with the corpus (measured: 17M candidate rows over 32 partitions ran
     # ~3 GB/task × 32 concurrent and OOM-killed workers)
-    n_cand = cand_meta.count()
     verify_partitions = max(32, int(np.ceil(n_cand / 100_000)))
     verify = partial(verify_lsh_partition, id_col=id_col, text_col=text_col,
                      shingle_width=shingle_width, threshold=threshold,
                      seed=seed)
 
+    # The verify shuffle moves each doc's text ONCE PER PARTITION it
+    # collides in (usually 1), not once per (band, bucket) collision row —
+    # at 2M dup-heavy docs the per-collision form shuffled ~10× the corpus
+    # bytes and was 80% of the pipeline wall. Two row kinds share one
+    # schema: int-only meta rows (doc_id, band, bucket, "") and text
+    # carrier rows (doc_id, band=-1, bucket=0, text); the kernel re-fans
+    # text onto meta rows with an in-heap merge (object-dtype fan-out
+    # copies string POINTERS, not bytes).
+    _cols = [id_col, "band", "bucket", text_col, VPART]
+
     def assign_verify(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch[PART_COL] = K.partition_ids(batch, ["band", "bucket"],
+        batch["band"] = batch["band"].astype(np.int32)
+        batch["bucket"] = batch["bucket"].astype(np.uint64)
+        # "string" dtype (not object) so empty blocks keep an Arrow string
+        # schema — object-dtype empties convert to null type and break union
+        batch[text_col] = pd.Series([""] * len(batch), dtype="string",
+                                    index=batch.index)
+        batch[VPART] = K.partition_ids(batch, ["band", "bucket"],
                                           verify_partitions)
-        return batch
+        return batch[_cols]
+
+    meta_p = cand_meta.map_batches(assign_verify, batch_format="pandas")
+
+    def _textrows(batch: pd.DataFrame, dp: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(dp, how="inner", on=id_col)
+        out["band"] = np.int32(-1)
+        out["bucket"] = np.uint64(0)
+        out[text_col] = out[text_col].astype("string")
+        return out[_cols]
+
+    if cand_df is not None:
+        # broadcast path: the distinct (doc id → verify partition) map is
+        # int-only and ships via the object store once; texts stream past it
+        dp = cand_df.copy()
+        dp[VPART] = K.partition_ids(dp, ["band", "bucket"],
+                                       verify_partitions)
+        dp = dp[[id_col, VPART]].drop_duplicates()
+        dp_ref = ray.put(dp)
+        textrows = ds.select_columns([id_col, text_col]).map_batches(
+            lambda b: _textrows(b, ray.get(dp_ref)), batch_format="pandas")
+    else:
+        # scale path: distinct (doc id, partition) pairs by aggregate, then
+        # one hash join attaches each colliding doc's text per partition.
+        # Join fan-out scales with the candidate count (~500k rows/task).
+        jp = max(8, int(np.ceil(n_cand / 500_000)))
+        dp_ds = hash_aggregate(meta_p, [id_col, VPART],
+                               {"__m": (id_col, "size")}) \
+            .select_columns([id_col, VPART]) \
+            .repartition(jp).materialize()
+        textrows = hash_join(ds.select_columns([id_col, text_col]), dp_ds,
+                             on=[id_col], how="inner", num_partitions=jp) \
+            .map_batches(lambda b: b.assign(
+                band=np.int32(-1), bucket=np.uint64(0),
+                **{text_col: b[text_col].astype("string")})[_cols],
+                batch_format="pandas")
 
     def run_verify(part: pd.DataFrame) -> pd.DataFrame:
-        return verify(part.drop(columns=[PART_COL]))
+        is_text = part["band"].to_numpy() == -1
+        texts = part.loc[is_text, [id_col, text_col]].drop_duplicates(id_col)
+        meta = part.loc[~is_text, [id_col, "band", "bucket"]]
+        return verify(meta.merge(texts, on=id_col, how="inner"))
 
-    pairs = (cand.map_batches(assign_verify, batch_format="pandas")
-             .groupby(PART_COL)
+    pairs = (meta_p.union(textrows)
+             .groupby(VPART)
              .map_groups(run_verify, batch_format="pandas"))
     # same pair can surface from several bands → dedup on (id_a, id_b)
     return hash_aggregate(pairs, ["id_a", "id_b"],

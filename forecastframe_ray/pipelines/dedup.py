@@ -672,20 +672,56 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         textrows = ds.select_columns([id_col, text_col]).map_batches(
             lambda b: _textrows(b, ray.get(dp_ref)), batch_format="pandas")
     else:
-        # scale path: distinct (doc id, partition) pairs by aggregate, then
-        # one hash join attaches each colliding doc's text per partition.
-        # Join fan-out scales with the candidate count (~500k rows/task).
+        # scale path: distinct (doc id, verify partition) pairs by
+        # aggregate, then texts attach via a union + ``groupby.map_groups``
+        # merge keyed on hash(doc id). NOT ``hash_join``: Ray's JoinOperator
+        # keeps one aggregator task per partition resident, so a join whose
+        # partition count scales with data (needed to bound per-task heap)
+        # deadlocks once partitions exceed the CPU slots — measured at 20M
+        # docs: a 359-partition join sat 78 min at 0 output blocks on an
+        # idle box. The sort exchange behind map_groups has no resident
+        # aggregators, so its fan-out (~500k rows/task) can scale freely.
         jp = max(8, int(np.ceil(n_cand / 500_000)))
+        JPART = "__jpart"
         dp_ds = hash_aggregate(meta_p, [id_col, VPART],
                                {"__m": (id_col, "size")}) \
-            .select_columns([id_col, VPART]) \
-            .repartition(jp).materialize()
-        textrows = hash_join(ds.select_columns([id_col, text_col]), dp_ds,
-                             on=[id_col], how="inner", num_partitions=jp) \
-            .map_batches(lambda b: b.assign(
-                band=np.int32(-1), bucket=np.uint64(0),
-                **{text_col: b[text_col].astype("string")})[_cols],
-                batch_format="pandas")
+            .select_columns([id_col, VPART]).materialize()
+
+        def _map_rows(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                id_col: b[id_col].to_numpy(),
+                VPART: b[VPART].to_numpy().astype(np.int32),
+                text_col: pd.Series([""] * len(b), dtype="string"),
+            })
+            out[JPART] = K.partition_ids(out, [id_col], jp)
+            return out
+
+        def _corpus_rows(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                id_col: b[id_col].to_numpy(),
+                VPART: np.full(len(b), -1, dtype=np.int32),
+                text_col: b[text_col].astype("string"),
+            })
+            out[JPART] = K.partition_ids(out, [id_col], jp)
+            return out
+
+        def _attach(part: pd.DataFrame) -> pd.DataFrame:
+            is_map = part[VPART].to_numpy() >= 0
+            texts = part.loc[~is_map, [id_col, text_col]] \
+                .drop_duplicates(id_col)
+            out = part.loc[is_map, [id_col, VPART]].merge(
+                texts, on=id_col, how="inner")
+            out["band"] = np.full(len(out), -1, dtype=np.int32)
+            out["bucket"] = np.zeros(len(out), dtype=np.uint64)
+            out[text_col] = out[text_col].astype("string")
+            out[VPART] = out[VPART].to_numpy().astype(np.int32)
+            return out[_cols]
+
+        textrows = (dp_ds.map_batches(_map_rows, batch_format="pandas")
+                    .union(ds.select_columns([id_col, text_col])
+                           .map_batches(_corpus_rows, batch_format="pandas"))
+                    .groupby(JPART)
+                    .map_groups(_attach, batch_format="pandas"))
 
     def run_verify(part: pd.DataFrame) -> pd.DataFrame:
         is_text = part["band"].to_numpy() == -1

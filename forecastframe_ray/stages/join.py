@@ -88,7 +88,21 @@ def hash_join(left, right, on: list[str], how: str = "inner",
               num_partitions: int = 32):
     """Distributed hash join for the both-sides-large case (J3; SURVEY.md
     §2.4) — wraps ``Dataset.join`` (hash-partition exchange on ``on``).
-    Prefer :func:`broadcast_left_join` whenever one side is small."""
+    Prefer :func:`broadcast_left_join` whenever one side is small.
+
+    ``num_partitions`` is CLAMPED to the cluster CPU count: Ray Data's
+    JoinOperator keeps one aggregator task per partition resident for the
+    whole exchange, so partitions beyond the schedulable slots deadlock the
+    streaming DAG (measured: a 359-partition join on 32 CPUs sat at 0
+    output blocks for 78 min with the box idle; 35 partitions completed).
+    A caller that needs per-partition heap smaller than data/CPUs should
+    use a ``groupby(part).map_groups`` merge (sort exchange, no resident
+    aggregators) instead — see ``pipelines/dedup.py`` verify text-attach."""
+    import ray
+
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", num_partitions))
+        num_partitions = max(2, min(num_partitions, ncpu))
     return left.join(right, join_type=_JOIN_TYPES[how],
                      num_partitions=num_partitions, on=tuple(on))
 

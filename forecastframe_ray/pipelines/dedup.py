@@ -544,7 +544,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, num_bands: int = 16,
                       shingle_width: int = 5, threshold: float = 0.7,
                       seed: int = 7, driver_meta_limit: int = 5_000_000,
-                      bucket_cap: int = 100_000):
+                      bucket_cap: int = 100_000,
+                      wave_cand_limit: int = 4_000_000):
     """Candidate generation + exact verification:
 
     1. signature stage (stateless map_batches, text stays put);
@@ -558,6 +559,17 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     bucket sizes prune candidate rows to colliding docs only, their texts are
     fetched by a join on id (colliding docs ≪ corpus), and verification runs
     inside the bucket groups.
+
+    Above ``wave_cand_limit`` candidate rows, verification runs in **band
+    waves**: bands are split into ``ceil(n_cand / wave_cand_limit)`` groups
+    verified sequentially, each wave's (small) pair output materialized
+    before the next wave's shuffle starts. The verify exchange ships each
+    doc's text once per verify partition it collides in — on a dup-heavy
+    corpus that is ~``num_bands``× the candidate text bytes, which at 20M
+    docs spilled ~200 GB at once and exhausted the disk. Waving doesn't
+    change the total bytes moved, but bounds PEAK spill to one wave's share
+    (intermediates are freed between waves); pairs are already deduped
+    across bands by the final aggregate, so results are identical.
     """
     from forecastframe_ray.stages.agg import PART_COL, hash_aggregate
     from forecastframe_ray.stages.join import hash_join
@@ -603,29 +615,21 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # broadcast id-filter + bucket fan-out map: zero hash-shuffle joins.
     # Past the limit, the fully distributed join path runs instead.
     import ray
+    import ray.data
 
-    n_cand = cand_meta.count()
-    cand_df = cand_meta.to_pandas() if n_cand <= driver_meta_limit else None
-    if cand_df is not None and len(cand_df) == 0:
-        import ray.data
+    def _empty_pairs():
         return ray.data.from_pandas(pd.DataFrame({
             "id_a": pd.Series([], dtype="int64"),
             "id_b": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64")}))
 
+    n_cand = cand_meta.count()
+    if n_cand == 0:
+        return _empty_pairs()
+
     from functools import partial
 
     VPART = "__vpart"
-
-    # partition-level verification: ONE kernel call per coarse partition,
-    # class pairs deduped across buckets (see verify_lsh_partition; the
-    # per-bucket kernel verify_lsh_bucket is the tested reference semantics).
-    # Partition count SCALES with the candidate-row count (~100k rows per
-    # partition): the kernel holds the partition's texts + per-class window
-    # arrays in heap, so a fixed fan-out would grow per-task memory linearly
-    # with the corpus (measured: 17M candidate rows over 32 partitions ran
-    # ~3 GB/task × 32 concurrent and OOM-killed workers)
-    verify_partitions = max(32, int(np.ceil(n_cand / 100_000)))
     verify = partial(verify_lsh_partition, id_col=id_col, text_col=text_col,
                      shingle_width=shingle_width, threshold=threshold,
                      seed=seed)
@@ -640,20 +644,6 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # copies string POINTERS, not bytes).
     _cols = [id_col, "band", "bucket", text_col, VPART]
 
-    def assign_verify(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["band"] = batch["band"].astype(np.int32)
-        batch["bucket"] = batch["bucket"].astype(np.uint64)
-        # "string" dtype (not object) so empty blocks keep an Arrow string
-        # schema — object-dtype empties convert to null type and break union
-        batch[text_col] = pd.Series([""] * len(batch), dtype="string",
-                                    index=batch.index)
-        batch[VPART] = K.partition_ids(batch, ["band", "bucket"],
-                                          verify_partitions)
-        return batch[_cols]
-
-    meta_p = cand_meta.map_batches(assign_verify, batch_format="pandas")
-
     def _textrows(batch: pd.DataFrame, dp: pd.DataFrame) -> pd.DataFrame:
         out = batch.merge(dp, how="inner", on=id_col)
         out["band"] = np.int32(-1)
@@ -661,78 +651,141 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         out[text_col] = out[text_col].astype("string")
         return out[_cols]
 
-    if cand_df is not None:
-        # broadcast path: the distinct (doc id → verify partition) map is
-        # int-only and ships via the object store once; texts stream past it
-        dp = cand_df.copy()
-        dp[VPART] = K.partition_ids(dp, ["band", "bucket"],
-                                       verify_partitions)
-        dp = dp[[id_col, VPART]].drop_duplicates()
-        dp_ref = ray.put(dp)
-        textrows = ds.select_columns([id_col, text_col]).map_batches(
-            lambda b: _textrows(b, ray.get(dp_ref)), batch_format="pandas")
-    else:
-        # scale path: distinct (doc id, verify partition) pairs by
-        # aggregate, then texts attach via a union + ``groupby.map_groups``
-        # merge keyed on hash(doc id). NOT ``hash_join``: Ray's JoinOperator
-        # keeps one aggregator task per partition resident, so a join whose
-        # partition count scales with data (needed to bound per-task heap)
-        # deadlocks once partitions exceed the CPU slots — measured at 20M
-        # docs: a 359-partition join sat 78 min at 0 output blocks on an
-        # idle box. The sort exchange behind map_groups has no resident
-        # aggregators, so its fan-out (~500k rows/task) can scale freely.
-        jp = max(8, int(np.ceil(n_cand / 500_000)))
-        JPART = "__jpart"
-        dp_ds = hash_aggregate(meta_p, [id_col, VPART],
-                               {"__m": (id_col, "size")}) \
-            .select_columns([id_col, VPART]).materialize()
-
-        def _map_rows(b: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({
-                id_col: b[id_col].to_numpy(),
-                VPART: b[VPART].to_numpy().astype(np.int32),
-                text_col: pd.Series([""] * len(b), dtype="string"),
-            })
-            out[JPART] = K.partition_ids(out, [id_col], jp)
-            return out
-
-        def _corpus_rows(b: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({
-                id_col: b[id_col].to_numpy(),
-                VPART: np.full(len(b), -1, dtype=np.int32),
-                text_col: b[text_col].astype("string"),
-            })
-            out[JPART] = K.partition_ids(out, [id_col], jp)
-            return out
-
-        def _attach(part: pd.DataFrame) -> pd.DataFrame:
-            is_map = part[VPART].to_numpy() >= 0
-            texts = part.loc[~is_map, [id_col, text_col]] \
-                .drop_duplicates(id_col)
-            out = part.loc[is_map, [id_col, VPART]].merge(
-                texts, on=id_col, how="inner")
-            out["band"] = np.full(len(out), -1, dtype=np.int32)
-            out["bucket"] = np.zeros(len(out), dtype=np.uint64)
-            out[text_col] = out[text_col].astype("string")
-            out[VPART] = out[VPART].to_numpy().astype(np.int32)
-            return out[_cols]
-
-        textrows = (dp_ds.map_batches(_map_rows, batch_format="pandas")
-                    .union(ds.select_columns([id_col, text_col])
-                           .map_batches(_corpus_rows, batch_format="pandas"))
-                    .groupby(JPART)
-                    .map_groups(_attach, batch_format="pandas"))
-
     def run_verify(part: pd.DataFrame) -> pd.DataFrame:
         is_text = part["band"].to_numpy() == -1
         texts = part.loc[is_text, [id_col, text_col]].drop_duplicates(id_col)
         meta = part.loc[~is_text, [id_col, "band", "bucket"]]
         return verify(meta.merge(texts, on=id_col, how="inner"))
 
-    pairs = (meta_p.union(textrows)
-             .groupby(VPART)
-             .map_groups(run_verify, batch_format="pandas"))
-    # same pair can surface from several bands → dedup on (id_a, id_b)
+    def _verify_subset(meta_ds, n_rows: int):
+        """Attach candidate texts and verify one band wave (or the whole
+        candidate set when one wave suffices). Returns an UN-deduped pairs
+        Dataset — the same pair can surface from several bands/waves."""
+        # partition-level verification: ONE kernel call per coarse
+        # partition, class pairs deduped across buckets (see
+        # verify_lsh_partition; the per-bucket kernel verify_lsh_bucket is
+        # the tested reference semantics). Partition count SCALES with the
+        # candidate-row count (~100k rows per partition): the kernel holds
+        # the partition's texts + per-class window arrays in heap, so a
+        # fixed fan-out would grow per-task memory linearly with the corpus
+        # (measured: 17M candidate rows over 32 partitions ran ~3 GB/task
+        # × 32 concurrent and OOM-killed workers)
+        verify_partitions = max(32, int(np.ceil(n_rows / 100_000)))
+
+        def assign_verify(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["band"] = batch["band"].astype(np.int32)
+            batch["bucket"] = batch["bucket"].astype(np.uint64)
+            # "string" dtype (not object) so empty blocks keep an Arrow
+            # string schema — object-dtype empties convert to null type and
+            # break union
+            batch[text_col] = pd.Series([""] * len(batch), dtype="string",
+                                        index=batch.index)
+            batch[VPART] = K.partition_ids(batch, ["band", "bucket"],
+                                           verify_partitions)
+            return batch[_cols]
+
+        meta_p = meta_ds.map_batches(assign_verify, batch_format="pandas")
+
+        cand_df = meta_ds.to_pandas() if n_rows <= driver_meta_limit else None
+        if cand_df is not None:
+            # broadcast path: the distinct (doc id → verify partition) map
+            # is int-only and ships via the object store once; texts stream
+            # past it
+            dp = cand_df.copy()
+            dp[VPART] = K.partition_ids(dp, ["band", "bucket"],
+                                        verify_partitions)
+            dp = dp[[id_col, VPART]].drop_duplicates()
+            dp_ref = ray.put(dp)
+            textrows = ds.select_columns([id_col, text_col]).map_batches(
+                lambda b: _textrows(b, ray.get(dp_ref)),
+                batch_format="pandas")
+        else:
+            # scale path: distinct (doc id, verify partition) pairs by
+            # aggregate, then texts attach via a union +
+            # ``groupby.map_groups`` merge keyed on hash(doc id). NOT
+            # ``hash_join``: Ray's JoinOperator keeps one aggregator task
+            # per partition resident, so a join whose partition count
+            # scales with data (needed to bound per-task heap) deadlocks
+            # once partitions exceed the CPU slots — measured at 20M docs:
+            # a 359-partition join sat 78 min at 0 output blocks on an idle
+            # box. The sort exchange behind map_groups has no resident
+            # aggregators, so its fan-out (~500k rows/task) can scale
+            # freely.
+            jp = max(8, int(np.ceil(n_rows / 500_000)))
+            JPART = "__jpart"
+            dp_ds = hash_aggregate(meta_p, [id_col, VPART],
+                                   {"__m": (id_col, "size")}) \
+                .select_columns([id_col, VPART]).materialize()
+
+            def _map_rows(b: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({
+                    id_col: b[id_col].to_numpy(),
+                    VPART: b[VPART].to_numpy().astype(np.int32),
+                    text_col: pd.Series([""] * len(b), dtype="string"),
+                })
+                out[JPART] = K.partition_ids(out, [id_col], jp)
+                return out
+
+            def _corpus_rows(b: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({
+                    id_col: b[id_col].to_numpy(),
+                    VPART: np.full(len(b), -1, dtype=np.int32),
+                    text_col: b[text_col].astype("string"),
+                })
+                out[JPART] = K.partition_ids(out, [id_col], jp)
+                return out
+
+            def _attach(part: pd.DataFrame) -> pd.DataFrame:
+                is_map = part[VPART].to_numpy() >= 0
+                texts = part.loc[~is_map, [id_col, text_col]] \
+                    .drop_duplicates(id_col)
+                out = part.loc[is_map, [id_col, VPART]].merge(
+                    texts, on=id_col, how="inner")
+                out["band"] = np.full(len(out), -1, dtype=np.int32)
+                out["bucket"] = np.zeros(len(out), dtype=np.uint64)
+                out[text_col] = out[text_col].astype("string")
+                out[VPART] = out[VPART].to_numpy().astype(np.int32)
+                return out[_cols]
+
+            textrows = (dp_ds.map_batches(_map_rows, batch_format="pandas")
+                        .union(ds.select_columns([id_col, text_col])
+                               .map_batches(_corpus_rows,
+                                            batch_format="pandas"))
+                        .groupby(JPART)
+                        .map_groups(_attach, batch_format="pandas"))
+
+        return (meta_p.union(textrows)
+                .groupby(VPART)
+                .map_groups(run_verify, batch_format="pandas"))
+
+    waves = min(num_bands, max(1, int(np.ceil(n_cand / wave_cand_limit))))
+    if waves <= 1:
+        pairs = _verify_subset(cand_meta, n_cand)
+    else:
+        # band waves: verify bands ``b % waves == w`` sequentially; each
+        # wave's pair output is tiny and materialized, so the wave's text
+        # shuffle spill is released before the next wave runs
+        wave_pairs = []
+        for w in range(waves):
+            def _band_mask(b: pd.DataFrame, w: int = w) -> pd.DataFrame:
+                return b[(b["band"].to_numpy() % waves) == w]
+
+            cand_w = cand_meta.map_batches(
+                _band_mask, batch_format="pandas").materialize()
+            n_w = cand_w.count()
+            if n_w == 0:
+                continue
+            pw = _verify_subset(cand_w, n_w).materialize()
+            if pw.count() > 0:
+                wave_pairs.append(pw)
+            del cand_w
+        if not wave_pairs:
+            return _empty_pairs()
+        pairs = wave_pairs[0]
+        for pw in wave_pairs[1:]:
+            pairs = pairs.union(pw)
+    # same pair can surface from several bands/waves → dedup on (id_a, id_b)
     return hash_aggregate(pairs, ["id_a", "id_b"],
                           {"jaccard": ("jaccard", "max")}, num_partitions=16)
 

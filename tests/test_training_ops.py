@@ -204,6 +204,24 @@ def test_minhash_distributed_join_path():
     assert (0, 1) in got and (0, 2) in got
 
 
+def test_minhash_band_wave_path_matches_single_wave():
+    # wave_cand_limit=1 forces one verify wave per band group (the bounded-
+    # peak-spill path for huge candidate sets); results must be identical
+    # to the single-pass run
+    single = dedup.minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    waved = dedup.minhash_lsh_pairs(_docs_ds(), threshold=0.5,
+                                    wave_cand_limit=1).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(single, waved, check_like=True)
+    # and combined with the distributed attach path
+    waved_dist = dedup.minhash_lsh_pairs(
+        _docs_ds(), threshold=0.5, wave_cand_limit=1,
+        driver_meta_limit=0).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(single, waved_dist, check_like=True)
+
+
 def test_clusters_distributed_matches_union_find():
     pairs_df = pd.DataFrame({
         "id_a": [0, 2, 5, 8, 10],

@@ -44,7 +44,10 @@ def dedup_pipeline(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     """The composed funnel. Returns ``(final_dataset, funnel_metrics)``
     where ``final_dataset`` is the surviving ``(id, text)`` corpus (lazy
     past the internal materialization points) and the metrics dict carries
-    the per-stage doc counts."""
+    the per-stage doc counts plus per-stage wall seconds (each stage ends
+    at a materialization/count barrier, so the segments are meaningful)."""
+    t0 = time.perf_counter()
+    stage_wall: dict[str, float] = {}
     docs = docs_ds.select_columns([id_col, text_col])
 
     # 1. corpus-level boilerplate removal (two passes: hash-count shuffle +
@@ -61,16 +64,29 @@ def dedup_pipeline(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pandas",
     ).materialize()  # reused: exact-dedup digest pass + survivor filter
     n_clean = cleaned.count()
+    stage_wall["clean_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
-    # 3. exact dedup (digest → min-id per digest, keep-set worker-side)
+    # 3. exact dedup (digest → min-id per digest, keep-set worker-side).
+    # repartition before materializing: the dedup scale path is a hash join
+    # whose partition count is capped by CPU slots (resident-aggregator
+    # deadlock above it), so its output lands in ~16 fat blocks — without
+    # the split, every downstream stage (minhash signatures, candidate text
+    # scans in each verify wave) runs at 16-way parallelism regardless of
+    # cluster size
     kept = D.exact_dedup(cleaned, text_col=text_col, id_col=id_col) \
+        .repartition(num_partitions) \
         .materialize()  # reused: minhash signatures + candidate text fetch
     n_exact = kept.count()
+    stage_wall["exact_dedup_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # 4. near-dup pairs + 5. clusters → drop non-representatives
     pairs = D.minhash_lsh_pairs(kept, text_col=text_col, id_col=id_col,
                                 threshold=minhash_threshold).materialize()
     n_pairs = pairs.count()
+    stage_wall["minhash_pairs_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     if n_pairs == 0:
         final = kept
         n_clusters = 0
@@ -99,11 +115,13 @@ def dedup_pipeline(docs_ds, id_col: str = "doc_id", text_col: str = "text",
             lambda b: b[b["__drop"].isna()].drop(columns=["__drop"]),
             batch_format="pandas")
 
+    stage_wall["cluster_s"] = round(time.perf_counter() - t0, 3)
     return final, {
         "docs_after_clean": int(n_clean),
         "docs_after_exact_dedup": int(n_exact),
         "near_dup_pairs": int(n_pairs),
         "clusters": n_clusters,
+        "stage_wall_s": stage_wall,
     }
 
 
@@ -124,7 +142,10 @@ def run(docs_ds, out_dir: str | None = None, id_col: str = "doc_id",
         require_terminal=require_terminal, num_partitions=num_partitions,
         driver_pair_limit=driver_pair_limit)
 
-    # 6. checkpointed partitioned output (resume skips finished partitions)
+    # 6. checkpointed partitioned output (resume skips finished partitions;
+    # the representative filter over ``kept`` executes here, so this
+    # segment's wall includes it)
+    t_write = time.perf_counter()
     if out_dir:
         from forecastframe_ray.state import checkpoint
         rows = checkpoint.write_partitioned(
@@ -135,6 +156,8 @@ def run(docs_ds, out_dir: str | None = None, id_col: str = "doc_id",
                       checkpoint.load_done(out_dir).items() if t == "docs")
     else:
         n_new = n_final = final.count()
+    funnel["stage_wall_s"]["write_s"] = \
+        round(time.perf_counter() - t_write, 3)
 
     wall = time.perf_counter() - t_start
     return {

@@ -126,7 +126,12 @@ def hash_aggregate_arrow(ds, keys: list[str],
         if need_ones:
             batch = batch.append_column(
                 "__ones", pa.array(np.ones(len(batch), dtype=np.int64)))
-        return batch.append_column(PART_COL, pa.array(part, type=pa.int32()))
+        batch = batch.append_column(PART_COL, pa.array(part, type=pa.int32()))
+        # drop inherited schema metadata (parquet writers attach a b'pandas'
+        # blob): pa.Schema with metadata is unhashable (pyarrow 16), which
+        # breaks Ray's schema dedup in the sort exchange and spams "Failed
+        # to hash the schemas" from every reduce task
+        return batch.replace_schema_metadata(None)
 
     def merge(part: pa.Table) -> pa.Table:
         part = part.drop_columns([PART_COL])

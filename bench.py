@@ -269,6 +269,68 @@ def run_scaling(num_pages: int, levels=(8, 32), repeats: int = 2,
     return result
 
 
+def _one_llm_run(n: int, docs: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--llm-single-run",
+         str(n), "--docs", str(docs)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_llm_scaling(num_docs: int, levels=(2, 8), repeats: int = 2) -> dict:
+    """Second-flagship (LLM dedup funnel) strong scaling: same corpus, fresh
+    processes at num_cpus=N vs 4N, the same interleaved order-balanced pair
+    protocol + same-window pure-numpy control as :func:`run_scaling`.
+    Efficiency per pair = (docs_per_sec_hi / docs_per_sec_lo) / (hi / lo).
+    Results land in BENCH_SCALING_LLM.json."""
+    lo, hi = levels
+    # build the corpus once, untimed, in a throwaway child (children then
+    # only read parquet — corpus build stays out of every timed window)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--llm-prepare",
+         "--docs", str(num_docs)],
+        capture_output=True, text=True, timeout=3600, check=True)
+    pairs, control_effs = [], []
+    for rep in range(repeats):
+        order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+        runs = {n: _one_llm_run(n, num_docs) for n in order}
+        r_lo, r_hi = runs[lo], runs[hi]
+        e = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+        pairs.append((round(e, 3), f"{order[0]}-first", r_lo, r_hi))
+        c = {n: _control_run(n) for n in order}
+        control_effs.append(round((c[hi] / c[lo]) / (hi / lo), 3))
+    eff = sum(p[0] for p in pairs) / len(pairs)
+    tp_lo = round(sum(p[2]["docs_per_sec"] for p in pairs) / len(pairs), 1)
+    tp_hi = round(sum(p[3]["docs_per_sec"] for p in pairs) / len(pairs), 1)
+    result = {
+        "metric": (f"LLM dedup funnel at num_cpus={lo} vs {hi} (fresh "
+                   "processes; strong scaling: same corpus; sandbox proxy "
+                   "for N vs 4N nodes)"),
+        "num_docs": num_docs,
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        f"docs_per_sec_{lo}": tp_lo,
+        f"docs_per_sec_{hi}": tp_hi,
+        f"wall_s_{lo}": pairs[-1][2]["wall_s"],
+        f"wall_s_{hi}": pairs[-1][3]["wall_s"],
+        "scaling_efficiency": round(eff, 3),
+        "efficiency_samples": [p[0] for p in pairs],
+        "sample_orders": [p[1] for p in pairs],
+        "control_efficiency_samples": control_effs,
+        "control_efficiency": round(sum(control_effs) / len(control_effs), 3)
+        if control_effs else None,
+        "protocol": ("interleaved order-balanced pairs; headline = mean; "
+                     "control = same-window multiprocessing numpy burn "
+                     "(box ceiling, no Ray)"),
+        "unit": "docs/sec",
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING_LLM.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
 def main():
     args = sys.argv[1:]
     if "--single-run" in args:
@@ -282,6 +344,48 @@ def main():
         print(json.dumps(fm))
         import ray
         ray.shutdown()
+        return
+
+    if "--llm-prepare" in args:
+        num_docs = int(args[args.index("--docs") + 1])
+        _init_ray(8)
+        corpus = f"/tmp/llm_corpus_{num_docs}_s42"
+        if not os.path.isdir(corpus) or not os.listdir(corpus):
+            import shutil
+
+            from forecastframe_ray import synth
+            tmp = corpus + ".building"
+            shutil.rmtree(tmp, ignore_errors=True)
+            synth.write_docs_corpus(tmp, num_docs, seed=42, num_blocks=32)
+            os.replace(tmp, corpus)
+        print(json.dumps({"prepared": corpus}))
+        import ray
+        ray.shutdown()
+        return
+
+    if "--llm-single-run" in args:
+        n = int(args[args.index("--llm-single-run") + 1])
+        num_docs = int(args[args.index("--docs") + 1])
+        _init_ray(n)
+        t0 = time.perf_counter()
+        m = _llm_flagship(num_docs, n, None)
+        m["wall_s"] = round(time.perf_counter() - t0, 3)
+        m["docs_per_sec"] = round(m["docs_in"] / m["wall_s"], 1)
+        print(json.dumps(m))
+        import ray
+        ray.shutdown()
+        return
+
+    if "--llm-scaling" in args:
+        num_docs = int(args[args.index("--docs") + 1]) if "--docs" in args \
+            else 100_000
+        levels = (2, 8)
+        if "--levels" in args:
+            levels = tuple(int(x)
+                           for x in args[args.index("--levels") + 1].split(","))
+        repeats = int(args[args.index("--repeats") + 1]) \
+            if "--repeats" in args else 2
+        print(json.dumps(run_llm_scaling(num_docs, levels, repeats)))
         return
 
     if "--llm-flagship" in args:

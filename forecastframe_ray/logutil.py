@@ -10,6 +10,12 @@ hash the schemas (for deduplication)`` once per reduce task. The fallback
 (full unification) is correct, just chatty. Driver entry points install
 this filter and keep ``log_to_driver=False`` so worker copies of the same
 message stay in the worker logs.
+
+The PRIMARY fix is at the source: the coarse-hash assign stage strips
+schema metadata before every shuffle (``stages/agg.py``), so the engine's
+own exchanges no longer produce unhashable schemas at all. This filter
+stays as a backstop for shuffles over blocks the engine didn't produce
+(e.g. a user's own pandas-written parquet sorted directly).
 """
 
 from __future__ import annotations

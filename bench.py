@@ -278,25 +278,35 @@ def _one_llm_run(n: int, docs: int) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
-def run_llm_scaling(num_docs: int, levels=(2, 8), repeats: int = 2) -> dict:
-    """Second-flagship (LLM dedup funnel) strong scaling: same corpus, fresh
-    processes at num_cpus=N vs 4N, the same interleaved order-balanced pair
-    protocol + same-window pure-numpy control as :func:`run_scaling`.
-    Efficiency per pair = (docs_per_sec_hi / docs_per_sec_lo) / (hi / lo).
-    Results land in BENCH_SCALING_LLM.json."""
+def run_llm_scaling(num_docs: int, levels=(2, 8), repeats: int = 2,
+                    weak: bool = False) -> dict:
+    """Second-flagship (LLM dedup funnel) scaling: fresh processes at
+    num_cpus=N vs 4N, the same interleaved order-balanced pair protocol +
+    same-window pure-numpy control as :func:`run_scaling`.
+
+    Strong mode: same corpus at both levels; efficiency per pair =
+    (docs_per_sec_hi / docs_per_sec_lo) / (hi / lo). Weak mode (Gustafson
+    — the operative measure for a fixed-data-per-node cluster): corpus
+    scales with CPUs (docs_lo = num_docs·lo/hi); efficiency =
+    wall_lo / wall_hi. Results land in BENCH_SCALING_LLM.json."""
     lo, hi = levels
-    # build the corpus once, untimed, in a throwaway child (children then
-    # only read parquet — corpus build stays out of every timed window)
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--llm-prepare",
-         "--docs", str(num_docs)],
-        capture_output=True, text=True, timeout=3600, check=True)
+    docs = {lo: num_docs * lo // hi if weak else num_docs, hi: num_docs}
+    # build the corpora once, untimed, in throwaway children (children
+    # then only read parquet — builds stay out of every timed window)
+    for d in sorted(set(docs.values())):
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--llm-prepare",
+             "--docs", str(d)],
+            capture_output=True, text=True, timeout=3600, check=True)
     pairs, control_effs = [], []
     for rep in range(repeats):
         order = (lo, hi) if rep % 2 == 0 else (hi, lo)
-        runs = {n: _one_llm_run(n, num_docs) for n in order}
+        runs = {n: _one_llm_run(n, docs[n]) for n in order}
         r_lo, r_hi = runs[lo], runs[hi]
-        e = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+        if weak:
+            e = r_lo["wall_s"] / r_hi["wall_s"]
+        else:
+            e = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
         pairs.append((round(e, 3), f"{order[0]}-first", r_lo, r_hi))
         c = {n: _control_run(n) for n in order}
         control_effs.append(round((c[hi] / c[lo]) / (hi / lo), 3))
@@ -305,8 +315,13 @@ def run_llm_scaling(num_docs: int, levels=(2, 8), repeats: int = 2) -> dict:
     tp_hi = round(sum(p[3]["docs_per_sec"] for p in pairs) / len(pairs), 1)
     result = {
         "metric": (f"LLM dedup funnel at num_cpus={lo} vs {hi} (fresh "
-                   "processes; strong scaling: same corpus; sandbox proxy "
-                   "for N vs 4N nodes)"),
+                   "processes; "
+                   + ("weak scaling: corpus ∝ CPUs, eff=wall_lo/wall_hi"
+                      if weak else "strong scaling: same corpus")
+                   + "; sandbox proxy for N vs 4N nodes)"),
+        "mode": "weak" if weak else "strong",
+        "num_docs_lo": docs[lo],
+        "num_docs_hi": docs[hi],
         "num_docs": num_docs,
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
@@ -325,8 +340,10 @@ def run_llm_scaling(num_docs: int, levels=(2, 8), repeats: int = 2) -> dict:
                      "(box ceiling, no Ray)"),
         "unit": "docs/sec",
     }
+    fname = "BENCH_SCALING_LLM_WEAK.json" if weak \
+        else "BENCH_SCALING_LLM.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SCALING_LLM.json"), "w") as f:
+                           fname), "w") as f:
         json.dump(result, f, indent=2)
     return result
 
@@ -385,7 +402,8 @@ def main():
                            for x in args[args.index("--levels") + 1].split(","))
         repeats = int(args[args.index("--repeats") + 1]) \
             if "--repeats" in args else 2
-        print(json.dumps(run_llm_scaling(num_docs, levels, repeats)))
+        print(json.dumps(run_llm_scaling(num_docs, levels, repeats,
+                                         weak="--weak" in args)))
         return
 
     if "--llm-flagship" in args:

@@ -69,10 +69,22 @@ def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
     os.makedirs(tier_dir, exist_ok=True)
     done = {p for (t, p) in load_done(out_dir) if t == tier}
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pd.DataFrame):
+        batch = batch.copy()  # upstream fused map may hand us a slice view
         batch[PART_COL] = K.partition_ids(batch, partition_keys, num_partitions)
         if done:
             batch = batch[~batch[PART_COL].isin(list(done))]
+        if len(batch) == 0:
+            # hand back an Arrow empty (typed) block: Ray's pandas block
+            # size sampler trips on zero-row string columns (np.vectorize
+            # on empty input) and logs a spurious error per empty block —
+            # the common case on a resume pass where every row filters out.
+            # Zero-row object columns infer as Arrow null — cast to string
+            # so the exchange can union this block with non-empty ones.
+            tbl = pa.Table.from_pandas(batch, preserve_index=False)
+            return tbl.cast(pa.schema(
+                [pa.field(f.name, pa.string())
+                 if pa.types.is_null(f.type) else f for f in tbl.schema]))
         return batch
 
     def write_part(part_df: pd.DataFrame) -> pd.DataFrame:

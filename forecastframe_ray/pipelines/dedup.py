@@ -669,8 +669,23 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # the partition's texts + per-class window arrays in heap, so a
         # fixed fan-out would grow per-task memory linearly with the corpus
         # (measured: 17M candidate rows over 32 partitions ran ~3 GB/task
-        # × 32 concurrent and OOM-killed workers)
-        verify_partitions = max(32, int(np.ceil(n_rows / 100_000)))
+        # × 32 concurrent and OOM-killed workers). It ALSO scales with the
+        # cluster's CPU count: profiled at a fixed 32 fan-out the stage is
+        # straggler-bound (max task 3.3× mean from bucket-size skew — the
+        # tail task caps the stage wall once cores exceed partitions);
+        # ~4 tasks/core lets the scheduler pack around the skew. Floor of
+        # ~1k candidate rows/partition so tiny candidate sets don't pay
+        # scheduling overhead for empty shards. Per-doc text duplication
+        # grows only marginally with fan-out (a doc ships to its distinct
+        # colliding partitions, bounded by its band count).
+        try:
+            import ray as _ray
+            ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        verify_partitions = max(32,
+                                min(4 * ncpu, int(np.ceil(n_rows / 1_000))),
+                                int(np.ceil(n_rows / 100_000)))
 
         def assign_verify(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()

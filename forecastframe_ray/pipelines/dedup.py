@@ -156,8 +156,12 @@ def batch_shingle_windows(texts, width: int = 5):
 
     Returns ``(flat, offsets, counts)``: doc ``i``'s (non-unique) window
     hashes are ``flat[offsets[i] : offsets[i] + counts[i]]``. Per-doc
-    ``np.unique`` over a slice reproduces :func:`shingle_hashes` exactly."""
-    datas = [t.encode("utf-8") for t in texts]
+    ``np.unique`` over a slice reproduces :func:`shingle_hashes` exactly.
+
+    ``texts`` may hold pre-encoded ``bytes`` (callers that already know the
+    UTF-8 byte lengths pass them through so nothing encodes twice)."""
+    datas = [t if isinstance(t, (bytes, bytearray)) else t.encode("utf-8")
+             for t in texts]
     n = len(datas)
     lens = np.array([len(d) for d in datas], dtype=np.int64)
     pad_lens = np.maximum(lens, width)
@@ -219,8 +223,12 @@ def minhash_batch(batch: pd.DataFrame, text_col: str, num_perm: int,
     # one blob peaks at GBs per task (measured: 20M-doc run OOM-killed 32
     # workers at ~10 GB RSS each). Spans cap the blob at ~16 MB regardless
     # of how Ray sized the batch; signatures are per-doc so the split is
-    # invisible to the result.
-    byte_lens = texts.str.len().to_numpy(dtype=np.int64)  # chars ~ bytes
+    # invisible to the result. Spans are bounded by TRUE UTF-8 byte lengths
+    # (a char-count proxy under-bounds multi-byte/CJK text up to 4×,
+    # ADVICE r3): docs encode ONCE here and the bytes are passed through to
+    # batch_shingle_windows.
+    datas = [t.encode("utf-8") for t in texts]
+    byte_lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=n)
     span_bounds = [0]
     acc_bytes = 0
     for i, L in enumerate(byte_lens):
@@ -233,7 +241,7 @@ def minhash_batch(batch: pd.DataFrame, text_col: str, num_perm: int,
     sig = np.empty((num_perm, n), dtype=np.uint64)
     for s0, s1 in zip(span_bounds[:-1], span_bounds[1:]):
         flat, offsets, counts = batch_shingle_windows(
-            texts.iloc[s0:s1], shingle_width)
+            datas[s0:s1], shingle_width)
         chunk = max(1, min(num_perm, (4 << 20) // max(len(flat), 1)))  # ≤32MB
         for p0 in range(0, num_perm, chunk):
             p1 = min(p0 + chunk, num_perm)
@@ -317,10 +325,13 @@ def _filter_class_pairs(cls_a: np.ndarray, cls_b: np.ndarray,
         first = np.concatenate(
             [np.ones((s1 - s0, 1), dtype=bool), ~dup], axis=1)
         rank = np.cumsum(first, axis=1)  # distinct rank of each value
-        keff = np.maximum(1, np.minimum(
-            FILTER_K, np.minimum(sizes[ca[s0:s1]], sizes[cb[s0:s1]])))
+        min_sz = np.minimum(sizes[ca[s0:s1]], sizes[cb[s0:s1]])
+        keff = np.maximum(1, np.minimum(FILTER_K, min_sz))
         est = (dup & (rank[:, 1:] <= keff[:, None])).sum(axis=1) / keff
-        keep_cross[s0:s1] = est >= cut
+        # short docs (< FILTER_K distinct windows) get very coarse KMV
+        # estimates (k_eff=1 is a 0/1 estimate) — skip the prefilter there;
+        # the exact intersect over < K elements is trivially cheap (ADVICE r3)
+        keep_cross[s0:s1] = (est >= cut) | (min_sz < FILTER_K)
     drop = np.zeros(len(cls_a), dtype=bool)
     drop[np.flatnonzero(cross)[~keep_cross]] = True
     return cls_a[~drop], cls_b[~drop]
@@ -459,8 +470,15 @@ def verify_lsh_partition(part: pd.DataFrame, id_col: str = "doc_id",
     cp = merged[["__cls_x", "__cls_y"]].to_numpy()
     big = sizes > CLASS_CAP
     if big.any():  # giant bucket: star on the bucket's min-id class
-        star = np.stack([first_cls[big], m["__cls"].to_numpy()[big]], axis=1)
-        cp = np.concatenate([cp, star], axis=0) if len(cp) else star
+        big_cls = m["__cls"].to_numpy()[big]
+        star = np.stack([first_cls[big], big_cls], axis=1)
+        # intra-class (c, c) pairs for EVERY class in the big bucket too —
+        # the per-bucket kernel's CLASS_CAP path appends them (dedup of
+        # exact-dup classes whose every colliding bucket is giant must not
+        # silently vanish; ADVICE r3)
+        intra = np.stack([big_cls, big_cls], axis=1)
+        parts = ([cp] if len(cp) else []) + [star, intra]
+        cp = np.concatenate(parts, axis=0)
     if len(cp) == 0:
         return empty
     lo = np.minimum(cp[:, 0], cp[:, 1])
@@ -827,6 +845,12 @@ def clusters_from_pairs_distributed(pairs, id_a: str = "id_a",
     - above it, labels STAY a Dataset and each round is a distributed
       ``hash_join(edges, labels, on="src")`` + min-aggregate + label join —
       nothing reaches the driver but the per-round changed count.
+
+    ``num_partitions`` here feeds ``hash_join``, which CLAMPS it to the
+    cluster's CPU slots (resident-aggregator deadlock above them — see
+    stages/join.py). Label/edge rows are int-only (~16 B/row), so even a
+    clamped partition holds ~edges/CPUs rows comfortably; callers sizing
+    partitions for heap reasons should account for the clamp.
 
     Raises ``RuntimeError`` if labels still changed after ``max_iters``
     rounds (a component's diameter exceeded the budget) — never returns

@@ -69,8 +69,13 @@ def hash_aggregate(ds, keys: list[str], named_aggs: dict[str, tuple[str, str]],
         return batch
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
+        # observed=True: with categorical keys (compress() converts strings
+        # to category) the pandas-2.x observed=False default emits a row for
+        # every UNOBSERVED dictionary value too — each shuffled partition
+        # carries the full dictionary, so the merged result held duplicate
+        # keys + NaN fillers (ADVICE r3). Non-categorical keys are unaffected.
         return (
-            part.groupby(keys, sort=False, dropna=False)
+            part.groupby(keys, sort=False, dropna=False, observed=True)
             .agg(**named_aggs)
             .reset_index()
         )
@@ -193,7 +198,8 @@ def bucketed_map_groups(ds, bucket_keys: list[str], fn,
         if min_size > 1:
             part = part[part.duplicated(subset=bucket_keys, keep=False)]
         outs = []
-        for _, g in part.groupby(bucket_keys, sort=False, dropna=False):
+        for _, g in part.groupby(bucket_keys, sort=False, dropna=False,
+                                 observed=True):
             out = fn(g)
             if out is not None and len(out):
                 outs.append(out)

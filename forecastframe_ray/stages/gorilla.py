@@ -368,7 +368,8 @@ def pack_series(part_df: pd.DataFrame, series_keys: list[str], ts_col: str,
     timestamp / value arrays (object columns → Arrow lists)."""
     part_df = part_df.sort_values(series_keys + [ts_col], kind="mergesort")
     rows = []
-    for key, g in part_df.groupby(series_keys, sort=False, dropna=False):
+    for key, g in part_df.groupby(series_keys, sort=False, dropna=False,
+                                  observed=True):
         if not isinstance(key, tuple):
             key = (key,)
         ts_series = g[ts_col]

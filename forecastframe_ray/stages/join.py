@@ -97,12 +97,29 @@ def hash_join(left, right, on: list[str], how: str = "inner",
     output blocks for 78 min with the box idle; 35 partitions completed).
     A caller that needs per-partition heap smaller than data/CPUs should
     use a ``groupby(part).map_groups`` merge (sort exchange, no resident
-    aggregators) instead — see ``pipelines/dedup.py`` verify text-attach."""
+    aggregators) instead — see ``pipelines/dedup.py`` verify text-attach.
+
+    The clamp is LOGGED (warning) when it bites: a caller that sized
+    ``num_partitions`` to bound per-task heap gets proportionally fatter
+    partitions on a small-CPU cluster — if the clamped partition size can
+    exceed a worker heap, switch that call site to the sort-exchange merge
+    pattern above (ADVICE r3)."""
+    import logging
+
     import ray
 
     if ray.is_initialized():
         ncpu = int(ray.cluster_resources().get("CPU", num_partitions))
-        num_partitions = max(2, min(num_partitions, ncpu))
+        clamped = max(2, min(num_partitions, ncpu))
+        if clamped < num_partitions:
+            logging.getLogger(__name__).warning(
+                "hash_join: clamping num_partitions %d -> %d (cluster CPU "
+                "slots; Ray's JoinOperator keeps one resident aggregator "
+                "per partition and deadlocks past the slot count). "
+                "Per-partition heap grows by the same factor — use a "
+                "groupby(part).map_groups merge if that can exceed a "
+                "worker's memory.", num_partitions, clamped)
+        num_partitions = clamped
     return left.join(right, join_type=_JOIN_TYPES[how],
                      num_partitions=num_partitions, on=tuple(on))
 

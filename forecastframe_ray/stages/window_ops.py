@@ -52,7 +52,10 @@ def default_min_periods(window: int, min_periods) -> int:
 
 
 def _grouped(df: pd.DataFrame, keys: list[str]):
-    return df.groupby(keys, sort=False, dropna=False, group_keys=False)
+    # observed=True: categorical keys (compress()) must not fabricate
+    # unobserved-dictionary groups inside a shuffled partition (ADVICE r3)
+    return df.groupby(keys, sort=False, dropna=False, group_keys=False,
+                      observed=True)
 
 
 def _grouped_ts_apply(df: pd.DataFrame, keys: list[str], ts_col: str,
@@ -61,7 +64,8 @@ def _grouped_ts_apply(df: pd.DataFrame, keys: list[str], ts_col: str,
     return values aligned positionally with ``df`` (which is sorted by
     keys+ts, so the per-group concat order equals row order)."""
     sub = df[keys + [ts_col] + cols].set_index(ts_col)
-    out = sub.groupby(keys, sort=False, dropna=False, group_keys=False)[cols].apply(fn)
+    out = sub.groupby(keys, sort=False, dropna=False, group_keys=False,
+                      observed=True)[cols].apply(fn)
     vals = out.to_numpy()
     assert vals.shape[0] == len(df), "group apply misaligned"
     return vals
@@ -243,7 +247,8 @@ def op_gap_fill(df, keys, ts_col, freq="D", start=None, end=None):
             out[k] = g[k].iloc[0]
         return out
 
-    parts = [fn(g) for _, g in df.groupby(keys, sort=False, dropna=False)]
+    parts = [fn(g) for _, g in df.groupby(keys, sort=False, dropna=False,
+                                          observed=True)]
     out = pd.concat(parts, ignore_index=True)
     return out[[ts_col] + keys + value_cols]
 

@@ -271,6 +271,29 @@ CLIQUE_CAP = 1000     # exact-dup class: full clique up to this many members
 CLASS_CAP = 32        # distinct-text classes compared all-pairs up to this
 FANOUT_CAP = 1_000_000  # cross-class id fan-out cap (pairs per class pair)
 
+
+def scaled_verify_partitions(n_rows: int, rows_per_part: int = 100_000,
+                             floor_rows: int = 1_000) -> int:
+    """Verify-stage fan-out, scaled by BOTH candidate rows and cluster CPUs
+    (shared by the MinHash, SimHash and embedding verify paths).
+
+    Scales with rows (~``rows_per_part`` per partition) because the verify
+    kernels hold a partition's member/text arrays in heap — a fixed fan-out
+    grows per-task memory linearly with the corpus (measured: 17M candidate
+    rows over 32 partitions OOM-killed workers at ~3 GB/task × 32). Scales
+    with CPUs (~4 tasks/core) because at a fixed fan-out bucket-size skew
+    makes the stage straggler-bound (max task 3.3× mean) once cores exceed
+    partitions. Floor of ~``floor_rows`` rows/partition so tiny candidate
+    sets don't pay scheduling overhead for empty shards."""
+    try:
+        import ray as _ray
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(32,
+               min(4 * ncpu, int(np.ceil(n_rows / floor_rows))),
+               int(np.ceil(n_rows / rows_per_part)))
+
 #: sketch-estimate pre-filter (standard LSH practice — boilerplate-heavy
 #: corpora make candidate class pairs vastly outnumber true near-dups):
 #: each class's bottom-k (KMV) sketch — the k smallest of its sorted
@@ -696,14 +719,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # scheduling overhead for empty shards. Per-doc text duplication
         # grows only marginally with fan-out (a doc ships to its distinct
         # colliding partitions, bounded by its band count).
-        try:
-            import ray as _ray
-            ncpu = int(_ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            ncpu = 8
-        verify_partitions = max(32,
-                                min(4 * ncpu, int(np.ceil(n_rows / 1_000))),
-                                int(np.ceil(n_rows / 100_000)))
+        verify_partitions = scaled_verify_partitions(n_rows)
 
         def assign_verify(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
@@ -1017,11 +1033,114 @@ def simhash_batch(batch: pd.DataFrame, text_col: str, out_col: str = "simhash") 
     return batch
 
 
+#: SimHash verify: distinct hash values compared all-pairs up to this many
+#: classes per bucket; past it, each class compares only to the bucket's
+#: min-id class (star — cluster-equivalent under downstream CC closure).
+#: Hamming over uint64s is cheap (XOR + popcount), so the cap is far higher
+#: than the MinHash CLASS_CAP whose per-pair cost is a shingle intersect.
+SIM_CLASS_CAP = 4096
+
+
+def verify_simhash_bucket(group: pd.DataFrame, id_col: str = "doc_id",
+                          max_hamming: int = 3) -> pd.DataFrame:
+    """Per-bucket exact-Hamming verification with the MinHash kernel's
+    giant-bucket hardening (VERDICT r3 #2): members collapse into classes
+    of IDENTICAL simhash first (a dup-heavy bucket of k near-identical docs
+    costs O(#classes²) popcounts, not O(k²)); the class-pair Hamming matrix
+    is CHUNKED so the temporary stays bounded; past ``SIM_CLASS_CAP``
+    classes each class compares only to the bucket's min-id class (star);
+    id fan-out honors ``CLIQUE_CAP`` (intra-class star) and ``FANOUT_CAP``
+    (cross-class representative pair)."""
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    g = group.drop_duplicates(id_col).sort_values(id_col)
+    if len(g) < 2:
+        return empty
+    ids = g[id_col].to_numpy()
+    sh = g["simhash"].to_numpy(np.uint64)
+    codes, uniq = pd.factorize(sh)  # first-seen order; g id-sorted →
+    uniq = np.asarray(uniq, dtype=np.uint64)  # class 0 holds the min id
+    ncls = len(uniq)
+    order = np.argsort(codes, kind="stable")
+    ids_sorted = ids[order]
+    cls_counts = np.bincount(codes, minlength=ncls)
+    cls_offsets = np.concatenate(([0], np.cumsum(cls_counts)[:-1]))
+
+    def mem(c):
+        return ids_sorted[cls_offsets[c]: cls_offsets[c] + cls_counts[c]]
+
+    if ncls > SIM_CLASS_CAP:  # star on the min-id class (class 0)
+        ham0 = popcount64(uniq ^ uniq[0])
+        good = np.flatnonzero((ham0 <= max_hamming) & (np.arange(ncls) > 0))
+        cls_a = np.concatenate([np.zeros(len(good), dtype=np.int64),
+                                np.arange(ncls)])
+        cls_b = np.concatenate([good, np.arange(ncls)])
+        ham = np.concatenate([ham0[good], np.zeros(ncls, dtype=np.int64)])
+    else:  # chunked all-pairs Hamming over DISTINCT hash values
+        ca_l, cb_l, h_l = [], [], []
+        chunk = max(1, (4 << 20) // max(ncls, 1))  # ≤32 MB of int64 temp
+        for r0 in range(0, ncls, chunk):
+            r1 = min(r0 + chunk, ncls)
+            H = popcount64(uniq[r0:r1, None] ^ uniq[None, :])
+            ia, ib = np.nonzero(H <= max_hamming)
+            keep = (ia + r0) <= ib  # upper triangle incl. diagonal
+            ca_l.append(ia[keep] + r0)
+            cb_l.append(ib[keep])
+            h_l.append(H[ia[keep], ib[keep]])
+        cls_a = np.concatenate(ca_l)
+        cls_b = np.concatenate(cb_l)
+        ham = np.concatenate(h_l)
+
+    out_a, out_b, out_h = [], [], []
+    for ci, cj, h in zip(cls_a, cls_b, ham):
+        if ci == cj:
+            m = mem(ci)
+            if len(m) < 2:
+                continue
+            if len(m) > CLIQUE_CAP:  # star on the class min id
+                lo = m.min()
+                rest = m[m != lo]
+                pa_, pb_ = np.full(len(rest), lo), rest
+            else:
+                aa, bb = np.triu_indices(len(m), 1)
+                pa_, pb_ = m[aa], m[bb]
+        else:
+            mi, mj = mem(ci), mem(cj)
+            if len(mi) * len(mj) > FANOUT_CAP:  # representatives only
+                lo, hi = mi.min(), mj.min()
+                pa_ = np.array([min(lo, hi)])
+                pb_ = np.array([max(lo, hi)])
+            else:
+                A, B = np.meshgrid(mi, mj, indexing="ij")
+                pa_, pb_ = A.ravel(), B.ravel()
+                swap = pa_ > pb_
+                pa_, pb_ = (np.where(swap, pb_, pa_),
+                            np.where(swap, pa_, pb_))
+        out_a.append(pa_)
+        out_b.append(pb_)
+        out_h.append(np.full(len(pa_), h, dtype=np.int64))
+    if not out_a:
+        return empty
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b),
+                         "hamming": np.concatenate(out_h)})
+
+
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                            max_hamming: int = 3):
     """Near-dup candidates via the 4×16-bit band trick (any pair within
     Hamming distance ≤3 of 64 bits must agree exactly on ≥1 of 4 bands);
-    verified by exact Hamming distance inside the bucket group."""
+    verified by exact Hamming distance inside the bucket group.
+
+    Scale hardening (VERDICT r3 #2, ported from the MinHash path): the
+    verify kernel is :func:`verify_simhash_bucket` (class collapse +
+    chunked Hamming + star caps — bounded per-task memory even for a
+    mega-bucket of near-identical docs), and the verify fan-out scales with
+    candidate rows AND cluster CPUs (:func:`scaled_verify_partitions`).
+    The shuffled rows are int-only (id, simhash, band, bucket) — document
+    text never enters the verify exchange. Unlike MinHash there is no
+    ``bucket_cap`` drop: a 16-bit band mega-bucket of near-identical docs
+    is REAL similarity evidence (not a common-shingle-argmin artifact), so
+    it is verified — cheaply, via the class collapse — rather than dropped."""
     hashed = ds.map_batches(
         lambda b: simhash_batch(b[[id_col, text_col]], text_col), batch_format="pandas"
     ).materialize()
@@ -1041,20 +1160,16 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     bands = hashed.map_batches(explode_bands, batch_format="pandas")
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy(np.uint64)
-        ham = popcount64(sh[:, None] ^ sh[None, :])
-        ia, ib = np.where(np.triu(ham <= max_hamming, k=1))
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham[ia, ib]})
+    from functools import partial
 
     from forecastframe_ray.stages.agg import bucketed_map_groups, hash_aggregate
 
-    pairs = bucketed_map_groups(bands, ["band", "bucket"], verify,
-                                num_partitions=32, min_size=2)
+    # band rows = 4 × docs; fan-out scales with that row count and the CPUs
+    n_band_rows = 4 * hashed.count()  # materialized → metadata-only
+    pairs = bucketed_map_groups(
+        bands, ["band", "bucket"],
+        partial(verify_simhash_bucket, id_col=id_col, max_hamming=max_hamming),
+        num_partitions=scaled_verify_partitions(n_band_rows), min_size=2)
     return hash_aggregate(pairs, ["id_a", "id_b"],
                           {"hamming": ("hamming", "min")}, num_partitions=16)
 
@@ -1064,12 +1179,127 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+#: embedding verify: distinct vectors compared all-pairs (chunked matmul)
+#: up to this many classes per bucket; past it, star vs the min-id class.
+EMB_CLASS_CAP = 8192
+
+
+def verify_embedding_bucket(group: pd.DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95) -> pd.DataFrame:
+    """Per-bucket exact-cosine verification with the MinHash kernel's
+    giant-bucket hardening (VERDICT r3 #3): members collapse into classes
+    of BYTE-IDENTICAL vectors first (a mega-bucket of k exact-dup vectors
+    costs one class, not a k×k matrix); the class-pair cosine matrix is a
+    CHUNKED matmul; past ``EMB_CLASS_CAP`` classes each class compares only
+    to the bucket's min-id class (star — cluster-equivalent under CC
+    closure); id fan-out honors ``CLIQUE_CAP`` / ``FANOUT_CAP``.
+
+    Intra-class pairs carry cos=1.0 except zero-norm classes (cos(0,0) is
+    0 under the norms-clamped-to-1 convention the original kernel used)."""
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+    g = group.drop_duplicates(id_col).sort_values(id_col)
+    if len(g) < 2:
+        return empty
+    ids = g[id_col].to_numpy()
+    M = np.ascontiguousarray(np.stack(g[vec_col].to_numpy())
+                             .astype(np.float64))
+    # byte-identity classes (exact-dup collapse): view rows as opaque bytes
+    # (np.unique over void rows — NaN bit patterns compare fine as bytes)
+    v = M.view(np.dtype((np.void, M.shape[1] * 8))).ravel()
+    _, codes = np.unique(v, return_inverse=True)
+    codes = codes.astype(np.int64)
+    ncls = int(codes.max()) + 1
+    order = np.argsort(codes, kind="stable")
+    ids_sorted = ids[order]
+    cls_counts = np.bincount(codes, minlength=ncls)
+    cls_offsets = np.concatenate(([0], np.cumsum(cls_counts)[:-1]))
+
+    def mem(c):
+        return ids_sorted[cls_offsets[c]: cls_offsets[c] + cls_counts[c]]
+
+    # one representative ROW per class (members are byte-identical)
+    first_rows = order[cls_offsets]
+    R = M[first_rows]
+    norms = np.linalg.norm(R, axis=1)
+    nonzero = norms > 0
+    norms_safe = np.where(nonzero, norms, 1.0)
+    Rn = R / norms_safe[:, None]
+
+    if ncls > EMB_CLASS_CAP:  # star vs the min-id doc's class
+        c_star = int(codes[0])  # g is id-sorted → row 0 holds the min id
+        c0 = Rn @ Rn[c_star]
+        good = np.flatnonzero((c0 >= threshold)
+                              & (np.arange(ncls) != c_star))
+        cls_a = np.concatenate([np.full(len(good), c_star, dtype=np.int64),
+                                np.arange(ncls)])
+        cls_b = np.concatenate([good, np.arange(ncls)])
+        cos = np.concatenate([c0[good], np.ones(ncls)])
+    else:  # chunked all-pairs cosine over class representatives
+        ca_l, cb_l, cs_l = [], [], []
+        chunk = max(1, (4 << 20) // max(ncls, 1))  # ≤32 MB of f64 temp
+        for r0 in range(0, ncls, chunk):
+            r1 = min(r0 + chunk, ncls)
+            C = Rn[r0:r1] @ Rn.T
+            ia, ib = np.nonzero(C >= threshold)
+            keep = (ia + r0) <= ib  # upper triangle incl. diagonal
+            ca_l.append(ia[keep] + r0)
+            cb_l.append(ib[keep])
+            cs_l.append(C[ia[keep], ib[keep]])
+        cls_a = np.concatenate(ca_l)
+        cls_b = np.concatenate(cb_l)
+        cos = np.concatenate(cs_l)
+
+    out_a, out_b, out_s = [], [], []
+    for ci, cj, s in zip(cls_a, cls_b, cos):
+        if ci == cj:
+            if not nonzero[ci]:  # zero vectors: cos(0,0)=0 → never a pair
+                continue
+            m = mem(ci)
+            if len(m) < 2:
+                continue
+            s = 1.0
+            if len(m) > CLIQUE_CAP:  # star on the class min id
+                lo = m.min()
+                rest = m[m != lo]
+                pa_, pb_ = np.full(len(rest), lo), rest
+            else:
+                aa, bb = np.triu_indices(len(m), 1)
+                pa_, pb_ = m[aa], m[bb]
+        else:
+            mi, mj = mem(ci), mem(cj)
+            if len(mi) * len(mj) > FANOUT_CAP:  # representatives only
+                lo, hi = mi.min(), mj.min()
+                pa_ = np.array([min(lo, hi)])
+                pb_ = np.array([max(lo, hi)])
+            else:
+                A, B = np.meshgrid(mi, mj, indexing="ij")
+                pa_, pb_ = A.ravel(), B.ravel()
+                swap = pa_ > pb_
+                pa_, pb_ = (np.where(swap, pb_, pa_),
+                            np.where(swap, pa_, pb_))
+        out_a.append(pa_)
+        out_b.append(pb_)
+        out_s.append(np.full(len(pa_), s, dtype=np.float64))
+    if not out_a:
+        return empty
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b),
+                         "cos_sim": np.concatenate(out_s)})
+
+
 def embedding_near_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                              threshold: float = 0.95, num_planes: int = 12,
                              seed: int = 11, dim: int | None = None):
     """Near-duplicate vectors: random-hyperplane LSH buckets (Charikar'02) →
     within-bucket exact cosine ≥ threshold. The plane matrix is seeded and
-    broadcast; signature stage is one matmul per batch."""
+    broadcast; signature stage is one matmul per batch.
+
+    Scale hardening (VERDICT r3 #3): verification runs through
+    :func:`verify_embedding_bucket` (exact-dup collapse + chunked matmul +
+    star caps — bounded per-task memory for pathological buckets) and the
+    fan-out scales with row count and cluster CPUs
+    (:func:`scaled_verify_partitions`)."""
     import ray
 
     if dim is None:
@@ -1088,22 +1318,15 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_
         batch["bucket"] = bits @ powers
         return batch
 
-    bucketed = ds.map_batches(sig, batch_format="pandas")
+    bucketed = ds.map_batches(sig, batch_format="pandas").materialize()
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        g = group.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(M, axis=1)
-        norms[norms == 0] = 1.0
-        Mn = M / norms[:, None]
-        C = Mn @ Mn.T
-        ia, ib = np.where(np.triu(C >= threshold, k=1))
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos_sim": C[ia, ib]})
+    from functools import partial
 
     from forecastframe_ray.stages.agg import bucketed_map_groups
 
-    return bucketed_map_groups(bucketed, ["bucket"], verify,
-                               num_partitions=32, min_size=2)
+    n_rows = bucketed.count()  # materialized → metadata-only
+    return bucketed_map_groups(
+        bucketed, ["bucket"],
+        partial(verify_embedding_bucket, vec_col=vec_col, id_col=id_col,
+                threshold=threshold),
+        num_partitions=scaled_verify_partitions(n_rows), min_size=2)

@@ -54,7 +54,8 @@ def dedup_pipeline(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     #    broadcast strip), then 2. C4 line cleaning — both stream
     stripped = T.remove_boilerplate_lines(docs, text_col=text_col,
                                           max_repeats=max_repeats,
-                                          num_partitions=num_partitions)
+                                          num_partitions=num_partitions,
+                                          id_col=id_col)
     cleaned = stripped.map_batches(
         lambda b: T.c4_clean_batch(b, text_col=text_col,
                                    min_words_per_line=min_words_per_line,

@@ -261,18 +261,33 @@ def _line_hashes(txt: str) -> np.ndarray:
 
 def remove_boilerplate_lines(ds, text_col: str = "text",
                              max_repeats: int = 3,
-                             num_partitions: int = 32):
+                             num_partitions: int = 32,
+                             id_col: str | None = None,
+                             driver_freq_limit: int = 20_000_000):
     """Corpus-level boilerplate removal (two distributed passes): (1) count
     every distinct line hash across the corpus (stateless per-batch hash →
-    coarse-hash count); (2) broadcast the frequent-line hash set and strip
-    those lines from every document.
+    coarse-hash count); (2) strip the frequent lines from every document.
 
-    Scale note: the shuffled rows are (uint64 hash) only — document text
-    never moves; the broadcast set holds only hashes seen > ``max_repeats``
-    times (boilerplate is by definition a small distinct set). Both passes
-    are vectorized batch-wide: lines explode once, hash in ONE
-    ``hash_pandas_object`` call, and (pass 2) membership is a sorted-array
-    ``np.isin`` with per-doc re-join via ``groupby(level=0)``."""
+    Scale note: pass (1)'s shuffled rows are (uint64 hash) only — document
+    text never moves. Pass (2) has two plans, chosen by the SIZE of the
+    frequent-line set (VERDICT r3 #4 — it is usually "a small distinct
+    set", but a template-heavy crawl can make it unbounded):
+
+    - ≤ ``driver_freq_limit`` hashes (160 MB of uint64 at the default):
+      the set collects to a sorted array, ships once via ``ray.put``, and
+      membership is a per-batch ``np.isin`` with per-doc re-join via
+      ``groupby(level=0)`` — zero extra shuffles;
+    - above it, the set NEVER reaches the driver: documents explode into
+      (id, pos, line, hash) rows that meet the frequent hashes in a
+      hash-partitioned exchange (the same union + ``groupby.map_groups``
+      sort-exchange merge the dedup verify uses — no resident-aggregator
+      join), surviving lines re-assemble per doc in a second exchange
+      keyed on ``id_col``, and any extra columns join back at the end.
+      This path requires a unique ``id_col``; it raises without one.
+
+    Both paths are vectorized batch-wide (lines explode once, ONE
+    ``hash_pandas_object`` call per batch) and produce identical output —
+    pinned by a forced-path test."""
     import ray
 
     from forecastframe_ray.stages.agg import ensure_columns, hash_count
@@ -293,9 +308,21 @@ def remove_boilerplate_lines(ds, text_col: str = "text",
 
     counts = hash_count(ds.map_batches(emit_hashes, batch_format="pandas"),
                         ["line_hash"], num_partitions=num_partitions)
-    frequent = ensure_columns(counts.map_batches(
-        lambda b: b[b["n"] > max_repeats][["line_hash"]], batch_format="pandas"
-    ).to_pandas(), {"line_hash": "uint64"})
+    freq_ds = counts.map_batches(
+        lambda b: b[b["n"] > max_repeats][["line_hash"]],
+        batch_format="pandas").materialize()
+    n_freq = freq_ds.count()
+
+    if n_freq > driver_freq_limit:
+        if id_col is None:
+            raise ValueError(
+                f"frequent-line set has {n_freq} hashes (> driver_freq_limit="
+                f"{driver_freq_limit}); the distributed strip path needs a "
+                "unique id_col to reassemble documents — pass id_col=...")
+        return _strip_boilerplate_distributed(
+            ds, freq_ds, text_col, id_col, num_partitions)
+
+    frequent = ensure_columns(freq_ds.to_pandas(), {"line_hash": "uint64"})
     bad_arr = np.sort(frequent["line_hash"].to_numpy(np.uint64))
     freq_ref = ray.put(bad_arr)
 
@@ -319,3 +346,130 @@ def remove_boilerplate_lines(ds, text_col: str = "text",
         return b
 
     return ds.map_batches(strip, batch_format="pandas")
+
+
+def _strip_boilerplate_distributed(ds, freq_ds, text_col: str, id_col: str,
+                                   num_partitions: int):
+    """Scale path of :func:`remove_boilerplate_lines`: the frequent-line
+    hash set stays a Dataset. Three exchanges, none holding more than a
+    partition's share of the exploded corpus:
+
+    1. MARK — (id, pos, line, hash) line rows ∪ (hash)-only frequent rows,
+       hash-partitioned on ``line_hash``; surviving (non-frequent) line
+       rows come out;
+    2. REASSEMBLE — surviving line rows ∪ one base row per doc (original
+       text + non-blank line count), hash-partitioned on ``id_col``; each
+       doc's kept lines re-join in original order, with the broadcast
+       path's exact edge semantics (all-lines-removed → "", no non-blank
+       lines → original text, removed = n_lines - n_kept);
+    3. extra columns (if any) join back via ``hash_join`` on ``id_col``.
+    """
+    from forecastframe_ray import keys as K
+    from forecastframe_ray.stages.agg import PART_COL
+
+    POS_FREQ, POS_BASE = -1, -2
+    _cols = [id_col, "pos", "line", "line_hash", "n_lines"]
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        texts = b[text_col].fillna("")
+        lines = texts.str.split("\n").explode()
+        pos = lines.groupby(level=0).cumcount().to_numpy(np.int64)
+        stripped = lines.str.strip()
+        mask = (stripped.str.len() > 0).to_numpy()
+        doc_idx = lines.index.to_numpy()[mask]
+        hs = pd.util.hash_pandas_object(stripped[mask], index=False) \
+            .to_numpy(np.uint64)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy()[doc_idx],
+            "pos": pos[mask],
+            "line": pd.Series(lines.to_numpy()[mask], dtype="string"),
+            "line_hash": hs,
+            "n_lines": np.full(mask.sum(), -1, dtype=np.int64),
+        })[_cols]
+
+    def freq_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        return pd.DataFrame({
+            id_col: np.full(n, -1, dtype=np.int64),
+            "pos": np.full(n, POS_FREQ, dtype=np.int64),
+            "line": pd.Series([""] * n, dtype="string"),
+            "line_hash": batch["line_hash"].to_numpy(np.uint64),
+            "n_lines": np.full(n, -1, dtype=np.int64),
+        })[_cols]
+
+    def assign_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[PART_COL] = K.partition_ids(batch, ["line_hash"],
+                                          num_partitions)
+        return batch
+
+    def mark(part: pd.DataFrame) -> pd.DataFrame:
+        is_freq = part["pos"].to_numpy() == POS_FREQ
+        bad = np.unique(part.loc[is_freq, "line_hash"].to_numpy(np.uint64))
+        rows = part[~is_freq]
+        good = ~np.isin(rows["line_hash"].to_numpy(np.uint64), bad)
+        return rows[good][_cols]
+
+    marked = (ds.select_columns([id_col, text_col])
+              .map_batches(line_rows, batch_format="pandas")
+              .union(freq_ds.map_batches(freq_rows, batch_format="pandas"))
+              .map_batches(assign_hash, batch_format="pandas")
+              .groupby(PART_COL)
+              .map_groups(mark, batch_format="pandas"))
+
+    def base_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        texts = b[text_col].fillna("")
+        stripped = texts.str.split("\n").explode().str.strip()
+        nb = (stripped.str.len() > 0).groupby(level=0).sum() \
+            .reindex(b.index, fill_value=0)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "pos": np.full(len(b), POS_BASE, dtype=np.int64),
+            "line": texts.astype("string"),  # original text rides along
+            "line_hash": np.zeros(len(b), dtype=np.uint64),
+            "n_lines": nb.to_numpy(np.int64),
+        })[_cols]
+
+    def assign_id(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[PART_COL] = K.partition_ids(batch, [id_col], num_partitions)
+        return batch
+
+    def reassemble(part: pd.DataFrame) -> pd.DataFrame:
+        is_base = part["pos"].to_numpy() == POS_BASE
+        base = part[is_base]
+        lines = part[~is_base].sort_values([id_col, "pos"], kind="mergesort")
+        grp = lines.groupby(id_col, sort=False)
+        joined = grp["line"].agg("\n".join)
+        n_kept = grp.size()
+        ids = base[id_col].to_numpy()
+        n_lines = base["n_lines"].to_numpy()
+        jt = joined.reindex(ids).fillna("").to_numpy(dtype=object)
+        nkv = n_kept.reindex(ids, fill_value=0).to_numpy(np.int64)
+        orig = base["line"].to_numpy(dtype=object)
+        return pd.DataFrame({
+            id_col: ids,
+            text_col: np.where(n_lines == 0, orig, jt),
+            "n_boilerplate_removed": (n_lines - nkv).astype(np.int64),
+        })
+
+    result = (marked.union(ds.select_columns([id_col, text_col])
+                           .map_batches(base_rows, batch_format="pandas"))
+              .map_batches(assign_id, batch_format="pandas")
+              .groupby(PART_COL)
+              .map_groups(reassemble, batch_format="pandas"))
+
+    extra = [c for c in ds.schema().names if c not in (id_col, text_col)]
+    if not extra:
+        return result
+    from forecastframe_ray.stages.join import hash_join
+    # consolidate the coarse shuffle's empty blocks before the join (the
+    # join exchange stalls on column-less empties) and keep the shuffle
+    # out of the join's streaming DAG
+    result = result.repartition(
+        max(2, num_partitions // 2)).materialize()
+    return hash_join(ds.select_columns([id_col] + extra), result,
+                     on=[id_col], how="inner",
+                     num_partitions=num_partitions)

@@ -191,3 +191,63 @@ def test_scaled_verify_partitions_formula():
     # is below the 32 floor, so the floor wins), row term dominates at scale
     assert dedup.scaled_verify_partitions(10) == 32
     assert dedup.scaled_verify_partitions(50_000_000) == 500
+
+
+# ---------------------------------------------------------------------------
+# boilerplate frequent-line set: distributed strip path
+# ---------------------------------------------------------------------------
+
+def _boilerplate_corpus():
+    rng = np.random.default_rng(21)
+    bp1 = "subscribe to our newsletter today"
+    bp2 = "all rights reserved by the site"
+    docs = []
+    for i in range(60):
+        body = [f"unique sentence number {i} alpha beta.",
+                f"another unique line {i} gamma delta."]
+        if i % 2 == 0:
+            body.insert(0, bp1)
+        if i % 3 == 0:
+            body.append(bp2)
+        if i % 7 == 0:
+            body.insert(1, "")          # blank line
+        docs.append("\n".join(body))
+    docs.append("")                      # empty doc (no non-blank lines)
+    docs.append("\n\n")                  # blank-only doc
+    docs.append(bp1 + "\n" + bp2)        # all lines boilerplate
+    return pd.DataFrame({
+        "doc_id": np.arange(len(docs), dtype=np.int64),
+        "text": docs,
+        "lang": [["en", "de"][i % 2] for i in range(len(docs))],
+    })
+
+
+def test_boilerplate_distributed_matches_broadcast():
+    # VERDICT r3 #4: with driver_freq_limit forced to 0 the frequent set
+    # stays distributed; output must equal the broadcast path exactly
+    from forecastframe_ray.pipelines import textstats
+    df = _boilerplate_corpus()
+    ds = ray.data.from_pandas(df).repartition(4)
+    broad = textstats.remove_boilerplate_lines(
+        ds, max_repeats=3).to_pandas()
+    dist = textstats.remove_boilerplate_lines(
+        ds, max_repeats=3, id_col="doc_id",
+        driver_freq_limit=0).to_pandas()
+    cols = ["doc_id", "text", "n_boilerplate_removed", "lang"]
+    a = broad[cols].sort_values("doc_id").reset_index(drop=True)
+    b = dist[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # sanity: boilerplate actually removed somewhere, edge docs intact
+    assert (a["n_boilerplate_removed"] > 0).any()
+    byid = a.set_index("doc_id")
+    assert byid.loc[60, "text"] == ""           # empty doc unchanged
+    assert byid.loc[61, "text"] == "\n\n"       # blank-only doc unchanged
+    assert byid.loc[62, "text"] == ""           # fully stripped → empty
+
+
+def test_boilerplate_distributed_requires_id_col():
+    from forecastframe_ray.pipelines import textstats
+    ds = ray.data.from_pandas(_boilerplate_corpus()[["text"]])
+    with pytest.raises(ValueError, match="id_col"):
+        textstats.remove_boilerplate_lines(ds, max_repeats=3,
+                                           driver_freq_limit=0).to_pandas()

@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": Q.q_ann_ivf_recall,
         "ensemble_pred_daily": Q.q_ensemble_pred_daily,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        "minhash_recall": Q.q_minhash_recall,
+        "simhash_recall": Q.q_simhash_recall,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -138,7 +140,9 @@ def oracle_sql() -> dict[str, str]:
     Omitted (rows-only, each justified): minhash / simhash pair sets and the
     LSH embedding near-dup (banded-LSH candidate generation is approximate
     by contract — their exact counterparts ``embedding_neardup_exact`` and
-    the jaccard/hamming verifications are oracled), ``ann_ivf_embeddings``
+    the jaccard/hamming verifications are oracled, and their recall is
+    oracle-GATED by ``minhash_recall`` / ``simhash_recall``),
+    ``ann_ivf_embeddings``
     (approximate; gated by ``ann_ivf_recall``), ``text_analysis_documents``
     (full heuristic set; the SQL-expressible ratios are oracled as
     ``text_ratios_documents``), ``llm_pipeline_documents`` (full chain with
@@ -196,6 +200,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": Q.SQL_ANN_IVF_RECALL,
         "ensemble_pred_daily": Q.SQL_ENSEMBLE_PRED,
         "ngram_jaccard_pairs": Q.SQL_NGRAM_JACCARD,
+        "minhash_recall": Q.SQL_MINHASH_RECALL,
+        "simhash_recall": Q.SQL_SIMHASH_RECALL,
         "multimodal_resize": Q.SQL_MULTIMODAL_RESIZE,
         "csv_roundtrip_events": Q.SQL_CSV_ROUNDTRIP,
         "anti_join_orders": Q.SQL_ANTI_JOIN_ORDERS,

@@ -1463,6 +1463,112 @@ SQL_NGRAM_JACCARD = """
 """
 
 
+def q_minhash_recall(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH recall gate (VERDICT r3 #6): the LSH pair output at
+    threshold 0.7 must contain ≥90% of ALL true pairs with exact Jaccard ≥
+    0.8 (threshold + margin — where the 16×4 banding's detection
+    probability is ≥0.9998). The TRUE pair count is computed exactly on
+    both sides: here by brute-force shingle intersects (with the size-ratio
+    prune that j ≥ 0.8 mathematically implies), in SQL by the exploded
+    hashed-shingle oracle — so ``n_true`` is a real cross-checked value and
+    ``recall_ok`` flips the driver to FAIL if LSH ever loses true pairs."""
+    docs_df = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ids = docs_df["doc_id"].to_numpy()
+    texts = docs_df["text"].fillna("")
+    flat, off, cnt = dedup.batch_shingle_windows(texts, 5)
+    sets = [np.unique(flat[o: o + c]) for o, c in zip(off, cnt)]
+    sizes = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+    true_pairs = set()
+    n = len(sets)
+    for i in range(n):
+        si, zi = sets[i], sizes[i]
+        for j in range(i + 1, n):
+            zj = sizes[j]
+            if min(zi, zj) < 0.8 * max(zi, zj):  # j >= .8 needs ratio >= .8
+                continue
+            if zi == 0 and zj == 0:
+                jac = 1.0
+            else:
+                inter = len(np.intersect1d(si, sets[j], assume_unique=True))
+                jac = inter / (zi + zj - inter)
+            if jac >= 0.8:
+                true_pairs.add((ids[i], ids[j]))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.7).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    hit = sum(p in found for p in true_pairs)
+    recall = hit / max(len(true_pairs), 1)
+    return pd.DataFrame({"n_true": pd.Series([len(true_pairs)], dtype="int64"),
+                         "recall_ok": pd.Series([recall >= 0.9],
+                                                dtype="bool")})
+
+
+SQL_MINHASH_RECALL = """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(strlen(text) - 4, 1)),
+                   i -> hash(substr(text, i, 5)))) AS s
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.s AS sa, b.s AS sb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE least(length(a.s), length(b.s))
+              >= 0.8 * greatest(length(a.s), length(b.s))
+    ),
+    j AS (
+        SELECT CAST(length(list_intersect(sa, sb)) AS DOUBLE)
+               / (length(sa) + length(sb) - length(list_intersect(sa, sb)))
+               AS jac
+        FROM cand
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true, true AS recall_ok
+    FROM j WHERE jac >= 0.8
+"""
+
+
+def q_simhash_recall(sf_dir: str) -> pd.DataFrame:
+    """SimHash banding completeness gate (VERDICT r3 #6, ann_ivf_recall
+    style): every pair within Hamming distance ≤3 of the 64-bit SimHash
+    MUST appear in the banded pipeline's output — the 4×16-bit band trick
+    is EXACT for ≤3 flipped bits (pigeonhole: ≥1 band survives intact), so
+    the gate is recall == 1.0, computed against a chunked brute-force
+    all-pairs Hamming truth. SimHash itself is not SQL-expressible, so the
+    oracle row is constant-shape (the assertion lives on the Ray side and a
+    miss flips ``recall_ok`` → driver hash mismatch → FAIL)."""
+    docs_df = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    sh = dedup.simhash_batch(docs_df, "text")["simhash"].to_numpy(np.uint64)
+    ids = docs_df["doc_id"].to_numpy()
+    truth = set()
+    n = len(sh)
+    chunk = max(1, (4 << 20) // max(n, 1))
+    for r0 in range(0, n, chunk):
+        r1 = min(r0 + chunk, n)
+        H = dedup.popcount64(sh[r0:r1, None] ^ sh[None, :])
+        ia, ib = np.nonzero(H <= 3)
+        keep = (ia + r0) < ib
+        truth.update(zip(ids[ia[keep] + r0], ids[ib[keep]]))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sp = dedup.simhash_near_dup_pairs(docs, max_hamming=3).to_pandas()
+    found = set(zip(sp["id_a"], sp["id_b"]))
+    missing = len(truth - found)
+    return pd.DataFrame({"gate": pd.Series([0], dtype="int64"),
+                         "recall_ok": pd.Series([missing == 0],
+                                                dtype="bool")})
+
+
+SQL_SIMHASH_RECALL = """
+    SELECT CAST(0 AS BIGINT) AS gate, true AS recall_ok
+"""
+
+
 def q_multimodal_resize(sf_dir: str) -> pd.DataFrame:
     """Multimodal resize/frame-sample stage (actor pool): deterministic
     metadata math (scale to max side 256) and the payload-shrink contract,

@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "minhash_recall": Q.q_minhash_recall,
         "simhash_recall": Q.q_simhash_recall,
+        "lang_id_documents": Q.q_lang_id_documents,
+        "search_cv_daily": Q.q_search_cv_daily,
+        "error_metrics_by_type": Q.q_error_metrics_by_type,
+        "sample_orders_deterministic": Q.q_sample_orders,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -202,6 +206,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": Q.SQL_NGRAM_JACCARD,
         "minhash_recall": Q.SQL_MINHASH_RECALL,
         "simhash_recall": Q.SQL_SIMHASH_RECALL,
+        "lang_id_documents": Q.SQL_LANG_ID,
+        "search_cv_daily": Q.SQL_SEARCH_CV,
+        "error_metrics_by_type": Q.SQL_ERROR_METRICS_BY_TYPE,
+        "sample_orders_deterministic": Q.SQL_SAMPLE_ORDERS,
         "multimodal_resize": Q.SQL_MULTIMODAL_RESIZE,
         "csv_roundtrip_events": Q.SQL_CSV_ROUNDTRIP,
         "anti_join_orders": Q.SQL_ANTI_JOIN_ORDERS,

@@ -42,6 +42,7 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def _round(df: pd.DataFrame, cols: list[str], digits: int = 6) -> pd.DataFrame:
+    df = df.copy()  # callers may pass a column-slice view
     for c in cols:
         df[c] = np.round(df[c].to_numpy(dtype=np.float64), digits)
     return df
@@ -597,6 +598,60 @@ SQL_ERROR_METRICS_NAIVE = f"""
            round(avg((v - lv) * (v - lv)), 2) AS MSE,
            round(sqrt(avg((v - lv) * (v - lv))), 4) AS RMSE
     FROM l WHERE lv IS NOT NULL
+"""
+
+
+def q_error_metrics_by_type(sf_dir: str) -> pd.DataFrame:
+    """A6 grouped error metrics (reference per-group scoring,
+    ``interpret.py:104-115`` with ``groupers``): the same naive lag-1
+    forecast scored per event_type through ``error_summary(group_cols=…)``
+    — partial errors in map_batches, then one small keyed shuffle."""
+    fr = _daily_frame(sf_dir).lag_features("v", [1])
+    preds = fr.dataset.map_batches(
+        lambda b: b[b["v_lag1"].notna()], batch_format="pandas")
+    out = metrics.error_summary(preds, "v", "v_lag1",
+                                group_cols=["event_type"])
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out[["event_type", "n", "MAPE", "MAPA", "MSE", "RMSE"]].copy()
+    out["n"] = out["n"].astype("int64")
+    out = _round(out, ["MAPE", "MAPA"], 6)
+    out = _round(out, ["MSE"], 2)
+    return _round(out, ["RMSE"], 4)
+
+
+def q_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """O7 sampling, production form: deterministic md5-bucket sample
+    (expected 12.5%) — reproducible across any cluster shape / resume,
+    unlike ``Dataset.random_sample`` (dev-only, per-block RNG)."""
+    from forecastframe_ray.stages.sample import deterministic_sample
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = deterministic_sample(orders, "o_orderkey", rate=0.125).to_pandas()
+    return out[["o_orderkey", "o_totalprice"]].astype({"o_orderkey": "int64"})
+
+
+SQL_SAMPLE_ORDERS = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) < CAST(floor(0.125 * 4294967296) AS BIGINT)
+"""
+
+
+SQL_ERROR_METRICS_BY_TYPE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    )
+    SELECT event_type, count(*) AS n,
+           round(avg(abs((v - lv) / v)), 6) AS MAPE,
+           round(1.0 - avg(abs((v - lv) / v)), 6) AS MAPA,
+           round(avg((v - lv) * (v - lv)), 2) AS MSE,
+           round(sqrt(avg((v - lv) * (v - lv))), 4) AS RMSE
+    FROM l WHERE lv IS NOT NULL
+    GROUP BY 1
 """
 
 
@@ -1463,6 +1518,50 @@ SQL_NGRAM_JACCARD = """
 """
 
 
+def q_lang_id_documents(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic (stopword-profile argmax over {de,en,es,fr},
+    ``und`` when no profile hits) — previously only rows-only inside
+    ``text_analysis_documents``; the oracle recomputes the token extraction,
+    per-language occurrence counts and the argmax-first tie-break in SQL
+    (VERDICT r3 #6: split SQL-expressible heuristic columns out)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda b: textstats.lang_id_batch(b),
+                           batch_format="pandas").to_pandas()
+    return out[["doc_id", "lang_pred"]].astype({"doc_id": "int64"})
+
+
+def _lang_list_sql(lang: str) -> str:
+    from forecastframe_ray.pipelines.textstats import _LANG_STOPS
+    return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_STOPS[lang])) + "]"
+
+
+#: numpy argmax takes the FIRST maximum in sorted language order
+#: (de, en, es, fr) — the CASE ladder reproduces exactly that tie-break.
+SQL_LANG_ID = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(coalesce(text, '')),
+                                  '[a-záéíóúäöüßàèùâêîôûç]+') AS t
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id,
+          length(list_filter(t, x -> list_contains({_lang_list_sql("de")}, x))) AS s_de,
+          length(list_filter(t, x -> list_contains({_lang_list_sql("en")}, x))) AS s_en,
+          length(list_filter(t, x -> list_contains({_lang_list_sql("es")}, x))) AS s_es,
+          length(list_filter(t, x -> list_contains({_lang_list_sql("fr")}, x))) AS s_fr
+        FROM toks
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM scores
+"""
+
+
 def q_minhash_recall(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH recall gate (VERDICT r3 #6): the LSH pair output at
     threshold 0.7 must contain ≥90% of ALL true pairs with exact Jaccard ≥
@@ -1673,6 +1772,82 @@ SQL_ENSEMBLE_PRED = f"""
            COALESCE(round(avg(v) OVER (PARTITION BY event_type, isodow(d)), 6),
                     {NULLF}) AS v_ensemble_pred
     FROM daily
+"""
+
+
+def q_search_cv_daily(sf_dir: str) -> pd.DataFrame:
+    """Grid-search cross-validation driver (reference grid/random search,
+    ``model.py:319-513`` + ``cross_validate``, ``model.py:1313-1417``): the
+    "fast" premade grid (2 seasons × 2 blends) of the stand-in seasonal-mean
+    estimator, scored on 2 expanding-window folds. The oracle recomputes the
+    distributed fit (train-only per-(series, day-of-week) and per-series
+    means), the broadcast score and the null-masked RMSE/MAPE per
+    (candidate, fold) entirely in SQL."""
+    from forecastframe_ray.pipelines import search
+
+    fr = _daily_frame(sf_dir)
+    results, _best = search.search_cv(fr, grid=search.premade_grids("fast"),
+                                      n_splits=2, gap=0)
+    out = results[["candidate", "blend", "season", "fold",
+                   "n_test", "rmse", "mape"]].copy()
+    for c in ("candidate", "fold", "n_test"):
+        out[c] = out[c].astype("int64")
+    out = _round(out, ["rmse"], 4)
+    return _round(out, ["mape"], 6)
+
+
+#: fold bounds mirror SQL_CV_FOLDS with n_splits=2, gap=0 (test chunks are
+#: the last 2 of 3 equal date blocks); candidate order is the sorted-name
+#: itertools.product of the "fast" grid: (blend, season) =
+#: (0,dow),(0,none),(0.5,dow),(0.5,none). ``isodow`` relabels pandas'
+#: Monday=0 buckets bijectively, which leaves the grouped means unchanged.
+SQL_SEARCH_CV = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    dd AS (SELECT d, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS rn
+           FROM (SELECT DISTINCT d FROM daily)),
+    params AS (SELECT count(*) AS n, count(*) // 3 AS ts FROM dd),
+    folds AS (SELECT unnest([0, 1]) AS fold),
+    bounds AS (SELECT fold, n - (2 - fold) * ts AS tsix, ts
+               FROM folds CROSS JOIN params),
+    lab AS (
+        SELECT b.fold, dd.d,
+               CASE WHEN dd.rn < b.tsix THEN 'train'
+                    WHEN dd.rn < b.tsix + b.ts THEN 'test'
+               END AS role
+        FROM bounds b CROSS JOIN dd
+    ),
+    rows_ AS (
+        SELECT l.fold, l.role, dy.event_type, dy.d, dy.v, isodow(dy.d) AS dw
+        FROM lab l JOIN daily dy ON dy.d = l.d
+        WHERE l.role IS NOT NULL
+    ),
+    s AS (SELECT fold, event_type, dw, avg(v) AS sm
+          FROM rows_ WHERE role = 'train' GROUP BY 1, 2, 3),
+    g AS (SELECT fold, event_type, avg(v) AS gm
+          FROM rows_ WHERE role = 'train' GROUP BY 1, 2),
+    cand AS (
+        SELECT * FROM (VALUES (0, 0.0, 'dow'), (1, 0.0, 'none'),
+                              (2, 0.5, 'dow'), (3, 0.5, 'none'))
+        AS t(candidate, blend, season)
+    ),
+    scored AS (
+        SELECT c.candidate, c.blend, c.season, r.fold, r.v,
+               CASE WHEN c.season = 'dow'
+                    THEN (1.0 - c.blend) * COALESCE(s.sm, g.gm)
+                         + c.blend * g.gm
+                    ELSE g.gm END AS pred
+        FROM rows_ r
+        JOIN g ON g.fold = r.fold AND g.event_type = r.event_type
+        LEFT JOIN s ON s.fold = r.fold AND s.event_type = r.event_type
+                   AND s.dw = r.dw
+        CROSS JOIN cand c
+        WHERE r.role = 'test'
+    )
+    SELECT CAST(candidate AS BIGINT) AS candidate, blend, season,
+           CAST(fold AS BIGINT) AS fold, count(*) AS n_test,
+           round(sqrt(avg((v - pred) * (v - pred))), 4) AS rmse,
+           round(avg(abs((v - pred) / v)), 6) AS mape
+    FROM scored GROUP BY 1, 2, 3, 4
 """
 
 

@@ -1,0 +1,56 @@
+"""Deterministic hash sampling (SURVEY.md O7).
+
+The reference samples with ``df.sample(n)`` for dev-time spot checks
+(`/root/reference/forecastframe/utilities.py` helpers); Ray Data's
+``Dataset.random_sample`` covers that interactive use but is seed-unstable
+across cluster shapes (per-block RNG), so it can't back a reproducible
+pipeline step or an oracle. This stage adds the production form: keep a row
+iff ``md5(str(key))`` falls under a rate threshold. Properties that matter
+at 100 TB:
+
+- **stateless + embarrassingly parallel** — a plain ``map_batches`` filter,
+  no shuffle, no driver participation, identical output for any block
+  layout or cluster size;
+- **stable under resume/backfill** — membership depends only on the key,
+  so re-running a partition (checkpoint resume) or sampling a later
+  delivery of the same corpus selects the same rows;
+- **oracle-able** — DuckDB's ``md5()`` computes the identical digest, so
+  the driver can verify the sample row-for-row in SQL.
+
+md5 here is a uniform hash, not cryptography. The per-row hashlib call is
+the same C-backed cost class as the exact-dedup digest pass
+(``dedup._digest_batch``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+#: md5-prefix space: the first 8 hex chars as an integer, in [0, 16**8)
+_SPACE = 16 ** 8
+
+
+def _bucket(keys: pd.Series) -> np.ndarray:
+    """First 32 bits of md5(str(key)) per row, as int64 in [0, 2^32)."""
+    return np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+         for s in keys.astype(str)),
+        dtype=np.int64, count=len(keys))
+
+
+def deterministic_sample(ds, key_col: str, rate: float):
+    """Keep rows whose md5 bucket < rate·2^32 — an expected-``rate`` sample
+    that is exactly reproducible everywhere (SQL twin:
+    ``WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+    < floor(rate * 16**8)``). ``rate`` ∈ (0, 1]."""
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    cut = int(rate * _SPACE)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[_bucket(b[key_col]) < cut]
+
+    return ds.map_batches(keep, batch_format="pandas")

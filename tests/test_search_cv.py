@@ -1,0 +1,103 @@
+"""Grid/random-search CV driver (`pipelines/search.py`) — the data-side of
+the reference's hyperparameter search (`/root/reference/forecastframe/
+model.py:319-513` grid/random search, `model.py:1110` best-pick by
+``rmse.idxmin``). A pandas oracle recomputes the seasonal-mean fit, the
+broadcast scoring and the per-(candidate, fold) RMSE exactly."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+
+from forecastframe_ray import RayForecastFrame
+from forecastframe_ray.pipelines import search
+
+
+def synth_daily() -> pd.DataFrame:
+    rows = []
+    dates = pd.date_range("2021-03-01", periods=42, freq="D")
+    for si, series in enumerate(["a", "b", "c"]):
+        for di, d in enumerate(dates):
+            v = 50.0 + 10 * si + 6 * np.sin(2 * np.pi * d.dayofweek / 7) \
+                + ((si * 13 + di * 7) % 11) - 5
+            rows.append((series, d, round(v, 3)))
+    return pd.DataFrame(rows, columns=["series", "d", "v"])
+
+
+def oracle_search(df: pd.DataFrame, grid: dict, n_splits: int, gap: int):
+    names = sorted(grid)
+    cands = [dict(zip(names, c))
+             for c in itertools.product(*(grid[n] for n in names))]
+    dates = sorted(df["d"].unique())
+    n = len(dates)
+    ts = n // (n_splits + 1)
+    rows = []
+    for fold in range(n_splits):
+        tsix = n - (n_splits - fold) * ts
+        train_end, t0 = dates[tsix - gap - 1], dates[tsix]
+        t1 = dates[min(tsix + ts, n) - 1]
+        fdf = df[(df["d"] <= train_end) | ((df["d"] >= t0) & (df["d"] <= t1))]
+        train, test = fdf[fdf["d"] < t0], fdf[fdf["d"] >= t0]
+        for ci, params in enumerate(cands):
+            season, blend = params["season"], params["blend"]
+            sfn = ((lambda s: s.dt.dayofweek) if season == "dow" else
+                   (lambda s: s.dt.day) if season == "dom" else
+                   (lambda s: pd.Series(np.zeros(len(s), dtype=int),
+                                        index=s.index)))
+            tr = train.assign(__s=sfn(train["d"]))
+            sm = tr.groupby(["series", "__s"], as_index=False)["v"].mean() \
+                .rename(columns={"v": "sp"})
+            gm = tr.groupby("series", as_index=False)["v"].mean() \
+                .rename(columns={"v": "gp"})
+            te = test.assign(__s=sfn(test["d"])) \
+                .merge(sm, how="left", on=["series", "__s"]) \
+                .merge(gm, how="left", on="series")
+            pred = ((1 - blend) * te["sp"].fillna(te["gp"])
+                    + blend * te["gp"]).to_numpy()
+            v = te["v"].to_numpy()
+            rows.append({"candidate": ci, "fold": fold,
+                         "rmse": float(np.sqrt(np.mean((v - pred) ** 2))),
+                         "mape": float(np.mean(np.abs((v - pred) / v))),
+                         "n_test": len(te)})
+    res = pd.DataFrame(rows)
+    best = cands[int(res.groupby("candidate")["rmse"].mean().idxmin())]
+    return res, best
+
+
+def test_search_cv_matches_oracle():
+    df = synth_daily()
+    fr = RayForecastFrame(df, "d", "v", ["series"], num_partitions=4)
+    grid = search.premade_grids("fast")
+    results, best = search.search_cv(fr, grid=grid, n_splits=3, gap=1)
+    oracle, obest = oracle_search(df, grid, n_splits=3, gap=1)
+    assert best == obest
+    m = results.merge(oracle, on=["candidate", "fold"], suffixes=("", "_o"))
+    assert len(m) == len(oracle) == 12  # 4 candidates x 3 folds
+    assert (m["n_test"] == m["n_test_o"]).all()
+    np.testing.assert_allclose(m["rmse"], m["rmse_o"], rtol=1e-9)
+    np.testing.assert_allclose(m["mape"], m["mape_o"], rtol=1e-9)
+
+
+def test_random_search_subset_and_determinism():
+    grid = search.premade_grids("full")
+    all_cands = search.grid_candidates(grid)
+    picks = search.random_candidates(grid, n_iter=5, seed=3)
+    assert len(picks) == 5
+    assert all(p in all_cands for p in picks)
+    assert picks == search.random_candidates(grid, n_iter=5, seed=3)
+    assert picks != search.random_candidates(grid, n_iter=5, seed=4)
+    # n_iter beyond the grid size degrades to the full grid
+    assert len(search.random_candidates(grid, n_iter=99)) == len(all_cands)
+
+
+def test_search_cv_respects_recorded_plan():
+    """Folds replay the recorded pipeline: searching on a log-scaled frame
+    scores in log space (fold refits the scaler on train only)."""
+    df = synth_daily()
+    fr = RayForecastFrame(df, "d", "v", ["series"], num_partitions=4)
+    fr.log_features(["v"])
+    results, _ = search.search_cv(
+        fr, grid={"season": ["none"], "blend": [0.0]}, n_splits=2)
+    # log1p(v) is O(4); raw-space RMSE would be O(10)
+    assert (results["rmse"] < 1.0).all()
+    assert (results["n_test"] > 0).all()

@@ -332,6 +332,9 @@ def run_llm_scaling(num_docs: int, levels=(2, 8), repeats: int = 2,
         "scaling_efficiency": round(eff, 3),
         "efficiency_samples": [p[0] for p in pairs],
         "sample_orders": [p[1] for p in pairs],
+        "sample_walls": [[p[2]["wall_s"], p[3]["wall_s"]] for p in pairs],
+        "sample_stage_walls": [[p[2].get("stage_wall_s"),
+                                p[3].get("stage_wall_s")] for p in pairs],
         "control_efficiency_samples": control_effs,
         "control_efficiency": round(sum(control_effs) / len(control_effs), 3)
         if control_effs else None,

@@ -69,15 +69,16 @@ def dedup_pipeline(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     t0 = time.perf_counter()
 
     # 3. exact dedup (digest → min-id per digest, keep-set worker-side).
-    # repartition before materializing: the dedup scale path is a hash join
-    # whose partition count is capped by CPU slots (resident-aggregator
-    # deadlock above it), so its output lands in ~16 fat blocks — without
-    # the split, every downstream stage (minhash signatures, candidate text
-    # scans in each verify wave) runs at 16-way parallelism regardless of
-    # cluster size
     kept = D.exact_dedup(cleaned, text_col=text_col, id_col=id_col) \
-        .repartition(num_partitions) \
         .materialize()  # reused: minhash signatures + candidate text fetch
+    if kept.num_blocks() < num_partitions:
+        # only the dedup SCALE path (a hash join whose partition count is
+        # capped by CPU slots) lands in ~16 fat blocks; split those so
+        # downstream stages (minhash signatures, candidate text scans in
+        # each verify wave) aren't pinned at 16-way parallelism. The common
+        # broadcast-filter path inherits the input's block count and skips
+        # this extra corpus copy (round-4 serial-floor shave).
+        kept = kept.repartition(num_partitions).materialize()
     n_exact = kept.count()
     stage_wall["exact_dedup_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()

@@ -1,0 +1,59 @@
+"""Deterministic md5-bucket sampling (`stages/sample.py`, SURVEY O7
+production form): cluster-shape stability, rate monotonicity, and parity
+with the DuckDB oracle expression."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from forecastframe_ray.stages.sample import deterministic_sample
+
+
+def _df(n=2000):
+    return pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                         "v": np.arange(n, dtype=np.float64) * 0.5})
+
+
+def _ids(ds):
+    return set(ds.to_pandas()["k"].tolist())
+
+
+def test_sample_stable_across_partitionings():
+    df = _df()
+    a = _ids(deterministic_sample(
+        ray.data.from_pandas(df).repartition(2), "k", 0.25))
+    b = _ids(deterministic_sample(
+        ray.data.from_pandas(df).repartition(13), "k", 0.25))
+    assert a == b and 0 < len(a) < len(df)
+    # expected-rate sanity: binomial(2000, .25) within 5 sigma
+    assert abs(len(a) - 500) < 5 * (2000 * 0.25 * 0.75) ** 0.5
+
+
+def test_sample_rate_monotone():
+    ds = ray.data.from_pandas(_df())
+    small = _ids(deterministic_sample(ds, "k", 0.1))
+    big = _ids(deterministic_sample(ds, "k", 0.4))
+    assert small < big  # strict subset: same hash, larger cut
+
+
+def test_sample_matches_duckdb_oracle():
+    df = _df(500)
+    got = sorted(_ids(deterministic_sample(ray.data.from_pandas(df), "k", 0.125)))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = [r[0] for r in con.execute("""
+        SELECT k FROM t
+        WHERE CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8))
+                   AS BIGINT) < CAST(floor(0.125 * 4294967296) AS BIGINT)
+        ORDER BY k""").fetchall()]
+    assert got == want
+
+
+def test_sample_rate_validation():
+    ds = ray.data.from_pandas(_df(10))
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            deterministic_sample(ds, "k", bad)

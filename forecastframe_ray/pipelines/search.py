@@ -91,8 +91,13 @@ def score_seasonal_mean(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+#: name -> (fit, score, fit_param_names). ``fit_param_names`` declares which
+#: candidate params the FIT depends on (the rest only affect scoring), so
+#: the search driver can share one fitted state across candidates that
+#: differ only in score-time params — e.g. ``blend`` mixes two fitted means
+#: at score time, so a (dow, 0.0) and (dow, 0.5) candidate share one fit.
 ESTIMATORS = {
-    "seasonal_mean": (fit_seasonal_mean, score_seasonal_mean),
+    "seasonal_mean": (fit_seasonal_mean, score_seasonal_mean, ("season",)),
 }
 
 
@@ -143,7 +148,7 @@ def search_cv(fr, grid: dict | None = None, estimator: str = "seasonal_mean",
     grid = grid or premade_grids("fast")
     cands = (random_candidates(grid, n_iter, seed) if n_iter
              else grid_candidates(grid))
-    fit_fn, score_fn = ESTIMATORS[estimator]
+    fit_fn, score_fn, fit_param_names = ESTIMATORS[estimator]
     dtc, tgt = fr.datetime_column, fr.target
     keys = list(fr.hierarchy or [])
     out_col = f"{tgt}_pred"
@@ -162,9 +167,14 @@ def search_cv(fr, grid: dict | None = None, estimator: str = "seasonal_mean",
         folds.append((fold, train, test))
 
     rows = []
+    fit_cache: dict = {}  # (fold, fit-relevant params) -> fitted state
     for ci, params in enumerate(cands):
         for fi, (fold, train, test) in enumerate(folds):
-            state = fit_fn(train, keys, dtc, tgt, **params)
+            fkey = (fi, tuple((k, params[k]) for k in sorted(fit_param_names)))
+            if fkey not in fit_cache:
+                fit_cache[fkey] = fit_fn(train, keys, dtc, tgt, **params)
+            state = dict(fit_cache[fkey], **{
+                k: v for k, v in params.items() if k not in fit_param_names})
             scored = score_fn(test, state, keys, dtc, tgt, out_col)
             m = error_summary(scored, tgt, out_col)
             rows.append({"candidate": ci, **params, "fold": fi,

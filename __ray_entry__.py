@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_cv_daily": Q.q_search_cv_daily,
         "error_metrics_by_type": Q.q_error_metrics_by_type,
         "sample_orders_deterministic": Q.q_sample_orders,
+        "doc_fingerprint_documents": Q.q_doc_fingerprint_documents,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -148,8 +149,10 @@ def oracle_sql() -> dict[str, str]:
     oracle-GATED by ``minhash_recall`` / ``simhash_recall``),
     ``ann_ivf_embeddings``
     (approximate; gated by ``ann_ivf_recall``), ``text_analysis_documents``
-    (full heuristic set; the SQL-expressible ratios are oracled as
-    ``text_ratios_documents``), ``llm_pipeline_documents`` (full chain with
+    (a composite whose every column family is now independently oracled:
+    ``token_counts_documents``, ``text_ratios_documents``,
+    ``lang_id_documents``, ``doc_fingerprint_documents``),
+    ``llm_pipeline_documents`` (full chain with
     MinHash clustering — its exact funnel half is fully oracled as
     ``llm_exact_funnel_documents``)."""
     from forecastframe_ray.pipelines import queries as Q
@@ -210,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "search_cv_daily": Q.SQL_SEARCH_CV,
         "error_metrics_by_type": Q.SQL_ERROR_METRICS_BY_TYPE,
         "sample_orders_deterministic": Q.SQL_SAMPLE_ORDERS,
+        "doc_fingerprint_documents": Q.SQL_DOC_FINGERPRINT,
         "multimodal_resize": Q.SQL_MULTIMODAL_RESIZE,
         "csv_roundtrip_events": Q.SQL_CSV_ROUNDTRIP,
         "anti_join_orders": Q.SQL_ANTI_JOIN_ORDERS,

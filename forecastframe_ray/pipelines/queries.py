@@ -1562,6 +1562,62 @@ SQL_LANG_ID = rf"""
 """
 
 
+def q_doc_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
+    """Document fingerprint (rolling-hash min ⊕ byte length) — the last
+    heuristic column of ``text_analysis_documents`` promoted to a full SQL
+    oracle (VERDICT r3 #6 tail): DuckDB recomputes the width-8 polynomial
+    rolling hash over the UTF-8 bytes with the same wrapped-mod-2^64
+    powers, including the pad-to-width short-doc path. uint64 fingerprints
+    are reinterpreted as int64 bit patterns on BOTH sides."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda b: textstats.fingerprint_batch(b),
+                           batch_format="pandas").to_pandas()
+    out["doc_fingerprint"] = \
+        out["doc_fingerprint"].to_numpy(dtype=np.uint64).astype(np.int64)
+    return out[["doc_id", "doc_fingerprint"]].astype({"doc_id": "int64"})
+
+
+def _fp_terms() -> str:
+    base = 1099511628211  # _FP_BASE (FNV prime), powers wrapped mod 2^64
+    return " + ".join(
+        "CAST(CAST(concat('0x', substr(h, 2*(p + {j}) + 1, 2)) AS INT) "
+        "AS HUGEINT) * {w}::HUGEINT".format(j=j, w=pow(base, 7 - j, 2 ** 64))
+        for j in range(8))
+
+
+SQL_DOC_FINGERPRINT = f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+               octet_length(encode(coalesce(text, ''))) AS n
+        FROM documents
+    ),
+    padded AS (  -- rolling_hashes zero-pads docs shorter than the width
+        SELECT doc_id,
+               CASE WHEN n < 8 THEN h || repeat('00', 8 - n) ELSE h END AS h,
+               n, CASE WHEN n = 0 THEN 0 ELSE greatest(n - 7, 1) END AS nwin
+        FROM b
+    ),
+    w AS (SELECT doc_id, n, unnest(range(nwin)) AS p, h
+          FROM padded WHERE n > 0),
+    hashes AS (
+        SELECT doc_id, n,
+               ({_fp_terms()}) % 18446744073709551616::HUGEINT AS rh
+        FROM w
+    ),
+    mins AS (SELECT doc_id, n, min(rh) AS m FROM hashes GROUP BY 1, 2),
+    fp AS (
+        SELECT doc_id, xor(m, n::HUGEINT) AS f FROM mins
+        UNION ALL
+        SELECT doc_id, 0::HUGEINT FROM b WHERE n = 0
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+                     THEN f - 18446744073709551616::HUGEINT
+                     ELSE f END AS BIGINT) AS doc_fingerprint
+    FROM fp
+"""
+
+
 def q_minhash_recall(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH recall gate (VERDICT r3 #6): the LSH pair output at
     threshold 0.7 must contain ≥90% of ALL true pairs with exact Jaccard ≥

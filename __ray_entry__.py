@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_metrics_by_type": Q.q_error_metrics_by_type,
         "sample_orders_deterministic": Q.q_sample_orders,
         "doc_fingerprint_documents": Q.q_doc_fingerprint_documents,
+        "tier_incremental_1d_events": Q.q_tier_incremental_1d_events,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "error_metrics_by_type": Q.SQL_ERROR_METRICS_BY_TYPE,
         "sample_orders_deterministic": Q.SQL_SAMPLE_ORDERS,
         "doc_fingerprint_documents": Q.SQL_DOC_FINGERPRINT,
+        "tier_incremental_1d_events": Q.TIER_SQL["1d"],
         "multimodal_resize": Q.SQL_MULTIMODAL_RESIZE,
         "csv_roundtrip_events": Q.SQL_CSV_ROUNDTRIP,
         "anti_join_orders": Q.SQL_ANTI_JOIN_ORDERS,

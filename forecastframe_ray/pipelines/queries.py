@@ -89,6 +89,50 @@ def q_tier_7d_events(sf_dir: str) -> pd.DataFrame:
     return _tier_output(_event_tiers(sf_dir, ("7d",))["7d"], "7d")
 
 
+def q_tier_incremental_1d_events(sf_dir: str) -> pd.DataFrame:
+    """Continuous-aggregate maintenance (north_rule retention tiers,
+    incremental form): build the 1d tier from the even-epoch-day half of
+    events into a checkpoint store, fold the odd-day half in as a delta via
+    the partition-granular algebraic merge
+    (``checkpoint.merge_partitioned``), re-apply the same delta (must
+    no-op: delta_id idempotence), and read the store back. The oracle is
+    the FULL-build 1d tier SQL — incremental == rebuild, exactly."""
+    import shutil
+    import tempfile
+
+    from forecastframe_ray.state import checkpoint
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def half(b: pd.DataFrame, keep_even: bool) -> pd.DataFrame:
+        day = b["ts"].astype("int64") // DAY_US
+        return b[(day % 2 == 0) == keep_even]
+
+    def tier_1d(ds):
+        return rollup.rollup_tiers(ds, ["event_type"], "ts",
+                                   value_col="value", size_col=None,
+                                   num_salts=8, tiers=("1d",))["1d"]
+
+    out = tempfile.mkdtemp(prefix="ffray_inc1d_")
+    try:
+        base = ev.map_batches(lambda b: half(b, True), batch_format="pandas")
+        checkpoint.write_partitioned(
+            tier_1d(base), out, "1d", ["event_type"], num_partitions=4,
+            sort_cols=["event_type", "bucket_us"])
+        delta = tier_1d(ev.map_batches(lambda b: half(b, False),
+                                       batch_format="pandas")).materialize()
+        for _ in range(2):  # second application must be a no-op
+            checkpoint.merge_partitioned(
+                delta, out, "1d", ["event_type"],
+                ["event_type", "bucket_us"], rollup.TIER_PLAN,
+                delta_id="odd-days", num_partitions=4,
+                sort_cols=["event_type", "bucket_us"],
+                finalize_fn=lambda d: rollup.finalize_tier_batch(d, "1d"))
+        return _tier_output(checkpoint.read_tier(out, "1d"), "1d")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _tier_sql(width_us: int) -> str:
     return f"""
     SELECT event_type,

@@ -50,6 +50,9 @@ _TIER_PLAN = {
     "sum_val": ("sum_val", "sum"), "min_val": ("min_val", "min"),
     "max_val": ("max_val", "max"), "sum_sq": ("sum_sq", "sum"),
 }
+#: public name for the algebraic merge plan — also the incremental-append
+#: contract used by ``state.checkpoint.merge_partitioned``
+TIER_PLAN = _TIER_PLAN
 
 
 def partial_bucket_aggregate(series_keys: list[str], ts_col: str, value_col: str,

@@ -84,6 +84,36 @@ def write_tiers(tiers: dict, out_dir: str, series_keys=("host",),
     return rows
 
 
+def append_tiers(pages_ds, out_dir: str, delta_id: str,
+                 series_keys=("host",), num_salts: int = 16,
+                 num_partitions: int = 32) -> list[dict]:
+    """Continuous-aggregate maintenance: fold a NEW batch of pages (e.g.
+    today's crawl) into an existing checkpointed tier store without
+    rebuilding it. The delta's own 1h/1d/7d tier tables are built with the
+    normal cascade (tiny relative to the corpus), then merged into the
+    stored tiers partition-granularly via the algebraic
+    (count, sum, min, max, Σx²) carry — the result is EXACTLY the tiers a
+    full rebuild over old+new pages would produce (pinned by
+    ``tests/test_incremental_tiers.py`` and the
+    ``tier_incremental_1d_events`` driver oracle).
+
+    ``delta_id`` names the batch for idempotence: re-running the same
+    append after a crash skips partitions already merged for it."""
+    prepared = (prepare_series(pages_ds) if tuple(series_keys) == ("host",)
+                else prepare_pages(pages_ds))
+    delta = build_tiers(prepared, series_keys, num_salts)
+    rows = []
+    for tier, ds in delta.items():
+        rows += checkpoint.merge_partitioned(
+            ds, out_dir, tier, list(series_keys),
+            list(series_keys) + ["bucket_us"], rollup.TIER_PLAN,
+            delta_id=delta_id, num_partitions=num_partitions,
+            sort_cols=list(series_keys) + ["bucket_us"],
+            finalize_fn=lambda df, tier=tier:
+                rollup.finalize_tier_batch(df, tier))
+    return rows
+
+
 def compress_tier(tier_ds, series_keys=("host",), tier: str = "1h",
                   value_col: str = "pages", num_partitions: int = 32):
     """Gorilla-encode one tier's (host → bucket series) into chunk rows."""

@@ -123,6 +123,119 @@ def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
     return rows
 
 
+def merge_partitioned(delta_ds, out_dir: str, tier: str,
+                      partition_keys: list[str], group_keys: list[str],
+                      merge_plan: dict, delta_id: str,
+                      num_partitions: int = 32,
+                      sort_cols: list[str] | None = None,
+                      finalize_fn=None,
+                      fail_after: int | None = None) -> list[dict]:
+    """Continuous-aggregate maintenance: merge a DELTA of algebraic stat
+    rows (e.g. a new crawl batch's tier table) into the checkpointed tier,
+    rewriting ONLY the partitions the delta lands in — the incremental form
+    of the north_rule's 1h/1d/7d retention tiers (no TimescaleDB analog
+    consulted; the algebra is the same (count, sum, min, max, Σx²) carry
+    the cascade in :mod:`forecastframe_ray.pipelines.rollup` already uses).
+
+    - ``merge_plan``: ``{col: (col, op)}`` over the algebraic columns; any
+      derived columns (mean/std/labels) in the delta or the stored files
+      are dropped before merging and rebuilt by ``finalize_fn``.
+    - **Idempotent per** ``delta_id``: each rewritten partition's manifest
+      row records ``delta_id`` and a bumped ``gen``; re-applying the same
+      delta (crash-retry of an append job) skips partitions whose latest
+      manifest row already carries it, so stats are never double-counted.
+    - Untouched partitions keep their files and manifest rows; lineage
+      stays partition-granular (`gen` chains the rewrites).
+    - ``fail_after``: test hook, as in :func:`write_partitioned`.
+
+    At 100 TB framing the delta is one ingest batch: its tier table is
+    orders of magnitude smaller than the stored tiers, and the merge cost
+    is proportional to the AFFECTED partitions, not the corpus.
+    """
+    tier_dir = os.path.join(out_dir, f"tier={tier}")
+    os.makedirs(tier_dir, exist_ok=True)
+    done = load_done(out_dir)
+    skip = {p for (t, p), row in done.items()
+            if t == tier and row.get("delta_id") == delta_id}
+    gens = {p: int(row.get("gen", 0))
+            for (t, p), row in done.items() if t == tier}
+    merge_cols = list(group_keys) + list(merge_plan)
+
+    def assign(batch: pd.DataFrame):
+        batch = batch.copy()
+        batch[PART_COL] = K.partition_ids(batch, partition_keys, num_partitions)
+        if skip:
+            batch = batch[~batch[PART_COL].isin(list(skip))]
+        if len(batch) == 0:  # typed empty block (see write_partitioned)
+            tbl = pa.Table.from_pandas(batch, preserve_index=False)
+            return tbl.cast(pa.schema(
+                [pa.field(f.name, pa.string())
+                 if pa.types.is_null(f.type) else f for f in tbl.schema]))
+        return batch
+
+    def merge_part(part_df: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        part = int(part_df[PART_COL].iloc[0])
+        frames = [part_df[merge_cols]]
+        final = os.path.join(tier_dir, f"part={part}.parquet")
+        applied: list[str] = []
+        if os.path.exists(final):
+            old = pq.read_table(final)
+            meta = (old.schema.metadata or {}).get(b"delta_ids")
+            applied = json.loads(meta) if meta else []
+            if delta_id in applied:
+                # crash landed between this partition's atomic file replace
+                # and its manifest append — the FILE already carries this
+                # delta (metadata backstop); just re-emit the lineage row
+                df_old = old.to_pandas()
+                return pd.DataFrame([{
+                    "tier": tier, "part": part, "rows": len(df_old),
+                    "points": len(df_old),
+                    "checksum": _partition_checksum(df_old),
+                    "wall_s": round(time.perf_counter() - t0, 4),
+                    "fingerprint": f"{tier}/{part}/{num_partitions}",
+                    "gen": gens.get(part, 0) + 1, "delta_id": delta_id,
+                }])
+            frames.append(old.to_pandas()[merge_cols])
+        allf = pd.concat(frames, ignore_index=True)
+        df = allf.groupby(list(group_keys), as_index=False, sort=False,
+                          observed=True) \
+            .agg(**{c: (src, op) for c, (src, op) in merge_plan.items()})
+        if finalize_fn is not None:
+            df = finalize_fn(df)
+        if sort_cols:
+            df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        tbl = tbl.replace_schema_metadata({
+            **{k: v for k, v in (tbl.schema.metadata or {}).items()},
+            b"delta_ids": json.dumps(applied + [delta_id]).encode(),
+        })
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp, use_dictionary=True, compression="zstd")
+        os.replace(tmp, final)
+        return pd.DataFrame([{
+            "tier": tier, "part": part, "rows": len(df), "points": len(df),
+            "checksum": _partition_checksum(df),
+            "wall_s": round(time.perf_counter() - t0, 4),
+            "fingerprint": f"{tier}/{part}/{num_partitions}",
+            "gen": gens.get(part, 0) + 1, "delta_id": delta_id,
+        }])
+
+    results = (
+        delta_ds.map_batches(assign, batch_format="pandas")
+        .groupby(PART_COL)
+        .map_groups(merge_part, batch_format="pandas")
+    ).to_pandas()
+
+    rows = results.to_dict("records")
+    if fail_after is not None:
+        rows = rows[:fail_after]
+    append_manifest(out_dir, rows)
+    if fail_after is not None:
+        raise RuntimeError(f"simulated crash after {fail_after} partitions")
+    return rows
+
+
 def read_tier(out_dir: str, tier: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(out_dir, f"tier={tier}"))

@@ -1,0 +1,128 @@
+"""Continuous-aggregate maintenance (`checkpoint.merge_partitioned` +
+`web.append_tiers`): incremental tier append must equal a full rebuild
+exactly (the algebraic (count, sum, min, max, Σx²) carry composes), stay
+idempotent per delta_id, and survive a mid-merge crash + retry."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from forecastframe_ray.pipelines import rollup, web
+from forecastframe_ray.state import checkpoint
+from forecastframe_ray import synth
+
+
+def _events(n=4000, seed=3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2024-02-01").value // 1000 + \
+        rng.integers(0, 21 * 86_400_000_000, n)
+    return pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c", "d"], n),
+        # the tier kernel contracts timestamp[us] (as the parquet tables
+        # carry); pandas defaults to ns
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]"),
+        "value": np.round(rng.standard_normal(n) * 50 + 100, 3),
+    })
+
+
+def _tier_frame(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    cols = ["event_type", "bucket_us"] + list(rollup.TIER_PLAN)
+    df = df[cols].sort_values(["event_type", "bucket_us"]) \
+        .reset_index(drop=True)
+    for c in rollup.TIER_PLAN:
+        df[c] = np.round(df[c].to_numpy(dtype=np.float64), 6)
+    return df
+
+
+def _build_1d(df: pd.DataFrame):
+    return rollup.rollup_tiers(
+        ray.data.from_pandas(df).repartition(4), ["event_type"], "ts",
+        value_col="value", size_col=None, tiers=("1d",))["1d"]
+
+
+def test_incremental_equals_full_rebuild(tmp_path):
+    df = _events()
+    cut = pd.Timestamp("2024-02-12")
+    out = str(tmp_path / "tiers")
+
+    checkpoint.write_partitioned(
+        _build_1d(df[df["ts"] < cut]), out, "1d", ["event_type"],
+        num_partitions=4, sort_cols=["event_type", "bucket_us"])
+    delta = _build_1d(df[df["ts"] >= cut]).materialize()
+    rows = checkpoint.merge_partitioned(
+        delta, out, "1d", ["event_type"], ["event_type", "bucket_us"],
+        rollup.TIER_PLAN, delta_id="batch-2",
+        num_partitions=4, sort_cols=["event_type", "bucket_us"],
+        finalize_fn=lambda d: rollup.finalize_tier_batch(d, "1d"))
+    assert rows and all(r["delta_id"] == "batch-2" for r in rows)
+
+    merged = _tier_frame(checkpoint.read_tier(out, "1d"))
+    full = _tier_frame(_build_1d(df))
+    pd.testing.assert_frame_equal(merged, full)
+
+    # idempotence: re-applying the same delta_id is a no-op
+    again = checkpoint.merge_partitioned(
+        delta, out, "1d", ["event_type"], ["event_type", "bucket_us"],
+        rollup.TIER_PLAN, delta_id="batch-2",
+        num_partitions=4, sort_cols=["event_type", "bucket_us"],
+        finalize_fn=lambda d: rollup.finalize_tier_batch(d, "1d"))
+    assert again == []
+    pd.testing.assert_frame_equal(
+        _tier_frame(checkpoint.read_tier(out, "1d")), full)
+
+    # gen lineage chains the rewrites
+    done = checkpoint.load_done(out)
+    assert all(row.get("gen", 0) >= 1 for (t, p), row in done.items()
+               if t == "1d" and row.get("delta_id") == "batch-2")
+
+
+def test_crash_retry_does_not_double_count(tmp_path):
+    df = _events(seed=11)
+    cut = pd.Timestamp("2024-02-10")
+    out = str(tmp_path / "tiers")
+    checkpoint.write_partitioned(
+        _build_1d(df[df["ts"] < cut]), out, "1d", ["event_type"],
+        num_partitions=4, sort_cols=["event_type", "bucket_us"])
+    delta = _build_1d(df[df["ts"] >= cut]).materialize()
+
+    kw = dict(partition_keys=["event_type"],
+              group_keys=["event_type", "bucket_us"],
+              merge_plan=rollup.TIER_PLAN, delta_id="batch-2",
+              num_partitions=4, sort_cols=["event_type", "bucket_us"],
+              finalize_fn=lambda d: rollup.finalize_tier_batch(d, "1d"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        checkpoint.merge_partitioned(delta, out, "1d", fail_after=2, **kw)
+    # retry completes only the unmerged partitions; totals stay exact
+    checkpoint.merge_partitioned(delta, out, "1d", **kw)
+    pd.testing.assert_frame_equal(
+        _tier_frame(checkpoint.read_tier(out, "1d")),
+        _tier_frame(_build_1d(df)))
+
+
+def test_append_tiers_pages_end_to_end(tmp_path):
+    """web.append_tiers over the pages corpus: full rebuild == base+delta
+    across all three tiers, including the derived mean/std columns."""
+    base_dir, delta_dir = str(tmp_path / "p1"), str(tmp_path / "p2")
+    synth.write_pages_corpus(base_dir, 3000, seed=42)
+    synth.write_pages_corpus(delta_dir, 3000, seed=43)
+    out = str(tmp_path / "tiers")
+
+    base = ray.data.read_parquet(base_dir)
+    web.run(base, out_dir=out, compress=False)
+    rows = web.append_tiers(ray.data.read_parquet(delta_dir), out,
+                            delta_id="crawl-43", num_partitions=32)
+    assert rows
+
+    both = base.union(ray.data.read_parquet(delta_dir))
+    full = web.build_tiers(web.prepare_series(both))
+    for tier in ("1h", "1d", "7d"):
+        got = checkpoint.read_tier(out, tier).to_pandas()
+        want = full[tier].to_pandas()
+        cols = ["host", "bucket_us"] + list(rollup.TIER_PLAN) + \
+            ["mean_val", "std_val"]
+        got = got[cols].sort_values(["host", "bucket_us"]).reset_index(drop=True)
+        want = want[cols].sort_values(["host", "bucket_us"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, rtol=1e-9, atol=1e-9)

@@ -236,6 +236,67 @@ def merge_partitioned(delta_ds, out_dir: str, tier: str,
     return rows
 
 
+def expire_tier(out_dir: str, tier: str, cutoff_us: int,
+                bucket_col: str = "bucket_us") -> list[dict]:
+    """Retention expiry — the other half of continuous-aggregate
+    maintenance: drop buckets strictly older than ``cutoff_us`` from a
+    checkpointed tier (e.g. keep 1h for 30 days, 1d for a year; the 7d
+    tier retains the coarse history). Partition-granular and idempotent:
+    each partition file's footer min/max statistics on ``bucket_col``
+    decide whether it is touched at all — a partition whose oldest bucket
+    is already >= cutoff is skipped without reading data, so repeated
+    expiry sweeps cost metadata only. Rewrites are atomic, drop to file
+    deletion when everything expires, and append gen-chained manifest rows
+    (``expired_before`` records the cutoff).
+
+    Driver-side loop over partition FILES (not rows): the per-tier
+    partition count is bounded (the layout's ``num_partitions``), and each
+    touched file rewrite is one pruned parquet read/write — on a cluster
+    this loop is trivially dispatchable, but it is metadata-scale work
+    either way."""
+    tier_dir = os.path.join(out_dir, f"tier={tier}")
+    gens = {p: int(row.get("gen", 0))
+            for (t, p), row in load_done(out_dir).items() if t == tier}
+    rows: list[dict] = []
+    if not os.path.isdir(tier_dir):
+        return rows
+    for fname in sorted(os.listdir(tier_dir)):
+        if not (fname.startswith("part=") and fname.endswith(".parquet")):
+            continue
+        part = int(fname[len("part="):-len(".parquet")])
+        path = os.path.join(tier_dir, fname)
+        t0 = time.perf_counter()
+        pf = pq.ParquetFile(path)
+        idx = pf.schema_arrow.get_field_index(bucket_col)
+        mins = [pf.metadata.row_group(g).column(idx).statistics.min
+                for g in range(pf.metadata.num_row_groups)]
+        if mins and min(mins) >= cutoff_us:
+            continue  # nothing to expire — metadata-only skip
+        df = pf.read().to_pandas()
+        meta = pf.schema_arrow.metadata or {}
+        kept = df[df[bucket_col] >= cutoff_us].reset_index(drop=True)
+        if len(kept) == len(df):
+            continue
+        if len(kept) == 0:
+            os.remove(path)
+        else:
+            tbl = pa.Table.from_pandas(kept, preserve_index=False)
+            tbl = tbl.replace_schema_metadata(
+                {**{k: v for k, v in meta.items()}})
+            tmp = path + f".tmp.{os.getpid()}"
+            pq.write_table(tbl, tmp, use_dictionary=True, compression="zstd")
+            os.replace(tmp, path)
+        rows.append({
+            "tier": tier, "part": part, "rows": len(kept),
+            "points": len(kept), "checksum": _partition_checksum(kept),
+            "wall_s": round(time.perf_counter() - t0, 4),
+            "fingerprint": f"{tier}/{part}/expire",
+            "gen": gens.get(part, 0) + 1, "expired_before": int(cutoff_us),
+        })
+    append_manifest(out_dir, rows)
+    return rows
+
+
 def read_tier(out_dir: str, tier: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(out_dir, f"tier={tier}"))

@@ -34,6 +34,16 @@ def main() -> int:
     ap.add_argument("--num-partitions", type=int, default=64)
     ap.add_argument("--series-keys", default="host")
     ap.add_argument("--no-compress", action="store_true")
+    ap.add_argument("--append", metavar="DELTA_ID",
+                    help="continuous-aggregate mode: fold the input batch "
+                         "into the existing tier store at --out (exact "
+                         "algebraic merge, idempotent per DELTA_ID) instead "
+                         "of a full build")
+    ap.add_argument("--expire-1h-before", type=int, default=None,
+                    metavar="EPOCH_US",
+                    help="retention sweep: drop 1h buckets older than this "
+                         "epoch-microsecond cutoff (idempotent; footer-stats "
+                         "skip makes repeat sweeps metadata-only)")
     args = ap.parse_args()
 
     import ray
@@ -53,15 +63,35 @@ def main() -> int:
     from forecastframe_ray import synth
     from forecastframe_ray.pipelines import web
 
+    if args.expire_1h_before is not None and not args.synth_pages \
+            and not args.input:
+        from forecastframe_ray.state import checkpoint
+        rows = checkpoint.expire_tier(args.out, "1h", args.expire_1h_before)
+        print(json.dumps({"expired_partitions": len(rows)}))
+        ray.shutdown()
+        return 0
+
     if args.synth_pages:
         pages = synth.pages_dataset(args.synth_pages, seed=42, num_domains=2000)
     else:
         pages = ray.data.read_parquet(args.input)
 
-    metrics = web.run(pages, out_dir=args.out,
-                      series_keys=tuple(args.series_keys.split(",")),
-                      num_partitions=args.num_partitions,
-                      compress=not args.no_compress)
+    if args.append:
+        rows = web.append_tiers(
+            pages, args.out, delta_id=args.append,
+            series_keys=tuple(args.series_keys.split(",")),
+            num_partitions=args.num_partitions)
+        metrics = {"mode": "append", "delta_id": args.append,
+                   "merged_partitions": len(rows)}
+    else:
+        metrics = web.run(pages, out_dir=args.out,
+                          series_keys=tuple(args.series_keys.split(",")),
+                          num_partitions=args.num_partitions,
+                          compress=not args.no_compress)
+    if args.expire_1h_before is not None:
+        from forecastframe_ray.state import checkpoint
+        metrics["expired_partitions"] = len(
+            checkpoint.expire_tier(args.out, "1h", args.expire_1h_before))
     print(json.dumps(metrics))
     ray.shutdown()
     return 0

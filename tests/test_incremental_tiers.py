@@ -102,6 +102,43 @@ def test_crash_retry_does_not_double_count(tmp_path):
         _tier_frame(_build_1d(df)))
 
 
+def test_expire_tier_retention(tmp_path):
+    """Retention sweep: buckets before the cutoff disappear, later buckets
+    are untouched byte-for-byte, a repeat sweep is metadata-only (no new
+    manifest rows), and append-after-expire still merges exactly."""
+    df = _events(seed=7)
+    out = str(tmp_path / "tiers")
+    checkpoint.write_partitioned(
+        _build_1d(df), out, "1d", ["event_type"], num_partitions=4,
+        sort_cols=["event_type", "bucket_us"])
+    cutoff = int(pd.Timestamp("2024-02-08").value // 1000)
+
+    before = _tier_frame(checkpoint.read_tier(out, "1d"))
+    rows = checkpoint.expire_tier(out, "1d", cutoff)
+    assert rows and all(r["expired_before"] == cutoff for r in rows)
+    after = _tier_frame(checkpoint.read_tier(out, "1d"))
+    assert (after["bucket_us"] >= cutoff).all()
+    pd.testing.assert_frame_equal(
+        after, before[before["bucket_us"] >= cutoff].reset_index(drop=True))
+
+    # repeat sweep: footer-stats skip, no rewrites
+    assert checkpoint.expire_tier(out, "1d", cutoff) == []
+
+    # append after expiry: delta merges against the pruned store
+    extra = _events(n=800, seed=21)
+    extra = extra[extra["ts"] >= pd.Timestamp("2024-02-08")]
+    checkpoint.merge_partitioned(
+        _build_1d(extra).materialize(), out, "1d", ["event_type"],
+        ["event_type", "bucket_us"], rollup.TIER_PLAN, delta_id="late",
+        num_partitions=4, sort_cols=["event_type", "bucket_us"],
+        finalize_fn=lambda d: rollup.finalize_tier_batch(d, "1d"))
+    want = _tier_frame(_build_1d(
+        pd.concat([df[pd.to_datetime(df["ts"]) >= pd.Timestamp("2024-02-08")],
+                   extra], ignore_index=True)))
+    pd.testing.assert_frame_equal(
+        _tier_frame(checkpoint.read_tier(out, "1d")), want)
+
+
 def test_append_tiers_pages_end_to_end(tmp_path):
     """web.append_tiers over the pages corpus: full rebuild == base+delta
     across all three tiers, including the derived mean/std columns."""

@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_orders_deterministic": Q.q_sample_orders,
         "doc_fingerprint_documents": Q.q_doc_fingerprint_documents,
         "tier_incremental_1d_events": Q.q_tier_incremental_1d_events,
+        "tier_retention_1h_events": Q.q_tier_retention_1h_events,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -216,6 +217,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_orders_deterministic": Q.SQL_SAMPLE_ORDERS,
         "doc_fingerprint_documents": Q.SQL_DOC_FINGERPRINT,
         "tier_incremental_1d_events": Q.TIER_SQL["1d"],
+        "tier_retention_1h_events":
+            f"SELECT * FROM ({Q.TIER_SQL['1h']}) "
+            f"WHERE bucket_us >= {Q._RETENTION_CUTOFF_US}",
         "multimodal_resize": Q.SQL_MULTIMODAL_RESIZE,
         "csv_roundtrip_events": Q.SQL_CSV_ROUNDTRIP,
         "anti_join_orders": Q.SQL_ANTI_JOIN_ORDERS,

@@ -133,6 +133,35 @@ def q_tier_incremental_1d_events(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+#: retention cutoff for the expiry query: 2024-01-16T00:00Z (mid-range of
+#: the testdata's 30-day events window), in epoch microseconds
+_RETENTION_CUTOFF_US = 1_705_363_200_000_000
+
+
+def q_tier_retention_1h_events(sf_dir: str) -> pd.DataFrame:
+    """Retention expiry (north_rule retention tiers): checkpoint the 1h
+    tier, sweep buckets older than the cutoff with
+    ``checkpoint.expire_tier`` (then sweep again — must be metadata-only),
+    and read the store back. Oracle = the full-build 1h tier restricted to
+    ``bucket_us >= cutoff``."""
+    import shutil
+    import tempfile
+
+    from forecastframe_ray.state import checkpoint
+
+    out = tempfile.mkdtemp(prefix="ffray_ret1h_")
+    try:
+        checkpoint.write_partitioned(
+            _event_tiers(sf_dir, ("1h",))["1h"], out, "1h", ["event_type"],
+            num_partitions=4, sort_cols=["event_type", "bucket_us"])
+        checkpoint.expire_tier(out, "1h", _RETENTION_CUTOFF_US)
+        again = checkpoint.expire_tier(out, "1h", _RETENTION_CUTOFF_US)
+        assert again == [], "repeat sweep must be metadata-only"
+        return _tier_output(checkpoint.read_tier(out, "1h"), "1h")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _tier_sql(width_us: int) -> str:
     return f"""
     SELECT event_type,

@@ -84,9 +84,39 @@ def write_tiers(tiers: dict, out_dir: str, series_keys=("host",),
     return rows
 
 
+def refresh_chunks(out_dir: str, parts: set, series_keys=("host",),
+                   tier: str = "1h", value_col: str = "pages",
+                   num_partitions: int = 32) -> list[dict]:
+    """Re-encode the Gorilla chunk tier for the PARTITIONS whose source
+    tier files changed (an incremental append's return value names them).
+    Chunk rows derive wholly from their own tier partition's content and
+    both layouts hash the same ``series_keys`` into the same
+    ``num_partitions``, so rewriting exactly those chunk partitions
+    (``overwrite_parts``) restores chunks == encode(full tier) without
+    touching — or reading — any other partition."""
+    import os
+
+    import ray.data
+
+    files = [os.path.join(out_dir, f"tier={tier}", f"part={p}.parquet")
+             for p in sorted(parts)]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        return []
+    subset = ray.data.read_parquet(files)
+    chunks = compress_tier(subset, series_keys, tier, value_col,
+                           num_partitions)
+    return checkpoint.write_partitioned(
+        chunks, out_dir, f"chunks_{tier}", list(series_keys),
+        num_partitions=num_partitions, sort_cols=list(series_keys),
+        overwrite_parts=set(parts))
+
+
 def append_tiers(pages_ds, out_dir: str, delta_id: str,
                  series_keys=("host",), num_salts: int = 16,
-                 num_partitions: int = 32) -> list[dict]:
+                 num_partitions: int = 32,
+                 refresh_compressed: bool = False,
+                 value_col: str = "pages") -> list[dict]:
     """Continuous-aggregate maintenance: fold a NEW batch of pages (e.g.
     today's crawl) into an existing checkpointed tier store without
     rebuilding it. The delta's own 1h/1d/7d tier tables are built with the
@@ -98,7 +128,9 @@ def append_tiers(pages_ds, out_dir: str, delta_id: str,
     ``tier_incremental_1d_events`` driver oracle).
 
     ``delta_id`` names the batch for idempotence: re-running the same
-    append after a crash skips partitions already merged for it."""
+    append after a crash skips partitions already merged for it.
+    ``refresh_compressed`` additionally re-encodes the Gorilla chunk tier
+    for exactly the 1h partitions this append rewrote."""
     prepared = (prepare_series(pages_ds) if tuple(series_keys) == ("host",)
                 else prepare_pages(pages_ds))
     delta = build_tiers(prepared, series_keys, num_salts)
@@ -111,6 +143,10 @@ def append_tiers(pages_ds, out_dir: str, delta_id: str,
             sort_cols=list(series_keys) + ["bucket_us"],
             finalize_fn=lambda df, tier=tier:
                 rollup.finalize_tier_batch(df, tier))
+    if refresh_compressed:
+        touched = {r["part"] for r in rows if r["tier"] == "1h"}
+        rows += refresh_chunks(out_dir, touched, series_keys, "1h",
+                               value_col, num_partitions)
     return rows
 
 

@@ -58,16 +58,23 @@ def _partition_checksum(df: pd.DataFrame) -> int:
 
 def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
                       num_partitions: int = 32, sort_cols: list[str] | None = None,
-                      fail_after: int | None = None) -> list[dict]:
+                      fail_after: int | None = None,
+                      overwrite_parts: set | None = None) -> list[dict]:
     """Write ``ds`` as hash-partitioned parquet with per-partition lineage.
 
-    Skips partitions already in the manifest (resume = a filter, not replay).
+    Skips partitions already in the manifest (resume = a filter, not replay),
+    EXCEPT those in ``overwrite_parts`` — the refresh path for derived
+    tiers (e.g. Gorilla chunks whose source tier partitions were rewritten
+    by an incremental append); their manifest rows chain ``gen``.
     ``fail_after`` is a test hook: raise after N partitions to simulate a
     mid-job crash.
     """
     tier_dir = os.path.join(out_dir, f"tier={tier}")
     os.makedirs(tier_dir, exist_ok=True)
-    done = {p for (t, p) in load_done(out_dir) if t == tier}
+    prior = load_done(out_dir)
+    done = {p for (t, p) in prior if t == tier} - set(overwrite_parts or ())
+    gens = {p: int(row.get("gen", 0))
+            for (t, p), row in prior.items() if t == tier}
 
     def assign(batch: pd.DataFrame):
         batch = batch.copy()  # upstream fused map may hand us a slice view
@@ -106,6 +113,7 @@ def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
             "points": len(df), "checksum": _partition_checksum(df),
             "wall_s": round(time.perf_counter() - t0, 4),
             "fingerprint": f"{tier}/{part}/{num_partitions}",
+            "gen": gens.get(part, 0) + 1,
         }])
 
     results = (

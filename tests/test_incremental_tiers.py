@@ -141,17 +141,31 @@ def test_expire_tier_retention(tmp_path):
 
 def test_append_tiers_pages_end_to_end(tmp_path):
     """web.append_tiers over the pages corpus: full rebuild == base+delta
-    across all three tiers, including the derived mean/std columns."""
+    across all three tiers (derived mean/std included), and the refreshed
+    Gorilla chunk tier decodes to exactly the merged 1h series."""
+    from forecastframe_ray.stages import gorilla
+
     base_dir, delta_dir = str(tmp_path / "p1"), str(tmp_path / "p2")
     synth.write_pages_corpus(base_dir, 3000, seed=42)
     synth.write_pages_corpus(delta_dir, 3000, seed=43)
     out = str(tmp_path / "tiers")
 
     base = ray.data.read_parquet(base_dir)
-    web.run(base, out_dir=out, compress=False)
+    web.run(base, out_dir=out, compress=True)
     rows = web.append_tiers(ray.data.read_parquet(delta_dir), out,
-                            delta_id="crawl-43", num_partitions=32)
+                            delta_id="crawl-43", num_partitions=32,
+                            refresh_compressed=True)
     assert rows
+
+    dec = gorilla.decode_chunk_dataset(
+        checkpoint.read_tier(out, "chunks_1h"), series_keys=["host"]) \
+        .to_pandas().rename(columns={"value": "pages"}) \
+        .sort_values(["host", "bucket_ts"]).reset_index(drop=True)
+    t1h = checkpoint.read_tier(out, "1h").to_pandas()[
+        ["host", "bucket_ts", "pages"]] \
+        .sort_values(["host", "bucket_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dec[["host", "bucket_ts", "pages"]], t1h,
+                                  check_dtype=False)
 
     both = base.union(ray.data.read_parquet(delta_dir))
     full = web.build_tiers(web.prepare_series(both))

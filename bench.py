@@ -353,6 +353,17 @@ def run_llm_scaling(num_docs: int, levels=(2, 8), repeats: int = 2,
 
 def main():
     args = sys.argv[1:]
+    if "--probe" in args:
+        # window probe (no Ray): absolute units/s vs the 21-35 good-window
+        # range recorded in BASELINE.md, plus the 1->8 parallel headroom.
+        # Interleaved scaling pairs stay valid in slow windows; absolute
+        # wall comparisons across windows do not.
+        u1, u8 = _control_run(1, 24), _control_run(8, 96)
+        print(json.dumps({"units_per_sec_1w": round(u1, 1),
+                          "units_per_sec_8w": round(u8, 1),
+                          "parallel_efficiency_1_to_8": round(u8 / u1 / 8, 3)}))
+        return
+
     if "--single-run" in args:
         n = int(args[args.index("--single-run") + 1])
         num_pages = int(args[args.index("--pages") + 1]) if "--pages" in args else 300_000

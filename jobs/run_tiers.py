@@ -80,7 +80,8 @@ def main() -> int:
         rows = web.append_tiers(
             pages, args.out, delta_id=args.append,
             series_keys=tuple(args.series_keys.split(",")),
-            num_partitions=args.num_partitions)
+            num_partitions=args.num_partitions,
+            refresh_compressed=not args.no_compress)
         metrics = {"mode": "append", "delta_id": args.append,
                    "merged_partitions": len(rows)}
     else:

@@ -102,6 +102,36 @@ def test_crash_retry_does_not_double_count(tmp_path):
         _tier_frame(_build_1d(df)))
 
 
+def test_merge_edge_cases(tmp_path):
+    """Empty delta is a graceful no-op; a delta introducing a brand-new
+    series key creates its partition from scratch and still matches the
+    full rebuild."""
+    df = _events(n=1200, seed=5)
+    out = str(tmp_path / "tiers")
+    checkpoint.write_partitioned(
+        _build_1d(df), out, "1d", ["event_type"], num_partitions=4,
+        sort_cols=["event_type", "bucket_us"])
+    kw = dict(partition_keys=["event_type"],
+              group_keys=["event_type", "bucket_us"],
+              merge_plan=rollup.TIER_PLAN, num_partitions=4,
+              sort_cols=["event_type", "bucket_us"],
+              finalize_fn=lambda d: rollup.finalize_tier_batch(d, "1d"))
+
+    empty = _build_1d(df.head(0)).materialize()
+    assert checkpoint.merge_partitioned(
+        empty, out, "1d", delta_id="empty", **kw) == []
+
+    new_series = _events(n=300, seed=6).assign(event_type="zzz_new")
+    checkpoint.merge_partitioned(
+        _build_1d(new_series).materialize(), out, "1d",
+        delta_id="new-series", **kw)
+    merged = _tier_frame(checkpoint.read_tier(out, "1d"))
+    full = _tier_frame(_build_1d(
+        pd.concat([df, new_series], ignore_index=True)))
+    pd.testing.assert_frame_equal(merged, full)
+    assert (merged["event_type"] == "zzz_new").any()
+
+
 def test_expire_tier_retention(tmp_path):
     """Retention sweep: buckets before the cutoff disappear, later buckets
     are untouched byte-for-byte, a repeat sweep is metadata-only (no new

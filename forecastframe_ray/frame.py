@@ -782,6 +782,20 @@ class RayForecastFrame:
             return out
         return self.replay(data)
 
+    def cross_validate(self, estimator: str = "seasonal_mean",
+                       grid: dict | None = None, n_splits: int = 3,
+                       gap: int = 0, n_iter: int | None = None,
+                       seed: int = 7):
+        """Cross-validated parameter search over this frame's recorded
+        pipeline — the reference's ``cross_validate`` + grid/random search
+        drivers (``model.py:319-513, 1313-1417``) with the engine's
+        pluggable ``(fit, score)`` estimator contract. Returns
+        ``(results, best_params)``; pass ``n_iter`` for random search."""
+        from forecastframe_ray.pipelines import search
+        return search.search_cv(self, grid=grid, estimator=estimator,
+                                n_splits=n_splits, gap=gap, n_iter=n_iter,
+                                seed=seed)
+
     # ------------------------------------------------------------------
     # persistence + replay (S2/S3, §3.3)
     # ------------------------------------------------------------------

@@ -78,6 +78,15 @@ def test_search_cv_matches_oracle():
     np.testing.assert_allclose(m["mape"], m["mape_o"], rtol=1e-9)
 
 
+def test_frame_cross_validate_delegates():
+    df = synth_daily()
+    fr = RayForecastFrame(df, "d", "v", ["series"], num_partitions=4)
+    results, best = fr.cross_validate(
+        grid={"season": ["dow", "none"], "blend": [0.0]}, n_splits=2)
+    assert len(results) == 4  # 2 candidates x 2 folds
+    assert set(best) == {"season", "blend"}
+
+
 def test_random_search_subset_and_determinism():
     grid = search.premade_grids("full")
     all_cands = search.grid_candidates(grid)

@@ -133,6 +133,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_documents": Q.q_doc_fingerprint_documents,
         "tier_incremental_1d_events": Q.q_tier_incremental_1d_events,
         "tier_retention_1h_events": Q.q_tier_retention_1h_events,
+        # interpretation stack, data side (pipelines/interpret.py)
+        "errors_describe_daily": Q.q_errors_describe_daily,
+        "cv_fit_summary_daily": Q.q_cv_fit_summary_daily,
+        "perm_importance_daily": Q.q_perm_importance_daily,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -224,4 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip_events": Q.SQL_CSV_ROUNDTRIP,
         "anti_join_orders": Q.SQL_ANTI_JOIN_ORDERS,
         "llm_exact_funnel_documents": Q.SQL_LLM_EXACT_FUNNEL,
+        "errors_describe_daily": Q.SQL_ERRORS_DESCRIBE,
+        "cv_fit_summary_daily": Q.SQL_CV_FIT_SUMMARY,
+        "perm_importance_daily": Q.SQL_PERM_IMPORTANCE,
     }

@@ -2059,3 +2059,215 @@ def q_llm_pipeline_documents(sf_dir: str) -> pd.DataFrame:
                                   require_terminal=False, num_partitions=_NP)
     out = final.to_pandas()
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# interpretation stack, data side (pipelines/interpret.py; reference
+# interpret.py get_errors/describe, summarize_cv key stats, SHAP-importance
+# intent via permutation importance)
+# ---------------------------------------------------------------------------
+
+#: stable rounding digits per describe metric — magnitudes differ by orders
+#: (APE ~1, SE ~1e6), so a single digit count would either under-round the
+#: small metrics or exceed float64's stable digits on the large ones
+_DESCRIBE_DIGITS = {"AE": 4, "APE": 6, "SE": 2,
+                    "actuals": 4, "predictions": 4}
+
+
+def q_errors_describe_daily(sf_dir: str) -> pd.DataFrame:
+    """``get_errors(describe=True)`` (reference interpret.py:128-208) over
+    the naive lag-1 daily forecast: count/mean/std/min/quartiles/max for
+    Actuals, Predictions, AE, APE, SE. Moments are streaming Welford/Chan
+    partials; quartiles are exact order statistics from one narrow sort +
+    point lookups (pipelines/interpret.py)."""
+    from forecastframe_ray.pipelines import interpret as interp
+
+    fr = _daily_frame(sf_dir).lag_features("v", [1])
+    out = interp.errors_describe(fr.dataset, "v", "v_lag1")
+    out["n"] = out["n"].astype("int64")
+    stat_cols = ["mean", "std", "min", "q25", "q50", "q75", "max"]
+    dg = out["metric"].map(_DESCRIBE_DIGITS).to_numpy()
+    for c in stat_cols:
+        v = out[c].to_numpy(dtype=np.float64)
+        out[c] = np.array([np.round(x, int(d)) for x, d in zip(v, dg)])
+    return out
+
+
+SQL_ERRORS_DESCRIBE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    ),
+    e AS (
+        SELECT 'actuals' AS metric, v AS x, 4 AS dg FROM l
+        UNION ALL SELECT 'predictions', lv, 4 FROM l WHERE lv IS NOT NULL
+        UNION ALL SELECT 'AE', abs(v - lv), 4 FROM l WHERE lv IS NOT NULL
+        UNION ALL SELECT 'APE', abs((v - lv) / v), 6
+            FROM l WHERE lv IS NOT NULL AND v <> 0
+        UNION ALL SELECT 'SE', (v - lv) * (v - lv), 2
+            FROM l WHERE lv IS NOT NULL
+    )
+    SELECT metric, count(*) AS n,
+           round(avg(x), CAST(max(dg) AS INT)) AS mean,
+           round(stddev_samp(x), CAST(max(dg) AS INT)) AS std,
+           round(min(x), CAST(max(dg) AS INT)) AS min,
+           round(quantile_cont(x, 0.25), CAST(max(dg) AS INT)) AS q25,
+           round(quantile_cont(x, 0.50), CAST(max(dg) AS INT)) AS q50,
+           round(quantile_cont(x, 0.75), CAST(max(dg) AS INT)) AS q75,
+           round(max(x), CAST(max(dg) AS INT)) AS max
+    FROM e GROUP BY metric ORDER BY metric
+"""
+
+
+def q_cv_fit_summary_daily(sf_dir: str) -> pd.DataFrame:
+    """``summarize_cv`` key stats (reference interpret.py:446-653) on the
+    last expanding-window fold: per sample the null-masked median APE, the
+    actuals-weighted average APE, the tail-skew direction and the
+    qualitative threshold scores, with the in/out-of-sample median
+    difference. Predictions from the stand-in seasonal-mean estimator
+    (season=dow, blend=0) fitted on the train slice only."""
+    from forecastframe_ray.pipelines import interpret as interp
+
+    fr = _daily_frame(sf_dir)
+    out = interp.cv_fit_summary(fr, n_splits=2, round_digits=6)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+SQL_CV_FIT_SUMMARY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    dd AS (SELECT d, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS rn
+           FROM (SELECT DISTINCT d FROM daily)),
+    params AS (SELECT count(*) AS n, count(*) // 3 AS ts FROM dd),
+    bounds AS (SELECT n - ts AS tsix, ts FROM params),
+    lab AS (
+        SELECT dd.d,
+               CASE WHEN dd.rn < b.tsix THEN 'In-Sample'
+                    WHEN dd.rn < b.tsix + b.ts THEN 'Out-of-Sample'
+               END AS sample
+        FROM bounds b CROSS JOIN dd
+    ),
+    rows_ AS (
+        SELECT l.sample, dy.event_type, dy.v, isodow(dy.d) AS dw
+        FROM lab l JOIN daily dy ON dy.d = l.d
+        WHERE l.sample IS NOT NULL
+    ),
+    s AS (SELECT event_type, dw, avg(v) AS sm
+          FROM rows_ WHERE sample = 'In-Sample' GROUP BY 1, 2),
+    g AS (SELECT event_type, avg(v) AS gm
+          FROM rows_ WHERE sample = 'In-Sample' GROUP BY 1),
+    scored AS (
+        SELECT r.sample, r.v, COALESCE(s.sm, g.gm) AS pred
+        FROM rows_ r
+        JOIN g ON g.event_type = r.event_type
+        LEFT JOIN s ON s.event_type = r.event_type AND s.dw = r.dw
+    ),
+    ap AS (SELECT sample, abs((v - pred) / v) AS ape, v AS w
+           FROM scored WHERE pred IS NOT NULL AND v <> 0),
+    st AS (SELECT sample, count(*) AS n,
+                  round(quantile_cont(ape, 0.5), 6) AS median_ape,
+                  round(sum(ape * w) / sum(w), 6) AS wavg_ape
+           FROM ap GROUP BY 1),
+    f AS (SELECT round(abs(
+              max(CASE WHEN sample = 'Out-of-Sample' THEN median_ape END)
+            - max(CASE WHEN sample = 'In-Sample' THEN median_ape END)), 6)
+          AS difference FROM st)
+    SELECT st.sample, st.n, st.median_ape, st.wavg_ape,
+           CASE WHEN st.wavg_ape < st.median_ape THEN 'left-tailed'
+                ELSE 'right-tailed' END AS skew,
+           CASE WHEN st.median_ape <= 0.10 THEN 'best'
+                WHEN st.median_ape <= 0.15 THEN 'good'
+                WHEN st.median_ape <= 0.25 THEN 'bad'
+                WHEN st.median_ape <= 1.0 THEN 'worst' END AS sample_score,
+           f.difference,
+           CASE WHEN f.difference <= 0.10 THEN 'best'
+                WHEN f.difference <= 0.15 THEN 'good'
+                WHEN f.difference <= 0.25 THEN 'bad'
+                WHEN f.difference <= 1.0 THEN 'worst' END AS difference_score
+    FROM st CROSS JOIN f ORDER BY st.sample
+"""
+
+
+def q_perm_importance_daily(sf_dir: str) -> pd.DataFrame:
+    """Permutation feature importance (the SHAP-importance stand-in,
+    reference interpret.py:211-347 intent): distributed OLS of daily v on
+    (v_lag1, v_lag7), then RMSE increase when each feature is cyclically
+    rotated within its series — deterministic, cluster-shape-independent,
+    and reproduced term-for-term by the SQL oracle (same Cramer solve)."""
+    from forecastframe_ray.pipelines import interpret as interp
+
+    fr = _daily_frame(sf_dir).lag_features("v", [1, 7])
+    ds = fr.dataset.select_columns(
+        ["event_type", "d", "v", "v_lag1", "v_lag7"]).map_batches(
+        lambda b: b[b["v_lag1"].notna() & b["v_lag7"].notna()],
+        batch_format="pandas")
+    out = interp.permutation_importance(ds, ["event_type"], "d",
+                                        ("v_lag1", "v_lag7"), "v",
+                                        num_partitions=_NP)
+    return _round(out, ["rmse_base", "rmse_permuted", "importance"], 4)
+
+
+SQL_PERM_IMPORTANCE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER w AS lv1, LAG(v, 7) OVER w AS lv7
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    e AS (SELECT * FROM l WHERE lv1 IS NOT NULL AND lv7 IS NOT NULL),
+    p AS (
+        SELECT event_type, d, v, lv1, lv7,
+               COALESCE(LAG(lv1) OVER w, last_value(lv1) OVER wf) AS lv1p,
+               COALESCE(LAG(lv7) OVER w, last_value(lv7) OVER wf) AS lv7p
+        FROM e
+        WINDOW w AS (PARTITION BY event_type ORDER BY d),
+               wf AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(lv1) AS s1, sum(lv7) AS s2,
+               sum(lv1 * lv1) AS s11, sum(lv7 * lv7) AS s22,
+               sum(lv1 * lv7) AS s12,
+               sum(v) AS sy, sum(lv1 * v) AS s1y, sum(lv7 * v) AS s2y
+        FROM e
+    ),
+    det AS (
+        SELECT
+          n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS d,
+          sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS d0,
+          n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS d1,
+          n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS d2
+        FROM s
+    ),
+    b AS (SELECT d0 / d AS b0, d1 / d AS b1, d2 / d AS b2 FROM det),
+    base AS (
+        SELECT sqrt(avg((v - (b.b0 + b.b1 * e.lv1 + b.b2 * e.lv7))
+                      * (v - (b.b0 + b.b1 * e.lv1 + b.b2 * e.lv7))))
+               AS rmse_base
+        FROM e CROSS JOIN b
+    ),
+    perms AS (
+        SELECT 'v_lag1' AS feature,
+               sqrt(avg((v - (b.b0 + b.b1 * p.lv1p + b.b2 * p.lv7))
+                      * (v - (b.b0 + b.b1 * p.lv1p + b.b2 * p.lv7))))
+               AS rmse_permuted
+        FROM p CROSS JOIN b
+        UNION ALL
+        SELECT 'v_lag7',
+               sqrt(avg((v - (b.b0 + b.b1 * p.lv1 + b.b2 * p.lv7p))
+                      * (v - (b.b0 + b.b1 * p.lv1 + b.b2 * p.lv7p))))
+        FROM p CROSS JOIN b
+    )
+    SELECT feature, round(base.rmse_base, 4) AS rmse_base,
+           round(rmse_permuted, 4) AS rmse_permuted,
+           round(rmse_permuted - base.rmse_base, 4) AS importance
+    FROM perms CROSS JOIN base ORDER BY feature
+"""

@@ -270,8 +270,24 @@ def op_fill_missing(df, keys, ts_col, features, method="ffill"):
     return df
 
 
+def op_cyclic_shift(df, keys, ts_col, features, suffix="_perm"):
+    """Deterministic within-series permutation for permutation importance
+    (pipelines/interpret.py): each row takes the previous row's value and
+    the first row of the series takes the last's — a fixed cyclic rotation,
+    reproducible on any cluster shape and SQL-expressible
+    (``LAG`` + partition-wide ``last_value``)."""
+    g = _grouped(df, keys)
+    first_mask = g.cumcount() == 0
+    for f in features:
+        shifted = g[f].shift(1)
+        shifted[first_mask] = g[f].transform("last")[first_mask]
+        df[f + suffix] = shifted
+    return df
+
+
 def _register_all(register_op):
     register_op("lag")(op_lag)
+    register_op("cyclic_shift")(op_cyclic_shift)
     register_op("difference")(op_difference)
     register_op("pct_change")(op_pct_change)
     register_op("rolling_stats")(op_rolling_stats)

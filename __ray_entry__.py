@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "errors_describe_daily": Q.q_errors_describe_daily,
         "cv_fit_summary_daily": Q.q_cv_fit_summary_daily,
         "perm_importance_daily": Q.q_perm_importance_daily,
+        "predict_future_daily": Q.q_predict_future_daily,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -231,4 +232,5 @@ def oracle_sql() -> dict[str, str]:
         "errors_describe_daily": Q.SQL_ERRORS_DESCRIBE,
         "cv_fit_summary_daily": Q.SQL_CV_FIT_SUMMARY,
         "perm_importance_daily": Q.SQL_PERM_IMPORTANCE,
+        "predict_future_daily": Q.SQL_PREDICT_FUTURE,
     }

@@ -782,6 +782,31 @@ class RayForecastFrame:
             return out
         return self.replay(data)
 
+    def predict(self, periods: int, freq: str = "D",
+                estimator: str = "seasonal_mean",
+                include_history: bool = False, **params):
+        """The reference's ``predict`` driver, data side (model.py:1313-1417
+        fit-on-all + forward scoring): fit the pluggable ``(fit, score)``
+        estimator on EVERY historical row, generate the future frame (W10)
+        and score it — returns a Dataset with a ``predicted_{target}``
+        column on the future grid (plus history when ``include_history``).
+        ``params`` go to the estimator (e.g. ``season``/``blend`` for the
+        stand-in seasonal mean; ``cross_validate()[1]`` plugs in directly).
+        The fit is a distributed aggregate, the fitted state is broadcast
+        once, and the future grid stays sharded — nothing scales with the
+        series count on the driver."""
+        from forecastframe_ray.pipelines import search
+
+        fit_fn, score_fn, _ = search.ESTIMATORS[estimator]
+        dtc, tgt = self.datetime_column, self.target
+        keys = self._keys  # property; [_GLOBAL_KEY] for unkeyed frames
+        state = fit_fn(self._flush(), keys, dtc, tgt, **params)
+        future = self.make_future_frame(periods, freq,
+                                        include_history=include_history,
+                                        apply_plan=False)
+        return score_fn(future.dataset, state, keys, dtc, tgt,
+                        f"predicted_{tgt}")
+
     def cross_validate(self, estimator: str = "seasonal_mean",
                        grid: dict | None = None, n_splits: int = 3,
                        gap: int = 0, n_iter: int | None = None,

@@ -2271,3 +2271,38 @@ SQL_PERM_IMPORTANCE = f"""
            round(rmse_permuted - base.rmse_base, 4) AS importance
     FROM perms CROSS JOIN base ORDER BY feature
 """
+
+
+def q_predict_future_daily(sf_dir: str) -> pd.DataFrame:
+    """The predict driver (reference model.py:1313-1417 data side): fit the
+    stand-in seasonal-mean estimator on ALL history, score the next-7-day
+    future grid (W10). Oracle recomputes the fit (per-(series, dow) and
+    per-series means over all history) and the COALESCE fallback in SQL."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", season="dow", blend=0.0)
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    return _fill(df, ["predicted_v"])
+
+
+SQL_PREDICT_FUTURE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    s AS (SELECT event_type, isodow(d) AS dw, avg(v) AS sm
+          FROM daily GROUP BY 1, 2),
+    g AS (SELECT event_type, avg(v) AS gm FROM daily GROUP BY 1),
+    f AS (
+        SELECT t.event_type, fd.d
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    )
+    SELECT f.event_type, f.d,
+           COALESCE(round(COALESCE(s.sm, g.gm), 6), {NULLF}) AS predicted_v
+    FROM f
+    JOIN g ON g.event_type = f.event_type
+    LEFT JOIN s ON s.event_type = f.event_type AND s.dw = isodow(f.d)
+"""

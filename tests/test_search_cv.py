@@ -110,3 +110,36 @@ def test_search_cv_respects_recorded_plan():
     # log1p(v) is O(4); raw-space RMSE would be O(10)
     assert (results["rmse"] < 1.0).all()
     assert (results["n_test"] > 0).all()
+
+
+def test_predict_future_matches_pandas_oracle():
+    """frame.predict (reference model.py:1313-1417 data side): fit on ALL
+    history, score the next-periods future grid; pandas oracle recomputes
+    the per-(series, dow) + per-series means and the COALESCE fallback."""
+    df = synth_daily()
+    fr = RayForecastFrame(df, datetime_column="d", target="v",
+                          hierarchy=["series"], num_partitions=4)
+    out = fr.predict(periods=5, freq="D", season="dow", blend=0.0) \
+        .to_pandas().sort_values(["series", "d"]).reset_index(drop=True)
+
+    sm = df.assign(__s=df["d"].dt.dayofweek) \
+        .groupby(["series", "__s"], as_index=False)["v"].mean() \
+        .rename(columns={"v": "sp"})
+    gm = df.groupby("series", as_index=False)["v"].mean() \
+        .rename(columns={"v": "gp"})
+    fut_dates = pd.date_range(df["d"].max() + pd.Timedelta(days=1),
+                              periods=5, freq="D")
+    exp = pd.MultiIndex.from_product(
+        [sorted(df["series"].unique()), fut_dates],
+        names=["series", "d"]).to_frame(index=False)
+    exp = exp.assign(__s=exp["d"].dt.dayofweek) \
+        .merge(sm, how="left", on=["series", "__s"]) \
+        .merge(gm, how="left", on="series")
+    exp["predicted_v"] = exp["sp"].fillna(exp["gp"])
+
+    assert len(out) == len(exp) == 15
+    assert out["v"].isna().all()  # future target is NaN by construction
+    merged = out.merge(exp[["series", "d", "predicted_v"]],
+                       on=["series", "d"], suffixes=("", "_exp"))
+    assert np.allclose(merged["predicted_v"], merged["predicted_v_exp"],
+                       rtol=1e-12)

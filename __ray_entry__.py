@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cv_fit_summary_daily": Q.q_cv_fit_summary_daily,
         "perm_importance_daily": Q.q_perm_importance_daily,
         "predict_future_daily": Q.q_predict_future_daily,
+        "importance_summary_daily": Q.q_importance_summary_daily,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -233,4 +234,5 @@ def oracle_sql() -> dict[str, str]:
         "cv_fit_summary_daily": Q.SQL_CV_FIT_SUMMARY,
         "perm_importance_daily": Q.SQL_PERM_IMPORTANCE,
         "predict_future_daily": Q.SQL_PREDICT_FUTURE,
+        "importance_summary_daily": Q.SQL_IMPORTANCE_SUMMARY,
     }

@@ -378,3 +378,101 @@ def permutation_importance(ds, keys: list[str], ts_col: str,
                      "rmse_permuted": rmse_p,
                      "importance": rmse_p - rmse_base})
     return pd.DataFrame(rows).sort_values("feature").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# importance summary + alert flag (reference interpret.py:196-255
+# summarize_shap / self.alerts["shap"], data side)
+# ---------------------------------------------------------------------------
+
+STAT_SUBSTRINGS = ("ewma_roll", "sum_roll", "mean_roll")
+ALERT_THRESHOLD = 0.33
+
+
+def single_feature_r2(ds, features: list[str], target: str) -> pd.DataFrame:
+    """Per-feature importance = R² of the single-feature regression
+    (``corr(x, y)²``) against ``target`` — the model-agnostic "how much of
+    the target does this feature explain alone" ranking that stands in for
+    the reference's mean-|SHAP| bar chart (interpret.py:392-429), scalable
+    to any feature count in ONE streaming pass.
+
+    Each batch emits one partial row per feature (count, means and central
+    co-moments over the rows where that feature AND the target are both
+    finite — pairwise deletion, matching SQL ``corr``'s null handling);
+    partials merge on the driver with Chan et al.'s parallel update
+    extended to the cross co-moment, so only O(blocks × features) rows
+    ever leave the cluster and there is no Σx²−(Σx)²/n cancellation."""
+    feats = list(features)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        y_all = b[target].to_numpy(dtype=np.float64, na_value=np.nan)
+        rows = []
+        for f in feats:
+            x = b[f].to_numpy(dtype=np.float64, na_value=np.nan)
+            m = np.isfinite(x) & np.isfinite(y_all)
+            xv, yv = x[m], y_all[m]
+            if not len(xv):
+                continue
+            mx, my = float(xv.mean()), float(yv.mean())
+            rows.append(dict(feature=f, n=len(xv), mx=mx, my=my,
+                             m2x=float(((xv - mx) ** 2).sum()),
+                             m2y=float(((yv - my) ** 2).sum()),
+                             cxy=float(((xv - mx) * (yv - my)).sum())))
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"feature": pd.Series([], dtype="object"),
+             **{c: pd.Series([], dtype="float64")
+                for c in ("n", "mx", "my", "m2x", "m2y", "cxy")}})
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    out = []
+    for f in feats:
+        g = parts[parts["feature"] == f]
+        n, mx, my, m2x, m2y, cxy = 0, 0.0, 0.0, 0.0, 0.0, 0.0
+        for r in g.itertuples(index=False):
+            nb = int(r.n)
+            if nb == 0:
+                continue
+            tot = n + nb
+            dx, dy = r.mx - mx, r.my - my
+            m2x += r.m2x + dx * dx * n * nb / tot
+            m2y += r.m2y + dy * dy * n * nb / tot
+            cxy += r.cxy + dx * dy * n * nb / tot
+            mx += dx * nb / tot
+            my += dy * nb / tot
+            n = tot
+        r2 = (cxy * cxy / (m2x * m2y)) if m2x > 0 and m2y > 0 else np.nan
+        out.append({"feature": f, "n": n, "r2": r2})
+    return pd.DataFrame(out)
+
+
+def importance_summary(ds, features: list[str], target: str,
+                       stat_substrings: tuple[str, ...] = STAT_SUBSTRINGS,
+                       alert_threshold: float = ALERT_THRESHOLD,
+                       round_digits: int = 6) -> pd.DataFrame:
+    """The reference's SHAP narrative + alert, data side
+    (interpret.py:196-255 ``summarize_shap``): rank features by
+    importance, compute each feature's share of total importance, classify
+    "statistical" features by the reference's substring rule
+    (interpret.py:233-235: ``ewma_roll`` / ``sum_roll`` / ``mean_roll``),
+    and raise the alert flag when their combined share exceeds the
+    reference's 0.33 threshold (interpret.py:245-248 →
+    ``self.alerts["shap"]``).
+
+    Shares, ranks and the alert are all derived from the ROUNDED R² so a
+    SQL oracle (``round(corr(x, y)^2, d)``) reproduces them bit-for-bit;
+    rank ties break lexicographically on the feature name."""
+    imp = single_feature_r2(ds, features, target)
+    imp["r2"] = np.round(imp["r2"].to_numpy(), round_digits)
+    total = float(np.nansum(imp["r2"].to_numpy()))
+    imp["share"] = np.round(imp["r2"].to_numpy() / total, round_digits)
+    order = imp.sort_values(["r2", "feature"],
+                            ascending=[False, True], kind="mergesort")
+    rank = {f: i + 1 for i, f in enumerate(order["feature"])}
+    imp["rank"] = imp["feature"].map(rank).astype("int64")
+    stat = imp["feature"].str.contains("|".join(stat_substrings), regex=True)
+    imp["is_statistical"] = stat.to_numpy()
+    stat_share = round(float(imp.loc[stat, "r2"].sum()) / total, round_digits)
+    imp["stat_share"] = stat_share
+    imp["alert"] = stat_share > alert_threshold
+    return imp.drop(columns=["n"]).sort_values("feature") \
+        .reset_index(drop=True)

@@ -2306,3 +2306,82 @@ SQL_PREDICT_FUTURE = f"""
     JOIN g ON g.event_type = f.event_type
     LEFT JOIN s ON s.event_type = f.event_type AND s.dw = isodow(f.d)
 """
+
+
+_IMP_FEATURES = ["v_lag1", "v_lag2", "v_mean_roll7_lag1", "v_sum_roll7_lag1",
+                 "v_min_roll7_lag1", "v_max_roll7_lag1", "day_of_week"]
+
+
+def q_importance_summary_daily(sf_dir: str) -> pd.DataFrame:
+    """The reference's SHAP narrative + alert, data side (reference
+    interpret.py:196-255 ``summarize_shap`` → ``self.alerts["shap"]``):
+    engineer the daily features, rank them by single-feature R² against
+    the target, compute importance shares, classify "statistical"
+    features by the reference's substring rule and raise the alert when
+    their combined share exceeds 0.33. Oracle recomputes every feature
+    with window functions and the R² as ``round(corr(x, v)^2, 6)``."""
+    from forecastframe_ray.pipelines import interpret as interp
+
+    fr = _daily_frame(sf_dir)
+    fr.lag_features("v", [1, 2])
+    fr.calc_statistical_features("v", windows=7,
+                                 aggregations=["mean", "sum", "min", "max"],
+                                 lag=1, min_periods=1)
+    fr.calc_datetime_features(["day_of_week"])
+    return interp.importance_summary(fr.dataset, _IMP_FEATURES, "v")
+
+
+SQL_IMPORTANCE_SUMMARY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               epoch_us(d) // {DAY_US} AS dn,
+               LAG(v, 1) OVER w AS v_lag1,
+               LAG(v, 2) OVER w AS v_lag2
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    feats AS (
+        SELECT v, v_lag1, v_lag2,
+               avg(v_lag1) OVER w AS v_mean_roll7_lag1,
+               sum(v_lag1) OVER w AS v_sum_roll7_lag1,
+               min(v_lag1) OVER w AS v_min_roll7_lag1,
+               max(v_lag1) OVER w AS v_max_roll7_lag1,
+               CAST(isodow(d) - 1 AS DOUBLE) AS day_of_week
+        FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+        SELECT round(pow(corr(v_lag1, v), 2), 6) AS v_lag1,
+               round(pow(corr(v_lag2, v), 2), 6) AS v_lag2,
+               round(pow(corr(v_mean_roll7_lag1, v), 2), 6)
+                   AS v_mean_roll7_lag1,
+               round(pow(corr(v_sum_roll7_lag1, v), 2), 6)
+                   AS v_sum_roll7_lag1,
+               round(pow(corr(v_min_roll7_lag1, v), 2), 6)
+                   AS v_min_roll7_lag1,
+               round(pow(corr(v_max_roll7_lag1, v), 2), 6)
+                   AS v_max_roll7_lag1,
+               round(pow(corr(day_of_week, v), 2), 6) AS day_of_week
+        FROM feats
+    ),
+    u AS (UNPIVOT c ON COLUMNS(*) INTO NAME feature VALUE r2),
+    t AS (
+        SELECT feature, r2,
+               (feature LIKE '%ewma_roll%' OR feature LIKE '%sum_roll%'
+                OR feature LIKE '%mean_roll%') AS is_statistical,
+               sum(r2) OVER () AS tot,
+               sum(CASE WHEN (feature LIKE '%ewma_roll%'
+                              OR feature LIKE '%sum_roll%'
+                              OR feature LIKE '%mean_roll%')
+                        THEN r2 ELSE 0 END) OVER () AS stat_tot
+        FROM u
+    )
+    SELECT feature, r2,
+           round(r2 / tot, 6) AS share,
+           CAST(row_number() OVER (ORDER BY r2 DESC, feature ASC) AS BIGINT)
+               AS rank,
+           is_statistical,
+           round(stat_tot / tot, 6) AS stat_share,
+           round(stat_tot / tot, 6) > 0.33 AS alert
+    FROM t ORDER BY feature
+"""

@@ -154,3 +154,53 @@ def test_ols_and_permutation_importance():
     assert imp.loc["x2", "importance"] >= 0  # permuting never helps OLS fit
     base = imp["rmse_base"].iloc[0]
     assert base == pytest.approx(0.5, abs=0.1)  # recovers the noise floor
+
+
+def test_single_feature_r2_matches_numpy_corrcoef():
+    rng = _rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "x_mean_roll7": rng.normal(0, 1, n),
+        "plain": rng.normal(0, 1, n),
+    })
+    df["y"] = 4.0 * df["x_mean_roll7"] + rng.normal(0, 1, n)
+    # inject NaNs into one feature: pairwise deletion must match numpy
+    # over the finite subset only
+    df.loc[::7, "plain"] = np.nan
+    ds = _many_block_ds(df)
+
+    r2 = interp.single_feature_r2(ds, ["x_mean_roll7", "plain"], "y") \
+        .set_index("feature")["r2"]
+    exp_strong = np.corrcoef(df["x_mean_roll7"], df["y"])[0, 1] ** 2
+    m = df["plain"].notna()
+    exp_weak = np.corrcoef(df.loc[m, "plain"], df.loc[m, "y"])[0, 1] ** 2
+    assert r2["x_mean_roll7"] == pytest.approx(exp_strong, rel=1e-10)
+    assert r2["plain"] == pytest.approx(exp_weak, rel=1e-10)
+
+
+def test_importance_summary_alert_threshold_both_sides():
+    """The 0.33 statistical-share alert (reference interpret.py:245-248)
+    fires when the strong feature carries a statistical name and stays
+    quiet when the same importance mass sits on a plain feature."""
+    rng = _rng(13)
+    n = 300
+    strong = rng.normal(0, 1, n)
+    weak = rng.normal(0, 1, n)
+    y = 5.0 * strong + rng.normal(0, 0.5, n)
+
+    ds_stat = _many_block_ds(pd.DataFrame(
+        {"v_ewma_roll3": strong, "other": weak, "y": y}))
+    out = interp.importance_summary(ds_stat, ["v_ewma_roll3", "other"], "y")
+    out = out.set_index("feature")
+    assert bool(out.loc["v_ewma_roll3", "is_statistical"])
+    assert not bool(out.loc["other", "is_statistical"])
+    assert out["share"].sum() == pytest.approx(1.0, abs=1e-5)
+    assert int(out.loc["v_ewma_roll3", "rank"]) == 1
+    assert out["alert"].all()  # stat feature dominates -> share > 0.33
+
+    ds_plain = _many_block_ds(pd.DataFrame(
+        {"plain_a": strong, "v_sum_roll7": weak, "y": y}))
+    out2 = interp.importance_summary(ds_plain, ["plain_a", "v_sum_roll7"],
+                                     "y").set_index("feature")
+    assert not out2["alert"].any()  # weak stat feature -> share << 0.33
+    assert out2.loc["v_sum_roll7", "stat_share"] < 0.33

@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perm_importance_daily": Q.q_perm_importance_daily,
         "predict_future_daily": Q.q_predict_future_daily,
         "importance_summary_daily": Q.q_importance_summary_daily,
+        "quantile_loss_naive": Q.q_quantile_loss_naive,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -235,4 +236,5 @@ def oracle_sql() -> dict[str, str]:
         "perm_importance_daily": Q.SQL_PERM_IMPORTANCE,
         "predict_future_daily": Q.SQL_PREDICT_FUTURE,
         "importance_summary_daily": Q.SQL_IMPORTANCE_SUMMARY,
+        "quantile_loss_naive": Q.SQL_QUANTILE_LOSS_NAIVE,
     }

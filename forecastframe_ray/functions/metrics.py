@@ -90,3 +90,33 @@ def weighted_average(ds, value_col: str, weight_col: str) -> float:
         Sum("__wx", alias_name="swx"), Sum("__w", alias_name="sw")
     )
     return float(row["swx"]) / float(row["sw"])
+
+
+def quantile_loss(ds, actual_col: str, pred_col: str,
+                  quantiles: list[float]) -> pd.DataFrame:
+    """Pinball / quantile loss per requested quantile — the reference's M5
+    scoring metric (model.py:136-149 ``_get_quantile_function``:
+    ``mean(q·(a−p) if a ≥ p else (1−q)·(p−a))``), computed distributed:
+    each batch emits one partial (Σloss, n) row per quantile, the driver
+    sums |quantiles| rows per block. Null actuals are masked out like
+    every other metric here."""
+    qs = [float(q) for q in quantiles]
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[actual_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        p = batch[pred_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        mask = ~(np.isnan(a) | np.isnan(p))
+        a, p = a[mask], p[mask]
+        rows = []
+        for q in qs:
+            loss = np.where(a >= p, q * (a - p), (1 - q) * (p - a))
+            rows.append({"quantile": q, "sum_loss": float(loss.sum()),
+                         "n": len(a)})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby("quantile", as_index=False).sum()
+    out["loss"] = out["sum_loss"] / out["n"]
+    out["n"] = out["n"].astype("int64")
+    return out.drop(columns=["sum_loss"]).sort_values("quantile") \
+        .reset_index(drop=True)

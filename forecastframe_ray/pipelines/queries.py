@@ -2385,3 +2385,31 @@ SQL_IMPORTANCE_SUMMARY = f"""
            round(stat_tot / tot, 6) > 0.33 AS alert
     FROM t ORDER BY feature
 """
+
+
+def q_quantile_loss_naive(sf_dir: str) -> pd.DataFrame:
+    """The reference's M5 quantile (pinball) scoring metric
+    (model.py:136-149) over the naive lag-1 daily forecast, at the three
+    quantiles the M5 premade grids sweep — distributed partial sums, one
+    tiny driver merge. Oracle recomputes the pinball loss per quantile."""
+    fr = _daily_frame(sf_dir).lag_features("v", [1])
+    out = metrics.quantile_loss(fr.dataset, "v", "v_lag1",
+                                quantiles=[0.1, 0.5, 0.9])
+    return _round(out[["quantile", "n", "loss"]], ["loss"], 4)
+
+
+SQL_QUANTILE_LOSS_NAIVE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    ),
+    e AS (SELECT v, lv FROM l WHERE lv IS NOT NULL AND v IS NOT NULL),
+    q AS (SELECT unnest([0.1, 0.5, 0.9]) AS quantile)
+    SELECT q.quantile,
+           count(*) AS n,
+           round(avg(CASE WHEN v >= lv THEN q.quantile * (v - lv)
+                          ELSE (1 - q.quantile) * (lv - v) END), 4) AS loss
+    FROM e CROSS JOIN q GROUP BY q.quantile ORDER BY q.quantile
+"""

@@ -204,3 +204,28 @@ def test_importance_summary_alert_threshold_both_sides():
                                      "y").set_index("feature")
     assert not out2["alert"].any()  # weak stat feature -> share << 0.33
     assert out2.loc["v_sum_roll7", "stat_share"] < 0.33
+
+
+def test_quantile_loss_matches_reference_formula():
+    """Pinball loss (reference model.py:136-149, the M5 scoring metric):
+    the distributed partial-sum result must equal the reference's
+    np.where formula computed in one piece, with null actuals masked."""
+    from forecastframe_ray.functions import metrics
+
+    rng = _rng(17)
+    n = 500
+    df = pd.DataFrame({"a": rng.normal(10, 3, n), "p": rng.normal(10, 3, n)})
+    df.loc[::9, "a"] = np.nan
+    out = metrics.quantile_loss(_many_block_ds(df), "a", "p",
+                                quantiles=[0.1, 0.5, 0.9]) \
+        .set_index("quantile")
+
+    m = df["a"].notna()
+    a, p = df.loc[m, "a"].to_numpy(), df.loc[m, "p"].to_numpy()
+    for q in (0.1, 0.5, 0.9):
+        exp = np.mean(np.where(a >= p, q * (a - p), (1 - q) * (p - a)))
+        assert out.loc[q, "loss"] == pytest.approx(exp, rel=1e-12)
+        assert int(out.loc[q, "n"]) == int(m.sum())
+    # q=0.5 pinball is half the MAE
+    mae = np.mean(np.abs(a - p))
+    assert out.loc[0.5, "loss"] == pytest.approx(mae / 2, rel=1e-12)

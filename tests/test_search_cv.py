@@ -143,3 +143,21 @@ def test_predict_future_matches_pandas_oracle():
                        on=["series", "d"], suffixes=("", "_exp"))
     assert np.allclose(merged["predicted_v"], merged["predicted_v_exp"],
                        rtol=1e-12)
+
+
+def test_predict_unkeyed_frame_global_series():
+    """predict() on a frame with hierarchy=None: the synthetic global key
+    (frame._GLOBAL_KEY) must flow through fit, the future grid, and the
+    broadcast scorer — one series, `periods` future rows."""
+    df = synth_daily()[["d", "v"]].groupby("d", as_index=False).sum()
+    fr = RayForecastFrame(df, datetime_column="d", target="v",
+                          hierarchy=None, num_partitions=2)
+    out = fr.predict(periods=4, freq="D", season="dow", blend=0.0) \
+        .to_pandas().sort_values("d").reset_index(drop=True)
+    assert len(out) == 4
+    assert out["v"].isna().all()
+    assert out["predicted_v"].notna().all()
+
+    sm = df.assign(__s=df["d"].dt.dayofweek).groupby("__s")["v"].mean()
+    exp = [sm[d.dayofweek] for d in out["d"]]
+    assert np.allclose(out["predicted_v"], exp, rtol=1e-12)

@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_future_daily": Q.q_predict_future_daily,
         "importance_summary_daily": Q.q_importance_summary_daily,
         "quantile_loss_naive": Q.q_quantile_loss_naive,
+        "distinct_users_daily_kmv": Q.q_distinct_users_daily_kmv,
+        "distinct_users_kmv_gate": Q.q_distinct_users_kmv_gate,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -237,4 +239,6 @@ def oracle_sql() -> dict[str, str]:
         "predict_future_daily": Q.SQL_PREDICT_FUTURE,
         "importance_summary_daily": Q.SQL_IMPORTANCE_SUMMARY,
         "quantile_loss_naive": Q.SQL_QUANTILE_LOSS_NAIVE,
+        "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
+        "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
     }

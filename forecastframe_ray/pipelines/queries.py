@@ -2413,3 +2413,65 @@ SQL_QUANTILE_LOSS_NAIVE = f"""
                           ELSE (1 - q.quantile) * (lv - v) END), 4) AS loss
     FROM e CROSS JOIN q GROUP BY q.quantile ORDER BY q.quantile
 """
+
+
+def q_distinct_users_daily_kmv(sf_dir: str) -> pd.DataFrame:
+    """Mergeable KMV distinct-count sketch per (event_type, day) — the
+    continuous-aggregate COUNT(DISTINCT) the exact tier cascade cannot
+    carry algebraically (north_rule retention-tier scope; sketch merge is
+    associative like the (count, sum, min, max, Σx²) carry). k=1024 sits
+    above this table's per-bucket cardinality, so the sketch runs in its
+    exact regime and the oracle pins count(DISTINCT) bit-for-bit; the
+    SAME code path estimates past k (gated by distinct_users_kmv_gate)."""
+    from forecastframe_ray.stages.sketch import distinct_sketch
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["d"] = b["ts"].dt.floor("D")
+        return b.drop(columns=["ts"])
+
+    sk = distinct_sketch(ev.map_batches(day_fn, batch_format="pandas"),
+                         ["event_type", "d"], "user_id",
+                         k=1024, num_partitions=_NP)
+    df = sk.to_pandas()
+    assert bool(df["is_exact"].all())  # cardinality < k on this table
+    df["distinct_users"] = df["distinct_est"].astype("int64")
+    return df[["event_type", "d", "distinct_users"]]
+
+
+SQL_DISTINCT_USERS_DAILY = """
+    SELECT event_type, date_trunc('day', ts) AS d,
+           count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_users_kmv_gate(sf_dir: str) -> pd.DataFrame:
+    """KMV estimation-regime gate (ann_ivf_recall pattern): a k=64 sketch
+    per event_type over the full span (distinct users > k → the
+    (k−1)/U(k) estimator is live) must land within 25% of exact
+    (≈ 2σ at k=64); ``n_exact`` itself comes from the engine's k=4096
+    exact-regime sketch and is value-oracled against count(DISTINCT)."""
+    from forecastframe_ray.stages.sketch import distinct_sketch
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    est = distinct_sketch(ev, ["event_type"], "user_id",
+                          k=64, num_partitions=8).to_pandas()
+    exact = distinct_sketch(ev, ["event_type"], "user_id",
+                            k=4096, num_partitions=8).to_pandas()
+    assert bool(exact["is_exact"].all())
+    out = exact[["event_type"]].copy()
+    out["n_exact"] = exact["distinct_est"].astype("int64")
+    rel_err = np.abs(est.set_index("event_type").loc[
+        out["event_type"], "distinct_est"].to_numpy()
+        - out["n_exact"].to_numpy()) / out["n_exact"].to_numpy()
+    out["err_ok"] = rel_err <= 0.25
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DISTINCT_USERS_KMV_GATE = """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS err_ok
+    FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -1,0 +1,111 @@
+"""KMV (k-minimum-values) distinct-count sketch — mergeable approximate
+COUNT(DISTINCT) for continuous aggregates.
+
+The classic bottom-k estimator (Bar-Yossef et al. 2002, "Counting distinct
+elements in a data stream"; unbiased form from Beyer et al. 2007, "On
+synopses for distinct-value estimation under multiset operations"): hash
+every value to uint64, keep the k smallest DISTINCT hashes. With fewer
+than k distinct hashes the sketch IS the distinct set (exact count); at k
+the k-th minimum estimates density: D̂ = (k−1)/U(k) where U(k) is the k-th
+minimum normalized to (0,1]. Standard error ≈ 1/√k.
+
+Why it fits the tier engine: the sketch is a bounded-size ALGEBRAIC carry
+(merge = k smallest of the union — associative and commutative, exactly
+like the (count, sum, min, max, Σx²) columns the 1h→1d→7d cascade already
+carries), so "distinct hosts per bucket" can cascade without ever
+re-touching the finest tier. Sketches travel as fixed-cap ``binary``
+columns (little-endian uint64s), Arrow-native through every shuffle.
+
+The hash is :func:`forecastframe_ray.keys.hash_key_columns`'s fixed-key
+``pd.util.hash_pandas_object`` — deterministic across processes and
+cluster shapes, so estimates are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from forecastframe_ray import keys as K
+from forecastframe_ray.stages.agg import bucketed_map_groups
+
+K_DEFAULT = 1024
+_SCALE = float(2 ** 64)
+
+
+def kmv_from_hashes(h: np.ndarray, k: int) -> np.ndarray:
+    """k smallest distinct uint64 hashes, ascending (np.unique sorts)."""
+    u = np.unique(h.astype(np.uint64, copy=False))
+    return u[:k]
+
+
+def kmv_merge(sketches: list[np.ndarray], k: int) -> np.ndarray:
+    """Union-merge: k smallest distinct of the concatenation. Associative,
+    commutative, idempotent — safe under any shuffle/cascade order."""
+    return np.unique(np.concatenate(sketches))[:k]
+
+
+def kmv_estimate(sk: np.ndarray, k: int) -> float:
+    """Exact count below k distinct; else the (k−1)/U(k) estimator."""
+    if len(sk) < k:
+        return float(len(sk))
+    # +1 maps the max hash to exactly 1.0 and keeps U(k) > 0
+    u_k = (float(sk[k - 1]) + 1.0) / _SCALE
+    return (k - 1) / u_k
+
+
+def kmv_to_bytes(sk: np.ndarray) -> bytes:
+    return sk.astype("<u8").tobytes()
+
+
+def kmv_from_bytes(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, dtype="<u8").astype(np.uint64)
+
+
+def distinct_sketch(ds, group_keys: list[str], value_col: str,
+                    k: int = K_DEFAULT, num_partitions: int = 64):
+    """Per-group approximate COUNT(DISTINCT ``value_col``) as a Dataset of
+    ``group_keys + [kmv (binary), distinct_est (float64), is_exact (bool)]``.
+
+    Physical plan (the engine's standard two-level aggregate): each batch
+    pre-reduces to ONE bounded sketch row per group it contains (the
+    combiner — at most k uint64s per group per batch leave the map side),
+    then one coarse-hash shuffle merges per group. The shuffle traffic is
+    O(groups × k × 8 bytes) regardless of row count — the whole point at
+    100 TB framing, where exact distinct would shuffle every value.
+    """
+    gk = list(group_keys)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        h = K.hash_key_columns(b, [value_col])
+        rows = []
+        sub = b[gk]
+        for key, idx in sub.groupby(gk, sort=False, dropna=False,
+                                    observed=True).indices.items():
+            key = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(gk, key))
+            row["__kmv"] = kmv_to_bytes(kmv_from_hashes(h[idx], k))
+            rows.append(row)
+        if not rows:
+            return pd.DataFrame({**{c: pd.Series([], dtype="object")
+                                    for c in gk},
+                                 "__kmv": pd.Series([], dtype="object")})
+        return pd.DataFrame(rows)
+
+    def merge(sub: pd.DataFrame) -> pd.DataFrame:
+        if len(sub) == 0:
+            out = sub[gk].iloc[0:0].copy()
+            out["kmv"] = pd.Series([], dtype="object")
+            out["distinct_est"] = pd.Series([], dtype="float64")
+            out["is_exact"] = pd.Series([], dtype="bool")
+            return out
+        sk = kmv_merge([kmv_from_bytes(x) for x in sub["__kmv"]], k)
+        out = sub[gk].iloc[:1].copy()
+        out["kmv"] = [kmv_to_bytes(sk)]
+        out["distinct_est"] = kmv_estimate(sk, k)
+        out["is_exact"] = len(sk) < k
+        return out
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+    return bucketed_map_groups(parts, gk, merge,
+                               num_partitions=num_partitions)

@@ -1,0 +1,100 @@
+"""KMV distinct-count sketch: exact regime, estimator accuracy, merge
+algebra (the property that makes it cascade-safe), and the distributed
+stage vs a single-pass local sketch."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from forecastframe_ray import keys as K
+from forecastframe_ray.stages import sketch as S
+
+
+def _hashes(values) -> np.ndarray:
+    return K.hash_key_columns(pd.DataFrame({"v": values}), ["v"])
+
+
+def test_exact_regime_below_k():
+    h = _hashes(np.arange(100))
+    sk = S.kmv_from_hashes(h, k=1024)
+    assert len(sk) == 100
+    assert S.kmv_estimate(sk, 1024) == 100.0
+
+
+def test_estimator_accuracy_at_scale():
+    # 200k distinct values, k=1024 → σ ≈ 1/√k ≈ 3.1%; deterministic hash
+    # so this is a fixed number, asserted within 3σ
+    h = _hashes(np.arange(200_000))
+    sk = S.kmv_from_hashes(h, k=1024)
+    est = S.kmv_estimate(sk, 1024)
+    assert abs(est - 200_000) / 200_000 < 0.10
+
+
+def test_merge_equals_direct_and_is_associative():
+    """k-min of a union == merge of per-part k-mins, in ANY grouping order
+    — the exact property the 1h→1d→7d cascade relies on."""
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 50_000, size=120_000)
+    h = _hashes(vals)
+    k = 512
+    direct = S.kmv_from_hashes(h, k)
+
+    parts = np.array_split(h, 7)
+    merged = S.kmv_merge([S.kmv_from_hashes(p, k) for p in parts], k)
+    assert np.array_equal(direct, merged)
+
+    # associativity: ((p0+p1) + (p2..p6)) == flat merge
+    left = S.kmv_merge([S.kmv_from_hashes(parts[0], k),
+                        S.kmv_from_hashes(parts[1], k)], k)
+    right = S.kmv_merge([S.kmv_from_hashes(p, k) for p in parts[2:]], k)
+    assert np.array_equal(S.kmv_merge([left, right], k), direct)
+
+    # bytes roundtrip
+    assert np.array_equal(S.kmv_from_bytes(S.kmv_to_bytes(direct)), direct)
+
+
+def test_distinct_sketch_stage_matches_local():
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=5000),
+        "v": rng.integers(0, 900, size=5000),
+    })
+    ds = ray.data.from_pandas(
+        [df.iloc[i::6].reset_index(drop=True) for i in range(6)])
+    out = ray.data.Dataset.to_pandas(
+        S.distinct_sketch(ds, ["g"], "v", k=256, num_partitions=4)) \
+        .set_index("g")
+
+    for g, sub in df.groupby("g"):
+        local = S.kmv_from_hashes(_hashes(sub["v"].to_numpy()), 256)
+        assert np.array_equal(S.kmv_from_bytes(out.loc[g, "kmv"]), local)
+        exact = sub["v"].nunique()
+        est = out.loc[g, "distinct_est"]
+        if exact < 256:
+            assert out.loc[g, "is_exact"] and est == exact
+        else:
+            assert abs(est - exact) / exact < 0.2  # ~3σ at k=256
+
+
+def test_cascade_hourly_to_daily_equals_direct_daily():
+    """Per-(key, 1h-bucket) sketches merged up to 1d buckets must equal the
+    sketch computed directly at 1d — byte-identical, not just close."""
+    rng = np.random.default_rng(3)
+    n = 20_000
+    ts_us = rng.integers(0, 3 * 86_400_000_000, size=n)  # 3 days of micros
+    vals = rng.integers(0, 5000, size=n)
+    h = _hashes(vals)
+    k = 128
+    hour = (ts_us // 3_600_000_000)
+    day = (ts_us // 86_400_000_000)
+
+    hourly = {}
+    for hb in np.unique(hour):
+        hourly[hb] = S.kmv_from_hashes(h[hour == hb], k)
+    for db in np.unique(day):
+        direct = S.kmv_from_hashes(h[day == db], k)
+        merged = S.kmv_merge(
+            [sk for hb, sk in hourly.items() if hb // 24 == db], k)
+        assert np.array_equal(direct, merged)

@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_loss_naive": Q.q_quantile_loss_naive,
         "distinct_users_daily_kmv": Q.q_distinct_users_daily_kmv,
         "distinct_users_kmv_gate": Q.q_distinct_users_kmv_gate,
+        "distinct_users_daily_cascade": Q.q_distinct_users_daily_cascade,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -241,4 +242,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_loss_naive": Q.SQL_QUANTILE_LOSS_NAIVE,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
+        "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,
     }

@@ -2475,3 +2475,22 @@ SQL_DISTINCT_USERS_KMV_GATE = """
     SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS err_ok
     FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def q_distinct_users_daily_cascade(sf_dir: str) -> pd.DataFrame:
+    """The CASCADE path of the distinct-count continuous aggregate: per-1h
+    KMV sketches of user_id merged up to daily buckets by pure sketch
+    merge (distinct_tiers '1d' tier) — never re-reading the raw stream,
+    exactly how the retention tiers maintain COUNT(DISTINCT) at scale.
+    k=1024 keeps this table in the exact regime, so the oracle pins the
+    merged result against count(DISTINCT) bit-for-bit."""
+    from forecastframe_ray.stages.sketch import distinct_tiers
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+    tiers = distinct_tiers(ev, "ts", "user_id", group_keys=["event_type"],
+                           k=1024, num_partitions=_NP)
+    df = tiers["1d"].to_pandas()
+    assert bool(df["is_exact"].all())
+    df["d"] = pd.to_datetime(df["bucket_us"], unit="us")
+    df["distinct_users"] = df["distinct_est"].astype("int64")
+    return df[["event_type", "d", "distinct_users"]]

@@ -109,3 +109,69 @@ def distinct_sketch(ds, group_keys: list[str], value_col: str,
     parts = ds.map_batches(partials, batch_format="pandas")
     return bucketed_map_groups(parts, gk, merge,
                                num_partitions=num_partitions)
+
+
+def merge_sketch_rows(sk_ds, group_keys: list[str], k: int,
+                      kmv_col: str = "kmv", num_partitions: int = 64):
+    """Cascade step: re-aggregate EXISTING sketch rows to a coarser key
+    (e.g. per-1h sketches → per-1d) by pure sketch merge — the spine is
+    never re-read, exactly like the algebraic (count, sum, …) cascade in
+    :mod:`forecastframe_ray.pipelines.rollup`. Output schema matches
+    :func:`distinct_sketch`."""
+    gk = list(group_keys)
+
+    def merge(sub: pd.DataFrame) -> pd.DataFrame:
+        if len(sub) == 0:
+            out = sub[gk].iloc[0:0].copy()
+            out["kmv"] = pd.Series([], dtype="object")
+            out["distinct_est"] = pd.Series([], dtype="float64")
+            out["is_exact"] = pd.Series([], dtype="bool")
+            return out
+        sk = kmv_merge([kmv_from_bytes(x) for x in sub[kmv_col]], k)
+        out = sub[gk].iloc[:1].copy()
+        out["kmv"] = [kmv_to_bytes(sk)]
+        out["distinct_est"] = kmv_estimate(sk, k)
+        out["is_exact"] = len(sk) < k
+        return out
+
+    return bucketed_map_groups(sk_ds, gk, merge,
+                               num_partitions=num_partitions)
+
+
+def distinct_tiers(ds, ts_col: str, entity_col: str,
+                   group_keys: list[str] | None = None,
+                   k: int = K_DEFAULT, num_partitions: int = 64) -> dict:
+    """Approximate distinct-entity continuous aggregate at the engine's
+    1h/1d/7d retention tiers (north_rule scope): the finest tier sketches
+    the raw stream once; every coarser tier is a pure sketch merge of the
+    finer one (associativity pinned byte-identical by
+    ``tests/test_sketch.py``). Returns ``{tier: Dataset}`` with
+    ``group_keys + [bucket_us, kmv, distinct_est, is_exact]``."""
+    from forecastframe_ray.keys import TIER_US
+
+    gk = list(group_keys or [])
+
+    def bucket_1h(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        us = b[ts_col].astype("datetime64[us]").astype("int64")
+        b["bucket_us"] = (us // TIER_US["1h"]) * TIER_US["1h"]
+        return b[gk + ["bucket_us", entity_col]]
+
+    tiers = {}
+    base = ds.map_batches(bucket_1h, batch_format="pandas")
+    tiers["1h"] = distinct_sketch(base, gk + ["bucket_us"], entity_col,
+                                  k=k, num_partitions=num_partitions)
+    prev = "1h"
+    for tier in ("1d", "7d"):
+        width = TIER_US[tier]
+
+        def refloor(b: pd.DataFrame, width=width) -> pd.DataFrame:
+            b = b.copy()
+            b["bucket_us"] = (b["bucket_us"] // width) * width
+            return b
+
+        tiers[tier] = merge_sketch_rows(
+            tiers[prev].map_batches(refloor, batch_format="pandas"),
+            gk + ["bucket_us"], k, num_partitions=num_partitions)
+        prev = tier
+    return tiers

@@ -98,3 +98,47 @@ def test_cascade_hourly_to_daily_equals_direct_daily():
         merged = S.kmv_merge(
             [sk for hb, sk in hourly.items() if hb // 24 == db], k)
         assert np.array_equal(direct, merged)
+
+
+def test_distinct_tiers_cascade_matches_direct_distributed():
+    """distinct_tiers: the 1d/7d tiers (sketch-merged from 1h) must be
+    byte-identical to sketches computed directly on the raw stream at
+    those widths, and exact when cardinality < k."""
+    from forecastframe_ray.keys import TIER_US
+    from forecastframe_ray.stages.sketch import (distinct_sketch,
+                                                 distinct_tiers)
+
+    rng = np.random.default_rng(21)
+    n = 30_000
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], size=n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10 * 86_400_000_000, size=n), unit="us"),
+        "u": rng.integers(0, 400, size=n),
+    })
+    ds = ray.data.from_pandas(
+        [df.iloc[i::5].reset_index(drop=True) for i in range(5)])
+    tiers = distinct_tiers(ds, "ts", "u", group_keys=["g"],
+                           k=64, num_partitions=4)
+    for tier in ("1d", "7d"):
+        got = tiers[tier].to_pandas() \
+            .sort_values(["g", "bucket_us"]).reset_index(drop=True)
+
+        direct_in = df.copy()
+        us = direct_in["ts"].astype("datetime64[us]").astype("int64")
+        direct_in["bucket_us"] = (us // TIER_US[tier]) * TIER_US[tier]
+        direct = distinct_sketch(
+            ray.data.from_pandas(direct_in[["g", "bucket_us", "u"]]),
+            ["g", "bucket_us"], "u", k=64, num_partitions=4) \
+            .to_pandas().sort_values(["g", "bucket_us"]) \
+            .reset_index(drop=True)
+
+        assert len(got) == len(direct)
+        for a, b in zip(got["kmv"], direct["kmv"]):
+            assert a == b  # byte-identical sketches
+        # exact-regime values equal pandas nunique
+        exact = direct_in.groupby(["g", "bucket_us"])["u"].nunique()
+        for r in got.itertuples(index=False):
+            e = exact.loc[(r.g, r.bucket_us)]
+            if r.is_exact:
+                assert r.distinct_est == e

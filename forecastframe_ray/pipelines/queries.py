@@ -2494,3 +2494,41 @@ def q_distinct_users_daily_cascade(sf_dir: str) -> pd.DataFrame:
     df["d"] = pd.to_datetime(df["bucket_us"], unit="us")
     df["distinct_users"] = df["distinct_est"].astype("int64")
     return df[["event_type", "d", "distinct_users"]]
+
+
+def q_quantile_sketch_gate_daily(sf_dir: str) -> pd.DataFrame:
+    """Mergeable quantile-histogram gate (DDSketch/HdrHistogram bucket
+    family, stages/sketch.py): the ε=1% log-bucketed histogram's p50/p90
+    must land within 5% of the exact distributed quantiles (2ε plus
+    disc-vs-interpolated slack); the exact quantiles themselves are
+    value-oracled against DuckDB ``quantile_cont``."""
+    from forecastframe_ray.pipelines import interpret as interp
+    from forecastframe_ray.stages import sketch as SK
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    exact = interp.grouped_quantiles(daily, ["event_type"], "v",
+                                     qs=(0.5, 0.9))
+    sk = SK.quantile_sketch(daily, ["event_type"], "v",
+                            eps=0.01, num_partitions=8).to_pandas() \
+        .set_index("event_type")
+    out = exact.copy()
+    for q, col in ((0.5, "q50"), (0.9, "q90")):
+        est = np.array([
+            SK.hist_quantile(*SK.hist_from_bytes(
+                sk.loc[et, "qhist"]), q, eps=0.01)
+            for et in out["event_type"]])
+        out[f"{col}_sketch_ok"] = np.abs(
+            est / out[col].to_numpy() - 1.0) <= 0.05
+    out = _round(out, ["q50", "q90"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_QUANTILE_SKETCH_GATE = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type,
+           round(quantile_cont(v, 0.5), 6) AS q50,
+           round(quantile_cont(v, 0.9), 6) AS q90,
+           true AS q50_sketch_ok,
+           true AS q90_sketch_ok
+    FROM daily GROUP BY 1 ORDER BY 1
+"""

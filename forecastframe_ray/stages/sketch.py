@@ -175,3 +175,136 @@ def distinct_tiers(ds, ts_col: str, entity_col: str,
             gk + ["bucket_us"], k, num_partitions=num_partitions)
         prev = tier
     return tiers
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch: log-bucketed histogram (HDR-histogram family)
+# ---------------------------------------------------------------------------
+#
+# Buckets are geometric: value x > 0 lands in bucket i = floor(ln(x)/ln(1+2ε)),
+# whose upper edge (1+2ε)^(i+1) over-estimates any member by at most (1+2ε) —
+# the classic relative-error quantile histogram (HdrHistogram / DDSketch
+# [Masson, Rim, Lee; VLDB 2019] bucket layout). Counts are ALGEBRAIC (merge =
+# add), so per-bucket sketches cascade 1h→1d→7d exactly like (count, sum, …).
+# Zero / negative values get a dedicated underflow bucket reported as 0.0
+# (crawl-rate series are non-negative by construction).
+
+HIST_EPS = 0.01
+_UNDERFLOW = np.int32(-(2 ** 31) + 1)
+
+
+def _gamma(eps: float) -> float:
+    return 1.0 + 2.0 * eps
+
+
+def hist_from_values(x: np.ndarray, eps: float = HIST_EPS):
+    """(bucket_ids int32 ascending, counts int64) for a value array."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[np.isfinite(x)]
+    pos = x > 0
+    ids = np.floor(np.log(x[pos]) / np.log(_gamma(eps))).astype(np.int32)
+    if pos.sum() < len(x):
+        ids = np.concatenate([ids, np.full(len(x) - int(pos.sum()),
+                                           _UNDERFLOW, dtype=np.int32)])
+    u, c = np.unique(ids, return_counts=True)
+    return u.astype(np.int32), c.astype(np.int64)
+
+
+def hist_merge(hists: list[tuple[np.ndarray, np.ndarray]]):
+    """Sum counts per bucket — associative/commutative (np.unique sorts)."""
+    ids = np.concatenate([h[0] for h in hists])
+    cnt = np.concatenate([h[1] for h in hists])
+    u, inv = np.unique(ids, return_inverse=True)
+    return u.astype(np.int32), np.bincount(
+        inv, weights=cnt.astype(np.float64)).astype(np.int64)
+
+
+def hist_quantile(ids: np.ndarray, counts: np.ndarray, q: float,
+                  eps: float = HIST_EPS) -> float:
+    """Inverse-CDF (lower/disc) quantile: the upper edge of the bucket
+    holding the ceil(q·n)-th smallest value — within a (1+2ε) factor of
+    the true discrete quantile by construction."""
+    n = int(counts.sum())
+    if n == 0:
+        return float("nan")
+    rank = max(1, int(np.ceil(q * n)))
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, rank))
+    if ids[b] == _UNDERFLOW:
+        return 0.0
+    return float(_gamma(eps) ** (int(ids[b]) + 1))
+
+
+def hist_to_bytes(ids: np.ndarray, counts: np.ndarray) -> bytes:
+    return ids.astype("<i4").tobytes() + counts.astype("<i8").tobytes()
+
+
+def hist_from_bytes(b: bytes):
+    nb = len(b) // 12  # 4 bytes id + 8 bytes count per bucket
+    ids = np.frombuffer(b[: nb * 4], dtype="<i4").astype(np.int32)
+    cnt = np.frombuffer(b[nb * 4:], dtype="<i8").astype(np.int64)
+    return ids, cnt
+
+
+def quantile_sketch(ds, group_keys: list[str], value_col: str,
+                    eps: float = HIST_EPS, num_partitions: int = 64):
+    """Per-group mergeable quantile histogram as a Dataset of
+    ``group_keys + [qhist (binary), n (int64)]`` — the same two-level
+    combiner/merge plan as :func:`distinct_sketch`; shuffle traffic is
+    O(groups × buckets) (buckets ≈ ln(max/min)/ln(1+2ε), ~1.4k for a
+    float64 dynamic range at ε=1%), independent of row count. Use
+    :func:`hist_quantile` on the merged rows, or
+    :func:`merge_hist_rows` to cascade tiers."""
+    gk = list(group_keys)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        rows = []
+        for key, idx in b[gk].groupby(gk, sort=False, dropna=False,
+                                      observed=True).indices.items():
+            key = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(gk, key))
+            row["__qh"] = hist_to_bytes(*hist_from_values(x[idx], eps))
+            rows.append(row)
+        if not rows:
+            return pd.DataFrame({**{c: pd.Series([], dtype="object")
+                                    for c in gk},
+                                 "__qh": pd.Series([], dtype="object")})
+        return pd.DataFrame(rows)
+
+    def merge(sub: pd.DataFrame) -> pd.DataFrame:
+        if len(sub) == 0:
+            out = sub[gk].iloc[0:0].copy()
+            out["qhist"] = pd.Series([], dtype="object")
+            out["n"] = pd.Series([], dtype="int64")
+            return out
+        ids, cnt = hist_merge([hist_from_bytes(x) for x in sub["__qh"]])
+        out = sub[gk].iloc[:1].copy()
+        out["qhist"] = [hist_to_bytes(ids, cnt)]
+        out["n"] = int(cnt.sum())
+        return out
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+    return bucketed_map_groups(parts, gk, merge,
+                               num_partitions=num_partitions)
+
+
+def merge_hist_rows(qh_ds, group_keys: list[str],
+                    num_partitions: int = 64):
+    """Cascade step for quantile histograms (per-1h → per-1d …)."""
+    gk = list(group_keys)
+
+    def merge(sub: pd.DataFrame) -> pd.DataFrame:
+        if len(sub) == 0:
+            out = sub[gk].iloc[0:0].copy()
+            out["qhist"] = pd.Series([], dtype="object")
+            out["n"] = pd.Series([], dtype="int64")
+            return out
+        ids, cnt = hist_merge([hist_from_bytes(x) for x in sub["qhist"]])
+        out = sub[gk].iloc[:1].copy()
+        out["qhist"] = [hist_to_bytes(ids, cnt)]
+        out["n"] = int(cnt.sum())
+        return out
+
+    return bucketed_map_groups(qh_ds, gk, merge,
+                               num_partitions=num_partitions)

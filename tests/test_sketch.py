@@ -142,3 +142,48 @@ def test_distinct_tiers_cascade_matches_direct_distributed():
             e = exact.loc[(r.g, r.bucket_us)]
             if r.is_exact:
                 assert r.distinct_est == e
+
+
+def test_hist_quantile_relative_error_bound():
+    """Log-bucketed histogram quantiles: within (1+2ε) of the exact
+    inverse-CDF quantile on a heavy-tailed distribution, and merge of
+    parts == direct (count-exact associativity)."""
+    rng = np.random.default_rng(2)
+    x = rng.lognormal(3.0, 2.0, 80_000)
+    eps = 0.01
+    ids, cnt = S.hist_from_values(x, eps)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = S.hist_quantile(ids, cnt, q, eps)
+        exact = np.quantile(x, q, method="inverted_cdf")
+        assert exact <= est <= exact * (1 + 2 * eps) * (1 + 1e-9)
+
+    parts = np.array_split(x, 9)
+    merged = S.hist_merge([S.hist_from_values(p, eps) for p in parts])
+    assert np.array_equal(merged[0], ids)
+    assert np.array_equal(merged[1], cnt)
+    rt = S.hist_from_bytes(S.hist_to_bytes(ids, cnt))
+    assert np.array_equal(rt[0], ids) and np.array_equal(rt[1], cnt)
+
+
+def test_hist_underflow_bucket_and_nan_mask():
+    ids, cnt = S.hist_from_values(np.array([0.0, -3.0, np.nan, 2.0]), 0.01)
+    assert cnt.sum() == 3  # NaN masked
+    assert S.hist_quantile(ids, cnt, 0.3, 0.01) == 0.0  # zero/neg -> 0.0
+    assert S.hist_quantile(ids, cnt, 0.99, 0.01) >= 2.0
+
+
+def test_quantile_sketch_stage_matches_local():
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], size=4000),
+        "v": rng.lognormal(2, 1, 4000),
+    })
+    ds = ray.data.from_pandas(
+        [df.iloc[i::5].reset_index(drop=True) for i in range(5)])
+    out = S.quantile_sketch(ds, ["g"], "v", eps=0.02, num_partitions=4) \
+        .to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        ids, cnt = S.hist_from_bytes(out.loc[g, "qhist"])
+        lids, lcnt = S.hist_from_values(sub["v"].to_numpy(), 0.02)
+        assert np.array_equal(ids, lids) and np.array_equal(cnt, lcnt)
+        assert out.loc[g, "n"] == len(sub)

@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_kmv_gate": Q.q_distinct_users_kmv_gate,
         "distinct_users_daily_cascade": Q.q_distinct_users_daily_cascade,
         "quantile_sketch_gate_daily": Q.q_quantile_sketch_gate_daily,
+        "top_users_sketch_daily": Q.q_top_users_sketch_daily,
         "multimodal_resize": Q.q_multimodal_resize,
         "csv_roundtrip_events": Q.q_csv_roundtrip_events,
         "anti_join_orders": Q.q_anti_join_orders,
@@ -245,4 +246,5 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,
         "quantile_sketch_gate_daily": Q.SQL_QUANTILE_SKETCH_GATE,
+        "top_users_sketch_daily": Q.SQL_TOP_USERS_SKETCH,
     }

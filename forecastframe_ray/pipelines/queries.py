@@ -2532,3 +2532,41 @@ SQL_QUANTILE_SKETCH_GATE = f"""
            true AS q90_sketch_ok
     FROM daily GROUP BY 1 ORDER BY 1
 """
+
+
+def q_top_users_sketch_daily(sf_dir: str) -> pd.DataFrame:
+    """Heavy-hitters continuous aggregate (Misra–Gries, stages/sketch.py):
+    top-3 users per event_type by event count. k=512 exceeds this table's
+    per-group cardinality, so the summary is in its exact-counts regime
+    and the oracle pins counts and ranking bit-for-bit (ties broken by
+    user_id); the estimation regime's never-overcount / bounded-undercount
+    / guaranteed-containment contract is pinned by tests/test_sketch.py."""
+    from forecastframe_ray.stages.sketch import topk_sketch
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    sk = topk_sketch(ev, ["event_type"], "user_id",
+                     k=512, num_partitions=8).to_pandas()
+    sk = sk.sort_values(["event_type", "mg_count", "user_id"],
+                        ascending=[True, False, True])
+    top = sk.groupby("event_type", sort=True).head(3).reset_index(drop=True)
+    top["rank"] = top.groupby("event_type").cumcount() + 1
+    top["mg_count"] = top["mg_count"].astype("int64")
+    top["rank"] = top["rank"].astype("int64")
+    return top[["event_type", "rank", "user_id", "mg_count"]]
+
+
+SQL_TOP_USERS_SKETCH = """
+    WITH c AS (
+        SELECT event_type, user_id, count(*) AS mg_count
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, user_id, mg_count,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mg_count DESC, user_id ASC)
+                   AS rank
+        FROM c
+    )
+    SELECT event_type, rank, user_id, mg_count
+    FROM r WHERE rank <= 3
+"""

@@ -308,3 +308,98 @@ def merge_hist_rows(qh_ds, group_keys: list[str],
 
     return bucketed_map_groups(qh_ds, gk, merge,
                                num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# mergeable heavy-hitters summary (Misra–Gries / SpaceSaving family)
+# ---------------------------------------------------------------------------
+#
+# The Misra–Gries k-counter summary (Misra & Gries 1982; mergeability and
+# the merge rule below from Agarwal et al. 2012, "Mergeable Summaries"):
+# keep ≤ k (value, count) pairs; to shrink past k, subtract the (k+1)-th
+# largest count from every counter and drop non-positives. Any value with
+# true frequency > n/k is guaranteed present, and stored counts undercount
+# the truth by at most n/k (n = total rows summarized). Counts are
+# additive, so per-bucket summaries cascade 1h→1d→7d like everything else
+# in this module. Representation is EXPLODED rows (group, value, count) —
+# values can be any key type (hosts, user ids) with no binary packing.
+
+def mg_truncate(values: np.ndarray, counts: np.ndarray, k: int):
+    """Shrink an exact/partial counter set to ≤ k Misra–Gries counters."""
+    if len(values) <= k:
+        return values, counts
+    order = np.argsort(counts)[::-1]
+    sub = counts[order[k]]  # (k+1)-th largest
+    keep = order[:k]
+    newc = counts[keep] - sub
+    pos = newc > 0
+    return values[keep][pos], newc[pos]
+
+
+def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]], k: int):
+    """Add counts per value across summaries, then truncate to k."""
+    vals = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts])
+    u, inv = np.unique(vals, return_inverse=True)
+    summed = np.bincount(inv, weights=cnts.astype(np.float64)).astype(np.int64)
+    return mg_truncate(u, summed, k)
+
+
+def topk_sketch(ds, group_keys: list[str], value_col: str, k: int = 64,
+                num_partitions: int = 64):
+    """Per-group heavy hitters: Dataset of ``group_keys + [value_col,
+    mg_count (int64), n (int64)]`` — ≤ k rows per group. Counts never
+    overcount; the one-shot merge (sum all per-batch summaries, truncate
+    once) undercounts any value by at most ``2n/(k+1)`` (Agarwal et al.'s
+    pairwise rule proves n/(k+1); summing first only reduces truncation
+    mass, the 2× is the safe stated bound), so any value with true
+    frequency above that is guaranteed present. Below k distinct values
+    per group the summary is EXACT counts. Combiner = exact per-batch
+    value_counts truncated to k, merge = additive + truncate — shuffle
+    traffic O(groups × k), independent of row count."""
+    gk = list(group_keys)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in b.groupby(gk, sort=False, dropna=False,
+                                observed=True):
+            key = key if isinstance(key, tuple) else (key,)
+            vc = g[value_col].value_counts()  # drops nulls; n = non-null
+            if len(vc) == 0:
+                continue
+            v, c = mg_truncate(vc.index.to_numpy(),
+                               vc.to_numpy(dtype=np.int64), k)
+            # a zero-count marker row carries this partial's n even when
+            # truncation empties the counter set (uniform over-k batch);
+            # zero counts are additive no-ops in the merge
+            v = np.concatenate([v, vc.index.to_numpy()[:1]])
+            c = np.concatenate([c, np.zeros(1, dtype=np.int64)])
+            part = pd.DataFrame({value_col: v, "mg_count": c})
+            for col, kv in zip(gk, key):
+                part[col] = kv
+            part["n"] = 0
+            part.iloc[-1, part.columns.get_loc("n")] = int(vc.sum())
+            outs.append(part)
+        if not outs:
+            return pd.DataFrame({**{c: pd.Series([], dtype="object")
+                                    for c in gk + [value_col]},
+                                 "mg_count": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)[
+            gk + [value_col, "mg_count", "n"]]
+
+    def merge(sub: pd.DataFrame) -> pd.DataFrame:
+        if len(sub) == 0:
+            return sub[gk + [value_col, "mg_count", "n"]].iloc[0:0].copy()
+        v, c = mg_merge([(sub[value_col].to_numpy(),
+                          sub["mg_count"].to_numpy(dtype=np.int64))], k)
+        pos = c > 0  # drop surviving zero-count marker rows
+        out = pd.DataFrame({value_col: v[pos], "mg_count": c[pos]})
+        for col in gk:
+            out[col] = sub[col].iloc[0]
+        out["n"] = int(sub["n"].sum())
+        return out[gk + [value_col, "mg_count", "n"]]
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+    return bucketed_map_groups(parts, gk, merge,
+                               num_partitions=num_partitions)

@@ -187,3 +187,55 @@ def test_quantile_sketch_stage_matches_local():
         lids, lcnt = S.hist_from_values(sub["v"].to_numpy(), 0.02)
         assert np.array_equal(ids, lids) and np.array_equal(cnt, lcnt)
         assert out.loc[g, "n"] == len(sub)
+
+
+def test_mg_truncate_and_merge_bounds():
+    """Misra–Gries: never overcounts, undercounts ≤ 2n/(k+1), and every
+    value above that threshold is present after a multi-part merge."""
+    rng = np.random.default_rng(7)
+    # Zipf-ish: a few heavy values + a long uniform tail
+    heavy = np.repeat(np.array(["H0", "H1", "H2"]), [4000, 2500, 1500])
+    tail = np.array([f"t{i}" for i in rng.integers(0, 3000, size=12_000)])
+    x = np.concatenate([heavy, tail])
+    rng.shuffle(x)
+    n, k = len(x), 64
+
+    parts = np.array_split(x, 11)
+    summaries = []
+    for p in parts:
+        v, c = np.unique(p, return_counts=True)
+        summaries.append(S.mg_truncate(v, c.astype(np.int64), k))
+    v, c = S.mg_merge(summaries, k)
+    assert len(v) <= k
+
+    true = pd.Series(x).value_counts()
+    bound = 2 * n / (k + 1)
+    got = dict(zip(v, c))
+    for val, tc in true.items():
+        if val in got:
+            assert got[val] <= tc          # never overcounts
+            assert got[val] >= tc - bound  # bounded undercount
+        else:
+            assert tc <= bound             # misses only light values
+    for h in ("H0", "H1", "H2"):
+        assert h in got  # heavy hitters guaranteed present
+
+
+def test_topk_sketch_stage_exact_below_k():
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], size=6000),
+        "v": rng.choice([f"u{i}" for i in range(40)], size=6000,
+                        p=np.array([10] * 5 + [1] * 35, dtype=float)
+                        / (50 + 35)),
+    })
+    ds = ray.data.from_pandas(
+        [df.iloc[i::7].reset_index(drop=True) for i in range(7)])
+    out = S.topk_sketch(ds, ["g"], "v", k=64, num_partitions=4).to_pandas()
+    for g, sub in df.groupby("g"):
+        true = sub["v"].value_counts()
+        got = out[out["g"] == g].set_index("v")["mg_count"]
+        assert len(got) == len(true)  # below k -> all values, exact
+        for val, tc in true.items():
+            assert got[val] == tc
+        assert (out.loc[out["g"] == g, "n"] == len(sub)).all()

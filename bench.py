@@ -134,6 +134,7 @@ _BENCH_QUERIES = [
     "text_analysis_documents",
     "ann_bruteforce_embeddings",
     "gorilla_roundtrip_events",
+    "distinct_users_daily_cascade",
 ]
 
 

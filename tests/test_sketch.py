@@ -239,3 +239,64 @@ def test_topk_sketch_stage_exact_below_k():
         for val, tc in true.items():
             assert got[val] == tc
         assert (out.loc[out["g"] == g, "n"] == len(sub)).all()
+
+
+# property-based merge laws (hypothesis): arbitrary values and arbitrary
+# split points — merge of parts must equal the direct sketch exactly
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+                max_size=400),
+       st.integers(min_value=1, max_value=8),
+       st.integers(min_value=1, max_value=64))
+def test_kmv_merge_equals_direct_property(vals, nparts, k):
+    h = _hashes(np.array(vals))
+    direct = S.kmv_from_hashes(h, k)
+    parts = np.array_split(h, min(nparts, len(h)))
+    merged = S.kmv_merge([S.kmv_from_hashes(p, k) for p in parts if len(p)],
+                         k)
+    assert np.array_equal(direct, merged)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e9,
+                          allow_nan=False), min_size=1, max_size=400),
+       st.integers(min_value=1, max_value=8))
+def test_hist_merge_equals_direct_property(vals, nparts):
+    x = np.array(vals, dtype=np.float64)
+    eps = 0.01
+    ids, cnt = S.hist_from_values(x, eps)
+    parts = np.array_split(x, min(nparts, len(x)))
+    mids, mcnt = S.hist_merge(
+        [S.hist_from_values(p, eps) for p in parts if len(p)])
+    assert np.array_equal(ids, mids)
+    assert np.array_equal(cnt, mcnt)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=300),
+       st.integers(min_value=2, max_value=40))
+def test_mg_merge_never_overcounts_property(vals, k):
+    x = np.array([f"v{v}" for v in vals])
+    true = pd.Series(x).value_counts()
+    parts = np.array_split(x, 5)
+    summaries = []
+    for p in parts:
+        if not len(p):
+            continue
+        v, c = np.unique(p, return_counts=True)
+        summaries.append(S.mg_truncate(v, c.astype(np.int64), k))
+    v, c = S.mg_merge(summaries, k)
+    assert len(v) <= k
+    got = dict(zip(v, c))
+    bound = 2 * len(x) / (k + 1)
+    for val, tc in true.items():
+        if val in got:
+            assert got[val] <= tc
+            assert got[val] >= tc - bound
+        else:
+            assert tc <= bound

@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-pipeline flagship (pipelines/llm.py)
         "llm_exact_funnel_documents": Q.q_llm_exact_funnel_documents,
         "llm_pipeline_documents": Q.q_llm_pipeline_documents,
+        # real fitted estimator (per-series linear trend OLS/ridge)
+        "predict_linear_daily": Q.q_predict_linear_daily,
     }
 
 
@@ -247,4 +249,5 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,
         "quantile_sketch_gate_daily": Q.SQL_QUANTILE_SKETCH_GATE,
         "top_users_sketch_daily": Q.SQL_TOP_USERS_SKETCH,
+        "predict_linear_daily": Q.SQL_PREDICT_LINEAR,
     }

@@ -2570,3 +2570,61 @@ SQL_TOP_USERS_SKETCH = """
     SELECT event_type, rank, user_id, mg_count
     FROM r WHERE rank <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# real fitted estimator: per-series linear trend (OLS / ridge)
+# ---------------------------------------------------------------------------
+
+def q_predict_linear_daily(sf_dir: str) -> pd.DataFrame:
+    """The predict driver with a REAL fitted estimator (reference
+    model.py:802-953 fit + model.py:1313-1417 predict, engine-native): fit a
+    per-series linear trend (OLS of v on the day index, centered per series)
+    on ALL history via distributed partial sums, then score the next-7-day
+    future grid (W10). The oracle recomputes the identical closed-form fit
+    (base-centered Σx/Σy/Σx²/Σxy → slope/intercept) in SQL term-for-term."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", estimator="linear_trend",
+                       l2=0.0)
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    return _fill(df, ["predicted_v"])
+
+
+SQL_PREDICT_LINEAR = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    d2 AS (SELECT event_type, epoch_us(d) // {DAY_US} AS dn, v
+           FROM daily WHERE v IS NOT NULL),
+    b AS (SELECT event_type, min(dn) AS base FROM d2 GROUP BY 1),
+    s AS (SELECT d2.event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 sum(CAST(dn - base AS DOUBLE)) AS sx,
+                 sum(v) AS sy,
+                 sum(CAST(dn - base AS DOUBLE)
+                     * CAST(dn - base AS DOUBLE)) AS sxx,
+                 sum(CAST(dn - base AS DOUBLE) * v) AS sxy,
+                 min(base) AS base
+          FROM d2 JOIN b USING (event_type) GROUP BY d2.event_type),
+    m0 AS (SELECT event_type, base, n, sx, sy,
+                  CASE WHEN (sxx - sx * sx / n + 0.0) = 0.0 THEN 0.0
+                       ELSE (sxy - sx * sy / n) / (sxx - sx * sx / n + 0.0)
+                  END AS slope
+           FROM s),
+    m AS (SELECT event_type, base, slope,
+                 sy / n - slope * (sx / n) AS icept
+          FROM m0),
+    f AS (SELECT t.event_type, fd.d
+          FROM (SELECT DISTINCT event_type FROM daily) t
+          CROSS JOIN (
+              SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                            maxd + INTERVAL 7 DAY,
+                                            INTERVAL 1 DAY)) AS d
+              FROM (SELECT max(d) AS maxd FROM daily)
+          ) fd)
+    SELECT f.event_type, f.d,
+           COALESCE(round(m.icept + m.slope
+                          * CAST(epoch_us(f.d) // {DAY_US} - m.base
+                                 AS DOUBLE), 6),
+                    {NULLF}) AS predicted_v
+    FROM f JOIN m ON m.event_type = f.event_type
+"""

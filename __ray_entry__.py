@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_pipeline_documents": Q.q_llm_pipeline_documents,
         # real fitted estimator (per-series linear trend OLS/ridge)
         "predict_linear_daily": Q.q_predict_linear_daily,
+        # as-of join (stages/join.py asof_join; oracle = DuckDB ASOF JOIN)
+        "asof_join_events": Q.q_asof_join_events,
     }
 
 
@@ -250,4 +252,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_gate_daily": Q.SQL_QUANTILE_SKETCH_GATE,
         "top_users_sketch_daily": Q.SQL_TOP_USERS_SKETCH,
         "predict_linear_daily": Q.SQL_PREDICT_LINEAR,
+        "asof_join_events": Q.SQL_ASOF_JOIN_EVENTS,
     }

@@ -2628,3 +2628,53 @@ SQL_PREDICT_LINEAR = f"""
                     {NULLF}) AS predicted_v
     FROM f JOIN m ON m.event_type = f.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join (nearest-prior-timestamp attach; stages/join.py asof_join)
+# ---------------------------------------------------------------------------
+
+def q_asof_join_events(sf_dir: str) -> pd.DataFrame:
+    """Distributed as-of join: attach to every ``purchase`` event the user's
+    most recent PRIOR ``click`` activity (summed per (user, ts) so ties are
+    impossible and the match is deterministic). Oracle is DuckDB's native
+    ``ASOF LEFT JOIN`` — same backward/inclusive semantics as the engine's
+    per-partition ``merge_asof`` kernel."""
+    from forecastframe_ray.stages.join import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts", "value"])
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["event_type"] == "purchase",
+                     ["event_id", "user_id", "ts"]]
+
+    def clicks(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["event_type"] == "click", ["user_id", "ts", "value"]]
+
+    left = ev.map_batches(purchases, batch_format="pandas")
+    right = hash_aggregate(ev.map_batches(clicks, batch_format="pandas"),
+                           ["user_id", "ts"], {"click_v": ("value", "sum")},
+                           num_partitions=_NP)
+
+    def round_right(b: pd.DataFrame) -> pd.DataFrame:
+        b["click_v"] = np.round(b["click_v"].to_numpy(dtype=np.float64), 6)
+        return b
+
+    out = asof_join(left, right.map_batches(round_right,
+                                            batch_format="pandas"),
+                    on=["user_id"], left_ts="ts", num_partitions=_NP)
+    df = out.to_pandas()[["event_id", "user_id", "ts", "ts_r", "click_v"]]
+    return _fill(df, ["click_v"])
+
+
+SQL_ASOF_JOIN_EVENTS = f"""
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts AS ts_r, round(sum(value), 6) AS click_v
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts, r.ts_r,
+           COALESCE(r.click_v, {NULLF}) AS click_v
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts_r
+"""

@@ -181,3 +181,169 @@ def broadcast_update(ds, patch_df: pd.DataFrame, on: list[str]):
             return apply_patch(batch, self.patch)
 
     return ds.map_batches(Updater, batch_format="pandas", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# as-of (nearest-timestamp) joins — a custom operator Ray Data lacks
+# ---------------------------------------------------------------------------
+
+def _arrow_schema(ds):
+    """Arrow schema of a Dataset regardless of block format: parquet-backed
+    datasets report a pa.Schema; from_pandas datasets report a
+    PandasBlockSchema (numpy dtypes), mapped here (object -> string — pass
+    Arrow blocks for binary columns)."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = ds.schema()
+    if schema is None:
+        raise ValueError(
+            "asof_join requires a schema'd Dataset — an empty Dataset with "
+            "no inferable schema cannot shape the join output (filter a "
+            "typed source to empty instead of passing a bare empty one)")
+    bs = schema.base_schema
+    if isinstance(bs, pa.Schema):
+        return bs
+    return pa.schema([
+        (n, pa.string() if d == np.dtype("O") else pa.from_numpy_dtype(d))
+        for n, d in zip(bs.names, bs.types)])
+
+
+def _asof_out_schema(left_schema, right_fields: list, on: list[str]):
+    """Output schema for an as-of join: left fields unchanged, right value
+    fields with integer/boolean types promoted to float64 — unmatched left
+    rows hold nulls there, and pandas' merge_asof upcasts partially-matched
+    int columns to float64, so promoting ALWAYS keeps every partition's
+    block schema identical (a partition that happens to match fully would
+    otherwise emit int64 and break the block union)."""
+    import pyarrow as pa
+
+    fields = list(left_schema)
+    for f in right_fields:
+        if f.name in on:
+            continue
+        t = f.type
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            t = pa.float64()
+        fields.append(pa.field(f.name, t))
+    return pa.schema(fields)
+
+
+def _merge_asof_frames(lf: pd.DataFrame, rf: pd.DataFrame, on: list[str],
+                       left_ts: str, right_ts: str, direction: str,
+                       tolerance) -> pd.DataFrame:
+    lf = lf.sort_values(left_ts, kind="mergesort")
+    rf = rf.sort_values(right_ts, kind="mergesort")
+    return pd.merge_asof(lf, rf, left_on=left_ts, right_on=right_ts,
+                         by=list(on), direction=direction,
+                         tolerance=tolerance)
+
+
+def asof_join(left, right, on: list[str], left_ts: str,
+              right_ts: str | None = None, direction: str = "backward",
+              tolerance=None, suffix: str = "_r", num_partitions: int = 64):
+    """Distributed as-of join (both sides large): for every left row, attach
+    the right row with the nearest ``right_ts`` per ``direction``
+    ("backward" = latest right_ts <= left_ts, "forward", "nearest") within
+    the same ``on`` key group — the time-series join Ray Data's Dataset API
+    doesn't provide (reference merges are equality joins only;
+    utilities.py:157-211).
+
+    Physical plan: both sides are tagged and hash-partitioned on ``on`` with
+    the SAME deterministic hash (one coarse shuffle each, Arrow-native null
+    padding so schemas unify without int→float upcasts), then each partition
+    runs ONE vectorized ``pandas.merge_asof``. PARTITIONING ASSUMPTION: all
+    rows of a key land in one partition — a single pathologically hot key
+    bounds per-task memory at that key's row count, the same contract as
+    every keyed window stage (scale the partition COUNT with data).
+
+    Right value columns colliding with left names get ``suffix``. Right-side
+    timestamp ties within a key are resolved by pandas (last sorted row) —
+    pre-aggregate the right side to unique (key, ts) when determinism
+    matters. ``tolerance`` is a ``pd.Timedelta`` (or numeric) match window.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from forecastframe_ray import keys as K
+    from forecastframe_ray.stages.agg import PART_COL
+
+    right_ts = right_ts or left_ts
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lnames = set(lschema.names)
+    renames = {c: (c + suffix if c in lnames and c not in on else c)
+               for c in rschema.names}
+    r_ts_out = renames[right_ts]
+    right_fields = [pa.field(renames[f.name], f.type) for f in rschema
+                    if f.name not in on]
+    out_schema = _asof_out_schema(lschema, right_fields, on)
+    union_fields = ([(f.name, f.type) for f in lschema]
+                    + [(f.name, f.type) for f in right_fields])
+    lcols = list(lschema.names)
+    rcols = list(on) + [f.name for f in right_fields]
+
+    def tag(side: int, names_map: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.rename_columns([names_map.get(c, c)
+                                  for c in t.column_names])
+            n = t.num_rows
+            cols = {name: (t[name] if name in t.column_names
+                           else pa.nulls(n, type=typ))
+                    for name, typ in union_fields}
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            out = pa.table(cols)
+            return out.append_column(
+                PART_COL, pa.array(K.partition_ids_arrow(
+                    out, list(on), num_partitions)))
+        return fn
+
+    tagged = left.map_batches(tag(0, {}), batch_format="pyarrow").union(
+        right.map_batches(tag(1, renames), batch_format="pyarrow"))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["__side"], 0)
+        lf = t.filter(mask).select(lcols).to_pandas()
+        rf = t.filter(pc.invert(mask)).select(rcols).to_pandas()
+        out = _merge_asof_frames(lf, rf, on, left_ts, r_ts_out,
+                                 direction, tolerance)
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    return tagged.groupby(PART_COL).map_groups(kernel,
+                                               batch_format="pyarrow")
+
+
+def broadcast_asof_join(ds, right_df: pd.DataFrame, on: list[str],
+                        left_ts: str, right_ts: str | None = None,
+                        direction: str = "backward", tolerance=None,
+                        suffix: str = "_r"):
+    """As-of join against a SMALL right side: the right table ships to the
+    object store once and every batch runs one local ``merge_asof`` — no
+    shuffle of the big side at all (the scale path when the right side is a
+    dimension-snapshot history). Same semantics/suffix rules as
+    :func:`asof_join`."""
+    import pyarrow as pa
+
+    right_ts = right_ts or left_ts
+    lschema = _arrow_schema(ds)
+    lnames = set(lschema.names)
+    right_df = right_df.rename(columns={
+        c: c + suffix for c in right_df.columns
+        if c in lnames and c not in on})
+    r_ts_out = right_ts + suffix if (right_ts in lnames
+                                     and right_ts not in on) else right_ts
+    rschema = pa.Schema.from_pandas(right_df)
+    right_fields = [f for f in rschema if f.name not in on]
+    out_schema = _asof_out_schema(lschema, right_fields, on)
+    ref = ray.put(right_df.sort_values(r_ts_out, kind="mergesort"))
+
+    def join_fn(t: pa.Table) -> pa.Table:
+        lf = t.to_pandas().sort_values(left_ts, kind="mergesort")
+        out = pd.merge_asof(lf, ray.get(ref), left_on=left_ts,
+                            right_on=r_ts_out, by=list(on),
+                            direction=direction, tolerance=tolerance)
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    return ds.map_batches(join_fn, batch_format="pyarrow")

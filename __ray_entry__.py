@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_linear_daily": Q.q_predict_linear_daily,
         # as-of join (stages/join.py asof_join; oracle = DuckDB ASOF JOIN)
         "asof_join_events": Q.q_asof_join_events,
+        # range (interval) join (stages/join.py range_join)
+        "range_join_events": Q.q_range_join_events,
     }
 
 
@@ -253,4 +255,5 @@ def oracle_sql() -> dict[str, str]:
         "top_users_sketch_daily": Q.SQL_TOP_USERS_SKETCH,
         "predict_linear_daily": Q.SQL_PREDICT_LINEAR,
         "asof_join_events": Q.SQL_ASOF_JOIN_EVENTS,
+        "range_join_events": Q.SQL_RANGE_JOIN_EVENTS,
     }

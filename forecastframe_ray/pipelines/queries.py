@@ -2678,3 +2678,52 @@ SQL_ASOF_JOIN_EVENTS = f"""
     FROM l ASOF LEFT JOIN r
       ON l.user_id = r.user_id AND l.ts >= r.ts_r
 """
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join — purchases inside 7-day signup windows
+# ---------------------------------------------------------------------------
+
+def q_range_join_events(sf_dir: str) -> pd.DataFrame:
+    """Distributed range join (stages/join.py range_join): attach every
+    ``purchase`` event to each 7-day window opened by the same user's
+    ``signup`` events ([ts, ts+7d), inner — a purchase in k overlapping
+    windows emits k rows). Oracle is the plain inequality join in SQL."""
+    from forecastframe_ray.stages.join import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts", "value"])
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[b["event_type"] == "purchase",
+                    ["event_id", "user_id", "ts", "value"]].copy()
+        out["pv"] = np.round(out["value"].to_numpy(dtype=np.float64), 6)
+        return out.drop(columns="value")
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        w = b.loc[b["event_type"] == "signup",
+                  ["event_id", "user_id", "ts"]].copy()
+        w = w.rename(columns={"event_id": "signup_id", "ts": "w_start"})
+        w["w_end"] = w["w_start"] + pd.Timedelta(days=7)
+        return w
+
+    out = range_join(ev.map_batches(purchases, batch_format="pandas"),
+                     ev.map_batches(windows, batch_format="pandas"),
+                     on=["user_id"], left_ts="ts", start_col="w_start",
+                     end_col="w_end", how="inner", closed="left",
+                     num_partitions=_NP)
+    return out.to_pandas()[["event_id", "user_id", "ts", "pv",
+                            "signup_id", "w_start", "w_end"]]
+
+
+SQL_RANGE_JOIN_EVENTS = """
+    WITH p AS (SELECT event_id, user_id, ts, round(value, 6) AS pv
+               FROM events WHERE event_type = 'purchase'),
+    w AS (SELECT event_id AS signup_id, user_id, ts AS w_start,
+                 ts + INTERVAL 7 DAY AS w_end
+          FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id, p.ts, p.pv,
+           w.signup_id, w.w_start, w.w_end
+    FROM p JOIN w ON p.user_id = w.user_id
+                 AND p.ts >= w.w_start AND p.ts < w.w_end
+"""

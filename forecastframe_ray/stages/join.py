@@ -209,13 +209,16 @@ def _arrow_schema(ds):
         for n, d in zip(bs.names, bs.types)])
 
 
-def _asof_out_schema(left_schema, right_fields: list, on: list[str]):
-    """Output schema for an as-of join: left fields unchanged, right value
-    fields with integer/boolean types promoted to float64 — unmatched left
-    rows hold nulls there, and pandas' merge_asof upcasts partially-matched
-    int columns to float64, so promoting ALWAYS keeps every partition's
-    block schema identical (a partition that happens to match fully would
-    otherwise emit int64 and break the block union)."""
+def _asof_out_schema(left_schema, right_fields: list, on: list[str],
+                     promote_ints: bool = True):
+    """Output schema for a keyed co-group join: left fields unchanged; right
+    value fields with integer/boolean types promoted to float64 when the
+    join can leave them null (``promote_ints``) — unmatched left rows hold
+    NaN there and pandas upcasts partially-matched int columns to float64,
+    so promoting ALWAYS keeps every partition's block schema identical (a
+    partition that happens to match fully would otherwise emit int64 and
+    break the block union). Inner joins never emit nulls, so they keep
+    integer types."""
     import pyarrow as pa
 
     fields = list(left_schema)
@@ -223,10 +226,87 @@ def _asof_out_schema(left_schema, right_fields: list, on: list[str]):
         if f.name in on:
             continue
         t = f.type
-        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        if promote_ints and (pa.types.is_integer(t)
+                             or pa.types.is_boolean(t)):
             t = pa.float64()
         fields.append(pa.field(f.name, t))
     return pa.schema(fields)
+
+
+def _cogroup_plan(left, right, on: list[str], suffix: str,
+                  promote_ints: bool = True):
+    """Shared planning for both-sides-large keyed co-group joins: resolve
+    right-column renames (collisions get ``suffix``), the unified tagged
+    schema, and the output schema."""
+    import pyarrow as pa
+
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lnames = set(lschema.names)
+    renames = {c: (c + suffix if c in lnames and c not in on else c)
+               for c in rschema.names}
+    right_fields = [pa.field(renames[f.name], f.type) for f in rschema
+                    if f.name not in on]
+    out_schema = _asof_out_schema(lschema, right_fields, on, promote_ints)
+    return {
+        "renames": renames,
+        "out_schema": out_schema,
+        "union_fields": ([(f.name, f.type) for f in lschema]
+                         + [(f.name, f.type) for f in right_fields]),
+        "lcols": list(lschema.names),
+        "rcols": list(on) + [f.name for f in right_fields],
+    }
+
+
+def _keyed_cogroup(left, right, on: list[str], plan: dict, frame_kernel,
+                   num_partitions: int):
+    """Execute a keyed co-group join: tag both sides, hash-partition on
+    ``on`` with the same deterministic hash (one coarse shuffle each,
+    Arrow-native null padding so schemas unify without upcasts), then run
+    ``frame_kernel(lf, rf) -> pd.DataFrame`` once per partition.
+    PARTITIONING ASSUMPTION: all rows of a key land in one partition — a
+    single pathologically hot key bounds per-task memory at that key's row
+    count, the same contract as every keyed window stage (scale the
+    partition COUNT with data)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from forecastframe_ray import keys as K
+    from forecastframe_ray.stages.agg import PART_COL
+
+    union_fields, out_schema = plan["union_fields"], plan["out_schema"]
+    lcols, rcols = plan["lcols"], plan["rcols"]
+
+    def tag(side: int, names_map: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.rename_columns([names_map.get(c, c)
+                                  for c in t.column_names])
+            n = t.num_rows
+            cols = {name: (t[name] if name in t.column_names
+                           else pa.nulls(n, type=typ))
+                    for name, typ in union_fields}
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            out = pa.table(cols)
+            return out.append_column(
+                PART_COL, pa.array(K.partition_ids_arrow(
+                    out, list(on), num_partitions)))
+        return fn
+
+    tagged = left.map_batches(tag(0, {}), batch_format="pyarrow").union(
+        right.map_batches(tag(1, plan["renames"]), batch_format="pyarrow"))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["__side"], 0)
+        lf = t.filter(mask).select(lcols).to_pandas()
+        rf = t.filter(pc.invert(mask)).select(rcols).to_pandas()
+        out = pa.Table.from_pandas(frame_kernel(lf, rf),
+                                   schema=out_schema, preserve_index=False)
+        # from_pandas attaches dict-valued pandas metadata; downstream
+        # shuffles need hashable (metadata-free) schemas (pyarrow 16)
+        return out.replace_schema_metadata(None)
+
+    return tagged.groupby(PART_COL).map_groups(kernel,
+                                               batch_format="pyarrow")
 
 
 def _merge_asof_frames(lf: pd.DataFrame, rf: pd.DataFrame, on: list[str],
@@ -262,56 +342,102 @@ def asof_join(left, right, on: list[str], left_ts: str,
     pre-aggregate the right side to unique (key, ts) when determinism
     matters. ``tolerance`` is a ``pd.Timedelta`` (or numeric) match window.
     """
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from forecastframe_ray import keys as K
-    from forecastframe_ray.stages.agg import PART_COL
-
     right_ts = right_ts or left_ts
-    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    plan = _cogroup_plan(left, right, on, suffix)
+    r_ts_out = plan["renames"][right_ts]
+
+    def frame_kernel(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_asof_frames(lf, rf, on, left_ts, r_ts_out,
+                                  direction, tolerance)
+
+    return _keyed_cogroup(left, right, on, plan, frame_kernel,
+                          num_partitions)
+
+
+_CLOSED_OPS = {"left": (np.greater_equal, np.less),
+               "right": (np.greater, np.less_equal),
+               "both": (np.greater_equal, np.less_equal),
+               "neither": (np.greater, np.less)}
+
+
+def _range_match_frames(lf: pd.DataFrame, rf: pd.DataFrame, on: list[str],
+                        left_ts: str, start_col: str, end_col: str,
+                        how: str, closed: str) -> pd.DataFrame:
+    """Equality-merge on the keys, then the interval mask — vectorized; the
+    per-key expansion is bounded by intervals-per-key (see range_join)."""
+    ge, lt = _CLOSED_OPS[closed]
+    lf = lf.reset_index(drop=True)
+    lf["__lrow"] = np.arange(len(lf), dtype=np.int64)
+    m = lf.merge(rf, on=list(on))
+    ts = m[left_ts].to_numpy()
+    mask = ge(ts, m[start_col].to_numpy()) & lt(ts, m[end_col].to_numpy())
+    matched = m[mask]
+    if how == "left":
+        missing = lf[~lf["__lrow"].isin(matched["__lrow"])]
+        matched = pd.concat([matched, missing], ignore_index=True)
+    return matched.drop(columns="__lrow")
+
+
+def range_join(left, right, on: list[str], left_ts: str, start_col: str,
+               end_col: str, how: str = "inner", closed: str = "left",
+               suffix: str = "_r", num_partitions: int = 64):
+    """Distributed range (interval) join: match every left row to the right
+    rows whose ``[start_col, end_col)`` interval contains ``left_ts`` within
+    the same ``on`` key group (``closed`` picks the boundary convention;
+    ``how="left"`` keeps unmatched left rows with null right columns). A
+    left row matching k intervals emits k rows — the other custom join the
+    Dataset API lacks.
+
+    Physical plan: same keyed co-group as :func:`asof_join` (one coarse
+    shuffle per side, one vectorized kernel per partition). The kernel's
+    expansion is (left rows per key) × (intervals per key) BEFORE the mask —
+    the operator assumes intervals-per-key is bounded (calendar windows,
+    promo periods, session windows); for unbounded interval sides, bucket by
+    time range first."""
+    plan = _cogroup_plan(left, right, on, suffix,
+                         promote_ints=(how == "left"))
+    start_out, end_out = plan["renames"][start_col], plan["renames"][end_col]
+
+    def frame_kernel(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        return _range_match_frames(lf, rf, on, left_ts, start_out, end_out,
+                                   how, closed)
+
+    return _keyed_cogroup(left, right, on, plan, frame_kernel,
+                          num_partitions)
+
+
+def broadcast_range_join(ds, intervals_df: pd.DataFrame, on: list[str],
+                         left_ts: str, start_col: str, end_col: str,
+                         how: str = "inner", closed: str = "left",
+                         suffix: str = "_r"):
+    """Range join against a SMALL interval table (broadcast once, one local
+    vectorized match per batch — no shuffle of the big side). Same
+    semantics as :func:`range_join`."""
+    import pyarrow as pa
+
+    lschema = _arrow_schema(ds)
     lnames = set(lschema.names)
-    renames = {c: (c + suffix if c in lnames and c not in on else c)
-               for c in rschema.names}
-    r_ts_out = renames[right_ts]
-    right_fields = [pa.field(renames[f.name], f.type) for f in rschema
-                    if f.name not in on]
-    out_schema = _asof_out_schema(lschema, right_fields, on)
-    union_fields = ([(f.name, f.type) for f in lschema]
-                    + [(f.name, f.type) for f in right_fields])
-    lcols = list(lschema.names)
-    rcols = list(on) + [f.name for f in right_fields]
+    intervals_df = intervals_df.rename(columns={
+        c: c + suffix for c in intervals_df.columns
+        if c in lnames and c not in on})
+    start_out = start_col + suffix if (start_col in lnames
+                                       and start_col not in on) else start_col
+    end_out = end_col + suffix if (end_col in lnames
+                                   and end_col not in on) else end_col
+    rschema = pa.Schema.from_pandas(intervals_df)
+    right_fields = [f for f in rschema if f.name not in on]
+    out_schema = _asof_out_schema(lschema, right_fields, on,
+                                  promote_ints=(how == "left"))
+    ref = ray.put(intervals_df)
 
-    def tag(side: int, names_map: dict):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.rename_columns([names_map.get(c, c)
-                                  for c in t.column_names])
-            n = t.num_rows
-            cols = {name: (t[name] if name in t.column_names
-                           else pa.nulls(n, type=typ))
-                    for name, typ in union_fields}
-            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            out = pa.table(cols)
-            return out.append_column(
-                PART_COL, pa.array(K.partition_ids_arrow(
-                    out, list(on), num_partitions)))
-        return fn
-
-    tagged = left.map_batches(tag(0, {}), batch_format="pyarrow").union(
-        right.map_batches(tag(1, renames), batch_format="pyarrow"))
-
-    def kernel(t: pa.Table) -> pa.Table:
-        mask = pc.equal(t["__side"], 0)
-        lf = t.filter(mask).select(lcols).to_pandas()
-        rf = t.filter(pc.invert(mask)).select(rcols).to_pandas()
-        out = _merge_asof_frames(lf, rf, on, left_ts, r_ts_out,
-                                 direction, tolerance)
+    def join_fn(t: pa.Table) -> pa.Table:
+        out = _range_match_frames(t.to_pandas(), ray.get(ref), on, left_ts,
+                                  start_out, end_out, how, closed)
         return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
 
-    return tagged.groupby(PART_COL).map_groups(kernel,
-                                               batch_format="pyarrow")
+    return ds.map_batches(join_fn, batch_format="pyarrow")
 
 
 def broadcast_asof_join(ds, right_df: pd.DataFrame, on: list[str],
@@ -344,6 +470,7 @@ def broadcast_asof_join(ds, right_df: pd.DataFrame, on: list[str],
                             right_on=r_ts_out, by=list(on),
                             direction=direction, tolerance=tolerance)
         return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return ds.map_batches(join_fn, batch_format="pyarrow")

@@ -142,3 +142,97 @@ def test_asof_join_empty_right_side():
     out = asof_join(lds, rds, on=["k"], left_ts="ts").to_pandas()
     assert len(out) == len(left)
     assert out["rval"].isna().all() and out["ts_r"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join
+# ---------------------------------------------------------------------------
+
+def synth_intervals(seed: int = 17, n_left: int = 300, n_right: int = 80):
+    rng = np.random.default_rng(seed)
+    t0 = pd.Timestamp("2021-01-01").value // 1000
+    keys = [f"k{i}" for i in range(8)]
+    left = pd.DataFrame({
+        "k": rng.choice(keys + ["lonely"], n_left),
+        "ts": pd.to_datetime(t0 + rng.integers(0, 60 * 86_400_000_000,
+                                               n_left), unit="us"),
+        "lval": rng.integers(0, 100, n_left),
+    })
+    start = pd.to_datetime(t0 + rng.integers(0, 55 * 86_400_000_000,
+                                             n_right), unit="us")
+    right = pd.DataFrame({
+        "k": rng.choice(keys, n_right),
+        "w_start": start,
+        "w_end": start + pd.to_timedelta(rng.integers(1, 10, n_right),
+                                         unit="D"),
+        "wid": np.arange(n_right, dtype=np.int64),
+    })
+    return left, right
+
+
+def range_oracle(left, right, how, closed):
+    m = left.merge(right, on="k")
+    ts, lo, hi = m["ts"], m["w_start"], m["w_end"]
+    mask = {
+        "left": (ts >= lo) & (ts < hi),
+        "right": (ts > lo) & (ts <= hi),
+        "both": (ts >= lo) & (ts <= hi),
+        "neither": (ts > lo) & (ts < hi),
+    }[closed]
+    matched = m[mask]
+    if how == "left":
+        lkey = pd.MultiIndex.from_frame(left[["k", "ts", "lval"]])
+        mkey = pd.MultiIndex.from_frame(matched[["k", "ts", "lval"]])
+        missing = left[~lkey.isin(mkey)]
+        matched = pd.concat([matched, missing], ignore_index=True)
+    return matched.sort_values(["k", "ts", "lval", "wid"],
+                               na_position="last").reset_index(drop=True)
+
+
+def sort_out(df):
+    return df.sort_values(["k", "ts", "lval", "wid"],
+                          na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("how,closed", [("inner", "left"), ("left", "left"),
+                                        ("inner", "both"),
+                                        ("inner", "neither"),
+                                        ("left", "right")])
+def test_range_join_matches_pandas(how, closed):
+    from forecastframe_ray.stages.join import range_join
+
+    left, right = synth_intervals()
+    exp = range_oracle(left, right, how, closed)
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    got = sort_out(range_join(lds, rds, on=["k"], left_ts="ts",
+                              start_col="w_start", end_col="w_end",
+                              how=how, closed=closed,
+                              num_partitions=8).to_pandas())
+    assert len(got) == len(exp) > len(left) * 0.2
+    np.testing.assert_array_equal(
+        got["wid"].to_numpy(dtype=np.float64),
+        exp["wid"].to_numpy(dtype=np.float64))
+    np.testing.assert_array_equal(got["lval"].to_numpy(dtype=np.float64),
+                                  exp["lval"].to_numpy(dtype=np.float64))
+    if how == "inner":
+        assert got["wid"].dtype == np.int64  # no-null joins keep ints
+    else:
+        assert got["wid"].isna().any()  # unmatched left rows survive
+
+
+def test_broadcast_range_join_matches_distributed():
+    from forecastframe_ray.stages.join import (broadcast_range_join,
+                                               range_join)
+
+    left, right = synth_intervals(seed=23)
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    dist = sort_out(range_join(lds, rds, on=["k"], left_ts="ts",
+                               start_col="w_start", end_col="w_end",
+                               how="left").to_pandas())
+    bcast = sort_out(broadcast_range_join(lds, right, on=["k"],
+                                          left_ts="ts", start_col="w_start",
+                                          end_col="w_end",
+                                          how="left").to_pandas())
+    pd.testing.assert_frame_equal(dist, bcast)

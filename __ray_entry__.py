@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": Q.q_asof_join_events,
         # range (interval) join (stages/join.py range_join)
         "range_join_events": Q.q_range_join_events,
+        # gap-based sessionization (stages/window_ops.op_sessionize)
+        "sessionize_events": Q.q_sessionize_events,
+        "session_stats_events": Q.q_session_stats_events,
     }
 
 
@@ -256,4 +259,6 @@ def oracle_sql() -> dict[str, str]:
         "predict_linear_daily": Q.SQL_PREDICT_LINEAR,
         "asof_join_events": Q.SQL_ASOF_JOIN_EVENTS,
         "range_join_events": Q.SQL_RANGE_JOIN_EVENTS,
+        "sessionize_events": Q.SQL_SESSIONIZE_EVENTS,
+        "session_stats_events": Q.SQL_SESSION_STATS_EVENTS,
     }

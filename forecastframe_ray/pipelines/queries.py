@@ -2727,3 +2727,81 @@ SQL_RANGE_JOIN_EVENTS = """
     FROM p JOIN w ON p.user_id = w.user_id
                  AND p.ts >= w.w_start AND p.ts < w.w_end
 """
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-based session assignment; stages/window_ops.op_sessionize)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800  # 30-minute inactivity gap (classic web-analytics cut)
+
+
+def _sessionized_events(sf_dir: str):
+    """events → per-user gap-based session ids via the fused keyed window
+    stage (one hash shuffle on user_id, vectorized diff+cumsum kernel)."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return keyed_window_stage(
+        ev, ["user_id"], "ts",
+        [{"op": "sessionize", "gap_seconds": _SESSION_GAP_S}],
+        num_partitions=_NP)
+
+
+def q_sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Row-level session assignment: (event_id, user_id, ts, session_id)
+    where session_id is 1-based per user and increments whenever the gap to
+    the user's previous event exceeds 30 minutes."""
+    df = _sessionized_events(sf_dir).to_pandas()
+    df = df[["event_id", "user_id", "ts", "session_id"]]
+    df["session_id"] = df["session_id"].astype("int64")
+    return df.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
+SQL_SESSIONIZE_EVENTS = f"""
+    WITH b AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL {_SESSION_GAP_S} SECOND
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM b
+"""
+
+
+def q_session_stats_events(sf_dir: str) -> pd.DataFrame:
+    """Per-session aggregates over the sessionized stream: event count,
+    start/end, duration in seconds. One extra coarse-hash aggregate on the
+    already-partitioned (user_id, session_id) keys."""
+    sess = _sessionized_events(sf_dir)
+    agg = hash_aggregate(
+        sess, ["user_id", "session_id"],
+        {"n_events": ("event_id", "count"),
+         "session_start": ("ts", "min"),
+         "session_end": ("ts", "max")},
+        num_partitions=_NP)
+    df = agg.to_pandas()
+    df["session_id"] = df["session_id"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    df["duration_us"] = ((df["session_end"] - df["session_start"])
+                         .astype("timedelta64[us]").astype("int64"))
+    df = df[["user_id", "session_id", "n_events", "session_start",
+             "session_end", "duration_us"]]
+    return df.sort_values(["user_id", "session_id"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_SESSION_STATS_EVENTS = f"""
+    WITH s AS ({SQL_SESSIONIZE_EVENTS})
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)
+               AS duration_us
+    FROM s GROUP BY 1, 2
+"""

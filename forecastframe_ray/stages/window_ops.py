@@ -270,6 +270,21 @@ def op_fill_missing(df, keys, ts_col, features, method="ffill"):
     return df
 
 
+def op_sessionize(df, keys, ts_col, gap_seconds, out_name="session_id"):
+    """Gap-based sessionization (web-analytics extension; not in the
+    reference): a new session starts at a group's first row and whenever the
+    time since the previous row in the same group exceeds ``gap_seconds``.
+    Session ids are 1-based per group and deterministic because the kernel's
+    input is sorted by keys+ts (ties impossible when (keys, ts) is a PK;
+    callers with tied timestamps should pre-aggregate to unique stamps).
+    Vectorized: one grouped diff + one grouped cumsum, no Python loop."""
+    delta = _grouped(df, keys)[ts_col].diff()
+    brk = (delta.isna() | (delta > pd.Timedelta(seconds=gap_seconds)))
+    df[out_name] = _grouped(df.assign(__brk=brk.astype("int64")),
+                            keys)["__brk"].cumsum()
+    return df
+
+
 def op_cyclic_shift(df, keys, ts_col, features, suffix="_perm"):
     """Deterministic within-series permutation for permutation importance
     (pipelines/interpret.py): each row takes the previous row's value and
@@ -298,3 +313,4 @@ def _register_all(register_op):
     register_op("days_since_release")(op_days_since_release)
     register_op("gap_fill")(op_gap_fill)
     register_op("fill_missing")(op_fill_missing)
+    register_op("sessionize")(op_sessionize)

@@ -160,6 +160,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gap-based sessionization (stages/window_ops.op_sessionize)
         "sessionize_events": Q.q_sessionize_events,
         "session_stats_events": Q.q_session_stats_events,
+        # expanding stats + row numbers (stages/window_ops)
+        "expanding_daily_events": Q.q_expanding_daily_events,
+        # hopping (sliding) event-time windows (pipelines/rollup.py)
+        "hopping_3h1h_events": Q.q_hopping_3h1h_events,
     }
 
 
@@ -261,4 +265,6 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": Q.SQL_RANGE_JOIN_EVENTS,
         "sessionize_events": Q.SQL_SESSIONIZE_EVENTS,
         "session_stats_events": Q.SQL_SESSION_STATS_EVENTS,
+        "expanding_daily_events": Q.SQL_EXPANDING_DAILY,
+        "hopping_3h1h_events": Q.SQL_HOPPING_3H1H_EVENTS,
     }

@@ -2805,3 +2805,77 @@ SQL_SESSION_STATS_EVENTS = f"""
                AS duration_us
     FROM s GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# expanding (cumulative) stats + per-series row numbers
+# ---------------------------------------------------------------------------
+
+def q_expanding_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Expanding sum/mean/max of the daily value series plus the 1-based
+    row number, all fused into ONE keyed window stage pass (one shuffle)."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    out = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "expanding_stats", "features": ["v"],
+          "aggregations": ["sum", "mean", "max"]},
+         {"op": "row_number", "out_name": "rn"}],
+        num_partitions=_NP)
+    df = out.to_pandas()[["event_type", "d", "v", "v_expanding_sum",
+                          "v_expanding_mean", "v_expanding_max", "rn"]]
+    df = _round(df, ["v_expanding_sum", "v_expanding_mean",
+                     "v_expanding_max"], 6)
+    return df.sort_values(["event_type", "d"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_EXPANDING_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           round(SUM(v) OVER w, 6) AS v_expanding_sum,
+           round(AVG(v) OVER w, 6) AS v_expanding_mean,
+           round(MAX(v) OVER w, 6) AS v_expanding_max,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS rn
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) event-time windows (pipelines/rollup.hopping_window_aggregate)
+# ---------------------------------------------------------------------------
+
+_HOP_WINDOW_US = 3 * HOUR_US
+_HOP_SLIDE_US = HOUR_US
+
+
+def q_hopping_3h1h_events(sf_dir: str) -> pd.DataFrame:
+    """3-hour windows hopping hourly over the event stream, per event_type:
+    each event lands in exactly 3 overlapping windows."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    out = rollup.hopping_window_aggregate(
+        ev, ["event_type"], "ts", "value",
+        window_us=_HOP_WINDOW_US, slide_us=_HOP_SLIDE_US,
+        num_partitions=_NP)
+    df = out.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df = _round(df, ["sum_val"], 6)
+    df = df[["event_type", "window_start_us", "n_events", "sum_val"]]
+    return df.sort_values(["event_type", "window_start_us"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_HOPPING_3H1H_EVENTS = f"""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+    x AS (SELECT event_type, value,
+                 unnest(generate_series((us - {_HOP_WINDOW_US}) // {_HOP_SLIDE_US} + 1,
+                                        us // {_HOP_SLIDE_US}, 1)) AS k
+          FROM e)
+    SELECT event_type, CAST(k * {_HOP_SLIDE_US} AS BIGINT) AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_val
+    FROM x GROUP BY 1, 2
+"""

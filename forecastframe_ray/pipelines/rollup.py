@@ -38,6 +38,60 @@ def aggregate_features(ds, features: list[str], by: list[str], op: str,
     return hash_aggregate(ds, list(by), named, num_partitions)
 
 
+def hopping_window_aggregate(ds, series_keys: list[str], ts_col: str,
+                             value_col: str | None, window_us: int,
+                             slide_us: int, num_partitions: int = 64):
+    """Hopping (sliding) event-time windows — the overlapping-window sibling
+    of the tumbling tier cascade: every window ``[k*slide, k*slide+window)``
+    on the slide grid, each row contributing to ``⌈window/slide⌉`` windows.
+
+    Physical plan mirrors :func:`build_tier`: a per-batch Arrow/numpy
+    combiner fans each row out to its windows with ``np.repeat`` (vectorized,
+    no Python loop) and pre-reduces to ≤ one partial row per (series, window)
+    per batch, so the single coarse-hash merge shuffle moves window-partials,
+    not ``window/slide``× the raw rows. Scale note: the fan-out factor is a
+    constant chosen by the caller (e.g. 3 for a 3h window hopping hourly) —
+    shuffle volume is bounded by ``distinct windows × series``, independent
+    of row count."""
+    import pyarrow as pa
+
+    from forecastframe_ray.stages.agg import hash_aggregate_arrow
+
+    if window_us <= 0 or slide_us <= 0 or window_us % slide_us:
+        raise ValueError("window_us must be a positive multiple of slide_us")
+    plan = {"n_events": ("n_events", "sum"), "sum_val": ("sum_val", "sum")}
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col]
+        if isinstance(us, pa.ChunkedArray):
+            us = us.combine_chunks()
+        if pa.types.is_timestamp(us.type):
+            us = us.cast(pa.timestamp("us"))  # ns inputs (from_pandas) → µs
+        usn = us.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # windows containing us: start ∈ (us - window, us], start = k*slide
+        k_lo = (usn - window_us) // slide_us + 1   # numpy // floors to -inf
+        k_hi = usn // slide_us
+        counts = k_hi - k_lo + 1
+        idx = np.repeat(np.arange(len(usn)), counts)
+        total = int(counts.sum())
+        starts = np.cumsum(counts) - counts
+        ks = k_lo[idx] + (np.arange(total) - starts[idx])
+        cols = {k: batch[k].take(pa.array(idx)) for k in series_keys}
+        cols["window_start_us"] = pa.array(ks * slide_us, type=pa.int64())
+        val = (batch[value_col].cast(pa.float64()).take(pa.array(idx))
+               if value_col else pa.array(np.ones(total)))
+        cols["n_events"] = pa.array(np.ones(total, dtype=np.int64))
+        cols["sum_val"] = val
+        by = series_keys + ["window_start_us"]
+        agg = pa.table(cols).group_by(by, use_threads=False).aggregate(
+            [(c, op) for _, (c, op) in plan.items()])
+        return agg.rename_columns(by + list(plan.keys()))
+
+    partials = ds.map_batches(fan_out, batch_format="pyarrow")
+    by = series_keys + ["window_start_us"]
+    return hash_aggregate_arrow(partials, by, plan, num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # Tier cascade
 # ---------------------------------------------------------------------------

@@ -270,6 +270,35 @@ def op_fill_missing(df, keys, ts_col, features, method="ffill"):
     return df
 
 
+def op_expanding_stats(df, keys, ts_col, features, aggregations=None):
+    """Expanding (from-series-start cumulative) stats per group — the
+    unbounded-window sibling of ``op_rolling_stats``. Vectorized via the
+    grouped cum-kernels (no ``expanding().agg`` Python fallback):
+    mean = cumsum / running count."""
+    aggregations = aggregations or ["sum"]
+    g = _grouped(df, keys)[features]
+    n = (_grouped(df, keys).cumcount() + 1).to_numpy()
+    for agg in aggregations:
+        names = [f"{f}_expanding_{agg}" for f in features]
+        if agg == "sum":
+            df[names] = g.cumsum().astype(float)
+        elif agg == "mean":
+            df[names] = g.cumsum().astype(float).div(n, axis=0)
+        elif agg == "min":
+            df[names] = g.cummin().astype(float)
+        elif agg == "max":
+            df[names] = g.cummax().astype(float)
+        else:
+            raise ValueError(f"unsupported expanding aggregation: {agg}")
+    return df
+
+
+def op_row_number(df, keys, ts_col, out_name="row_number"):
+    """1-based position of each row within its (sorted-by-ts) series."""
+    df[out_name] = (_grouped(df, keys).cumcount() + 1).astype("int64")
+    return df
+
+
 def op_sessionize(df, keys, ts_col, gap_seconds, out_name="session_id"):
     """Gap-based sessionization (web-analytics extension; not in the
     reference): a new session starts at a group's first row and whenever the
@@ -314,3 +343,5 @@ def _register_all(register_op):
     register_op("gap_fill")(op_gap_fill)
     register_op("fill_missing")(op_fill_missing)
     register_op("sessionize")(op_sessionize)
+    register_op("expanding_stats")(op_expanding_stats)
+    register_op("row_number")(op_row_number)

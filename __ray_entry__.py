@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanding_daily_events": Q.q_expanding_daily_events,
         # hopping (sliding) event-time windows (pipelines/rollup.py)
         "hopping_3h1h_events": Q.q_hopping_3h1h_events,
+        # reshape: pivot / melt (stages/reshape.py)
+        "pivot_daily_events": Q.q_pivot_daily_events,
+        "melt_roundtrip_daily": Q.q_melt_roundtrip_daily,
     }
 
 
@@ -267,4 +270,6 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": Q.SQL_SESSION_STATS_EVENTS,
         "expanding_daily_events": Q.SQL_EXPANDING_DAILY,
         "hopping_3h1h_events": Q.SQL_HOPPING_3H1H_EVENTS,
+        "pivot_daily_events": Q.SQL_PIVOT_DAILY,
+        "melt_roundtrip_daily": Q.SQL_MELT_ROUNDTRIP_DAILY,
     }

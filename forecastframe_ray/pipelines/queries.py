@@ -2879,3 +2879,62 @@ SQL_HOPPING_3H1H_EVENTS = f"""
            round(sum(value), 6) AS sum_val
     FROM x GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# reshape: pivot (long → wide) and melt (wide → long) — stages/reshape.py
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Daily value series pivoted wide: one row per day, one column per
+    event_type (null-sentinel where a type had no events that day)."""
+    from forecastframe_ray.stages import reshape
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    cats = reshape.distinct_categories(daily, "event_type",
+                                       num_partitions=_NP)
+    assert cats == _EVENT_TYPES, cats  # oracle hardcodes the column axis
+    wide = reshape.pivot_wide(daily, ["d"], "event_type", "v", cats,
+                              num_partitions=_NP)
+    df = wide.to_pandas()
+    names = [f"v_{c}" for c in _EVENT_TYPES]
+    df = _round(df, names, 6)
+    df = _fill(df, names)
+    return df[["d"] + names].sort_values("d").reset_index(drop=True)
+
+
+SQL_PIVOT_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT d,
+           {", ".join(
+               f"COALESCE(round(max(CASE WHEN event_type = '{c}' THEN v END), 6), {NULLF}) AS v_{c}"
+               for c in _EVENT_TYPES)}
+    FROM daily GROUP BY d
+"""
+
+
+def q_melt_roundtrip_daily(sf_dir: str) -> pd.DataFrame:
+    """Pivot wide then melt back to long (dropping the null cells): the
+    roundtrip must reproduce the daily series exactly."""
+    from forecastframe_ray.stages import reshape
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    wide = reshape.pivot_wide(daily, ["d"], "event_type", "v", _EVENT_TYPES,
+                              num_partitions=_NP)
+    names = [f"v_{c}" for c in _EVENT_TYPES]
+    long = reshape.melt_long(wide, ["d"], names, var_name="variable",
+                             value_name="value", drop_null=True)
+    df = long.to_pandas()
+    df = _round(df, ["value"], 6)
+    return df[["d", "variable", "value"]].sort_values(
+        ["d", "variable"], kind="mergesort").reset_index(drop=True)
+
+
+SQL_MELT_ROUNDTRIP_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT d, 'v_' || event_type AS variable, round(v, 6) AS value
+    FROM daily
+"""

@@ -167,6 +167,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reshape: pivot / melt (stages/reshape.py)
         "pivot_daily_events": Q.q_pivot_daily_events,
         "melt_roundtrip_daily": Q.q_melt_roundtrip_daily,
+        # grouped top-k (stages/topk.py)
+        "topk_per_type_events": Q.q_topk_per_type_events,
+        # winsorize scaler (functions/scalers.winsorize_clip)
+        "winsorize_events": Q.q_winsorize_events,
+        # bloom-prefiltered exact semi-join (stages/bloom.py)
+        "bloom_semi_join_orders": Q.q_bloom_semi_join_orders,
+        # rolling correlation (stages/window_ops.op_rolling_corr)
+        "rolling_corr_daily": Q.q_rolling_corr_daily,
     }
 
 
@@ -272,4 +280,8 @@ def oracle_sql() -> dict[str, str]:
         "hopping_3h1h_events": Q.SQL_HOPPING_3H1H_EVENTS,
         "pivot_daily_events": Q.SQL_PIVOT_DAILY,
         "melt_roundtrip_daily": Q.SQL_MELT_ROUNDTRIP_DAILY,
+        "topk_per_type_events": Q.SQL_TOPK_PER_TYPE_EVENTS,
+        "winsorize_events": Q.SQL_WINSORIZE_EVENTS,
+        "bloom_semi_join_orders": Q.SQL_BLOOM_SEMI_JOIN_ORDERS,
+        "rolling_corr_daily": Q.SQL_ROLLING_CORR_DAILY,
     }

@@ -135,6 +135,9 @@ _BENCH_QUERIES = [
     "ann_bruteforce_embeddings",
     "gorilla_roundtrip_events",
     "distinct_users_daily_cascade",
+    "hopping_3h1h_events",
+    "sessionize_events",
+    "bloom_semi_join_orders",
 ]
 
 

@@ -218,6 +218,30 @@ class RayForecastFrame:
         self._queue(self._keys, {"op": "gap_fill", "freq": freq, "start": start, "end": end})
         return self
 
+    def calc_expanding_features(self, features=None,
+                                aggregations=("sum", "mean", "max")):
+        """Expanding (from-series-start) stats — the unbounded-window
+        sibling of ``calc_statistical_features`` (engine extension; rides
+        the same fused keyed stage)."""
+        features = _as_list(features) or [self.target]
+        aggregations = _as_list(aggregations)
+        self._record("calc_expanding_features",
+                     {"features": features, "aggregations": aggregations})
+        self._queue(self._keys, {"op": "expanding_stats",
+                                 "features": features,
+                                 "aggregations": aggregations})
+        return self
+
+    def sessionize(self, gap_seconds: int = 1800, out_name: str = "session_id"):
+        """Gap-based session ids per series (engine extension — web-analytics
+        sessionization fused into the keyed window stage)."""
+        self._record("sessionize", {"gap_seconds": gap_seconds,
+                                    "out_name": out_name})
+        self._queue(self._keys, {"op": "sessionize",
+                                 "gap_seconds": gap_seconds,
+                                 "out_name": out_name})
+        return self
+
     def fill_missings(self, method: str = "ffill", features: list | None = None):
         """W9 (transform.py:475-500) + linear interpolation (north_rule)."""
         assert method in ("ffill", "bfill", "interpolate")

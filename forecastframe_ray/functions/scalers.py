@@ -139,3 +139,34 @@ def descale_array(values: np.ndarray, transform_dict: dict, target: str) -> np.n
                 lo, hi = params["mins"][target], params["maxes"][target]
                 return values * (hi - lo) + lo
     return values
+
+
+def winsorize_clip(ds, group_cols: list[str], feature: str,
+                   q_lo: float = 0.05, q_hi: float = 0.95,
+                   out_name: str | None = None):
+    """Per-group winsorization: clip ``feature`` to its group's
+    [q_lo, q_hi] exact quantiles (quantile_cont interpolation). Two-phase
+    like the other scalers — a distributed quantile fit (one range-partition
+    sort, O(groups·2) rows to the driver) then a broadcast + vectorized clip
+    map. Not invertible, so deliberately OUTSIDE the transform-dict/descale
+    contract."""
+    import ray
+
+    from forecastframe_ray.pipelines.interpret import grouped_quantiles
+
+    out_name = out_name or f"{feature}_winsorized"
+    lo_col = f"q{int(round(q_lo * 100))}"
+    hi_col = f"q{int(round(q_hi * 100))}"
+    bounds = grouped_quantiles(ds, list(group_cols), feature,
+                               qs=(q_lo, q_hi))
+    bounds = bounds.rename(columns={lo_col: "__lo", hi_col: "__hi"})
+    ref = ray.put(bounds)
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.merge(ray.get(ref), how="left", on=list(group_cols))
+        v = b[feature].to_numpy(dtype=np.float64)
+        b[out_name] = np.clip(v, b["__lo"].to_numpy(dtype=np.float64),
+                              b["__hi"].to_numpy(dtype=np.float64))
+        return b.drop(columns=["__lo", "__hi"])
+
+    return ds.map_batches(clip, batch_format="pandas")

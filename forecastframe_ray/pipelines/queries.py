@@ -2938,3 +2938,152 @@ SQL_MELT_ROUNDTRIP_DAILY = f"""
     SELECT d, 'v_' || event_type AS variable, round(v, 6) AS value
     FROM daily
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k (stages/topk.py) — k best rows per group, no global sort
+# ---------------------------------------------------------------------------
+
+def q_topk_per_type_events(sf_dir: str) -> pd.DataFrame:
+    """Top-3 events by value within each event_type (event_id tiebreak →
+    deterministic across any block layout)."""
+    from forecastframe_ray.stages.topk import grouped_topk
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    top = grouped_topk(ev, ["event_type"], "value", k=3, descending=True,
+                       tiebreak=["event_id"], num_partitions=_NP)
+    df = top.to_pandas()
+    df = _round(df, ["value"], 6)
+    df = df[["event_type", "event_id", "ts", "value"]]
+    return df.sort_values(["event_type", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_TOPK_PER_TYPE_EVENTS = """
+    SELECT event_type, event_id, ts, round(value, 6) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id) AS rn
+          FROM events)
+    WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorize (per-group quantile clip) — functions/scalers.winsorize_clip
+# ---------------------------------------------------------------------------
+
+def q_winsorize_events(sf_dir: str) -> pd.DataFrame:
+    """Clip event values to each type's exact [p5, p95] quantile band."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = scalers.winsorize_clip(ev, ["event_type"], "value",
+                                 q_lo=0.05, q_hi=0.95)
+    df = out.to_pandas()
+    df = _round(df, ["value", "value_winsorized"], 6)
+    df = df[["event_id", "event_type", "value", "value_winsorized"]]
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_WINSORIZE_EVENTS = """
+    WITH q AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS ql,
+                      quantile_cont(value, 0.95) AS qh
+               FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           round(least(greatest(e.value, q.ql), q.qh), 6)
+               AS value_winsorized
+    FROM events e JOIN q USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered semi-join (stages/bloom.py) — exact result, scale path
+# ---------------------------------------------------------------------------
+
+def q_bloom_semi_join_orders(sf_dir: str) -> pd.DataFrame:
+    """Orders from customers with acctbal > 7000, via the Bloom prefilter +
+    exact verify path — result must equal the plain semi-join."""
+    from forecastframe_ray.stages.bloom import bloom_semi_join
+
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus",
+                                  "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    rich = (cust.map_batches(
+        lambda b: b.loc[b["c_acctbal"] > 7000, ["c_custkey"]]
+                   .rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas"))
+    kept = bloom_semi_join(od, rich, on=["o_custkey"], fpp=0.01,
+                           num_partitions=_NP)
+    agg = hash_aggregate(kept, ["o_orderstatus"],
+                         {"n": ("o_custkey", "count"),
+                          "total": ("o_totalprice", "sum")},
+                         num_partitions=4)
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df = _round(df, ["total"], 4)
+    return df[["o_orderstatus", "n", "total"]].sort_values(
+        "o_orderstatus").reset_index(drop=True)
+
+
+SQL_BLOOM_SEMI_JOIN_ORDERS = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_acctbal > 7000)
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling correlation between two series features (op_rolling_corr)
+# ---------------------------------------------------------------------------
+
+def q_rolling_corr_daily(sf_dir: str) -> pd.DataFrame:
+    """7-row rolling Pearson correlation between each event_type's daily
+    value sum and daily event count."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def floor_fn(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        b = b[["event_type", "value"]].copy()
+        b["d"] = pd.to_datetime((us // DAY_US) * DAY_US, unit="us")
+        return b
+
+    daily = hash_aggregate(ev.map_batches(floor_fn, batch_format="pandas"),
+                           ["event_type", "d"],
+                           {"v": ("value", "sum"), "n": ("value", "count")},
+                           num_partitions=_NP)
+
+    def round_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b["v"] = np.round(b["v"].to_numpy(dtype=np.float64), 6)
+        b["n"] = b["n"].astype("int64")
+        return b
+
+    out = keyed_window_stage(
+        daily.map_batches(round_fn, batch_format="pandas"),
+        ["event_type"], "d",
+        [{"op": "rolling_corr", "feature_x": "v", "feature_y": "n",
+          "window": 7, "out_name": "v_n_corr7"}],
+        num_partitions=_NP)
+    df = out.to_pandas()[["event_type", "d", "v", "n", "v_n_corr7"]]
+    df = _round(df, ["v_n_corr7"], 6)
+    df = _fill(df, ["v_n_corr7"])
+    return df.sort_values(["event_type", "d"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_ROLLING_CORR_DAILY = f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               round(sum(value), 6) AS v, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, v, n,
+           COALESCE(round(corr(v, n) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6), {NULLF})
+               AS v_n_corr7
+    FROM daily
+"""

@@ -135,6 +135,25 @@ def op_rolling_stats(df, keys, ts_col, features, window, aggregations=None, lag=
     return df
 
 
+def op_rolling_corr(df, keys, ts_col, feature_x, feature_y, window,
+                    min_periods=2, out_name=None):
+    """Rolling Pearson correlation between two features per series over a
+    ROW-count window (engine extension). ``min_periods`` defaults to 2 —
+    matching SQL ``corr`` over a ``ROWS (window-1) PRECEDING`` frame, which
+    is NULL on a single row and defined from two."""
+    out_name = out_name or f"{feature_x}_{feature_y}_corr{window}"
+    mp = max(2, int(min_periods))
+
+    def fn(x: pd.DataFrame) -> pd.DataFrame:
+        r = x[feature_x].rolling(int(window), min_periods=mp) \
+            .corr(x[feature_y])
+        return r.to_frame("__corr")
+
+    vals = _grouped_ts_apply(df, keys, ts_col, [feature_x, feature_y], fn)
+    df[out_name] = vals[:, 0]
+    return df
+
+
 # ---------------------------------------------------------------------------
 # W4 EWMA (+ crossovers are assembled by the caller from multiple windows)
 # ---------------------------------------------------------------------------
@@ -345,3 +364,4 @@ def _register_all(register_op):
     register_op("sessionize")(op_sessionize)
     register_op("expanding_stats")(op_expanding_stats)
     register_op("row_number")(op_row_number)
+    register_op("rolling_corr")(op_rolling_corr)

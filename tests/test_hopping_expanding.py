@@ -93,3 +93,41 @@ def test_expanding_unknown_agg_raises():
                        "v": [1.0]})
     with pytest.raises(ValueError):
         op_expanding_stats(df, ["k"], "ts", ["v"], aggregations=["median"])
+
+
+def test_rolling_corr_matches_pandas():
+    from forecastframe_ray.stages.window_ops import op_rolling_corr
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": ["a"] * 30 + ["b"] * 20,
+        "ts": pd.date_range("2024-01-01", periods=30).tolist()
+              + pd.date_range("2024-01-01", periods=20).tolist(),
+        "x": rng.normal(size=50),
+        "y": rng.normal(size=50),
+    })
+    out = op_rolling_corr(df.copy(), ["k"], "ts", "x", "y", window=5)
+    want = (df.groupby("k", group_keys=False)
+            .apply(lambda g: g["x"].rolling(5, min_periods=2).corr(g["y"])))
+    got = out["x_y_corr5"].to_numpy()
+    exp = want.to_numpy()
+    ok = np.isclose(got, exp, equal_nan=True)
+    assert ok.all()
+
+
+def test_frame_wrappers_expanding_sessionize(ray_session):
+    from forecastframe_ray import RayForecastFrame
+    df = pd.DataFrame({
+        "g": ["a"] * 3,
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+        "v": [1.0, 2.0, 3.0],
+    })
+    fr = (RayForecastFrame(ray.data.from_pandas(df), "ts", "v", ["g"],
+                           num_partitions=2)
+          .calc_expanding_features("v", ["sum"])
+          .sessionize(gap_seconds=3600))
+    out = fr.to_pandas()
+    assert out["v_expanding_sum"].tolist() == [1.0, 3.0, 6.0]
+    assert out["session_id"].tolist() == [1, 2, 3]  # 1-day gaps > 1h
+    # both calls recorded for save/replay
+    names = [n for n, _ in fr.function_list]
+    assert names == ["calc_expanding_features", "sessionize"]

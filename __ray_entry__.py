@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_orders": Q.q_bloom_semi_join_orders,
         # rolling correlation (stages/window_ops.op_rolling_corr)
         "rolling_corr_daily": Q.q_rolling_corr_daily,
+        # PII redaction (pipelines/pii.py)
+        "pii_redaction_documents": Q.q_pii_redaction_documents,
+        # train/eval n-gram decontamination (pipelines/decontaminate.py)
+        "decontaminate_documents": Q.q_decontaminate_documents,
     }
 
 
@@ -284,4 +288,6 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_events": Q.SQL_WINSORIZE_EVENTS,
         "bloom_semi_join_orders": Q.SQL_BLOOM_SEMI_JOIN_ORDERS,
         "rolling_corr_daily": Q.SQL_ROLLING_CORR_DAILY,
+        "pii_redaction_documents": Q.SQL_PII_REDACTION,
+        "decontaminate_documents": Q.SQL_DECONTAMINATE,
     }

@@ -3087,3 +3087,114 @@ SQL_ROLLING_CORR_DAILY = f"""
                AS v_n_corr7
     FROM daily
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pipelines/pii.py) — RE2-compatible patterns, DuckDB oracle
+# ---------------------------------------------------------------------------
+
+def _augment_pii(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministically plant one email/IP/phone in every 3rd doc so the
+    redaction is exercised on a corpus that has no natural PII (same CASE
+    expression as the oracle's ``aug`` CTE)."""
+    d = b["doc_id"].astype("int64")
+    planted = (b["text"] + " contact u" + d.astype(str)
+               + "@mail.example.com ip 10.0." + (d % 256).astype(str)
+               + "." + ((d * 7) % 256).astype(str)
+               + " tel +1 555 0" + (100 + d % 900).astype(str))
+    orig = b["text"]
+    b = b[["doc_id"]].copy()
+    b["text"] = planted.where(d % 3 == 0, orig)
+    return b
+
+
+def q_pii_redaction_documents(sf_dir: str) -> pd.DataFrame:
+    """Email/IPv4/phone redaction with per-class match counts; byte-exact
+    vs the DuckDB ``regexp_replace`` oracle (patterns are RE2∩re-safe)."""
+    from forecastframe_ray.pipelines.pii import redact_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = redact_pii(docs.map_batches(_augment_pii, batch_format="pandas"),
+                     text_col="text", count=True)
+    df = out.to_pandas()
+    df = df[["doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9][0-9 ()-]{6,14}[0-9]"
+
+SQL_PII_REDACTION = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com ip 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    || ' tel +1 555 0' || CAST(100 + doc_id % 900 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+           '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}')) AS BIGINT) AS n_ips,
+      CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+      regexp_replace(regexp_replace(regexp_replace(text,
+          '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_IP}', '<IP>', 'g'),
+          '{_PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+    FROM aug
+"""
+
+
+# ---------------------------------------------------------------------------
+# train/eval n-gram decontamination (pipelines/decontaminate.py)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate_documents(sf_dir: str) -> pd.DataFrame:
+    """GPT-3-style 8-gram decontamination: eval side = every 10th doc,
+    train side = the rest; per train doc the count of DISTINCT 8-grams
+    shared with any eval doc (broadcast-probe path)."""
+    from forecastframe_ray.pipelines.decontaminate import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    train = docs.map_batches(lambda b: b[b["doc_id"] % 10 != 0],
+                             batch_format="pandas")
+    evald = docs.map_batches(lambda b: b[b["doc_id"] % 10 == 0],
+                             batch_format="pandas")
+    out = decontaminate(train, evald, n=8)
+    df = out.to_pandas()
+    df["contaminated"] = df["contaminated"].astype("int64")
+    df = df[["doc_id", "n_overlap", "contaminated"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DECONTAMINATE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+    ),
+    evalg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT gr.doc_id, count(DISTINCT gr.g) AS n_overlap
+      FROM grams gr JOIN evalg e ON gr.g = e.g
+      WHERE gr.doc_id % 10 <> 0 GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) > 0 AS BIGINT) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 10 <> 0
+"""

@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction_documents": Q.q_pii_redaction_documents,
         # train/eval n-gram decontamination (pipelines/decontaminate.py)
         "decontaminate_documents": Q.q_decontaminate_documents,
+        # Gopher repetition signals (pipelines/textstats.repetition_batch)
+        "repetition_documents": Q.q_repetition_documents,
     }
 
 
@@ -290,4 +292,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_corr_daily": Q.SQL_ROLLING_CORR_DAILY,
         "pii_redaction_documents": Q.SQL_PII_REDACTION,
         "decontaminate_documents": Q.SQL_DECONTAMINATE,
+        "repetition_documents": Q.SQL_REPETITION_DOCS,
     }

@@ -58,8 +58,8 @@ def _positional_multipliers(n: int) -> np.ndarray:
     return x | np.uint64(1)
 
 
-def batch_ngram_hashes(texts: pd.Series, n: int
-                       ) -> tuple[np.ndarray, np.ndarray]:
+def batch_ngram_hashes(texts: pd.Series, n: int, with_lengths: bool = False
+                       ) -> tuple[np.ndarray, ...]:
     """All word-n-gram hashes of every doc in one vectorized pass.
 
     Returns ``(doc_idx, gram_hash)`` — one row per n-gram WINDOW (not yet
@@ -68,12 +68,18 @@ def batch_ngram_hashes(texts: pd.Series, n: int
     ``sum_j m_j * h[i+j]`` under uint64 wraparound (n strided vector adds);
     doc-crossing windows are dropped with the boundary-cumsum mask of
     ``dedup.batch_shingle_windows``.
+
+    With ``with_lengths=True`` a third array carries each gram's character
+    length as a space-joined string (token chars + n-1 separators) — the
+    repetition-score stages divide these by the doc length.
     """
     toks = texts.str.split()  # \s+ split, empties dropped — oracle-equal
     counts_tok = np.array([len(t) for t in toks], dtype=np.int64)
     total_tok = int(counts_tok.sum())
+    empty = ((np.array([], dtype=np.int64), np.array([], dtype=np.uint64))
+             + ((np.array([], dtype=np.int64),) if with_lengths else ()))
     if total_tok == 0:
-        return (np.array([], dtype=np.int64), np.array([], dtype=np.uint64))
+        return empty
     flat = np.empty(total_tok, dtype=object)
     pos = 0
     for t in toks:
@@ -82,7 +88,7 @@ def batch_ngram_hashes(texts: pd.Series, n: int
     th = pd.util.hash_array(flat)  # uint64 per token
 
     if total_tok < n:
-        return (np.array([], dtype=np.int64), np.array([], dtype=np.uint64))
+        return empty
     mult = _positional_multipliers(n)
     with np.errstate(over="ignore"):
         g = mult[0] * th[: total_tok - n + 1]
@@ -103,7 +109,12 @@ def batch_ngram_hashes(texts: pd.Series, n: int
     keep = np.cumsum(delta[:-1]) == 0
     doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64),
                         np.maximum(counts_tok - (n - 1), 0))
-    return doc_idx, g[keep]
+    if not with_lengths:
+        return doc_idx, g[keep]
+    tok_len = np.fromiter((len(t) for t in flat), np.int64, total_tok)
+    cs = np.concatenate(([0], np.cumsum(tok_len)))
+    gram_len = cs[n:] - cs[: total_tok - n + 1] + (n - 1)
+    return doc_idx, g[keep], gram_len[keep]
 
 
 def _doc_gram_pairs(batch: pd.DataFrame, text_col: str, id_col: str,

@@ -3198,3 +3198,84 @@ SQL_DECONTAMINATE = r"""
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
     WHERE d.doc_id % 10 <> 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (pipelines/textstats.repetition_batch)
+# ---------------------------------------------------------------------------
+
+def q_repetition_documents(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-line / top-2-gram / dup-5-gram repetition signals, emitted
+    as EXACT integer numerators (``raw_counts=True`` — the float fractions
+    hit the numpy-half-even vs SQL-half-away divergence on exact .5s).  The
+    synthetic corpus has no newlines, so the line view is derived
+    deterministically on both sides: ``replace(text, ' a ', chr(10))``
+    (leftmost non-overlapping on both engines)."""
+    from forecastframe_ray.pipelines.textstats import repetition_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_lines(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["text_l"] = b["text"].str.replace(" a ", "\n", regex=False)
+        return b
+
+    out = repetition_scores(docs.map_batches(add_lines,
+                                             batch_format="pandas"),
+                            text_col="text", line_col="text_l",
+                            raw_counts=True)
+    df = out.to_pandas()
+    cols = ["n_lines", "n_distinct_lines", "dup_line_chars",
+            "tot_line_chars", "top_2gram_chars", "dup_5gram_chars",
+            "n_chars"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    df = df[["doc_id"] + cols]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REPETITION_DOCS = r"""
+    WITH base AS (
+      SELECT doc_id, text, len(text) AS nchar,
+             replace(text, ' a ', chr(10)) AS text_l
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM base
+    ),
+    g2c AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, count(*) AS c
+      FROM toks, unnest(range(1, len(t))) AS u(i) GROUP BY 1, 2
+    ),
+    top2 AS (SELECT doc_id, max(c * len(g)) AS best FROM g2c GROUP BY 1),
+    g5c AS (
+      SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g, count(*) AS c
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i) GROUP BY 1, 2
+    ),
+    dup5 AS (SELECT doc_id, sum(c * len(g)) AS dup FROM g5c
+             WHERE c > 1 GROUP BY 1),
+    lns AS (
+      SELECT doc_id, x AS line FROM (
+        SELECT doc_id, unnest(string_split(text_l, chr(10))) AS x FROM base)
+      WHERE x <> ''
+    ),
+    lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS sl
+           FROM lns GROUP BY 1, 2),
+    lagg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, sum(sl * c) AS tot,
+                    sum(CASE WHEN c > 1 THEN sl * c ELSE 0 END) AS dup
+             FROM lc GROUP BY 1)
+    SELECT b.doc_id,
+      CAST(COALESCE(l.n, 0) AS BIGINT) AS n_lines,
+      CAST(COALESCE(l.nd, 0) AS BIGINT) AS n_distinct_lines,
+      CAST(COALESCE(l.dup, 0) AS BIGINT) AS dup_line_chars,
+      CAST(COALESCE(l.tot, 0) AS BIGINT) AS tot_line_chars,
+      CAST(COALESCE(t2.best, 0) AS BIGINT) AS top_2gram_chars,
+      CAST(COALESCE(d5.dup, 0) AS BIGINT) AS dup_5gram_chars,
+      CAST(b.nchar AS BIGINT) AS n_chars
+    FROM base b
+    LEFT JOIN lagg l USING (doc_id)
+    LEFT JOIN top2 t2 USING (doc_id)
+    LEFT JOIN dup5 d5 USING (doc_id)
+"""

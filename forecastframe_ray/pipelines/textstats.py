@@ -473,3 +473,118 @@ def _strip_boilerplate_distributed(ds, freq_ds, text_col: str, id_col: str,
     return hash_join(ds.select_columns([id_col] + extra), result,
                      on=[id_col], how="inner",
                      num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, appendix A quality
+# filters): duplicate-line fraction / char fraction, top-2-gram char
+# fraction, duplicate-5-gram char fraction.  Stateless vectorized
+# map_batches — zero shuffles, the scale shape of every textstats stage.
+# No analog in the reference (it holds no text columns).
+# ---------------------------------------------------------------------------
+
+def repetition_batch(batch: pd.DataFrame, text_col: str = "text",
+                     line_col: str | None = None,
+                     top_n: int = 2, dup_n: int = 5,
+                     raw_counts: bool = False) -> pd.DataFrame:
+    """Per-doc repetition scores, oracle-pinned contracts:
+
+    - ``dup_line_frac``: 1 − distinct/total over non-empty ``\\n``-lines of
+      ``line_col`` (defaults to ``text_col``); 0 when the doc has no lines.
+    - ``dup_line_char_frac``: chars in lines occurring >1× (all
+      occurrences) / chars in all lines.
+    - ``top_{top_n}gram_char_frac``: max over distinct word n-grams of
+      occurrences × gram char length, / doc char length.
+    - ``dup_{dup_n}gram_char_frac``: Σ over distinct word n-grams occurring
+      >1× of occurrences × gram char length, / doc char length (overlaps
+      counted per occurrence — may exceed 1 on degenerate docs; the
+      filter-threshold semantics only need monotonicity).
+
+    n-grams are counted by 64-bit positional hash
+    (``decontaminate.batch_ngram_hashes``) — distinct-gram collisions are
+    2^-64-rare and documented, string n-grams never materialize.
+
+    ``raw_counts=True`` emits the exact integer numerators/denominators
+    instead of the float fractions (``n_distinct_lines``,
+    ``dup_line_chars``, ``tot_line_chars``, ``top_{n}gram_chars``,
+    ``dup_{n}gram_chars``, ``n_chars``) — lossless, and immune to the
+    round-half divergence between numpy (half-even) and SQL engines
+    (half-away) that an exact .5 at the rounding digit exposes.
+    """
+    from forecastframe_ray.pipelines.decontaminate import batch_ngram_hashes
+
+    batch = batch.reset_index(drop=True)  # explode() maps on positions
+    out = batch[[c for c in batch.columns if c != text_col]].copy()
+    s = batch[text_col]
+    nb = len(batch)
+    nchar = s.str.len().to_numpy(dtype=np.float64)
+
+    # --- line-level: explode non-empty lines, C-backed double groupby
+    lines = (batch[line_col] if line_col else s).str.split("\n").explode()
+    lines = lines[(lines.notna()) & (lines != "")]
+    dfl = pd.DataFrame({"i": lines.index.to_numpy(), "line": lines.to_numpy()})
+    grp = (dfl.groupby(["i", "line"], sort=False, observed=True)
+              .size().rename("c").reset_index())
+    grp["sl"] = grp["line"].str.len()
+    grp["chars"] = grp["sl"] * grp["c"]
+    grp["dup_chars"] = np.where(grp["c"] > 1, grp["chars"], 0)
+    agg = grp.groupby("i", sort=False).agg(
+        n=("c", "sum"), nd=("c", "size"),
+        tot=("chars", "sum"), dup=("dup_chars", "sum"))
+    n_lines = np.zeros(nb, dtype=np.int64)
+    n_lines[agg.index] = agg["n"].to_numpy()
+    dup_line_frac = np.zeros(nb)
+    dup_line_char_frac = np.zeros(nb)
+    nz = agg.index.to_numpy()
+    dup_line_frac[nz] = 1.0 - agg["nd"].to_numpy() / agg["n"].to_numpy()
+    dup_line_char_frac[nz] = agg["dup"].to_numpy() / agg["tot"].to_numpy()
+
+    # --- gram-level
+    def _gram_chars(n: int, reducer: str) -> np.ndarray:
+        doc_idx, g, gl = batch_ngram_hashes(s, n, with_lengths=True)
+        res = np.zeros(nb, dtype=np.int64)
+        if not len(g):
+            return res
+        df = pd.DataFrame({"i": doc_idx, "g": g, "L": gl})
+        cnt = (df.groupby(["i", "g"], sort=False)
+                 .agg(c=("L", "size"), L=("L", "first")).reset_index())
+        cnt["w"] = cnt["c"] * cnt["L"]
+        if reducer == "top":
+            per = cnt.groupby("i", sort=False)["w"].max()
+        else:
+            per = (cnt.loc[cnt["c"] > 1].groupby("i", sort=False)["w"].sum())
+        res[per.index.to_numpy()] = per.to_numpy()
+        return res
+
+    top_chars = _gram_chars(top_n, "top")
+    dup_chars = _gram_chars(dup_n, "dup")
+    out["n_lines"] = n_lines
+    if raw_counts:
+        nd = np.zeros(nb, dtype=np.int64)
+        tot = np.zeros(nb, dtype=np.int64)
+        dupl = np.zeros(nb, dtype=np.int64)
+        nd[nz] = agg["nd"].to_numpy()
+        tot[nz] = agg["tot"].to_numpy()
+        dupl[nz] = agg["dup"].to_numpy()
+        out["n_distinct_lines"] = nd
+        out["dup_line_chars"] = dupl
+        out["tot_line_chars"] = tot
+        out[f"top_{top_n}gram_chars"] = top_chars
+        out[f"dup_{dup_n}gram_chars"] = dup_chars
+        out["n_chars"] = nchar.astype(np.int64)
+        return out
+    out["dup_line_frac"] = dup_line_frac
+    out["dup_line_char_frac"] = dup_line_char_frac
+    out[f"top_{top_n}gram_char_frac"] = top_chars / np.maximum(nchar, 1.0)
+    out[f"dup_{dup_n}gram_char_frac"] = dup_chars / np.maximum(nchar, 1.0)
+    return out
+
+
+def repetition_scores(ds, text_col: str = "text", line_col: str | None = None,
+                      top_n: int = 2, dup_n: int = 5,
+                      raw_counts: bool = False):
+    """Dataset form of :func:`repetition_batch` — stateless map."""
+    return ds.map_batches(
+        lambda b: repetition_batch(b, text_col, line_col, top_n, dup_n,
+                                   raw_counts),
+        batch_format="pandas")

@@ -112,3 +112,50 @@ def test_decontaminate_empty_eval_side():
     out = decontaminate(train, empty, n=8).to_pandas()
     assert (out["n_overlap"] == 0).all()
     assert (~out["contaminated"]).all()
+
+
+def test_repetition_batch_matches_naive():
+    from forecastframe_ray.pipelines.textstats import repetition_batch
+
+    texts = [
+        "x y x y x y",                      # heavy 2-gram repetition
+        "a b c d e a b c d e a b c d e",    # dup 5-grams
+        "all unique words here now",
+        "",
+        "one\ntwo\none\nthree\ntwo\none",   # dup lines
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = repetition_batch(df.copy(), "text")
+    raw = repetition_batch(df.copy(), "text", raw_counts=True)
+
+    for i, t in enumerate(texts):
+        nchar = len(t)
+        lines = [l for l in t.split("\n") if l != ""]
+        from collections import Counter
+        lc = Counter(lines)
+        exp_dlf = 1 - len(lc) / len(lines) if lines else 0.0
+        tot = sum(len(l) * c for l, c in lc.items())
+        dup = sum(len(l) * c for l, c in lc.items() if c > 1)
+        assert out.loc[i, "n_lines"] == len(lines)
+        assert out.loc[i, "dup_line_frac"] == pytest.approx(exp_dlf)
+        assert out.loc[i, "dup_line_char_frac"] == pytest.approx(
+            dup / tot if tot else 0.0)
+
+        toks = t.split()
+        for n, col, red in ((2, "top_2gram_char_frac", "top"),
+                            (5, "dup_5gram_char_frac", "dup")):
+            grams = Counter(" ".join(toks[j:j + n])
+                            for j in range(len(toks) - n + 1))
+            if red == "top":
+                val = max((c * len(g) for g, c in grams.items()),
+                          default=0)
+            else:
+                val = sum(c * len(g) for g, c in grams.items() if c > 1)
+            assert out.loc[i, col] == pytest.approx(
+                val / max(nchar, 1) if grams else 0.0)
+
+    # raw counts are the exact numerators of the fractions
+    m = raw["tot_line_chars"] > 0
+    assert np.allclose(out.loc[m, "dup_line_char_frac"],
+                       raw.loc[m, "dup_line_chars"]
+                       / raw.loc[m, "tot_line_chars"])

@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": Q.q_decontaminate_documents,
         # Gopher repetition signals (pipelines/textstats.repetition_batch)
         "repetition_documents": Q.q_repetition_documents,
+        # corpus construction (pipelines/corpus.py)
+        "vocabulary_documents": Q.q_vocabulary_documents,
+        "chunk_documents": Q.q_chunk_documents,
     }
 
 
@@ -293,4 +296,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction_documents": Q.SQL_PII_REDACTION,
         "decontaminate_documents": Q.SQL_DECONTAMINATE,
         "repetition_documents": Q.SQL_REPETITION_DOCS,
+        "vocabulary_documents": Q.SQL_VOCABULARY_DOCS,
+        "chunk_documents": Q.SQL_CHUNK_DOCS,
     }

@@ -3279,3 +3279,51 @@ SQL_REPETITION_DOCS = r"""
     LEFT JOIN top2 t2 USING (doc_id)
     LEFT JOIN dup5 d5 USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus construction: vocabulary + training chunks (pipelines/corpus.py)
+# ---------------------------------------------------------------------------
+
+def q_vocabulary_documents(sf_dir: str) -> pd.DataFrame:
+    """Top-100 whitespace tokens corpus-wide, (count desc, token asc)."""
+    from forecastframe_ray.pipelines.corpus import token_vocabulary
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return token_vocabulary(docs, top_k=100, num_partitions=_NP)
+
+
+SQL_VOCABULARY_DOCS = r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY 1
+    ORDER BY n DESC, token LIMIT 100
+"""
+
+
+def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """32-token chunks, stride 24 (8-token overlap), tail chunks shorter."""
+    from forecastframe_ray.pipelines.corpus import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = chunk_documents(docs, size=32, stride=24).to_pandas()
+    return (df.sort_values(["doc_id", "chunk_id"])
+              .reset_index(drop=True))
+
+
+SQL_CHUNK_DOCS = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+           CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens,
+           array_to_string(t[s + 1 : least(s + 32, len(t))], ' ')
+               AS chunk_text
+    FROM toks, unnest(range(0, len(t), 24)) AS u(s)
+"""

@@ -1,0 +1,68 @@
+"""Corpus-construction ops (pipelines/corpus.py): vocabulary top-k with
+deterministic tie-break, and fixed-size token chunking."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+import ray.data
+
+from forecastframe_ray.pipelines.corpus import (
+    chunk_batch, chunk_documents, token_vocabulary)
+
+
+def test_token_vocabulary_counts_and_tiebreak():
+    texts = ["b b b a a c", "a  a\tb", "", "d c c"]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    out = token_vocabulary(ds, top_k=3, num_partitions=4)
+    # counts: a=4, b=4, c=3, d=1 → top3 by (n desc, token asc) = a, b, c
+    assert out["token"].tolist() == ["a", "b", "c"]
+    assert out["n"].tolist() == [4, 4, 3]
+
+
+def test_token_vocabulary_topk_cut_is_exact():
+    # many tokens spread over many partitions; top-k must equal the
+    # global sort regardless of block layout
+    texts = [f"tok{i % 37} " * (i % 7 + 1) for i in range(200)]
+    full = Counter(" ".join(texts).split())
+    expect = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"text": texts})).repartition(8)
+    out = token_vocabulary(ds, top_k=10, num_partitions=16)
+    assert list(zip(out["token"], out["n"])) == expect
+
+
+def test_chunk_batch_contract():
+    b = pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["t0 t1 t2 t3 t4 t5 t6", "solo", ""]})
+    out = chunk_batch(b, "text", "doc_id", size=4, stride=3)
+    # doc 1: starts 0,3,6 → [t0..t3], [t3..t6], [t6]
+    d1 = out[out.doc_id == 1]
+    assert d1["chunk_text"].tolist() == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6"]
+    assert d1["n_tokens"].tolist() == [4, 4, 1]
+    assert d1["chunk_id"].tolist() == [0, 1, 2]
+    assert out[out.doc_id == 2]["chunk_text"].tolist() == ["solo"]
+    assert (out.doc_id != 3).all()  # token-less docs emit nothing
+
+
+def test_chunk_documents_roundtrip_no_overlap():
+    # stride == size: concatenating a doc's chunks reproduces its
+    # whitespace-normalized text
+    texts = ["alpha beta  gamma delta epsilon", "one two", ""]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(3), "text": texts}))
+    df = chunk_documents(ds, size=2).to_pandas()
+    back = (df.sort_values(["doc_id", "chunk_id"])
+              .groupby("doc_id")["chunk_text"].agg(" ".join))
+    assert back[0] == "alpha beta gamma delta epsilon"
+    assert back[1] == "one two"
+
+
+def test_chunk_documents_rejects_bad_sizes():
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(ds, size=0)

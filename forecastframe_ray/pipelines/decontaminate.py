@@ -206,7 +206,8 @@ def decontaminate(train_ds, eval_ds, text_col: str = "text",
         return out[[id_col, "n_overlap"]]
 
     tagged_eval = eval_pairs.map_batches(
-        lambda b: b.assign(**{id_col: np.full(len(b), np.nan)}),
+        lambda b: b.assign(**{id_col: np.full(len(b), np.nan)})
+                   [[id_col, "__gram"]],  # match train_pairs' column order
         batch_format="pandas")
     both = train_pairs.union(tagged_eval).map_batches(
         key_part, batch_format="pandas")

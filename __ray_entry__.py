@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus construction (pipelines/corpus.py)
         "vocabulary_documents": Q.q_vocabulary_documents,
         "chunk_documents": Q.q_chunk_documents,
+        # Gopher quality filter (pipelines/textstats.gopher_filter)
+        "gopher_filter_documents": Q.q_gopher_filter_documents,
     }
 
 
@@ -298,4 +300,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": Q.SQL_REPETITION_DOCS,
         "vocabulary_documents": Q.SQL_VOCABULARY_DOCS,
         "chunk_documents": Q.SQL_CHUNK_DOCS,
+        "gopher_filter_documents": Q.SQL_GOPHER_FILTER,
     }

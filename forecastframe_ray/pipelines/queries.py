@@ -3327,3 +3327,93 @@ SQL_CHUNK_DOCS = r"""
                AS chunk_text
     FROM toks, unnest(range(0, len(t), 24)) AS u(s)
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality filter (pipelines/textstats.gopher_filter)
+# ---------------------------------------------------------------------------
+
+def q_gopher_filter_documents(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact Gopher filter flags + composite kept bit; same derived
+    line view as ``repetition_documents``."""
+    from forecastframe_ray.pipelines.textstats import gopher_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_lines(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["text_l"] = b["text"].str.replace(" a ", "\n", regex=False)
+        return b
+
+    out = gopher_filter(docs.map_batches(add_lines, batch_format="pandas"),
+                        text_col="text", line_col="text_l")
+    df = out.to_pandas()
+    cols = ["n_words", "f_words", "f_wordlen", "f_dupline", "f_top2",
+            "f_dup5", "kept"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id"] + cols].sort_values("doc_id")
+              .reset_index(drop=True))
+
+
+SQL_GOPHER_FILTER = r"""
+    WITH base AS (
+      SELECT doc_id, text, len(text) AS nchar,
+             replace(text, ' a ', chr(10)) AS text_l
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM base
+    ),
+    words AS (
+      SELECT doc_id, len(t) AS n_words,
+             COALESCE(list_aggregate(list_transform(t, x -> len(x)),
+                                     'sum'), 0) AS word_chars
+      FROM toks
+    ),
+    g2c AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, count(*) AS c
+      FROM toks, unnest(range(1, len(t))) AS u(i) GROUP BY 1, 2
+    ),
+    top2 AS (SELECT doc_id, max(c * len(g)) AS best FROM g2c GROUP BY 1),
+    g5c AS (
+      SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g, count(*) AS c
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i) GROUP BY 1, 2
+    ),
+    dup5 AS (SELECT doc_id, sum(c * len(g)) AS dup FROM g5c
+             WHERE c > 1 GROUP BY 1),
+    lns AS (
+      SELECT doc_id, x AS line FROM (
+        SELECT doc_id, unnest(string_split(text_l, chr(10))) AS x FROM base)
+      WHERE x <> ''
+    ),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM lns GROUP BY 1, 2),
+    lagg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd FROM lc GROUP BY 1),
+    flags AS (
+      SELECT b.doc_id,
+        CAST(w.n_words AS BIGINT) AS n_words,
+        (w.n_words BETWEEN 5 AND 10000) AS f_words,
+        (3 * w.n_words <= w.word_chars
+         AND w.word_chars <= 10 * w.n_words) AS f_wordlen,
+        (10 * (COALESCE(l.n, 0) - COALESCE(l.nd, 0))
+         <= 3 * COALESCE(l.n, 0)) AS f_dupline,
+        (5 * COALESCE(t2.best, 0) <= b.nchar) AS f_top2,
+        (10 * COALESCE(d5.dup, 0) <= 3 * b.nchar) AS f_dup5
+      FROM base b
+      JOIN words w USING (doc_id)
+      LEFT JOIN lagg l USING (doc_id)
+      LEFT JOIN top2 t2 USING (doc_id)
+      LEFT JOIN dup5 d5 USING (doc_id)
+    )
+    SELECT doc_id, n_words,
+      CAST(f_words AS BIGINT) AS f_words,
+      CAST(f_wordlen AS BIGINT) AS f_wordlen,
+      CAST(f_dupline AS BIGINT) AS f_dupline,
+      CAST(f_top2 AS BIGINT) AS f_top2,
+      CAST(f_dup5 AS BIGINT) AS f_dup5,
+      CAST(f_words AND f_wordlen AND f_dupline AND f_top2 AND f_dup5
+           AS BIGINT) AS kept
+    FROM flags
+"""

@@ -588,3 +588,59 @@ def repetition_scores(ds, text_col: str = "text", line_col: str | None = None,
         lambda b: repetition_batch(b, text_col, line_col, top_n, dup_n,
                                    raw_counts),
         batch_format="pandas")
+
+
+def gopher_filter_batch(batch: pd.DataFrame, text_col: str = "text",
+                        line_col: str | None = None,
+                        id_cols: tuple = ("doc_id",)) -> pd.DataFrame:
+    """Gopher-style quality filter (Rae et al. 2021 appendix A, thresholds
+    adapted): per-doc pass/fail flags plus the composite ``kept`` bit.
+
+    Every rule is an INTEGER cross-multiplication (``10·dup ≤ 3·total``
+    instead of ``dup/total ≤ 0.3``) so the decision is exact — no float
+    rounding can flip a boundary doc between engines:
+
+    - ``f_words``:   5 ≤ word count ≤ 10 000
+    - ``f_wordlen``: 3 ≤ mean word length ≤ 10  (3n ≤ chars ≤ 10n)
+    - ``f_dupline``: duplicate-line fraction ≤ 0.3
+    - ``f_top2``:    top-2-gram char fraction ≤ 0.2
+    - ``f_dup5``:    duplicate-5-gram char fraction ≤ 0.3
+
+    Stateless vectorized map — composes :func:`repetition_batch`'s raw
+    counts with one exploded word-length sum; zero shuffles.
+    """
+    batch = batch.reset_index(drop=True)
+    rep = repetition_batch(batch, text_col, line_col, raw_counts=True)
+
+    toks = batch[text_col].str.split()
+    n_words = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    ex = toks.explode().dropna()
+    per = ex.str.len().groupby(ex.index).sum()
+    word_chars = np.zeros(len(batch), dtype=np.int64)
+    word_chars[per.index.to_numpy()] = per.to_numpy()
+
+    n = rep["n_lines"].to_numpy()
+    nd = rep["n_distinct_lines"].to_numpy()
+    out = rep[[c for c in rep.columns
+               if c in id_cols]].copy()
+    out["n_words"] = n_words
+    out["f_words"] = ((n_words >= 5) & (n_words <= 10_000)).astype(np.int64)
+    out["f_wordlen"] = ((3 * n_words <= word_chars)
+                        & (word_chars <= 10 * n_words)).astype(np.int64)
+    out["f_dupline"] = (10 * (n - nd) <= 3 * n).astype(np.int64)
+    nchar = rep["n_chars"].to_numpy()
+    out["f_top2"] = (5 * rep["top_2gram_chars"].to_numpy()
+                     <= nchar).astype(np.int64)
+    out["f_dup5"] = (10 * rep["dup_5gram_chars"].to_numpy()
+                     <= 3 * nchar).astype(np.int64)
+    out["kept"] = (out[["f_words", "f_wordlen", "f_dupline", "f_top2",
+                        "f_dup5"]].to_numpy().all(axis=1)).astype(np.int64)
+    return out
+
+
+def gopher_filter(ds, text_col: str = "text", line_col: str | None = None,
+                  id_cols: tuple = ("doc_id",)):
+    """Dataset form of :func:`gopher_filter_batch` — stateless map."""
+    return ds.map_batches(
+        lambda b: gopher_filter_batch(b, text_col, line_col, id_cols),
+        batch_format="pandas")

@@ -66,3 +66,28 @@ def test_chunk_documents_rejects_bad_sizes():
     ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError):
         chunk_documents(ds, size=0)
+
+
+def test_gopher_filter_rules():
+    from forecastframe_ray.pipelines.textstats import gopher_filter_batch
+
+    good = " ".join(f"word{i} filler{i}" for i in range(30))  # 60 distinct
+    texts = [
+        good,
+        "too few",                                   # f_words
+        "xx " * 50,                                  # top-2-gram dominated
+        ("supercalifragilistic " * 20).strip(),      # mean word len > 10
+        "\n".join(["line"] * 6 + [f"u{i} v{i} w{i}" for i in range(4)]),
+    ]
+    b = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = gopher_filter_batch(b, "text")
+    assert out["kept"].tolist() == [1, 0, 0, 0, 0]
+    assert out.loc[1, "f_words"] == 0
+    assert out.loc[2, "f_top2"] == 0
+    assert out.loc[3, "f_wordlen"] == 0
+    assert out.loc[4, "f_dupline"] == 0
+    # boundary: dup_line_frac exactly 0.3 is not reached by integer rule
+    # 10*(n-nd) <= 3*n with n=10, nd=7 -> 30 <= 30 passes
+    b2 = pd.DataFrame({"doc_id": [0], "text": [
+        "\n".join(["dup"] * 4 + [f"u{i}" for i in range(6)])]})
+    assert gopher_filter_batch(b2, "text").loc[0, "f_dupline"] == 1

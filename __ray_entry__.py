@@ -186,6 +186,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": Q.q_chunk_documents,
         # Gopher quality filter (pipelines/textstats.gopher_filter)
         "gopher_filter_documents": Q.q_gopher_filter_documents,
+        # TF-IDF / unigram-LM corpus scoring (pipelines/tfidf.py)
+        "tfidf_topterms_documents": Q.q_tfidf_topterms_documents,
+        "unigram_logprob_documents": Q.q_unigram_logprob_documents,
+        # exact-quota stratified sampling (stages/sample.py)
+        "stratified_sample_orders": Q.q_stratified_sample_orders,
     }
 
 
@@ -301,4 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary_documents": Q.SQL_VOCABULARY_DOCS,
         "chunk_documents": Q.SQL_CHUNK_DOCS,
         "gopher_filter_documents": Q.SQL_GOPHER_FILTER,
+        "tfidf_topterms_documents": Q.SQL_TFIDF_TOPTERMS,
+        "unigram_logprob_documents": Q.SQL_UNIGRAM_LOGPROB,
+        "stratified_sample_orders": Q.SQL_STRATIFIED_SAMPLE_ORDERS,
     }

@@ -3417,3 +3417,101 @@ SQL_GOPHER_FILTER = r"""
            AS BIGINT) AS kept
     FROM flags
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / unigram-LM corpus scoring (pipelines/tfidf.py)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_topterms_documents(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document, round-then-rank deterministic."""
+    from forecastframe_ray.pipelines.tfidf import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=3).to_pandas()
+    out = out[["doc_id", "token", "tf", "tfidf"]] \
+        .astype({"doc_id": "int64", "tf": "int64"})
+    return out.sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
+SQL_TFIDF_TOPTERMS = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rk
+          FROM s)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf
+    FROM r WHERE rk <= 3
+"""
+
+
+def q_unigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style corpus-LM quality score: per-doc mean token log-prob."""
+    from forecastframe_ray.pipelines.tfidf import unigram_doc_logprob
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = unigram_doc_logprob(docs).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_tokens": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    cnt AS (SELECT token, sum(tf) AS n FROM tf GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM cnt),
+    sc AS (
+      SELECT tf.doc_id,
+             sum(tf.tf * ln(cnt.n / tot.t)) AS s,
+             sum(tf.tf) AS m
+      FROM tf JOIN cnt USING (token) CROSS JOIN tot
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(m AS BIGINT) AS n_tokens,
+           round(s / m, 6) AS lm_logprob
+    FROM sc
+"""
+
+
+def q_stratified_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Exact 40-per-priority deterministic stratified sample (md5 quota)."""
+    from forecastframe_ray.stages.sample import stratified_sample
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = stratified_sample(orders, ["o_orderpriority"], "o_orderkey",
+                            k=40).to_pandas()
+    out = out[["o_orderkey", "o_orderpriority", "o_totalprice"]] \
+        .astype({"o_orderkey": "int64"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE_ORDERS = """
+    WITH b AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 8)) AS BIGINT) AS bkt
+      FROM orders
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY bkt, o_orderkey) AS rk
+          FROM b)
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM r WHERE rk <= 40
+"""

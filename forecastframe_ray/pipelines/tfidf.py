@@ -1,0 +1,180 @@
+"""Corpus-statistics text scoring: TF-IDF keyword extraction and a
+corpus-trained unigram language-model quality score.
+
+No analog in the reference (it holds no text columns); both are standard
+web-corpus curation stages — TF-IDF top terms label what a page is *about*
+(Sparck Jones 1972), and the per-doc mean unigram log-probability is the
+CCNet-style "how typical of the corpus is this page" quality signal
+(Wenzek et al. 2020 use an external LM; here the LM is the corpus itself,
+which needs no model artifact and stays fully SQL-oracle-able).
+
+Scale shapes
+------------
+Both ops follow the same two-phase plan as exact dedup:
+
+1. **Corpus statistics** are built with one combiner-first coarse-hash
+   aggregate (per-batch ``value_counts`` partials → per-partition merge),
+   so the shuffle moves per-batch DISTINCT tokens, never the token stream.
+2. **Scoring** is a stateless ``map_batches``; the token→stat table ships
+   either **broadcast** (two parallel sorted numpy arrays via ``ray.put``,
+   ``searchsorted`` lookup per batch — one object-store copy per node)
+   when the vocabulary is under ``broadcast_limit`` rows, or via a
+   **distributed hash join** of the exploded (doc, token, tf) rows against
+   the stat table above it (no driver materialization of the vocabulary).
+   Forced-path tests pin the two paths row-identical.
+
+All float outputs are ``round(…, 6)`` BEFORE any ranking, matching the
+DuckDB oracle exactly (the repo-wide float-oracle convention,
+``pipelines/queries.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from forecastframe_ray.stages.agg import ensure_columns, hash_aggregate
+from forecastframe_ray.stages.topk import grouped_topk
+
+#: vocabularies at or under this many distinct tokens ship broadcast;
+#: larger ones score through the distributed-join path
+BROADCAST_VOCAB_LIMIT = 5_000_000
+
+
+def doc_term_freqs(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, token, tf) rows — whitespace tokens with per-document counts.
+
+    Stateless vectorized map (split → explode → per-batch groupby): a
+    document is one input row, so its term counts complete inside the batch
+    that holds it — no shuffle. Output size is per-doc DISTINCT terms."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.split()
+        ex = toks.explode().dropna()
+        g = pd.DataFrame({
+            id_col: b[id_col].to_numpy()[ex.index.to_numpy()],
+            "token": ex.to_numpy(),
+        })
+        out = (g.groupby([id_col, "token"], sort=False).size()
+                .reset_index(name="tf"))
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    return ds.map_batches(partial, batch_format="pandas")
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, num_partitions: int = 64,
+                    broadcast_limit: int = BROADCAST_VOCAB_LIMIT):
+    """Top-``k`` TF-IDF terms per document: ``tfidf = round(tf · ln(N/df),
+    6)``, ranked ``(tfidf desc, token asc)`` — the round-then-rank order is
+    deterministic across engines and block layouts.
+
+    ``N`` is the total document count (metadata-only on a parquet-backed
+    input); ``df`` counts documents containing the token. Returns a Dataset
+    ``(id, token, tf, tfidf)`` of ≤ k rows per document."""
+    import ray
+
+    n_docs = ds.count()
+    terms = doc_term_freqs(ds, text_col, id_col).materialize()
+    df_ds = hash_aggregate(terms, ["token"], {"df": ("tf", "count")},
+                           num_partitions=num_partitions)
+
+    n_vocab = df_ds.count()
+    if n_vocab <= broadcast_limit:
+        stat = ensure_columns(df_ds.to_pandas(),
+                              {"token": "object", "df": "int64"})
+        tok_ref = ray.put(stat)
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            # inner merge: every token was counted from this corpus, so the
+            # C-speed hash join hits every row (no token is lost)
+            b = b.merge(ray.get(tok_ref), on="token", how="inner")
+            b["tfidf"] = np.round(
+                b["tf"].to_numpy(np.float64)
+                * np.log(float(n_docs) / b["df"].to_numpy(np.float64)), 6)
+            return b.drop(columns=["df"])
+
+        scored = terms.map_batches(score, batch_format="pandas")
+    else:  # distributed join: vocabulary never reaches the driver
+        from forecastframe_ray.stages.join import hash_join
+
+        joined = hash_join(terms, df_ds.repartition(8).materialize(),
+                           on=["token"], num_partitions=num_partitions)
+
+        def score_joined(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["tfidf"] = np.round(
+                b["tf"].to_numpy(np.float64)
+                * np.log(float(n_docs) / b["df"].to_numpy(np.float64)), 6)
+            return b.drop(columns=["df"])
+
+        scored = joined.map_batches(score_joined, batch_format="pandas")
+
+    return grouped_topk(scored, [id_col], "tfidf", k, descending=True,
+                        tiebreak=["token"],
+                        num_partitions=max(8, num_partitions // 2))
+
+
+def unigram_doc_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                        num_partitions: int = 64,
+                        broadcast_limit: int = BROADCAST_VOCAB_LIMIT):
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution: ``lm_logprob = round(Σ tf·ln(n_tok/T) / Σ tf, 6)``
+    (T = total corpus tokens). Higher = more typical of the corpus; the
+    CCNet quality-bucketing signal with the corpus itself as the LM, so
+    every token has nonzero probability by construction (no OOV floor).
+
+    Returns ``(id, n_tokens, lm_logprob)`` — documents with zero tokens
+    are omitted (their mean is undefined)."""
+    import ray
+
+    terms = doc_term_freqs(ds, text_col, id_col).materialize()
+    cnt_ds = hash_aggregate(terms, ["token"], {"n": ("tf", "sum")},
+                            num_partitions=num_partitions)
+
+    n_vocab = cnt_ds.count()
+    if n_vocab <= broadcast_limit:
+        stat = ensure_columns(cnt_ds.to_pandas(),
+                              {"token": "object", "n": "int64"})
+        total = float(stat["n"].sum())
+        tok_ref = ray.put(stat)
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.merge(ray.get(tok_ref), on="token", how="inner")
+            tf = b["tf"].to_numpy(np.float64)
+            lp = tf * np.log(b["n"].to_numpy(np.float64) / total)
+            return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                                 "__s": lp, "__m": b["tf"].to_numpy("int64")})
+
+        partial = terms.map_batches(score, batch_format="pandas")
+    else:  # distributed join path — vocabulary stays on the cluster
+        from forecastframe_ray.stages.join import hash_join
+
+        # total corpus tokens: one tiny aggregate (sum of the count table)
+        total = float(cnt_ds.map_batches(
+            lambda b: pd.DataFrame({"t": [b["n"].sum()]}),
+            batch_format="pandas").to_pandas()["t"].sum())
+        joined = hash_join(terms, cnt_ds.repartition(8).materialize(),
+                           on=["token"], num_partitions=num_partitions)
+
+        def score_joined(b: pd.DataFrame) -> pd.DataFrame:
+            tf = b["tf"].to_numpy(np.float64)
+            lp = tf * np.log(b["n"].to_numpy(np.float64) / total)
+            return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                                 "__s": lp, "__m": b["tf"].to_numpy("int64")})
+
+        partial = joined.map_batches(score_joined, batch_format="pandas")
+
+    sums = hash_aggregate(partial, [id_col],
+                          {"s": ("__s", "sum"), "n_tokens": ("__m", "sum")},
+                          num_partitions=max(8, num_partitions // 2))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["lm_logprob"] = np.round(
+            b["s"].to_numpy(np.float64) / b["n_tokens"].to_numpy(np.float64),
+            6)
+        b["n_tokens"] = b["n_tokens"].astype("int64")
+        return b[[id_col, "n_tokens", "lm_logprob"]]
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -54,3 +54,36 @@ def deterministic_sample(ds, key_col: str, rate: float):
         return b[_bucket(b[key_col]) < cut]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_sample(ds, group_cols: list[str], key_col: str, k: int,
+                      num_partitions: int = 32):
+    """Exactly ``min(k, group size)`` rows per ``group_cols`` group: the
+    rows whose md5 bucket of ``key_col`` is smallest (ties broken by the
+    key itself) — a deterministic per-stratum reservoir.
+
+    Same reproducibility contract as :func:`deterministic_sample` (stable
+    across block layouts, cluster shapes, and resumes) with an EXACT
+    per-group quota instead of an expected rate — the form evaluation-set
+    construction needs ("k docs per language/domain"). Physical plan is the
+    combiner-first grouped top-k (``stages/topk.py``): per-batch partial
+    top-k → one coarse-hash merge, shuffle bounded by groups × k per batch.
+
+    SQL twin: ``row_number() OVER (PARTITION BY group ORDER BY md5-bucket,
+    key) <= k``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from forecastframe_ray.stages.topk import grouped_topk
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__smp"] = _bucket(b[key_col])
+        return b
+
+    tagged = ds.map_batches(add_bucket, batch_format="pandas")
+    out = grouped_topk(tagged, list(group_cols), "__smp", k,
+                       descending=False, tiebreak=[key_col],
+                       num_partitions=num_partitions)
+    return out.map_batches(lambda b: b.drop(columns=["__smp"]),
+                           batch_format="pandas")

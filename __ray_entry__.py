@@ -191,6 +191,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": Q.q_unigram_logprob_documents,
         # exact-quota stratified sampling (stages/sample.py)
         "stratified_sample_orders": Q.q_stratified_sample_orders,
+        # rolling-baseline anomaly flags (W1 composition)
+        "anomaly_daily_events": Q.q_anomaly_daily_events,
+        # CCNet quality buckets (pipelines/tfidf.quality_buckets)
+        "quality_buckets_documents": Q.q_quality_buckets_documents,
+        # cross-doc duplicate spans (pipelines/decontaminate.self_overlap)
+        "dup_spans_documents": Q.q_dup_spans_documents,
     }
 
 
@@ -309,4 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topterms_documents": Q.SQL_TFIDF_TOPTERMS,
         "unigram_logprob_documents": Q.SQL_UNIGRAM_LOGPROB,
         "stratified_sample_orders": Q.SQL_STRATIFIED_SAMPLE_ORDERS,
+        "anomaly_daily_events": Q.SQL_ANOMALY_DAILY,
+        "quality_buckets_documents": Q.SQL_QUALITY_BUCKETS,
+        "dup_spans_documents": Q.SQL_DUP_SPANS,
     }

@@ -213,6 +213,15 @@ def decontaminate(train_ds, eval_ds, text_col: str = "text",
         key_part, batch_format="pandas")
     overlaps = (both.groupby("__p")
                     .map_groups(match_part, batch_format="pandas"))
+    # a doc's matched grams scatter across gram-hash partitions, so
+    # match_part emits PARTIAL counts (one row per doc per partition) —
+    # sum them (each distinct gram lives in exactly one partition, so the
+    # sum is exact); repartition+materialize consolidates the coarse
+    # shuffle's column-less empty blocks, which otherwise break/stall the
+    # join exchange in the same streaming DAG
+    overlaps = hash_aggregate(overlaps, [id_col],
+                              {"n_overlap": ("n_overlap", "sum")},
+                              num_partitions=8).repartition(8).materialize()
 
     # distributed left join back to the full train id set — the overlap side
     # can be as big as the train side on a dirty corpus, so it never lands
@@ -231,6 +240,113 @@ def decontaminate(train_ds, eval_ds, text_col: str = "text",
             id_col: batch[id_col].to_numpy(),
             "n_overlap": n_over,
             "contaminated": n_over > 0,
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def self_overlap(ds, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 8,
+                 broadcast_threshold: int = BROADCAST_THRESHOLD,
+                 num_partitions: int = 16):
+    """Cross-document duplicate-span detection (Lee et al. 2022's substring
+    dedup signal at n-gram granularity): for every doc, count its distinct
+    word ``n``-grams that also occur in ANY OTHER document, plus the
+    ``has_dup_span`` flag. Unlike MinHash (whole-doc similarity) this
+    catches a boilerplate paragraph pasted into otherwise-unique pages.
+
+    Plan: one combiner-reduced gram-frequency aggregate over the distinct
+    (doc, gram-hash) pairs (``nd`` = docs containing the gram), keep grams
+    with ``nd ≥ 2``, then score docs against that shared set — broadcast
+    sorted-array probe under ``broadcast_threshold``, else the same
+    distributed co-partitioned match as :func:`decontaminate`. A gram a doc
+    repeats internally does NOT count (distinct-docs ≥ 2 is required), so a
+    doc's own repetition never flags it.
+
+    Returns ``(id, n_shared:int64, has_dup_span:bool)``, one row per doc.
+    """
+    pairs = ds.map_batches(
+        lambda b: _doc_gram_pairs(b, text_col, id_col, n),
+        batch_format="pandas").materialize()
+    gcount = hash_aggregate(pairs, ["__gram"], {"nd": (id_col, "count")},
+                            num_partitions=num_partitions)
+    shared = gcount.map_batches(
+        lambda b: b.loc[b["nd"] >= 2, ["__gram"]],
+        batch_format="pandas").materialize()
+
+    if shared.count() <= broadcast_threshold:
+        parts = [p["__gram"].to_numpy(dtype=np.uint64)
+                 for p in shared.iter_batches(batch_format="pandas")]
+        gs_sorted = (np.sort(np.concatenate(parts)) if parts
+                     else np.array([], dtype=np.uint64))
+        ref = ray.put(gs_sorted)
+
+        def probe(batch: pd.DataFrame) -> pd.DataFrame:
+            gs = ray.get(ref)
+            doc_idx, g = batch_ngram_hashes(batch[text_col], n)
+            hit = pd.DataFrame({"i": doc_idx, "g": g}).drop_duplicates()
+            if len(gs):
+                pos = np.minimum(np.searchsorted(gs, hit["g"].to_numpy()),
+                                 len(gs) - 1)
+                m = gs[pos] == hit["g"].to_numpy()
+            else:
+                m = np.zeros(len(hit), dtype=bool)
+            n_sh = np.bincount(hit["i"].to_numpy()[m],
+                               minlength=len(batch)).astype(np.int64)
+            return pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                "n_shared": n_sh,
+                "has_dup_span": n_sh > 0,
+            })
+
+        return ds.map_batches(probe, batch_format="pandas")
+
+    # distributed plan: co-partition the (doc, gram) pairs with the shared
+    # gram set by gram hash, count matches per doc in-partition, left-join
+    # the zero-overlap docs back — the shared set never lands on the driver.
+    def key_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__p"] = (b["__gram"].to_numpy(dtype=np.uint64)
+                    % np.uint64(num_partitions)).astype(np.int64)
+        return b
+
+    def match_part(part: pd.DataFrame) -> pd.DataFrame:
+        sh = part.loc[part[id_col].isna(), "__gram"].unique()
+        dc = part.loc[part[id_col].notna()]
+        hit = dc[dc["__gram"].isin(sh)]
+        out = (hit.groupby(id_col, sort=False)["__gram"]
+                  .nunique().rename("n_shared").reset_index())
+        out[id_col] = out[id_col].astype("int64")
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out[[id_col, "n_shared"]]
+
+    tagged = shared.map_batches(
+        lambda b: b.assign(**{id_col: np.full(len(b), np.nan)})
+                   [[id_col, "__gram"]],
+        batch_format="pandas")
+    both = pairs.union(tagged).map_batches(key_part, batch_format="pandas")
+    overlaps = (both.groupby("__p")
+                    .map_groups(match_part, batch_format="pandas"))
+    # sum the per-partition partial counts (see decontaminate above) and
+    # consolidate empty blocks before the join exchange
+    overlaps = hash_aggregate(overlaps, [id_col],
+                              {"n_shared": ("n_shared", "sum")},
+                              num_partitions=8).repartition(8).materialize()
+
+    from forecastframe_ray.stages.join import hash_join
+
+    ids = ds.map_batches(
+        lambda b: pd.DataFrame({id_col: b[id_col].to_numpy()}),
+        batch_format="pandas")
+    joined = hash_join(ids, overlaps, on=[id_col], how="left",
+                       num_partitions=num_partitions)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n_sh = batch["n_shared"].fillna(0).astype("int64").to_numpy()
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_shared": n_sh,
+            "has_dup_span": n_sh > 0,
         })
 
     return joined.map_batches(finish, batch_format="pandas")

@@ -3515,3 +3515,132 @@ SQL_STRATIFIED_SAMPLE_ORDERS = """
           FROM b)
     SELECT o_orderkey, o_orderpriority, o_totalprice FROM r WHERE rk <= 40
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling-baseline anomaly flags (composition: W1 mean+std -> integer flag)
+# ---------------------------------------------------------------------------
+
+def q_anomaly_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Per-series anomaly detection on the daily spine: flag days where the
+    value leaves the trailing-7d lag-1 mean ± 2·std band. The comparison
+    runs on ROUND(…,6) deviation/band on both engines so a boundary day
+    cannot flip; days without a defined band (std needs ≥2 prior points)
+    are never anomalies."""
+    fr = _daily_frame(sf_dir).calc_statistical_features(
+        "v", windows=7, aggregations=["mean", "std"], lag=1, min_periods=1)
+    df = fr.to_pandas()[["event_type", "d", "v",
+                         "v_mean_roll7_lag1", "v_std_roll7_lag1"]]
+    dev = np.round(np.abs(df["v"].to_numpy(np.float64)
+                          - df["v_mean_roll7_lag1"].to_numpy(np.float64)), 6)
+    band = np.round(2.0 * df["v_std_roll7_lag1"].to_numpy(np.float64), 6)
+    df["deviation"] = dev
+    df["band"] = band
+    df["anomaly"] = np.where(np.isnan(band), 0,
+                             (dev > band).astype(np.int64)).astype("int64")
+    df = df.drop(columns=["v_mean_roll7_lag1", "v_std_roll7_lag1"])
+    df = _round(df, ["v"], 6)
+    return _fill(df, ["deviation", "band"])
+
+
+SQL_ANOMALY_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v, epoch_us(d) // {DAY_US} AS dn,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    ),
+    w AS (
+        SELECT event_type, d, v,
+               round(abs(v - avg(lv) OVER w), 6) AS deviation,
+               round(2 * stddev_samp(lv) OVER w, 6) AS band
+        FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, round(v, 6) AS v,
+           COALESCE(deviation, {NULLF}) AS deviation,
+           COALESCE(band, {NULLF}) AS band,
+           CAST(CASE WHEN band IS NULL THEN 0
+                     WHEN deviation > band THEN 1 ELSE 0 END
+                AS BIGINT) AS anomaly
+    FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet quality buckets (pipelines/tfidf.quality_buckets)
+# ---------------------------------------------------------------------------
+
+def q_quality_buckets_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus-LM score terciles: head / middle / tail per document."""
+    from forecastframe_ray.pipelines.tfidf import quality_buckets
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = quality_buckets(docs).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_tokens": "int64"})
+    return (out[["doc_id", "n_tokens", "lm_logprob", "bucket"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_QUALITY_BUCKETS = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    cnt AS (SELECT token, sum(tf) AS n FROM tf GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM cnt),
+    sc AS (
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             round(sum(tf.tf * ln(cnt.n / tot.t)) / sum(tf.tf), 6)
+                 AS lm_logprob
+      FROM tf JOIN cnt USING (token) CROSS JOIN tot
+      GROUP BY 1
+    ),
+    cuts AS (SELECT quantile_cont(lm_logprob, 1.0/3.0) AS c_lo,
+                    quantile_cont(lm_logprob, 2.0/3.0) AS c_hi
+             FROM sc)
+    SELECT sc.doc_id, sc.n_tokens, sc.lm_logprob,
+           CASE WHEN sc.lm_logprob <= cuts.c_lo THEN 'tail'
+                WHEN sc.lm_logprob <= cuts.c_hi THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM sc CROSS JOIN cuts
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate spans (pipelines/decontaminate.self_overlap)
+# ---------------------------------------------------------------------------
+
+def q_dup_spans_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-doc count of distinct 8-grams shared with any OTHER document."""
+    from forecastframe_ray.pipelines.decontaminate import self_overlap
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = self_overlap(docs, n=8).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_shared": "int64",
+                      "has_dup_span": "bool"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DUP_SPANS = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+    ),
+    gc AS (SELECT g, count(*) AS nd FROM dg GROUP BY 1),
+    hits AS (
+      SELECT dg.doc_id, count(*) AS n_shared
+      FROM dg JOIN gc USING (g) WHERE gc.nd >= 2 GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS has_dup_span
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+"""

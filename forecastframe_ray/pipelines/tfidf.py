@@ -178,3 +178,48 @@ def unigram_doc_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
         return b[[id_col, "n_tokens", "lm_logprob"]]
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def quality_buckets(ds, text_col: str = "text", id_col: str = "doc_id",
+                    qs: tuple[float, float] = (1 / 3, 2 / 3),
+                    num_partitions: int = 64,
+                    broadcast_limit: int = BROADCAST_VOCAB_LIMIT):
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3): score every
+    document with :func:`unigram_doc_logprob`, fit the corpus-wide ``qs``
+    quantile cutpoints of the (rounded) score, and label each doc ``tail``
+    (≤ low cut), ``middle`` (≤ high cut) or ``head``.
+
+    The cutpoint fit is the engine's exact-quantile plan
+    (``interpret.grouped_quantiles``: one range-partition sort of the
+    narrow score table + order-statistic pluck — constant driver traffic);
+    the score table has one row per document, so the sort is over docs,
+    not tokens. At 10^12 docs swap in the mergeable quantile sketch
+    (``stages/sketch.py``) and accept its (1+2ε) bound — the exact fit is
+    the oracle-able contract. Labels compare the ROUNDED score to the
+    cutpoints with ``<=`` on both engines, so a doc sitting exactly on a
+    cut is bucketed identically everywhere.
+
+    Returns ``(id, n_tokens, lm_logprob, bucket)``."""
+    from forecastframe_ray.pipelines.interpret import grouped_quantiles
+
+    scores = unigram_doc_logprob(ds, text_col, id_col, num_partitions,
+                                 broadcast_limit).materialize()
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__g"] = np.int64(0)
+        return b
+
+    cuts = grouped_quantiles(scores.map_batches(tag, batch_format="pandas"),
+                             ["__g"], "lm_logprob", qs=qs)
+    lo_col, hi_col = (f"q{int(round(q * 100))}" for q in qs)
+    c_lo, c_hi = float(cuts[lo_col].iloc[0]), float(cuts[hi_col].iloc[0])
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        v = b["lm_logprob"].to_numpy(np.float64)
+        b["bucket"] = np.where(v <= c_lo, "tail",
+                               np.where(v <= c_hi, "middle", "head"))
+        return b
+
+    return scores.map_batches(label, batch_format="pandas")

@@ -159,3 +159,22 @@ def test_repetition_batch_matches_naive():
     assert np.allclose(out.loc[m, "dup_line_char_frac"],
                        raw.loc[m, "dup_line_chars"]
                        / raw.loc[m, "tot_line_chars"])
+
+
+def test_decontaminate_distributed_partial_counts_summed():
+    # regression: a doc whose matched grams scatter over MANY gram-hash
+    # partitions must still get ONE row with the full count (the per-
+    # partition partial counts are summed before the join-back)
+    eval_text = " ".join(f"ev{i}" for i in range(64))  # 57 distinct 8-grams
+    rows = [(10, eval_text),                       # eval doc
+            (1, eval_text + " trailing unique tokens here now"),
+            (2, "completely clean document with no overlap at all")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    train = ray.data.from_pandas(df[df.doc_id % 10 != 0])
+    evald = ray.data.from_pandas(df[df.doc_id % 10 == 0])
+    out = (decontaminate(train, evald, n=8, broadcast_threshold=0,
+                         num_partitions=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out.loc[out.doc_id == 1, "n_overlap"].item() == 57
+    assert out.loc[out.doc_id == 2, "n_overlap"].item() == 0

@@ -197,6 +197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_buckets_documents": Q.q_quality_buckets_documents,
         # cross-doc duplicate spans (pipelines/decontaminate.self_overlap)
         "dup_spans_documents": Q.q_dup_spans_documents,
+        # percent rank within series (stages/window_ops.op_percent_rank)
+        "percent_rank_daily": Q.q_percent_rank_daily,
+        # PMI bigram collocations (pipelines/corpus.pmi_bigrams)
+        "pmi_bigrams_documents": Q.q_pmi_bigrams_documents,
     }
 
 
@@ -318,4 +322,6 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_daily_events": Q.SQL_ANOMALY_DAILY,
         "quality_buckets_documents": Q.SQL_QUALITY_BUCKETS,
         "dup_spans_documents": Q.SQL_DUP_SPANS,
+        "percent_rank_daily": Q.SQL_PERCENT_RANK_DAILY,
+        "pmi_bigrams_documents": Q.SQL_PMI_BIGRAMS,
     }

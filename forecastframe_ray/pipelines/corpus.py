@@ -20,6 +20,7 @@ rows carry only (id, chunk_id, n_tokens, chunk_text).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from forecastframe_ray.stages.agg import hash_aggregate
@@ -93,3 +94,123 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(
         lambda b: chunk_batch(b, text_col, id_col, size, st),
         batch_format="pandas")
+
+
+def pmi_bigrams(ds, text_col: str = "text", top_k: int = 100,
+                min_count: int = 5, num_partitions: int = 64,
+                broadcast_limit: int = 5_000_000) -> pd.DataFrame:
+    """Top-``top_k`` collocations by pointwise mutual information:
+    ``pmi = round(ln((c_xy/T_bi) / ((c_x/T_uni)·(c_y/T_uni))), 6)`` over
+    within-doc adjacent token pairs with ``c_xy ≥ min_count``, ranked
+    ``(pmi desc, bigram asc)`` — the Church & Hanks 1990 association
+    measure, a standard tokenizer-prep / phrase-mining pass.
+
+    Plan mirrors :func:`token_vocabulary`: per-batch bigram ``value_counts``
+    partials → one coarse-hash merge (the shuffle moves per-batch DISTINCT
+    bigrams). Unigram counts ride the same combiner plan; they attach to
+    the min-count-filtered bigram rows via a broadcast table under
+    ``broadcast_limit`` distinct tokens (per-batch C-speed merge) or a
+    distributed double hash-join above it. The final cut is a per-block
+    local top-k + ≤ blocks × k driver merge, exact because counts are
+    final. Returns a small pandas DataFrame ``(bigram, c_xy, pmi)``."""
+    import ray
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[text_col].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    def bi_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized adjacent-pair build: explode all tokens once, pair
+        # consecutive entries that belong to the same document row
+        ex = b[text_col].str.split().explode().dropna()
+        idx = ex.index.to_numpy()
+        vals = ex.to_numpy()
+        if len(vals) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "c_xy": pd.Series([], dtype="int64")})
+        same = idx[1:] == idx[:-1]
+        pairs = (pd.Series(vals[:-1][same], dtype="object")
+                 + " " + pd.Series(vals[1:][same], dtype="object"))
+        if pairs.empty:
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "c_xy": pd.Series([], dtype="int64")})
+        vc = pairs.value_counts()
+        return pd.DataFrame({"bigram": vc.index.to_numpy(),
+                             "c_xy": vc.to_numpy().astype("int64")})
+
+    uni = hash_aggregate(ds.map_batches(uni_partial, batch_format="pandas"),
+                         ["token"], {"n": ("n", "sum")},
+                         num_partitions=num_partitions).materialize()
+    bi = hash_aggregate(ds.map_batches(bi_partial, batch_format="pandas"),
+                        ["bigram"], {"c_xy": ("c_xy", "sum")},
+                        num_partitions=num_partitions)
+    bi = bi.map_batches(lambda b: b[b["c_xy"] >= min_count],
+                        batch_format="pandas").materialize()
+
+    # totals: tiny per-block sums — no full collect
+    t_uni = float(sum(r["t"] for r in uni.map_batches(
+        lambda b: pd.DataFrame({"t": [b["n"].sum()]}),
+        batch_format="pandas").to_pandas().to_dict("records")))
+    t_bi = float(sum(r["t"] for r in bi.map_batches(
+        lambda b: pd.DataFrame({"t": [b["c_xy"].sum()]}),
+        batch_format="pandas").to_pandas().to_dict("records"))) or 1.0
+
+    def split_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        sp = b["bigram"].str.split(" ", n=1, expand=True)
+        b["__x"], b["__y"] = sp[0], sp[1]
+        return b
+
+    bi = bi.map_batches(split_tokens, batch_format="pandas")
+
+    if uni.count() <= broadcast_limit:
+        from forecastframe_ray.stages.agg import ensure_columns
+
+        stat = ensure_columns(uni.to_pandas(), {"token": "object",
+                                                "n": "int64"})
+        ref = ray.put(stat)
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(ref)
+            b = b.merge(s.rename(columns={"token": "__x", "n": "__nx"}),
+                        on="__x", how="inner")
+            b = b.merge(s.rename(columns={"token": "__y", "n": "__ny"}),
+                        on="__y", how="inner")
+            return b
+
+        scored_in = bi.map_batches(attach, batch_format="pandas")
+    else:
+        from forecastframe_ray.stages.join import hash_join
+
+        ux = uni.map_batches(
+            lambda b: b.rename(columns={"token": "__x", "n": "__nx"}),
+            batch_format="pandas").repartition(8).materialize()
+        uy = uni.map_batches(
+            lambda b: b.rename(columns={"token": "__y", "n": "__ny"}),
+            batch_format="pandas").repartition(8).materialize()
+        scored_in = hash_join(
+            hash_join(bi, ux, on=["__x"], num_partitions=num_partitions)
+            .repartition(max(8, num_partitions // 4)).materialize(),
+            uy, on=["__y"], num_partitions=num_partitions)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        p_xy = b["c_xy"].to_numpy(np.float64) / t_bi
+        p_x = b["__nx"].to_numpy(np.float64) / t_uni
+        p_y = b["__ny"].to_numpy(np.float64) / t_uni
+        out = b[["bigram", "c_xy"]].copy()
+        out["pmi"] = np.round(np.log(p_xy / (p_x * p_y)), 6)
+        return out
+
+    scored = scored_in.map_batches(score, batch_format="pandas")
+
+    def cut(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["pmi", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(top_k))
+
+    tops = scored.map_batches(cut, batch_size=None, batch_format="pandas")
+    df = tops.to_pandas()
+    df["c_xy"] = df["c_xy"].astype("int64")
+    return (df.sort_values(["pmi", "bigram"], ascending=[False, True],
+                           kind="mergesort").head(top_k)
+              .reset_index(drop=True))

@@ -3644,3 +3644,78 @@ SQL_DUP_SPANS = r"""
            COALESCE(h.n_shared, 0) > 0 AS has_dup_span
     FROM documents d LEFT JOIN hits h USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# percent rank within series (stages/window_ops.op_percent_rank)
+# ---------------------------------------------------------------------------
+
+def q_percent_rank_daily(sf_dir: str) -> pd.DataFrame:
+    """SQL percent_rank() twin over the daily spine: rank of each day's
+    value within its series, rank-with-gaps ties, single-row series -> 0."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    out = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "percent_rank", "feature": "v", "out_name": "v_pct_rank"}],
+        num_partitions=_NP)
+    df = out.to_pandas()[["event_type", "d", "v", "v_pct_rank"]]
+    return df.sort_values(["event_type", "d"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_PERCENT_RANK_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           round(percent_rank() OVER (PARTITION BY event_type ORDER BY v),
+                 6) AS v_pct_rank
+    FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations (pipelines/corpus.pmi_bigrams)
+# ---------------------------------------------------------------------------
+
+def q_pmi_bigrams_documents(sf_dir: str) -> pd.DataFrame:
+    """Top-50 within-doc adjacent-token collocations by PMI (c_xy >= 3)."""
+    from forecastframe_ray.pipelines.corpus import pmi_bigrams
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pmi_bigrams(docs, top_k=50, min_count=3)
+
+
+SQL_PMI_BIGRAMS = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT x AS token, count(*) AS n
+      FROM (SELECT unnest(t) AS x FROM toks) GROUP BY 1
+    ),
+    bi AS (
+      SELECT concat(t[i], ' ', t[i + 1]) AS bigram,
+             t[i] AS x, t[i + 1] AS y, count(*) AS c_xy
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 3
+    ),
+    tots AS (
+      SELECT (SELECT sum(n) FROM uni) AS t_uni,
+             (SELECT sum(c_xy) FROM bi) AS t_bi
+    ),
+    s AS (
+      SELECT bi.bigram, bi.c_xy,
+             round(ln((bi.c_xy / tots.t_bi)
+                      / ((ux.n / tots.t_uni) * (uy.n / tots.t_uni))),
+                   6) AS pmi
+      FROM bi JOIN uni ux ON bi.x = ux.token
+              JOIN uni uy ON bi.y = uy.token
+              CROSS JOIN tots
+    )
+    SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy, pmi
+    FROM s ORDER BY pmi DESC, bigram LIMIT 50
+"""

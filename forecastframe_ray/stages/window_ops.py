@@ -318,6 +318,20 @@ def op_row_number(df, keys, ts_col, out_name="row_number"):
     return df
 
 
+def op_percent_rank(df, keys, ts_col, feature, out_name=None):
+    """SQL ``percent_rank()`` twin: ``(rank-1)/(n-1)`` of ``feature`` within
+    its series, rank-with-gaps on ties (pandas ``method='min'`` == SQL
+    ``rank()``); a single-row series scores 0. Callers must pre-mask NULLs
+    in ``feature`` (SQL null-ordering is not replicated). Rounded to 6dp."""
+    out_name = out_name or f"{feature}_pct_rank"
+    g = _grouped(df, keys)[feature]
+    rank = g.rank(method="min").to_numpy(dtype=np.float64)
+    n = g.transform("size").to_numpy(dtype=np.float64)
+    df[out_name] = np.round(
+        np.where(n > 1, (rank - 1.0) / np.maximum(n - 1.0, 1.0), 0.0), 6)
+    return df
+
+
 def op_sessionize(df, keys, ts_col, gap_seconds, out_name="session_id"):
     """Gap-based sessionization (web-analytics extension; not in the
     reference): a new session starts at a group's first row and whenever the
@@ -365,3 +379,4 @@ def _register_all(register_op):
     register_op("expanding_stats")(op_expanding_stats)
     register_op("row_number")(op_row_number)
     register_op("rolling_corr")(op_rolling_corr)
+    register_op("percent_rank")(op_percent_rank)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -91,3 +92,42 @@ def test_gopher_filter_rules():
     b2 = pd.DataFrame({"doc_id": [0], "text": [
         "\n".join(["dup"] * 4 + [f"u{i}" for i in range(6)])]})
     assert gopher_filter_batch(b2, "text").loc[0, "f_dupline"] == 1
+
+
+def test_pmi_bigrams_basic():
+    from forecastframe_ray.pipelines.corpus import pmi_bigrams
+
+    # "new york" always collocates; "the cat/dog/car" dilutes "the"
+    # the extra "the end" doc breaks an exact-PMI coincidence between the
+    # perfect collocations and the diluted "the X" pairs
+    texts = (["new york city is big"] * 5
+             + ["the cat sat", "the dog ran", "the car red",
+                "the cat ran", "the dog sat", "the end"])
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    out = pmi_bigrams(ds, top_k=10, min_count=2)
+    assert (out["c_xy"] >= 2).all()
+    # the 4 bigrams of the repeated sentence are all perfect collocations
+    # (identical PMI, tie-broken alphabetically) and outrank diluted "the X"
+    top4 = set(out.head(4)["bigram"])
+    assert top4 == {"city is", "is big", "new york", "york city"}
+    top_pmi = out["pmi"].iloc[0]
+    the_cat = out[out["bigram"] == "the cat"]
+    assert len(the_cat) == 1 and the_cat["pmi"].iloc[0] < top_pmi
+    # deterministic under different block layouts
+    out2 = pmi_bigrams(ds.repartition(4), top_k=10, min_count=2,
+                       num_partitions=4)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_pmi_bigrams_join_path_matches_broadcast():
+    from forecastframe_ray.pipelines.corpus import pmi_bigrams
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(30)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(30, dtype=np.int64), "text": texts}))
+    a = pmi_bigrams(ds, top_k=15, min_count=2)
+    b = pmi_bigrams(ds, top_k=15, min_count=2, broadcast_limit=0)
+    pd.testing.assert_frame_equal(a, b)

@@ -131,3 +131,22 @@ def test_frame_wrappers_expanding_sessionize(ray_session):
     # both calls recorded for save/replay
     names = [n for n, _ in fr.function_list]
     assert names == ["calc_expanding_features", "sessionize"]
+
+
+def test_op_percent_rank_ties_and_singletons():
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"],
+        "ts": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+             "2024-01-05", "2024-01-01"]),
+        "v": [3.0, 1.0, 3.0, 2.0, 5.0, 7.0],
+    })
+    out = keyed_window_stage(
+        ray.data.from_pandas(df), ["k"], "ts",
+        [{"op": "percent_rank", "feature": "v"}],
+        num_partitions=2).to_pandas().sort_values(["k", "ts"])
+    got = out["v_pct_rank"].tolist()
+    # ranks (min method): 3,1,3,2,5 -> (r-1)/4 = 0.5,0,0.5,0.25,1; singleton 0
+    assert got == [0.5, 0.0, 0.5, 0.25, 1.0, 0.0]

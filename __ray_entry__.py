@@ -201,6 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_daily": Q.q_percent_rank_daily,
         # PMI bigram collocations (pipelines/corpus.pmi_bigrams)
         "pmi_bigrams_documents": Q.q_pmi_bigrams_documents,
+        # JSON property extraction (functions/scalar.extract_json_int)
+        "json_props_events": Q.q_json_props_events,
+        # per-label embedding centroids (pipelines/similarity)
+        "label_centroids_embeddings": Q.q_label_centroids_embeddings,
     }
 
 
@@ -324,4 +328,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans_documents": Q.SQL_DUP_SPANS,
         "percent_rank_daily": Q.SQL_PERCENT_RANK_DAILY,
         "pmi_bigrams_documents": Q.SQL_PMI_BIGRAMS,
+        "json_props_events": Q.SQL_JSON_PROPS_EVENTS,
+        "label_centroids_embeddings": Q.SQL_LABEL_CENTROIDS,
     }

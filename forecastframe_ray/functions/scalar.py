@@ -80,3 +80,25 @@ def downcast_plan(stats: dict[str, tuple]) -> dict[str, str]:
                 plan[col] = np.dtype(dt).name
                 break
     return plan
+
+
+def extract_json_int(ds, col: str, key: str, out_name: str | None = None):
+    """Pull an integer field out of a JSON-string column with ONE vectorized
+    regex pass (``Series.str.extract`` — no per-row json.loads in the hot
+    path). Contract: the field is a flat top-level integer (the shape of
+    event property bags like ``{"k": 69}``); rows without the field yield
+    pandas NA. SQL twin: ``CAST(json_extract(col, '$.key') AS BIGINT)``.
+
+    For nested/typed payloads use an actor-pool stage with a real parser;
+    this is the fast path for the overwhelmingly common flat case."""
+    import re
+
+    out = out_name or key
+    pat = re.compile(r'"' + re.escape(key) + r'"\s*:\s*(-?\d+)')
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[out] = b[col].str.extract(pat, expand=False).astype("Int64")
+        return b
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -3719,3 +3719,70 @@ SQL_PMI_BIGRAMS = r"""
     SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy, pmi
     FROM s ORDER BY pmi DESC, bigram LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (functions/scalar.extract_json_int)
+# ---------------------------------------------------------------------------
+
+def q_json_props_events(sf_dir: str) -> pd.DataFrame:
+    """Extract the integer ``k`` field from the JSON props bag (vectorized
+    regex — no per-row parse) and profile it per event type."""
+    from forecastframe_ray.functions.scalar import extract_json_int
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    ext = extract_json_int(ev, "props", "k")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["k"] = b["k"].astype("float64")  # NA -> NaN, skipna aggs below
+        return b[["event_type", "k"]]
+
+    out = hash_aggregate(ext.map_batches(pre, batch_format="pandas"),
+                         ["event_type"],
+                         {"n_k": ("k", "count"), "sum_k": ("k", "sum"),
+                          "mean_k": ("k", "mean")},
+                         num_partitions=8).to_pandas()
+    out["n_k"] = out["n_k"].astype("int64")
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out = _round(out, ["mean_k"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_JSON_PROPS_EVENTS = """
+    SELECT event_type,
+           count(k) AS n_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           round(avg(k), 6) AS mean_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (pipelines/similarity.label_centroids)
+# ---------------------------------------------------------------------------
+
+def q_label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid vectors in long form (label, dim, n, centroid)."""
+    from forecastframe_ray.pipelines.similarity import label_centroids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = label_centroids(emb).to_pandas()
+    out = out.astype({"label": "int64", "dim": "int64", "n": "int64"})
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+SQL_LABEL_CENTROIDS = """
+    SELECT label, CAST(i AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS centroid
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    GROUP BY 1, 2
+"""

@@ -139,3 +139,48 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, num_centroids: int = 16,
     top = cand.groupby("query_ix", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_ix").cumcount().astype(np.int64)
     return top[["query_ix", "rank", id_col, "cos_sim"]]
+
+
+def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
+    """Per-label centroid of an embedding column — the E-step/summary shape
+    of distributed k-means and the class-prototype builder for
+    nearest-centroid search (the IVF coarse quantizer uses the same plan).
+
+    Physical plan: each batch pre-reduces to LONG partial rows
+    ``(label, dim, s=Σ component, n=rows)`` via one ``np.add.at`` scatter —
+    the shuffle carries labels × dim rows per batch, never vectors — then
+    one coarse-hash merge sums partials and emits
+    ``centroid = round(s/n, 6)``. Returns a Dataset
+    ``(label, dim [1-based], n:int64, centroid)``."""
+    import pandas as pd
+
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = _stack(b[vec_col]).astype(np.float64)
+        labels = b[label_col].to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        S = np.zeros((len(uniq), M.shape[1]), dtype=np.float64)
+        np.add.at(S, inv, M)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = M.shape[1]
+        return pd.DataFrame({
+            label_col: np.repeat(uniq, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq)),
+            "s": S.ravel(),
+            "n": np.repeat(n, d),
+        })
+
+    merged = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        [label_col, "dim"], {"s": ("s", "sum"), "n": ("n", "sum")},
+        num_partitions=16, hash_keys=[label_col])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["centroid"] = np.round(
+            b["s"].to_numpy(np.float64) / b["n"].to_numpy(np.float64), 6)
+        b["n"] = b["n"].astype("int64")
+        return b[[label_col, "dim", "n", "centroid"]]
+
+    return merged.map_batches(finish, batch_format="pandas")

@@ -205,6 +205,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_events": Q.q_json_props_events,
         # per-label embedding centroids (pipelines/similarity)
         "label_centroids_embeddings": Q.q_label_centroids_embeddings,
+        # CUSUM changepoint statistic (stages/window_ops.op_cusum)
+        "cusum_daily_events": Q.q_cusum_daily_events,
+        # additive seasonal decomposition (op_seasonal_decompose)
+        "seasonal_decompose_daily": Q.q_seasonal_decompose_daily,
+        # per-series lag-1/2 autocorrelation (distributed moment reduce)
+        "acf_daily_events": Q.q_acf_daily_events,
     }
 
 
@@ -330,4 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams_documents": Q.SQL_PMI_BIGRAMS,
         "json_props_events": Q.SQL_JSON_PROPS_EVENTS,
         "label_centroids_embeddings": Q.SQL_LABEL_CENTROIDS,
+        "cusum_daily_events": Q.SQL_CUSUM_DAILY,
+        "seasonal_decompose_daily": Q.SQL_SEASONAL_DECOMPOSE_DAILY,
+        "acf_daily_events": Q.SQL_ACF_DAILY,
     }

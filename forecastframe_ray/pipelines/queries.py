@@ -3786,3 +3786,166 @@ SQL_LABEL_CENTROIDS = """
     )
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint statistic per series (stages/window_ops.op_cusum)
+# ---------------------------------------------------------------------------
+
+def q_cusum_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Standardized CUSUM level-shift statistic on the daily spine: running
+    sum of deviations from the series mean scaled by the series sample std,
+    with a |cusum| > 2 shift flag (compared on the 6dp-rounded value on both
+    engines). Degenerate series (single row / zero std) emit the NULLF
+    sentinel and flag 0."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    out = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "cusum", "feature": "v", "threshold": 2.0}],
+        num_partitions=_NP)
+    df = out.to_pandas()[["event_type", "d", "v", "v_cusum", "v_shift_flag"]]
+    df = _fill(df, ["v_cusum"])
+    return df.sort_values(["event_type", "d"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_CUSUM_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    stats AS (
+        SELECT event_type, avg(v) AS m, stddev_samp(v) AS s
+        FROM daily GROUP BY 1
+    ),
+    c AS (
+        SELECT d.event_type, d.d, d.v,
+               CASE WHEN st.s IS NULL OR st.s = 0 THEN NULL
+                    ELSE round(sum(d.v - st.m) OVER (
+                             PARTITION BY d.event_type ORDER BY d.d
+                             ROWS UNBOUNDED PRECEDING) / st.s, 6) + 0.0
+               END AS v_cusum
+        FROM daily d JOIN stats st USING (event_type)
+    )
+    SELECT event_type, d, v,
+           COALESCE(v_cusum, {NULLF}) AS v_cusum,
+           CAST(COALESCE(abs(v_cusum) > 2.0, FALSE) AS BIGINT)
+               AS v_shift_flag
+    FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# additive seasonal decomposition (stages/window_ops.op_seasonal_decompose)
+# ---------------------------------------------------------------------------
+
+def q_seasonal_decompose_daily(sf_dir: str) -> pd.DataFrame:
+    """Classical additive decomposition per series: trend = centered 7-ROW
+    moving average (partial edges), seasonal = per-(series, weekday) mean of
+    the detrended value, resid = v - trend - seasonal (resid computed from
+    UNROUNDED parts on both engines; all outputs 6dp)."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    out = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "seasonal_decompose", "feature": "v", "ma_window": 7}],
+        num_partitions=_NP)
+    df = out.to_pandas()[["event_type", "d", "v", "v_trend", "v_seasonal",
+                          "v_resid"]]
+    return df.sort_values(["event_type", "d"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_SEASONAL_DECOMPOSE_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    t AS (
+        SELECT event_type, d, v,
+               avg(v) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS trend
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, d, v, trend,
+               avg(v - trend) OVER (PARTITION BY event_type, dayofweek(d))
+                   AS seasonal
+        FROM t
+    )
+    SELECT event_type, d, v,
+           round(trend, 6) AS v_trend,
+           round(seasonal, 6) AS v_seasonal,
+           round(v - trend - seasonal, 6) AS v_resid
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-series autocorrelation (distributed raw-moment reduce over lag pairs)
+# ---------------------------------------------------------------------------
+
+def q_acf_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Lag-1/lag-2 autocorrelation per daily series: the lag attach is one
+    keyed window stage, per-batch product moments are vectorized, and the
+    reduce is a tiny per-series hash_aggregate of sums — the driver only
+    ever sees one row per series. Matches SQL ``corr(v, LAG(v, k))``
+    (NULL for <2 pairs or zero variance -> NULLF)."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    lagged = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "lag", "features": ["v"], "lags": [1, 2]}],
+        num_partitions=_NP)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": b["event_type"]}
+        x = b["v"].to_numpy(np.float64)
+        for k in (1, 2):
+            y = b[f"v_lag{k}"].to_numpy(np.float64)
+            ok = ~np.isnan(y)
+            xx = np.where(ok, x, 0.0)
+            yy = np.where(ok, y, 0.0)
+            out[f"n{k}"] = ok.astype(np.int64)
+            out[f"sx{k}"], out[f"sy{k}"] = xx, yy
+            out[f"sxy{k}"] = xx * yy
+            out[f"sxx{k}"], out[f"syy{k}"] = xx * xx, yy * yy
+        return pd.DataFrame(out)
+
+    spec = {c: (c, "sum")
+            for k in (1, 2)
+            for c in (f"n{k}", f"sx{k}", f"sy{k}",
+                      f"sxy{k}", f"sxx{k}", f"syy{k}")}
+    agg = hash_aggregate(lagged.map_batches(moments, batch_format="pandas"),
+                         ["event_type"], spec, num_partitions=_NP)
+    df = agg.to_pandas()
+    res = {"event_type": df["event_type"]}
+    for k in (1, 2):
+        n = df[f"n{k}"].to_numpy(np.float64)
+        sx, sy = df[f"sx{k}"].to_numpy(np.float64), df[f"sy{k}"].to_numpy(np.float64)
+        cov = n * df[f"sxy{k}"].to_numpy(np.float64) - sx * sy
+        den = ((n * df[f"sxx{k}"].to_numpy(np.float64) - sx * sx)
+               * (n * df[f"syy{k}"].to_numpy(np.float64) - sy * sy))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where((n >= 2) & (den > 0),
+                         cov / np.sqrt(np.maximum(den, 1e-300)), np.nan)
+        res[f"n{k}"] = df[f"n{k}"].astype("int64")
+        res[f"acf{k}"] = np.round(r, 6)
+    out = pd.DataFrame(res)[["event_type", "n1", "acf1", "n2", "acf2"]]
+    out = _fill(out, ["acf1", "acf2"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_ACF_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER w AS v1, LAG(v, 2) OVER w AS v2
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type,
+           CAST(count(v1) AS BIGINT) AS n1,
+           COALESCE(round(corr(v, v1), 6), {NULLF}) AS acf1,
+           CAST(count(v2) AS BIGINT) AS n2,
+           COALESCE(round(corr(v, v2), 6), {NULLF}) AS acf2
+    FROM l GROUP BY 1
+"""

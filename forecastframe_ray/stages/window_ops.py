@@ -362,6 +362,66 @@ def op_cyclic_shift(df, keys, ts_col, features, suffix="_perm"):
     return df
 
 
+def op_cusum(df, keys, ts_col, feature, threshold=2.0, out_name=None,
+             flag_name=None):
+    """Standardized CUSUM changepoint statistic (Page 1954, public): within
+    each series, the running sum of deviations from the SERIES mean, scaled
+    by the series sample std (ddof=1) — a sustained level shift drifts the
+    statistic away from 0. ``|cusum| > threshold`` (compared on the 6dp-
+    rounded value so a boundary row cannot flip vs the SQL twin) raises the
+    shift flag. Series where the std is undefined (single row) or zero
+    (constant) emit NaN cusum and flag 0, matching SQL NULL semantics.
+    Vectorized: two grouped transforms + one grouped cumsum."""
+    out_name = out_name or f"{feature}_cusum"
+    flag_name = flag_name or f"{feature}_shift_flag"
+    g = _grouped(df, keys)[feature]
+    m = g.transform("mean").to_numpy(np.float64)
+    s = g.transform("std").to_numpy(np.float64)  # ddof=1: n==1 -> NaN
+    x = df[feature].to_numpy(np.float64)
+    csum = _grouped(df.assign(__dev=x - m), keys)["__dev"] \
+        .cumsum().to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # + 0.0 canonicalizes IEEE -0.0 (a mean-centered series' final
+        # cumsum is ±ε; the rounded sign must not depend on the engine)
+        cu = np.where(np.isnan(s) | (s == 0.0), np.nan,
+                      np.round(csum / s, 6) + 0.0)
+    df[out_name] = cu
+    df[flag_name] = np.where(np.isnan(cu), 0,
+                             (np.abs(cu) > threshold)).astype("int64")
+    return df
+
+
+def op_seasonal_decompose(df, keys, ts_col, feature, ma_window=7):
+    """Classical additive seasonal decomposition per series (the moving-
+    average method behind statsmodels' ``seasonal_decompose``, public):
+
+    - ``trend``   = centered ``ma_window``-ROW moving average (partial
+      windows at the series edges — SQL ``ROWS BETWEEN k PRECEDING AND k
+      FOLLOWING``);
+    - ``seasonal`` = per-(series, day-of-week) mean of the detrended value;
+    - ``resid``   = value − trend − seasonal.
+
+    Residuals are computed from the UNROUNDED trend/seasonal on both
+    engines; all three outputs round to 6dp. Day-of-week is only a grouping
+    key, so the pandas (Mon=0) vs DuckDB (Sun=0) numbering difference is
+    immaterial. Vectorized: one grouped centered rolling mean + one grouped
+    transform."""
+
+    def fn(x: pd.DataFrame) -> pd.DataFrame:
+        return x.rolling(int(ma_window), center=True, min_periods=1).mean()
+
+    trend = _grouped_ts_apply(df, keys, ts_col, [feature], fn)[:, 0]
+    v = df[feature].to_numpy(np.float64)
+    dow = df[ts_col].dt.dayofweek
+    seasonal = _grouped(df.assign(__detr=v - trend, __dow=dow),
+                        keys + ["__dow"])["__detr"] \
+        .transform("mean").to_numpy(np.float64)
+    df[f"{feature}_trend"] = np.round(trend, 6)
+    df[f"{feature}_seasonal"] = np.round(seasonal, 6)
+    df[f"{feature}_resid"] = np.round(v - trend - seasonal, 6)
+    return df
+
+
 def _register_all(register_op):
     register_op("lag")(op_lag)
     register_op("cyclic_shift")(op_cyclic_shift)
@@ -380,3 +440,5 @@ def _register_all(register_op):
     register_op("row_number")(op_row_number)
     register_op("rolling_corr")(op_rolling_corr)
     register_op("percent_rank")(op_percent_rank)
+    register_op("cusum")(op_cusum)
+    register_op("seasonal_decompose")(op_seasonal_decompose)

@@ -211,6 +211,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_decompose_daily": Q.q_seasonal_decompose_daily,
         # per-series lag-1/2 autocorrelation (distributed moment reduce)
         "acf_daily_events": Q.q_acf_daily_events,
+        # shingle containment pairs (pipelines/dedup.ngram_containment)
+        "containment_pairs_documents": Q.q_containment_pairs_documents,
+        # trend/seasonal strength (Hyndman FPP3, from the decomposition)
+        "decomposition_strength_daily": Q.q_decomposition_strength_daily,
+        # CDC compaction: latest row per key (stages/agg.compact_latest)
+        "latest_order_per_customer": Q.q_latest_order_per_customer,
+        # GROUPING SETS partial-cascade rollup (pipelines/rollup)
+        "grouping_sets_daily_events": Q.q_grouping_sets_daily_events,
     }
 
 
@@ -339,4 +347,8 @@ def oracle_sql() -> dict[str, str]:
         "cusum_daily_events": Q.SQL_CUSUM_DAILY,
         "seasonal_decompose_daily": Q.SQL_SEASONAL_DECOMPOSE_DAILY,
         "acf_daily_events": Q.SQL_ACF_DAILY,
+        "containment_pairs_documents": Q.SQL_CONTAINMENT_PAIRS,
+        "decomposition_strength_daily": Q.SQL_DECOMP_STRENGTH,
+        "latest_order_per_customer": Q.SQL_LATEST_ORDER,
+        "grouping_sets_daily_events": Q.SQL_GROUPING_SETS_DAILY,
     }

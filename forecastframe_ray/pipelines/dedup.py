@@ -581,6 +581,18 @@ def ngram_jaccard(text_a: str, text_b: str, width: int = 5) -> float:
     return len(inter) / (len(sa) + len(sb) - len(inter))
 
 
+def ngram_containment(text_a: str, text_b: str, width: int = 5) -> float:
+    """One-sided shingle overlap |A∩B| / min(|A|, |B|) — Broder's
+    *containment* (1997, public): near 1.0 when the smaller document is a
+    subset/excerpt of the larger even if their symmetric Jaccard is low.
+    Both-empty → 1.0, one-empty → 0.0."""
+    sa, sb = shingle_hashes(text_a, width), shingle_hashes(text_b, width)
+    if len(sa) == 0 or len(sb) == 0:
+        return 1.0 if len(sa) == len(sb) else 0.0
+    inter = np.intersect1d(sa, sb, assume_unique=True)
+    return len(inter) / min(len(sa), len(sb))
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, num_bands: int = 16,
                       shingle_width: int = 5, threshold: float = 0.7,

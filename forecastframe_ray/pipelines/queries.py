@@ -3949,3 +3949,223 @@ SQL_ACF_DAILY = f"""
            COALESCE(round(corr(v, v2), 6), {NULLF}) AS acf2
     FROM l GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# shingle containment pairs (pipelines/dedup.ngram_containment)
+# ---------------------------------------------------------------------------
+
+def q_containment_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """Broder containment |A∩B| / min(|A|,|B|) for the fixed (2i, 2i+1)
+    pair list — catches excerpt/superset duplicates whose symmetric Jaccard
+    is low. Engine compares distinct shingle hashes, oracle the substrings
+    themselves (equal barring a 2^-64 collision)."""
+    from forecastframe_ray.pipelines.dedup import ngram_containment
+    from forecastframe_ray.stages.agg import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_up(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pair_id"] = b["doc_id"] // 2
+        return b[["pair_id", "doc_id", "text"]]
+
+    def cont(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        if len(g) != 2:
+            return pd.DataFrame({"pair_id": [], "containment": []})
+        c = ngram_containment(g["text"].iloc[0] or "",
+                              g["text"].iloc[1] or "", width=5)
+        return pd.DataFrame({"pair_id": [int(g["pair_id"].iloc[0])],
+                             "containment": [c]})
+
+    pairs = bucketed_map_groups(
+        docs.map_batches(pair_up, batch_format="pandas"),
+        ["pair_id"], cont, num_partitions=8)
+    out = pairs.to_pandas()
+    out["pair_id"] = out["pair_id"].astype("int64")
+    # containment = k / min(|A|,|B|) can land EXACTLY on a decimal half
+    # (e.g. 65/128 = .5078125): match DuckDB's round-half-away-from-zero,
+    # not numpy's banker's rounding (values are >= 0 so floor(x*1e6+0.5))
+    c = out["containment"].to_numpy(np.float64)
+    out["containment"] = np.floor(c * 1e6 + 0.5) / 1e6
+    return out[["pair_id", "containment"]]
+
+
+SQL_CONTAINMENT_PAIRS = """
+    WITH sh AS (
+        SELECT doc_id // 2 AS pair_id, doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(strlen(text) - 4, 1)),
+                   i -> substr(text, i, 5))) AS s
+        FROM documents
+    ),
+    p AS (
+        SELECT a.pair_id, a.s AS sa, b.s AS sb
+        FROM sh a JOIN sh b
+            ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id
+    )
+    SELECT pair_id,
+           round(CAST(length(list_intersect(sa, sb)) AS DOUBLE)
+                 / least(length(sa), length(sb)), 6) AS containment
+    FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# trend / seasonal strength (Hyndman FPP3 §4.4, from the decomposition)
+# ---------------------------------------------------------------------------
+
+def q_decomposition_strength_daily(sf_dir: str) -> pd.DataFrame:
+    """Per-series trend strength ``max(0, 1 − Var(R)/Var(T+R))`` and
+    seasonal strength ``max(0, 1 − Var(R)/Var(S+R))`` (Hyndman & Athana-
+    sopoulos FPP3, public) from the additive decomposition — components
+    UNROUNDED on both engines, var is sample variance, degenerate series
+    (n<2 or zero variance) emit NULLF."""
+    from forecastframe_ray.stages.agg import bucketed_map_groups
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def strength(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("d", kind="mergesort")
+        v = g["v"].to_numpy(np.float64)
+        trend = pd.Series(v).rolling(7, center=True, min_periods=1) \
+            .mean().to_numpy()
+        detr = v - trend
+        seasonal = pd.Series(detr).groupby(
+            g["d"].dt.dayofweek.to_numpy()).transform("mean").to_numpy()
+        resid = v - trend - seasonal
+        n = len(v)
+
+        def f(parent: np.ndarray) -> float:
+            if n < 2:
+                return NULLF
+            vr = float(np.var(resid, ddof=1))
+            vp = float(np.var(parent, ddof=1))
+            if vp == 0.0:
+                return NULLF
+            return np.round(max(0.0, 1.0 - vr / vp), 6)
+
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [np.int64(n)],
+            "trend_strength": [f(v - seasonal)],
+            "seasonal_strength": [f(detr)],
+        })
+
+    out = bucketed_map_groups(daily, ["event_type"], strength,
+                              num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DECOMP_STRENGTH = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    t AS (
+        SELECT event_type, d, v,
+               avg(v) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS trend
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, d, v, trend,
+               avg(v - trend) OVER (PARTITION BY event_type, dayofweek(d))
+                   AS seasonal
+        FROM t
+    ),
+    r AS (
+        SELECT event_type,
+               v - trend - seasonal AS resid,
+               v - seasonal AS deseason,
+               v - trend AS detr
+        FROM s
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           COALESCE(CASE WHEN var_samp(deseason) = 0 THEN NULL
+                ELSE round(greatest(0.0,
+                     1.0 - var_samp(resid) / var_samp(deseason)), 6)
+           END, {NULLF}) AS trend_strength,
+           COALESCE(CASE WHEN var_samp(detr) = 0 THEN NULL
+                ELSE round(greatest(0.0,
+                     1.0 - var_samp(resid) / var_samp(detr)), 6)
+           END, {NULLF}) AS seasonal_strength
+    FROM r GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction: latest row per key (stages/agg.compact_latest)
+# ---------------------------------------------------------------------------
+
+def q_latest_order_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Keep each customer's most recent order (date desc, orderkey desc
+    tie-break) — streaming combiner + one coarse-hash exchange, full rows
+    ride along."""
+    from forecastframe_ray.stages.agg import compact_latest
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = compact_latest(orders, ["o_custkey"],
+                         ["o_orderdate", "o_orderkey"],
+                         num_partitions=_NP).to_pandas()
+    out = out[["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]]
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_LATEST_ORDER = """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS rollup (pipelines/rollup.grouping_sets_rollup)
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets_daily_events(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS ((event_type, day), (event_type), (day), ()) via the
+    partial cascade — one input scan, coarser sets re-aggregate partials.
+    Sentinels '_ALL_' / 1900-01-01 stand in for SQL's NULL grouping keys."""
+    from forecastframe_ray.pipelines.rollup import grouping_sets_rollup
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def floor_day(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "d": pd.to_datetime((us // DAY_US) * DAY_US, unit="us"),
+            "value": b["value"],
+        })
+
+    sets = grouping_sets_rollup(
+        ev.map_batches(floor_day, batch_format="pandas"),
+        "event_type", "d", "value", num_partitions=_NP)
+    SENT_D = pd.Timestamp("1900-01-01")
+    ab = sets["ab"].to_pandas()
+    a = sets["a"].to_pandas().assign(d=SENT_D)
+    b = sets["b"].to_pandas().assign(event_type="_ALL_")
+    tot = sets["total"].to_pandas().assign(event_type="_ALL_", d=SENT_D)
+    out = pd.concat([ab, a, b, tot], ignore_index=True)
+    out = out[["event_type", "d", "n", "sum_v"]]
+    out["n"] = out["n"].astype("int64")
+    out = _round(out, ["sum_v"], 6)
+    return out.sort_values(["event_type", "d"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+SQL_GROUPING_SETS_DAILY = """
+    SELECT COALESCE(event_type, '_ALL_') AS event_type,
+           COALESCE(d, TIMESTAMP '1900-01-01') AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_v
+    FROM (SELECT event_type, date_trunc('day', ts) AS d, value FROM events)
+    GROUP BY GROUPING SETS ((event_type, d), (event_type), (d), ())
+"""

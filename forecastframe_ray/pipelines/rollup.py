@@ -245,3 +245,38 @@ def rollup_tiers(ds, series_keys: list[str], ts_col: str, value_col: str | None 
             out["7d"] = fin(cascade_tier(t1d, series_keys, "1d", "7d", np_c),
                             "7d")
     return out
+
+
+def grouping_sets_rollup(ds, key_a: str, key_b: str, value_col: str,
+                         num_partitions: int = 8):
+    """SQL ``GROUPING SETS ((a, b), (a), (b), ())`` as a partial cascade:
+    the input is scanned ONCE for the finest ``(a, b)`` partial (count +
+    sum combine inside ``map_batches`` before the only wide shuffle); every
+    coarser set re-aggregates the *partials* — the tier-cascade pattern
+    (:func:`rollup_tiers`), never a second scan of the input. The grand
+    total reduces the already-tiny ``(a)`` level under one constant key, so
+    nothing ever collects on the driver.
+
+    Returns ``{"ab", "a", "b", "total"}`` Datasets with columns
+    ``[key_a?, key_b?, n, sum_v]`` (``n`` = row count)."""
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    finest = hash_aggregate(
+        ds, [key_a, key_b],
+        {"n": (value_col, "size"), "sum_v": (value_col, "sum")},
+        num_partitions=num_partitions)
+    finest = finest.materialize()  # partials feed three cascades
+    re_agg = {"n": ("n", "sum"), "sum_v": ("sum_v", "sum")}
+    np_c = min(8, num_partitions)
+    lvl_a = hash_aggregate(finest, [key_a], re_agg, num_partitions=np_c)
+    lvl_b = hash_aggregate(finest, [key_b], re_agg, num_partitions=np_c)
+
+    def const_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__all"] = 0
+        return b
+
+    total = hash_aggregate(
+        lvl_a.map_batches(const_key, batch_format="pandas"), ["__all"],
+        re_agg, num_partitions=1).drop_columns(["__all"])
+    return {"ab": finest, "a": lvl_a, "b": lvl_b, "total": total}

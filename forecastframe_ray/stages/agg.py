@@ -212,3 +212,41 @@ def bucketed_map_groups(ds, bucket_keys: list[str], fn,
         .groupby(PART_COL)
         .map_groups(run, batch_format="pandas")
     )
+
+
+def compact_latest(ds, keys: list[str], order_by: list[str],
+                   num_partitions: int = 64):
+    """CDC-style compaction: keep each key's single row with the greatest
+    ``order_by`` tuple (callers should end ``order_by`` with a unique column
+    so ties are deterministic) — SQL ``row_number() OVER (PARTITION BY keys
+    ORDER BY order_by DESC) = 1``.
+
+    Streaming shape: a per-batch pre-compaction (combiner) bounds the
+    shuffle to ≤ 1 row per (key, batch) before ONE coarse-hash exchange; the
+    same vectorized kernel (stable sort + ``drop_duplicates(keep='last')``)
+    then finishes each partition. Full rows ride along — no second lookup
+    join to re-fetch payload columns."""
+    keys, order_by = list(keys), list(order_by)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(order_by, kind="mergesort")
+        return b.drop_duplicates(subset=keys, keep="last")
+
+    pre = ds.map_batches(local, batch_format="pandas")
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return local(g)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[PART_COL] = K.partition_ids(batch, keys, num_partitions)
+        return batch
+
+    def run(part: pd.DataFrame) -> pd.DataFrame:
+        return part_fn(part.drop(columns=[PART_COL]))
+
+    return (
+        pre.map_batches(assign, batch_format="pandas")
+        .groupby(PART_COL)
+        .map_groups(run, batch_format="pandas")
+    )

@@ -219,6 +219,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_per_customer": Q.q_latest_order_per_customer,
         # GROUPING SETS partial-cascade rollup (pipelines/rollup)
         "grouping_sets_daily_events": Q.q_grouping_sets_daily_events,
+        # Okapi BM25 keyword search (pipelines/tfidf.bm25_scores)
+        "bm25_search_documents": Q.q_bm25_search_documents,
+        # per-user behavioral entropy (hierarchical aggregate)
+        "user_entropy_events": Q.q_user_entropy_events,
+        # fixed-width distributed histogram (map-side binning)
+        "value_histogram_events": Q.q_value_histogram_events,
     }
 
 
@@ -351,4 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "decomposition_strength_daily": Q.SQL_DECOMP_STRENGTH,
         "latest_order_per_customer": Q.SQL_LATEST_ORDER,
         "grouping_sets_daily_events": Q.SQL_GROUPING_SETS_DAILY,
+        "bm25_search_documents": Q.SQL_BM25_SEARCH,
+        "user_entropy_events": Q.SQL_USER_ENTROPY,
+        "value_histogram_events": Q.SQL_VALUE_HISTOGRAM,
     }

@@ -4169,3 +4169,137 @@ SQL_GROUPING_SETS_DAILY = """
     FROM (SELECT event_type, date_trunc('day', ts) AS d, value FROM events)
     GROUP BY GROUPING SETS ((event_type, d), (event_type), (d), ())
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (pipelines/tfidf.bm25_scores)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_bm25_search_documents(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) for the fixed query
+    {spark, join, window}: every matching document with its score — the
+    match set is deterministic, so no top-k tie ambiguity."""
+    from forecastframe_ray.pipelines.tfidf import bm25_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_scores(docs, _BM25_TERMS, num_partitions=_NP).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "bm25"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+SQL_BM25_SEARCH = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                   AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, x AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS x FROM toks)
+        WHERE x IN ('spark', 'join', 'window')
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           round(sum(
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user behavioral entropy (hierarchical aggregate, vectorized kernel)
+# ---------------------------------------------------------------------------
+
+def q_user_entropy_events(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (nats) of each user's event-type mix: counts reduce
+    in one combiner'd aggregate; the per-user −Σ p·ln p finishes in a
+    vectorized per-partition kernel (two grouped transforms, no per-user
+    Python loop)."""
+    from forecastframe_ray.stages.agg import hash_aggregate
+    from forecastframe_ray.keys import partition_ids
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = hash_aggregate(ev, ["user_id", "event_type"],
+                            {"n": ("event_type", "size")},
+                            num_partitions=_NP)
+
+    def assign(bt: pd.DataFrame) -> pd.DataFrame:
+        bt = bt.copy()
+        bt["__part"] = partition_ids(bt, ["user_id"], _NP)
+        return bt
+
+    def entropy(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns=["__part"])
+        n = part["n"].to_numpy(np.float64)
+        g = part.groupby("user_id", sort=False)
+        tot = g["n"].transform("sum").to_numpy(np.float64)
+        p = n / tot
+        terms = pd.DataFrame({"user_id": part["user_id"],
+                              "__t": -p * np.log(p), "__n": part["n"]})
+        out = terms.groupby("user_id", sort=False).agg(
+            n_events=("__n", "sum"), entropy=("__t", "sum")).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        out["entropy"] = np.round(out["entropy"].to_numpy(np.float64), 6) + 0.0
+        return out
+
+    out = (counts.map_batches(assign, batch_format="pandas")
+           .groupby("__part").map_groups(entropy, batch_format="pandas"))
+    df = out.to_pandas().astype({"user_id": "int64"})
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_ENTROPY = """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.user_id, CAST(sum(c.n) AS BIGINT) AS n_events,
+           round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) + 0.0 AS entropy
+    FROM c JOIN t USING (user_id)
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# distributed fixed-width histogram (map-side binning + combiner'd counts)
+# ---------------------------------------------------------------------------
+
+def q_value_histogram_events(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width (50-unit) value histogram per event type — binning is a
+    stateless vectorized map; counts combine per batch before the one tiny
+    shuffle."""
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def binify(bt: pd.DataFrame) -> pd.DataFrame:
+        bt = bt[["event_type"]].assign(
+            bin=np.floor(bt["value"].to_numpy(np.float64) / 50.0)
+            .astype(np.int64))
+        return bt
+
+    out = hash_aggregate(ev.map_batches(binify, batch_format="pandas"),
+                         ["event_type", "bin"], {"n": ("bin", "size")},
+                         num_partitions=_NP).to_pandas()
+    out = out.astype({"bin": "int64", "n": "int64"})
+    return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+SQL_VALUE_HISTOGRAM = """
+    SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+"""

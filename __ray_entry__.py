@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_entropy_events": Q.q_user_entropy_events,
         # fixed-width distributed histogram (map-side binning)
         "value_histogram_events": Q.q_value_histogram_events,
+        # OHLC bars via a custom mergeable arg-min/max combiner
+        "ohlc_daily_events": Q.q_ohlc_daily_events,
+        # irregular-gap rate of change (stages/window_ops.op_rate)
+        "rate_hourly_events": Q.q_rate_hourly_events,
     }
 
 
@@ -360,4 +364,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_documents": Q.SQL_BM25_SEARCH,
         "user_entropy_events": Q.SQL_USER_ENTROPY,
         "value_histogram_events": Q.SQL_VALUE_HISTOGRAM,
+        "ohlc_daily_events": Q.SQL_OHLC_DAILY,
+        "rate_hourly_events": Q.SQL_RATE_HOURLY,
     }

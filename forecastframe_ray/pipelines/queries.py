@@ -4303,3 +4303,78 @@ SQL_VALUE_HISTOGRAM = """
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (pipelines/rollup.ohlc_aggregate)
+# ---------------------------------------------------------------------------
+
+def q_ohlc_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Daily open/high/low/close bars per event type over the unique-stamp
+    series (values summed at identical timestamps first, so the arg-min/max
+    open/close rows are unambiguous on both engines)."""
+    from forecastframe_ray.pipelines.rollup import ohlc_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    uniq = hash_aggregate(ev, ["event_type", "ts"],
+                          {"v": ("value", "sum")}, num_partitions=_NP)
+
+    def round_v(b: pd.DataFrame) -> pd.DataFrame:
+        b["v"] = np.round(b["v"].to_numpy(np.float64), 6)
+        return b
+
+    out = ohlc_aggregate(uniq.map_batches(round_v, batch_format="pandas"),
+                         ["event_type"], "ts", "v", DAY_US,
+                         num_partitions=_NP).to_pandas()
+    out["d"] = pd.to_datetime(out["bucket_us"], unit="us")
+    out = out[["event_type", "d", "open", "high", "low", "close", "n"]]
+    out = _round(out, ["open", "high", "low", "close"], 6)
+    return out.sort_values(["event_type", "d"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+SQL_OHLC_DAILY = """
+    WITH s AS (
+        SELECT event_type, ts, round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, date_trunc('day', ts) AS d,
+           round(arg_min(v, ts), 6) AS open,
+           round(max(v), 6) AS high,
+           round(min(v), 6) AS low,
+           round(arg_max(v, ts), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# irregular-gap rate of change (keyed stage; per-hour units)
+# ---------------------------------------------------------------------------
+
+def q_rate_hourly_events(sf_dir: str) -> pd.DataFrame:
+    """Per-series rate of change on the (gappy) hourly spine:
+    ``(v − v_prev) / hours elapsed`` — the denominator honors the ACTUAL
+    gap between surviving buckets, the crawl-rate derivative for
+    irregularly-sampled series. First row of a series -> NULLF."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    hourly = _bucket_series(sf_dir, HOUR_US, "h")
+    out = keyed_window_stage(
+        hourly, ["event_type"], "h",
+        [{"op": "rate", "feature": "v", "per_seconds": 3600.0,
+          "out_name": "rate"}],
+        num_partitions=_NP)
+    df = out.to_pandas()[["event_type", "h", "v", "rate"]]
+    df = _fill(df, ["rate"])
+    return df.sort_values(["event_type", "h"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_RATE_HOURLY = f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, h, v,
+           COALESCE(round((v - LAG(v) OVER w)
+               / (epoch(h - LAG(h) OVER w) / 3600.0), 6), {NULLF}) AS rate
+    FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+"""

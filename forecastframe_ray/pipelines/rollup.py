@@ -280,3 +280,68 @@ def grouping_sets_rollup(ds, key_a: str, key_b: str, value_col: str,
         lvl_a.map_batches(const_key, batch_format="pandas"), ["__all"],
         re_agg, num_partitions=1).drop_columns(["__all"])
     return {"ab": finest, "a": lvl_a, "b": lvl_b, "total": total}
+
+
+def ohlc_aggregate(ds, keys: list[str], ts_col: str, value_col: str,
+                   bucket_us: int, num_partitions: int = 64):
+    """Open/high/low/close downsample per ``(keys, time bucket)`` — the
+    classic financial-bar aggregate as a custom MERGEABLE combiner (Ray
+    Data has no arg_min/arg_max aggregate):
+
+    1. per-batch partial (vectorized ``idxmin``/``idxmax`` + min/max/size):
+       one row per (key, bucket) per batch carrying
+       ``(open_ts, open_v, close_ts, close_v, high, low, n)``;
+    2. ONE coarse-hash exchange of those bounded partials;
+    3. per-partition associative merge: open = the partial with the least
+       ``open_ts`` (stable sort + grouped ``first``), close symmetric,
+       high/low/n fold by max/min/sum.
+
+    Callers must pre-aggregate to UNIQUE ``ts`` per key (e.g. sum values at
+    identical stamps) so arg-min/max ties cannot differ across engines.
+    Returns ``[*keys, bucket_us, open, high, low, close, n]``."""
+    from forecastframe_ray.stages.agg import PART_COL
+    from forecastframe_ray import keys as K
+
+    keys = list(keys)
+    gk = keys + ["bucket_us"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # positional reset: idxmin/idxmax labels are used as positions below
+        b = b[keys + [ts_col, value_col]].reset_index(drop=True)
+        us = b[ts_col].astype("int64")
+        b["bucket_us"] = (us // bucket_us) * bucket_us
+        g = b.groupby(gk, sort=False, observed=True)
+        out = g.agg(high=(value_col, "max"), low=(value_col, "min"),
+                    n=(value_col, "size")).reset_index()
+        io_, ic_ = g[ts_col].idxmin().to_numpy(), g[ts_col].idxmax().to_numpy()
+        out["open_ts"] = b[ts_col].to_numpy()[io_]
+        out["open_v"] = b[value_col].to_numpy()[io_]
+        out["close_ts"] = b[ts_col].to_numpy()[ic_]
+        out["close_v"] = b[value_col].to_numpy()[ic_]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[PART_COL] = K.partition_ids(b, gk, num_partitions)
+        return b
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns=[PART_COL])
+        p1 = part.sort_values("open_ts", kind="mergesort")
+        out = p1.groupby(gk, sort=False, observed=True).agg(
+            open=("open_v", "first"), high=("high", "max"),
+            low=("low", "min"), n=("n", "sum")).reset_index()
+        p2 = part.sort_values("close_ts", kind="mergesort")
+        cl = p2.groupby(gk, sort=False, observed=True).agg(
+            close=("close_v", "last")).reset_index()
+        out = out.merge(cl, on=gk)
+        out["n"] = out["n"].astype("int64")
+        return out[gk + ["open", "high", "low", "close", "n"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(assign, batch_format="pandas")
+        .groupby(PART_COL)
+        .map_groups(merge, batch_format="pandas")
+    )

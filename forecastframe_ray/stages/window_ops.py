@@ -362,6 +362,20 @@ def op_cyclic_shift(df, keys, ts_col, features, suffix="_perm"):
     return df
 
 
+def op_rate(df, keys, ts_col, feature, per_seconds=3600.0, out_name=None):
+    """Irregular-gap rate of change: ``(v − v_prev) / (Δts / per_seconds)``
+    — the denominator honors the ACTUAL elapsed time between surviving
+    rows (gappy spines), not an assumed fixed step. First row of a series
+    emits NaN (SQL NULL). Rounded to 6dp."""
+    out_name = out_name or f"{feature}_rate"
+    g = _grouped(df, keys)
+    dv = g[feature].diff().to_numpy(np.float64)
+    dt = g[ts_col].diff().dt.total_seconds().to_numpy() / float(per_seconds)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        df[out_name] = np.round(dv / dt, 6)
+    return df
+
+
 def op_cusum(df, keys, ts_col, feature, threshold=2.0, out_name=None,
              flag_name=None):
     """Standardized CUSUM changepoint statistic (Page 1954, public): within
@@ -440,5 +454,6 @@ def _register_all(register_op):
     register_op("row_number")(op_row_number)
     register_op("rolling_corr")(op_rolling_corr)
     register_op("percent_rank")(op_percent_rank)
+    register_op("rate")(op_rate)
     register_op("cusum")(op_cusum)
     register_op("seasonal_decompose")(op_seasonal_decompose)

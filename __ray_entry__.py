@@ -229,6 +229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_daily_events": Q.q_ohlc_daily_events,
         # irregular-gap rate of change (stages/window_ops.op_rate)
         "rate_hourly_events": Q.q_rate_hourly_events,
+        # TPC-H Q3-style shipping priority (semi-join + hash join + topk)
+        "shipping_priority": Q.q_shipping_priority,
+        # cohort retention table (first-seen day x offset)
+        "cohort_retention_events": Q.q_cohort_retention_events,
+        # MASE of the seasonal-naive forecast (Hyndman & Koehler 2006)
+        "mase_daily_events": Q.q_mase_daily_events,
     }
 
 
@@ -366,4 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram_events": Q.SQL_VALUE_HISTOGRAM,
         "ohlc_daily_events": Q.SQL_OHLC_DAILY,
         "rate_hourly_events": Q.SQL_RATE_HOURLY,
+        "shipping_priority": Q.SQL_SHIPPING_PRIORITY,
+        "cohort_retention_events": Q.SQL_COHORT_RETENTION,
+        "mase_daily_events": Q.SQL_MASE_DAILY,
     }

@@ -4378,3 +4378,213 @@ SQL_RATE_HOURLY = f"""
                / (epoch(h - LAG(h) OVER w) / 3600.0), 6), {NULLF}) AS rate
     FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority (semi-join + hash join + topk)
+# ---------------------------------------------------------------------------
+
+_Q3_CUT = "1998-01-01"
+
+
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape (public spec): BUILDING-segment customers' orders
+    placed before the cutoff, revenue from lineitems shipped after it, top
+    10 orders by revenue. Segment keys broadcast as a semi-join filter;
+    the big-big orders⋈lineitem edge is the CPU-clamped distributed hash
+    join; top-k is a per-batch partial + tiny driver merge (never a global
+    sort). Round-then-rank (revenue 6dp desc, orderkey asc) keeps the
+    cutoff deterministic across engines."""
+    from forecastframe_ray.stages.join import broadcast_semi_join, hash_join
+
+    cut = pd.Timestamp(_Q3_CUT)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = cust.loc[cust["c_mktsegment"] == "BUILDING", ["c_custkey"]] \
+        .rename(columns={"c_custkey": "o_custkey"})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b[b["o_orderdate"] < cut], batch_format="pandas")
+    orders = broadcast_semi_join(orders, keys, ["o_custkey"]) \
+        .drop_columns(["o_custkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cut]
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"],
+            "part": b["l_extendedprice"].to_numpy(np.float64)
+                    * (1.0 - b["l_discount"].to_numpy(np.float64)),
+        })
+
+    joined = hash_join(li.map_batches(rev, batch_format="pandas"), orders,
+                       on=["o_orderkey"], num_partitions=8)
+    agg = hash_aggregate(joined,
+                         ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                         {"revenue": ("part", "sum")}, num_partitions=_NP)
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = np.round(b["revenue"].to_numpy(np.float64), 6)
+        return b.sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    out = agg.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = out.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+    out = out[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+    return out.reset_index(drop=True)
+
+
+SQL_SHIPPING_PRIORITY = f"""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_CUT}'
+      AND l_shipdate > TIMESTAMP '{_Q3_CUT}'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (web-analytics: first-seen day × activity offset)
+# ---------------------------------------------------------------------------
+
+def q_cohort_retention_events(sf_dir: str) -> pd.DataFrame:
+    """Classic cohort table: users bucketed by first-active day; for each
+    (cohort, day-offset) the distinct active users. (user, day) de-dupes
+    first, so the final count is a row count — the distinct is pushed down,
+    never recomputed at the wide key. The user→cohort attach is the
+    distributed hash join (both sides are user-cardinality at scale)."""
+    from forecastframe_ray.stages.join import hash_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "d": pd.to_datetime((us // DAY_US) * DAY_US, unit="us"),
+        })
+
+    days = hash_aggregate(ev.map_batches(to_day, batch_format="pandas"),
+                          ["user_id", "d"], {"n": ("d", "size")},
+                          num_partitions=_NP).drop_columns(["n"])
+    # repartition folds the coarse shuffle's column-less EMPTY pass-through
+    # blocks into real ones (they break the join exchange's field lookup);
+    # materialize because it feeds both the cohort reduce and the join
+    days = days.repartition(4).materialize()
+    # materialize the shuffle-fed join input: a coarse-hash exchange and a
+    # join exchange must not share one streaming DAG (resident-aggregator
+    # deadlock, stages/join.py clamp note)
+    cohort = hash_aggregate(days, ["user_id"], {"cohort": ("d", "min")},
+                            num_partitions=_NP).repartition(4).materialize()
+    joined = hash_join(days, cohort, on=["user_id"], num_partitions=8)
+
+    def offs(b: pd.DataFrame) -> pd.DataFrame:
+        off = ((b["d"] - b["cohort"]).dt.total_seconds() // 86_400) \
+            .astype(np.int64)
+        return pd.DataFrame({"cohort": b["cohort"], "offset_days": off,
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    out = hash_aggregate(joined.map_batches(offs, batch_format="pandas"),
+                         ["cohort", "offset_days"], {"n_users": ("one", "sum")},
+                         num_partitions=_NP).to_pandas()
+    out = out.astype({"offset_days": "int64", "n_users": "int64"})
+    return out.sort_values(["cohort", "offset_days"]).reset_index(drop=True)
+
+
+SQL_COHORT_RETENTION = """
+    WITH d AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    f AS (SELECT user_id, min(d) AS cohort FROM d GROUP BY 1)
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, d.d) AS BIGINT) AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# MASE: seasonal-naive forecast, scaled error (Hyndman & Koehler 2006)
+# ---------------------------------------------------------------------------
+
+def q_mase_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Mean Absolute Scaled Error of the ROW-lag-7 seasonal-naive forecast
+    per daily series: MAE over forecastable rows divided by the in-sample
+    lag-1 naive MAE (the Hyndman & Koehler 2006 scale, public). Per-series
+    sums reduce distributed (ACF pattern); NULLF when no forecastable rows
+    or a zero scale."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    lagged = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "lag", "features": ["v"], "lags": [1, 7]}],
+        num_partitions=_NP)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["v"].to_numpy(np.float64)
+        l1 = b["v_lag1"].to_numpy(np.float64)
+        l7 = b["v_lag7"].to_numpy(np.float64)
+        ok1, ok7 = ~np.isnan(l1), ~np.isnan(l7)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n7": ok7.astype(np.int64),
+            "ae7": np.where(ok7, np.abs(v - l7), 0.0),
+            "n1": ok1.astype(np.int64),
+            "ae1": np.where(ok1, np.abs(v - l1), 0.0),
+        })
+
+    agg = hash_aggregate(
+        lagged.map_batches(moments, batch_format="pandas"), ["event_type"],
+        {c: (c, "sum") for c in ("n7", "ae7", "n1", "ae1")},
+        num_partitions=_NP)
+    df = agg.to_pandas()
+    n7 = df["n7"].to_numpy(np.float64)
+    n1 = df["n1"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mae7 = df["ae7"].to_numpy(np.float64) / n7
+        scale = df["ae1"].to_numpy(np.float64) / n1
+        mase = np.where((n7 > 0) & (n1 > 0) & (scale > 0), mae7 / scale,
+                        np.nan)
+    out = pd.DataFrame({
+        "event_type": df["event_type"],
+        "n_forecast": df["n7"].astype("int64"),
+        "mase": np.round(mase, 6),
+    })
+    out = _fill(out, ["mase"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_MASE_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, v,
+               LAG(v, 1) OVER w AS l1, LAG(v, 7) OVER w AS l7
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(l7) AS BIGINT) AS n_forecast,
+               sum(abs(v - l7)) / count(l7) AS mae7,
+               sum(abs(v - l1)) / count(l1) AS scale
+        FROM l GROUP BY 1
+    )
+    SELECT event_type, n_forecast,
+           COALESCE(CASE WHEN n_forecast > 0 AND scale > 0
+                         THEN round(mae7 / scale, 6) END, {NULLF}) AS mase
+    FROM s
+"""

@@ -235,6 +235,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": Q.q_cohort_retention_events,
         # MASE of the seasonal-naive forecast (Hyndman & Koehler 2006)
         "mase_daily_events": Q.q_mase_daily_events,
+        # conversion funnel: first view -> purchase within 7 days
+        "funnel_conversion_events": Q.q_funnel_conversion_events,
+        # first-order Markov transition counts over user streams
+        "transition_counts_events": Q.q_transition_counts_events,
+        # exact per-group percentiles (quantile_cont semantics)
+        "value_percentiles_events": Q.q_value_percentiles_events,
     }
 
 
@@ -375,4 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": Q.SQL_SHIPPING_PRIORITY,
         "cohort_retention_events": Q.SQL_COHORT_RETENTION,
         "mase_daily_events": Q.SQL_MASE_DAILY,
+        "funnel_conversion_events": Q.SQL_FUNNEL_CONVERSION,
+        "transition_counts_events": Q.SQL_TRANSITION_COUNTS,
+        "value_percentiles_events": Q.SQL_VALUE_PERCENTILES,
     }

@@ -4588,3 +4588,155 @@ SQL_MASE_DAILY = f"""
                          THEN round(mae7 / scale, 6) END, {NULLF}) AS mase
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# conversion funnel (view → purchase within 7 days)
+# ---------------------------------------------------------------------------
+
+def q_funnel_conversion_events(sf_dir: str) -> pd.DataFrame:
+    """Classic conversion funnel: users whose FIRST 'view' is followed by a
+    'purchase' within 7 days. First-touch reduce + distributed user join;
+    the driver only ever sees two counters."""
+    from forecastframe_ray.stages.join import hash_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def views(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["event_type"] == "view", ["user_id", "ts"]]
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["event_type"] == "purchase", ["user_id", "ts"]]
+        return b.rename(columns={"ts": "p_ts"})
+
+    first_view = hash_aggregate(
+        ev.map_batches(views, batch_format="pandas"), ["user_id"],
+        {"t0": ("ts", "min")}, num_partitions=_NP) \
+        .repartition(4).materialize()
+    n_started = first_view.count()
+
+    joined = hash_join(
+        ev.map_batches(purchases, batch_format="pandas").repartition(4)
+          .materialize(),
+        first_view, on=["user_id"], num_partitions=8)
+
+    def in_window(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["p_ts"] > b["t0"]) & \
+            (b["p_ts"] <= b["t0"] + pd.Timedelta(days=7))
+        return b.loc[m, ["user_id"]].drop_duplicates()
+
+    conv = hash_aggregate(
+        joined.map_batches(in_window, batch_format="pandas"), ["user_id"],
+        {"one": ("user_id", "size")}, num_partitions=_NP)
+    n_converted = conv.count()
+    rate = np.round(n_converted / n_started, 6) if n_started else NULLF
+    return pd.DataFrame({"n_started": [np.int64(n_started)],
+                         "n_converted": [np.int64(n_converted)],
+                         "conv_rate": [rate]})
+
+
+SQL_FUNNEL_CONVERSION = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT DISTINCT v.user_id
+        FROM v JOIN events e ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 7 DAY
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_started,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_converted,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 6) AS conv_rate
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-type transition counts (first-order Markov over user streams)
+# ---------------------------------------------------------------------------
+
+def q_transition_counts_events(sf_dir: str) -> pd.DataFrame:
+    """(prev → next) event-type transition matrix over per-user streams
+    ordered by ts ((user_id, ts) is unique in this corpus, so the order is
+    total): pairs form inside a partition-id shuffle kernel (whole user
+    streams per partition, vectorized grouped shift), counts pre-reduce in
+    the kernel before one tiny merge aggregate."""
+    from forecastframe_ray.keys import partition_ids
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__part"] = partition_ids(b, ["user_id"], _NP)
+        return b
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts"], kind="mergesort")
+        nxt = part.groupby("user_id", sort=False)["event_type"].shift(-1)
+        ok = nxt.notna()
+        sub = pd.DataFrame({"prev_type": part["event_type"][ok],
+                            "next_type": nxt[ok]})
+        out = (sub.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partial = (ev.map_batches(assign, batch_format="pandas")
+               .groupby("__part").map_groups(pairs, batch_format="pandas"))
+    out = hash_aggregate(partial, ["prev_type", "next_type"],
+                         {"n": ("n", "sum")}, num_partitions=4).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+SQL_TRANSITION_COUNTS = """
+    WITH l AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS nxt
+        FROM events
+    )
+    SELECT event_type AS prev_type, nxt AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM l WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact per-group percentiles (bucketed kernel; quantile_cont semantics)
+# ---------------------------------------------------------------------------
+
+def q_value_percentiles_events(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90/p99 of value per event type — numpy linear-interp
+    quantiles == SQL ``quantile_cont``. Scale note: the bucketed kernel
+    holds ONE GROUP per task, so this path suits bounded per-group volumes
+    (cardinality-heavy groups should gate through the mergeable quantile
+    sketch, ``quantile_sketch_gate_daily``)."""
+    from forecastframe_ray.stages.agg import bucketed_map_groups
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        q = np.quantile(v, [0.5, 0.9, 0.99])
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n": [np.int64(len(v))],
+                             "p50": [np.round(q[0], 6)],
+                             "p90": [np.round(q[1], 6)],
+                             "p99": [np.round(q[2], 6)]})
+
+    out = bucketed_map_groups(ev, ["event_type"], pct,
+                              num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VALUE_PERCENTILES = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+"""

@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_counts_events": Q.q_transition_counts_events,
         # exact per-group percentiles (quantile_cont semantics)
         "value_percentiles_events": Q.q_value_percentiles_events,
+        # S1 JSONL sink+source roundtrip
+        "jsonl_roundtrip_events": Q.q_jsonl_roundtrip_events,
     }
 
 
@@ -384,4 +386,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion_events": Q.SQL_FUNNEL_CONVERSION,
         "transition_counts_events": Q.SQL_TRANSITION_COUNTS,
         "value_percentiles_events": Q.SQL_VALUE_PERCENTILES,
+        "jsonl_roundtrip_events": Q.SQL_JSONL_ROUNDTRIP,
     }

@@ -4740,3 +4740,40 @@ SQL_VALUE_PERCENTILES = """
            round(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# S1 JSONL source/sink roundtrip
+# ---------------------------------------------------------------------------
+
+def q_jsonl_roundtrip_events(sf_dir: str) -> pd.DataFrame:
+    """S1 JSON-lines sink+source: events (value pre-rounded to 6dp so the
+    decimal text round-trips the double exactly) written via
+    ``Dataset.write_json`` and read back with ``ray.data.read_json``, then
+    aggregated distributed — pins the third source format next to parquet
+    and CSV."""
+    import shutil
+
+    path = "/tmp/ffray_events_jsonl"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b["value"] = np.round(b["value"].to_numpy(np.float64), 6)
+        return b
+
+    ev.map_batches(pre, batch_format="pandas").write_json(path)
+    ds = ray.data.read_json(path)
+    agg = hash_aggregate(ds, ["event_type"], {
+        "n": ("value", "size"), "sum_v": ("value", "sum"),
+    }, num_partitions=4).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    return _round(agg, ["sum_v"], 6)[["event_type", "n", "sum_v"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+SQL_JSONL_ROUNDTRIP = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(round(value, 6)), 6) AS sum_v
+    FROM events GROUP BY 1
+"""

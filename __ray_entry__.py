@@ -243,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles_events": Q.q_value_percentiles_events,
         # S1 JSONL sink+source roundtrip
         "jsonl_roundtrip_events": Q.q_jsonl_roundtrip_events,
+        # Theil-Sen robust trend per series
+        "theilsen_daily_events": Q.q_theilsen_daily_events,
+        # referential-integrity audit (FK orphan counts)
+        "fk_violations": Q.q_fk_violations,
     }
 
 
@@ -387,4 +391,6 @@ def oracle_sql() -> dict[str, str]:
         "transition_counts_events": Q.SQL_TRANSITION_COUNTS,
         "value_percentiles_events": Q.SQL_VALUE_PERCENTILES,
         "jsonl_roundtrip_events": Q.SQL_JSONL_ROUNDTRIP,
+        "theilsen_daily_events": Q.SQL_THEILSEN_DAILY,
+        "fk_violations": Q.SQL_FK_VIOLATIONS,
     }

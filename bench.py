@@ -138,6 +138,12 @@ _BENCH_QUERIES = [
     "hopping_3h1h_events",
     "sessionize_events",
     "bloom_semi_join_orders",
+    # round-4 late additions (keys are additive vs earlier BENCH_r* files)
+    "ohlc_daily_events",
+    "cohort_retention_events",
+    "bm25_search_documents",
+    "seasonal_decompose_daily",
+    "shipping_priority",
 ]
 
 

@@ -4777,3 +4777,112 @@ SQL_JSONL_ROUNDTRIP = """
            round(sum(round(value, 6)), 6) AS sum_v
     FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes) per series
+# ---------------------------------------------------------------------------
+
+def q_theilsen_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Theil–Sen estimator per daily series (public: Theil 1950 / Sen 1968):
+    slope = median of all pairwise slopes over integer day numbers,
+    intercept = median residual at that slope. The bucketed kernel holds one
+    series per call and vectorizes the O(n²) pair sweep (n = series days —
+    bounded by retention; unbounded series belong on the OLS path
+    ``predict_linear_daily``)."""
+    from forecastframe_ray.stages.agg import bucketed_map_groups
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def ts_fit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("d", kind="mergesort")
+        # day numbers via explicit µs cast — pandas datetimes here are [ns]
+        x = (g["d"].astype("datetime64[us]").astype("int64").to_numpy()
+             // DAY_US).astype(np.float64)
+        v = g["v"].to_numpy(np.float64)
+        n = len(v)
+        if n < 2:
+            return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                                 "n": [np.int64(n)], "slope": [NULLF],
+                                 "intercept": [NULLF]})
+        i, j = np.triu_indices(n, 1)
+        slopes = (v[j] - v[i]) / (x[j] - x[i])
+        slope = np.median(slopes)
+        intercept = np.median(v - slope * x)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n": [np.int64(n)],
+                             "slope": [np.round(slope, 6)],
+                             "intercept": [np.round(intercept, 6)]})
+
+    out = bucketed_map_groups(daily, ["event_type"], ts_fit,
+                              num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_THEILSEN_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    pts AS (
+        SELECT event_type, epoch_us(d) // {DAY_US} AS x, v FROM daily
+    ),
+    sl AS (
+        SELECT a.event_type,
+               median((b.v - a.v) / (b.x - a.x)) AS slope
+        FROM pts a JOIN pts b
+            ON a.event_type = b.event_type AND a.x < b.x
+        GROUP BY 1
+    ),
+    ic AS (
+        SELECT p.event_type, median(p.v - sl.slope * p.x) AS intercept
+        FROM pts p JOIN sl USING (event_type) GROUP BY 1
+    ),
+    nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM pts
+           GROUP BY 1)
+    SELECT nn.event_type, nn.n,
+           COALESCE(round(sl.slope, 6), {NULLF}) AS slope,
+           COALESCE(round(ic.intercept, 6), {NULLF}) AS intercept
+    FROM nn LEFT JOIN sl USING (event_type) LEFT JOIN ic USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (FK orphan counts via broadcast anti-join)
+# ---------------------------------------------------------------------------
+
+def q_fk_violations(sf_dir: str) -> pd.DataFrame:
+    """Data-quality audit: orders whose customer is missing and lineitems
+    whose order is missing — broadcast anti-join key-set filters, the
+    driver sees only two counters."""
+    from forecastframe_ray.stages.join import broadcast_semi_join
+
+    cust_keys = pq.read_table(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"]).to_pandas() \
+        .rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_orders_orphans = broadcast_semi_join(
+        orders, cust_keys, ["o_custkey"], anti=True).count()
+
+    order_keys = pq.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey"]).to_pandas() \
+        .rename(columns={"o_orderkey": "l_orderkey"})
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    n_lineitem_orphans = broadcast_semi_join(
+        li, order_keys, ["l_orderkey"], anti=True).count()
+
+    return pd.DataFrame({
+        "n_orders_orphans": [np.int64(n_orders_orphans)],
+        "n_lineitem_orphans": [np.int64(n_lineitem_orphans)],
+    })
+
+
+SQL_FK_VIOLATIONS = """
+    SELECT
+        CAST((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+             AS BIGINT) AS n_orders_orphans,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT) AS n_lineitem_orphans
+"""

@@ -4026,14 +4026,13 @@ def q_decomposition_strength_daily(sf_dir: str) -> pd.DataFrame:
 
     daily = _bucket_series(sf_dir, DAY_US, "d")
 
+    from forecastframe_ray.stages.window_ops import decompose_components
+
     def strength(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("d", kind="mergesort")
+        g = g.sort_values("d", kind="mergesort").reset_index(drop=True)
         v = g["v"].to_numpy(np.float64)
-        trend = pd.Series(v).rolling(7, center=True, min_periods=1) \
-            .mean().to_numpy()
+        trend, seasonal = decompose_components(g, ["event_type"], "d", "v")
         detr = v - trend
-        seasonal = pd.Series(detr).groupby(
-            g["d"].dt.dayofweek.to_numpy()).transform("mean").to_numpy()
         resid = v - trend - seasonal
         n = len(v)
 
@@ -4152,7 +4151,10 @@ def q_grouping_sets_daily_events(sf_dir: str) -> pd.DataFrame:
     ab = sets["ab"].to_pandas()
     a = sets["a"].to_pandas().assign(d=SENT_D)
     b = sets["b"].to_pandas().assign(event_type="_ALL_")
-    tot = sets["total"].to_pandas().assign(event_type="_ALL_", d=SENT_D)
+    tot = sets["total"].to_pandas()
+    if len(tot) == 0:  # SQL GROUPING SETS always emits the () row
+        tot = pd.DataFrame({"n": [np.int64(0)], "sum_v": [NULLF]})
+    tot = tot.assign(event_type="_ALL_", d=SENT_D)
     out = pd.concat([ab, a, b, tot], ignore_index=True)
     out = out[["event_type", "d", "n", "sum_v"]]
     out["n"] = out["n"].astype("int64")
@@ -4165,7 +4167,7 @@ SQL_GROUPING_SETS_DAILY = """
     SELECT COALESCE(event_type, '_ALL_') AS event_type,
            COALESCE(d, TIMESTAMP '1900-01-01') AS d,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 6) AS sum_v
+           COALESCE(round(sum(value), 6), -999.0) AS sum_v
     FROM (SELECT event_type, date_trunc('day', ts) AS d, value FROM events)
     GROUP BY GROUPING SETS ((event_type, d), (event_type), (d), ())
 """
@@ -4648,8 +4650,8 @@ SQL_FUNNEL_CONVERSION = """
     )
     SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_started,
            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_converted,
-           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
-                 / (SELECT count(*) FROM v), 6) AS conv_rate
+           COALESCE(round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 6), -999.0) AS conv_rate
 """
 
 

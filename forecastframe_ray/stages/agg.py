@@ -229,13 +229,12 @@ def compact_latest(ds, keys: list[str], order_by: list[str],
     keys, order_by = list(keys), list(order_by)
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(order_by, kind="mergesort")
+        # na_position="first": NULL order values LOSE to any real value,
+        # matching the SQL twin's DESC NULLS LAST row_number semantics
+        b = b.sort_values(order_by, kind="mergesort", na_position="first")
         return b.drop_duplicates(subset=keys, keep="last")
 
     pre = ds.map_batches(local, batch_format="pandas")
-
-    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
-        return local(g)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -243,7 +242,7 @@ def compact_latest(ds, keys: list[str], order_by: list[str],
         return batch
 
     def run(part: pd.DataFrame) -> pd.DataFrame:
-        return part_fn(part.drop(columns=[PART_COL]))
+        return local(part.drop(columns=[PART_COL]))
 
     return (
         pre.map_batches(assign, batch_format="pandas")

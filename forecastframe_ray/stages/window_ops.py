@@ -405,21 +405,22 @@ def op_cusum(df, keys, ts_col, feature, threshold=2.0, out_name=None,
     return df
 
 
-def op_seasonal_decompose(df, keys, ts_col, feature, ma_window=7):
-    """Classical additive seasonal decomposition per series (the moving-
-    average method behind statsmodels' ``seasonal_decompose``, public):
+def decompose_components(df, keys, ts_col, feature, ma_window=7):
+    """UNROUNDED ``(trend, seasonal)`` arrays of the classical additive
+    decomposition — the single definition shared by
+    :func:`op_seasonal_decompose` and the FPP3 strength metrics
+    (``queries.q_decomposition_strength_daily``), so the two can never
+    drift apart (review r4):
 
     - ``trend``   = centered ``ma_window``-ROW moving average (partial
       windows at the series edges — SQL ``ROWS BETWEEN k PRECEDING AND k
       FOLLOWING``);
-    - ``seasonal`` = per-(series, day-of-week) mean of the detrended value;
-    - ``resid``   = value − trend − seasonal.
+    - ``seasonal`` = per-(series, day-of-week) mean of the detrended value.
 
-    Residuals are computed from the UNROUNDED trend/seasonal on both
-    engines; all three outputs round to 6dp. Day-of-week is only a grouping
-    key, so the pandas (Mon=0) vs DuckDB (Sun=0) numbering difference is
-    immaterial. Vectorized: one grouped centered rolling mean + one grouped
-    transform."""
+    Day-of-week is only a grouping key, so the pandas (Mon=0) vs DuckDB
+    (Sun=0) numbering difference is immaterial. Vectorized: one grouped
+    centered rolling mean + one grouped transform. ``df`` must be sorted by
+    keys+ts (the keyed-kernel contract)."""
 
     def fn(x: pd.DataFrame) -> pd.DataFrame:
         return x.rolling(int(ma_window), center=True, min_periods=1).mean()
@@ -430,6 +431,18 @@ def op_seasonal_decompose(df, keys, ts_col, feature, ma_window=7):
     seasonal = _grouped(df.assign(__detr=v - trend, __dow=dow),
                         keys + ["__dow"])["__detr"] \
         .transform("mean").to_numpy(np.float64)
+    return trend, seasonal
+
+
+def op_seasonal_decompose(df, keys, ts_col, feature, ma_window=7):
+    """Additive decomposition columns per series (the moving-average method
+    behind statsmodels' ``seasonal_decompose``, public): trend / seasonal
+    from :func:`decompose_components`, resid = value − trend − seasonal
+    computed from the UNROUNDED parts on both engines; all three outputs
+    round to 6dp."""
+    trend, seasonal = decompose_components(df, keys, ts_col, feature,
+                                           ma_window)
+    v = df[feature].to_numpy(np.float64)
     df[f"{feature}_trend"] = np.round(trend, 6)
     df[f"{feature}_seasonal"] = np.round(seasonal, 6)
     df[f"{feature}_resid"] = np.round(v - trend - seasonal, 6)

@@ -71,6 +71,16 @@ def test_grouping_sets_cascade_consistent(ray_session):
     np.testing.assert_allclose(tot["sum_v"].iloc[0], df["v"].sum(), rtol=1e-9)
 
 
+def test_compact_latest_null_order_values_lose(ray_session):
+    # SQL row_number DESC NULLS LAST parity: a NULL order value must lose
+    # to any real value (review r4)
+    df = pd.DataFrame({"k": [1, 1], "ts": [pd.NaT, pd.Timestamp("2020-01-01")],
+                       "uid": [2, 1]})
+    out = compact_latest(ray.data.from_pandas(df), ["k"], ["ts", "uid"],
+                         num_partitions=2).to_pandas()
+    assert out["uid"].tolist() == [1]
+
+
 def test_ngram_containment_excerpt():
     big = "the quick brown fox jumps over the lazy dog again and again"
     small = "quick brown fox"

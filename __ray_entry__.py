@@ -247,6 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen_daily_events": Q.q_theilsen_daily_events,
         # referential-integrity audit (FK orphan counts)
         "fk_violations": Q.q_fk_violations,
+        # fuzzy token pairs at edit distance 1 (SymSpell blocking)
+        "edit1_pairs_documents": Q.q_edit1_pairs_documents,
+        # burstiness: Fano factor + CV per series
+        "dispersion_daily_events": Q.q_dispersion_daily_events,
     }
 
 
@@ -393,4 +397,6 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip_events": Q.SQL_JSONL_ROUNDTRIP,
         "theilsen_daily_events": Q.SQL_THEILSEN_DAILY,
         "fk_violations": Q.SQL_FK_VIOLATIONS,
+        "edit1_pairs_documents": Q.SQL_EDIT1_PAIRS,
+        "dispersion_daily_events": Q.SQL_DISPERSION_DAILY,
     }

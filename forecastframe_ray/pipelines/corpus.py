@@ -214,3 +214,76 @@ def pmi_bigrams(ds, text_col: str = "text", top_k: int = 100,
     return (df.sort_values(["pmi", "bigram"], ascending=[False, True],
                            kind="mergesort").head(top_k)
               .reset_index(drop=True))
+
+
+def edit1_token_pairs(ds, text_col: str = "text", num_partitions: int = 32):
+    """All DISTINCT-token pairs at Levenshtein distance exactly 1 — the
+    SymSpell deletion-neighborhood blocking (Garbe, public): a token's
+    candidate block key set is {token} ∪ its single-character deletions;
+    two tokens at distance 1 always share a key (substitution → delete the
+    differing position from both; insert/delete → the longer's deletion IS
+    the shorter). Blocking is complete for distance 1, so the exact verify
+    only runs inside buckets.
+
+    Scale shape: distinct tokens reduce first (combiner'd aggregate), the
+    deletion fan-out is vectorized per batch (one pandas str-slice pass per
+    deletion POSITION, not per token), buckets group under a coarse hash,
+    and the per-bucket verify touches only co-bucketed pairs (vocabulary
+    buckets are tiny by construction). Returns (tok_a, tok_b, dist=1) with
+    tok_a < tok_b."""
+    from forecastframe_ray.stages.agg import (bucketed_map_groups,
+                                              ensure_columns, hash_aggregate)
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].str.split().explode().dropna()
+        return pd.DataFrame({"token": ex.unique()})
+
+    vocab = hash_aggregate(ds.map_batches(toks, batch_format="pandas"),
+                           ["token"], {"n": ("token", "size")},
+                           num_partitions=min(8, num_partitions)) \
+        .drop_columns(["n"])
+
+    def variants(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["token"].astype(str)
+        outs = [pd.DataFrame({"token": t, "key": t})]
+        max_len = int(t.str.len().max()) if len(t) else 0
+        for i in range(max_len):
+            mask = t.str.len() > i
+            tt = t[mask]
+            outs.append(pd.DataFrame({"token": tt,
+                                      "key": tt.str[:i] + tt.str[i + 1:]}))
+        out = pd.concat(outs, ignore_index=True)
+        return out.drop_duplicates()
+
+    def _lev1(a: str, b: str) -> bool:
+        # exact distance-1 check for co-bucketed candidates (tiny sets)
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if abs(la - lb) != 1:
+            return False
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(g["token"].unique())
+        rows = [(ts[i], ts[j]) for i in range(len(ts))
+                for j in range(i + 1, len(ts)) if _lev1(ts[i], ts[j])]
+        if not rows:
+            return pd.DataFrame({"tok_a": [], "tok_b": []})
+        return pd.DataFrame(rows, columns=["tok_a", "tok_b"])
+
+    cand = bucketed_map_groups(
+        vocab.map_batches(variants, batch_format="pandas"), ["key"],
+        bucket_pairs, num_partitions=num_partitions, min_size=2)
+    out = ensure_columns(cand.to_pandas(), {"tok_a": "object",
+                                            "tok_b": "object"})
+    out = out.drop_duplicates(["tok_a", "tok_b"])
+    out["dist"] = np.int64(1)
+    return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)

@@ -4888,3 +4888,77 @@ SQL_FK_VIOLATIONS = """
                                 WHERE o.o_orderkey = l.l_orderkey))
              AS BIGINT) AS n_lineitem_orphans
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy token pairs at edit distance 1 (pipelines/corpus.edit1_token_pairs)
+# ---------------------------------------------------------------------------
+
+def q_edit1_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """SymSpell deletion-neighborhood blocking + exact verify: every
+    distinct-token pair at Levenshtein distance exactly 1."""
+    from forecastframe_ray.pipelines.corpus import edit1_token_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return edit1_token_pairs(docs, num_partitions=_NP)
+
+
+SQL_EDIT1_PAIRS = r"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(list_filter(
+            string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        FROM documents
+    )
+    SELECT a.t AS tok_a, b.t AS tok_b, CAST(1 AS BIGINT) AS dist
+    FROM toks a JOIN toks b
+        ON a.t < b.t AND abs(strlen(a.t) - strlen(b.t)) <= 1
+    WHERE levenshtein(a.t, b.t) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# burstiness / index of dispersion per series
+# ---------------------------------------------------------------------------
+
+def q_dispersion_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Index of dispersion (Fano factor, var/mean) and coefficient of
+    variation per daily series — one moment aggregate; degenerate series
+    (n<2 or zero mean) emit NULLF."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["v"].to_numpy(np.float64)
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "n": np.ones(len(b), dtype=np.int64),
+                             "s": v, "ss": v * v})
+
+    agg = hash_aggregate(
+        daily.map_batches(moments, batch_format="pandas"), ["event_type"],
+        {c: (c, "sum") for c in ("n", "s", "ss")}, num_partitions=_NP)
+    df = agg.to_pandas()
+    n = df["n"].to_numpy(np.float64)
+    s = df["s"].to_numpy(np.float64)
+    ss = df["ss"].to_numpy(np.float64)
+    mean = s / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (ss - n * mean * mean) / (n - 1.0)   # sample variance
+        fano = np.where((n >= 2) & (mean != 0), var / mean, np.nan)
+        cv = np.where((n >= 2) & (mean != 0), np.sqrt(np.maximum(var, 0))
+                      / mean, np.nan)
+    out = pd.DataFrame({"event_type": df["event_type"],
+                        "n": df["n"].astype("int64"),
+                        "fano": np.round(fano, 6),
+                        "cv": np.round(cv, 6)})
+    out = _fill(out, ["fano", "cv"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DISPERSION_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           COALESCE(CASE WHEN count(*) >= 2 AND avg(v) <> 0
+                THEN round(var_samp(v) / avg(v), 6) END, {NULLF}) AS fano,
+           COALESCE(CASE WHEN count(*) >= 2 AND avg(v) <> 0
+                THEN round(stddev_samp(v) / avg(v), 6) END, {NULLF}) AS cv
+    FROM daily GROUP BY 1
+"""

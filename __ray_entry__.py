@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit1_pairs_documents": Q.q_edit1_pairs_documents,
         # burstiness: Fano factor + CV per series
         "dispersion_daily_events": Q.q_dispersion_daily_events,
+        # ntile(4) + cume_dist window twins
+        "ntile_cume_daily": Q.q_ntile_cume_daily,
     }
 
 
@@ -399,4 +401,5 @@ def oracle_sql() -> dict[str, str]:
         "fk_violations": Q.SQL_FK_VIOLATIONS,
         "edit1_pairs_documents": Q.SQL_EDIT1_PAIRS,
         "dispersion_daily_events": Q.SQL_DISPERSION_DAILY,
+        "ntile_cume_daily": Q.SQL_NTILE_CUME_DAILY,
     }

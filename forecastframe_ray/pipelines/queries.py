@@ -4962,3 +4962,36 @@ SQL_DISPERSION_DAILY = f"""
                 THEN round(stddev_samp(v) / avg(v), 6) END, {NULLF}) AS cv
     FROM daily GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# ntile + cume_dist window twins (stages/window_ops.op_ntile / op_cume_dist)
+# ---------------------------------------------------------------------------
+
+def q_ntile_cume_daily(sf_dir: str) -> pd.DataFrame:
+    """SQL ntile(4) in time order and cume_dist over the value, fused into
+    one keyed window pass."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    out = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "ntile", "n_tiles": 4, "out_name": "quartile"},
+         {"op": "cume_dist", "feature": "v", "out_name": "v_cume_dist"}],
+        num_partitions=_NP)
+    df = out.to_pandas()[["event_type", "d", "v", "quartile",
+                          "v_cume_dist"]]
+    df["quartile"] = df["quartile"].astype("int64")
+    return df.sort_values(["event_type", "d"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_NTILE_CUME_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS quartile,
+           round(cume_dist() OVER (PARTITION BY event_type ORDER BY v), 6)
+               AS v_cume_dist
+    FROM daily
+"""

@@ -449,6 +449,38 @@ def op_seasonal_decompose(df, keys, ts_col, feature, ma_window=7):
     return df
 
 
+def op_ntile(df, keys, ts_col, n_tiles, out_name="ntile"):
+    """SQL ``ntile(k)`` twin in ts order: each series' rows split into ``k``
+    ordered groups whose sizes differ by at most 1 — the first ``n mod k``
+    tiles take the extra row, exactly the SQL fill rule. 1-based int64.
+    Vectorized: cumcount + transform size + closed-form tile index."""
+    k = int(n_tiles)
+    g = _grouped(df, keys)
+    pos = g.cumcount().to_numpy()
+    n = g[ts_col].transform("size").to_numpy()
+    base, extra = n // k, n % k
+    big_span = extra * (base + 1)  # rows covered by the (base+1)-sized tiles
+    in_big = pos < big_span
+    tile = np.where(
+        in_big,
+        pos // np.maximum(base + 1, 1),
+        extra + (pos - big_span) // np.maximum(base, 1))
+    df[out_name] = (tile + 1).astype("int64")
+    return df
+
+
+def op_cume_dist(df, keys, ts_col, feature, out_name=None):
+    """SQL ``cume_dist()`` twin over ``feature`` within each series: the
+    fraction of rows with value <= the current row's (ties share the max
+    rank). Rounded to 6dp."""
+    out_name = out_name or f"{feature}_cume_dist"
+    g = _grouped(df, keys)[feature]
+    rank_max = g.rank(method="max").to_numpy(np.float64)
+    n = g.transform("size").to_numpy(np.float64)
+    df[out_name] = np.round(rank_max / n, 6)
+    return df
+
+
 def _register_all(register_op):
     register_op("lag")(op_lag)
     register_op("cyclic_shift")(op_cyclic_shift)
@@ -468,5 +500,7 @@ def _register_all(register_op):
     register_op("rolling_corr")(op_rolling_corr)
     register_op("percent_rank")(op_percent_rank)
     register_op("rate")(op_rate)
+    register_op("ntile")(op_ntile)
+    register_op("cume_dist")(op_cume_dist)
     register_op("cusum")(op_cusum)
     register_op("seasonal_decompose")(op_seasonal_decompose)

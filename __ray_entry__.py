@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dispersion_daily_events": Q.q_dispersion_daily_events,
         # ntile(4) + cume_dist window twins
         "ntile_cume_daily": Q.q_ntile_cume_daily,
+        # Heaps-law vocabulary growth by doc-id decile
+        "vocab_growth_documents": Q.q_vocab_growth_documents,
+        # inter-event gap stats per user
+        "interevent_gaps_events": Q.q_interevent_gaps_events,
     }
 
 
@@ -402,4 +406,6 @@ def oracle_sql() -> dict[str, str]:
         "edit1_pairs_documents": Q.SQL_EDIT1_PAIRS,
         "dispersion_daily_events": Q.SQL_DISPERSION_DAILY,
         "ntile_cume_daily": Q.SQL_NTILE_CUME_DAILY,
+        "vocab_growth_documents": Q.SQL_VOCAB_GROWTH,
+        "interevent_gaps_events": Q.SQL_INTEREVENT_GAPS,
     }

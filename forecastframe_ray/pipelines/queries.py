@@ -4995,3 +4995,134 @@ SQL_NTILE_CUME_DAILY = f"""
                AS v_cume_dist
     FROM daily
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (new distinct tokens per doc-id decile)
+# ---------------------------------------------------------------------------
+
+def q_vocab_growth_documents(sf_dir: str) -> pd.DataFrame:
+    """Heaps-law style vocabulary growth: each distinct token is charged to
+    the FIRST document (min doc_id) that introduces it; buckets of 10% of
+    the id range then count their newly-introduced tokens. One combiner'd
+    min-aggregate over (token → min doc) partials; the bucketing is a tiny
+    second aggregate."""
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    hi = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id"]).column("doc_id")
+    import pyarrow.compute as pc
+    lo_id, hi_id = pc.min(hi).as_py(), pc.max(hi).as_py()
+    span = max(hi_id - lo_id + 1, 1)
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.split().explode().dropna()
+        g = pd.DataFrame({
+            "token": ex.to_numpy(),
+            "doc_id": b["doc_id"].to_numpy()[ex.index.to_numpy()],
+        })
+        return g.groupby("token", sort=False, as_index=False)["doc_id"] \
+            .min()
+
+    first = hash_aggregate(docs.map_batches(toks, batch_format="pandas"),
+                           ["token"], {"first_doc": ("doc_id", "min")},
+                           num_partitions=_NP)
+
+    def to_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["first_doc"].to_numpy(np.int64)
+        decile = np.minimum((d - lo_id) * 10 // span, 9).astype(np.int64)
+        return pd.DataFrame({"decile": decile,
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    out = hash_aggregate(first.map_batches(to_bucket, batch_format="pandas"),
+                         ["decile"], {"new_tokens": ("one", "sum")},
+                         num_partitions=4).to_pandas()
+    out = out.astype({"decile": "int64", "new_tokens": "int64"})
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+SQL_VOCAB_GROWTH = r"""
+    WITH bounds AS (
+        SELECT min(doc_id) AS lo,
+               greatest(max(doc_id) - min(doc_id) + 1, 1) AS span
+        FROM documents
+    ),
+    first AS (
+        SELECT x AS token, min(doc_id) AS first_doc
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> '')) AS x
+              FROM documents)
+        GROUP BY 1
+    )
+    SELECT CAST(least((first_doc - bounds.lo) * 10 // bounds.span, 9)
+                AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS new_tokens
+    FROM first CROSS JOIN bounds
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# inter-event gap statistics per user
+# ---------------------------------------------------------------------------
+
+def q_interevent_gaps_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event gap seconds (mean/min/max over consecutive
+    events in ts order): whole user streams per partition, vectorized
+    grouped diff, in-kernel pre-reduce before one tiny merge. Users with a
+    single event emit no row (no gaps), matching the SQL twin."""
+    from forecastframe_ray.keys import partition_ids
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__part"] = partition_ids(b, ["user_id"], _NP)
+        return b
+
+    def gaps(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts"], kind="mergesort")
+        # EXACT integer-µs gaps: the sum is order-independent int64
+        # arithmetic, so engines cannot disagree at a rounding boundary
+        dt = part.groupby("user_id", sort=False)["ts"].diff() \
+            .dt.total_seconds() * 1e6
+        ok = dt.notna()
+        sub = pd.DataFrame({"user_id": part["user_id"][ok],
+                            "gap_us": dt[ok].round().astype("int64")})
+        out = sub.groupby("user_id", sort=False).agg(
+            n_gaps=("gap_us", "size"), s=("gap_us", "sum"),
+            mn=("gap_us", "min"), mx=("gap_us", "max")).reset_index()
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        return out
+
+    partial = (ev.map_batches(assign, batch_format="pandas")
+               .groupby("__part").map_groups(gaps, batch_format="pandas"))
+    df = partial.to_pandas()
+    out = pd.DataFrame({
+        "user_id": df["user_id"].astype("int64"),
+        "n_gaps": df["n_gaps"].astype("int64"),
+        "mean_gap_s": np.round(df["s"].to_numpy(np.float64)
+                               / df["n_gaps"].to_numpy(np.float64)
+                               / 1e6, 6),
+        "min_gap_s": np.round(df["mn"].to_numpy(np.float64) / 1e6, 6),
+        "max_gap_s": np.round(df["mx"].to_numpy(np.float64) / 1e6, 6),
+    })
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_INTEREVENT_GAPS = """
+    WITH l AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6, 6)
+               AS mean_gap_s,
+           round(min(gap_us) / 1e6, 6) AS min_gap_s,
+           round(max(gap_us) / 1e6, 6) AS max_gap_s
+    FROM l WHERE gap_us IS NOT NULL GROUP BY 1
+"""

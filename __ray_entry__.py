@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_documents": Q.q_vocab_growth_documents,
         # inter-event gap stats per user
         "interevent_gaps_events": Q.q_interevent_gaps_events,
+        # k-means E-step assignment to broadcast seed centroids
+        "kmeans_assign_embeddings": Q.q_kmeans_assign_embeddings,
     }
 
 
@@ -408,4 +410,5 @@ def oracle_sql() -> dict[str, str]:
         "ntile_cume_daily": Q.SQL_NTILE_CUME_DAILY,
         "vocab_growth_documents": Q.SQL_VOCAB_GROWTH,
         "interevent_gaps_events": Q.SQL_INTEREVENT_GAPS,
+        "kmeans_assign_embeddings": Q.SQL_KMEANS_ASSIGN,
     }

@@ -5126,3 +5126,71 @@ SQL_INTEREVENT_GAPS = """
            round(max(gap_us) / 1e6, 6) AS max_gap_s
     FROM l WHERE gap_us IS NOT NULL GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# k-means E-step: assignment to broadcast centroids (Lloyd iteration half;
+# the M-step is label_centroids_embeddings)
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+
+
+def q_kmeans_assign_embeddings(sf_dir: str) -> pd.DataFrame:
+    """One Lloyd E-step: every vector assigned to the nearest of k=8
+    deterministic seed centroids (the k smallest vec_ids) by squared L2;
+    ties break to the lowest cluster index (np.argmin first-occurrence ==
+    SQL ``ORDER BY dist2, cluster``). Centroids broadcast once; per-batch
+    work is one matmul — the M-step re-estimation is the existing
+    ``label_centroids`` scatter-reduce, together a full k-means iteration."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    dfc = emb.to_pandas().sort_values("vec_id").head(_KMEANS_K)
+    C = np.stack(dfc["embedding"].to_numpy()).astype(np.float64)  # k × d
+    c2 = (C * C).sum(axis=1)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        cl = np.argmin(d2, axis=1)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"],
+            "cluster": cl.astype(np.int64),
+            "dist2": np.round(d2[np.arange(len(cl)), cl], 6),
+        })
+
+    out = ds.map_batches(assign, batch_format="pandas").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_KMEANS_ASSIGN = f"""
+    WITH c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}
+    ),
+    e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    d AS (
+        SELECT e.vec_id, c.cluster,
+               list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, c.cvec)
+               + list_dot_product(c.cvec, c.cvec) AS dist2
+        FROM e CROSS JOIN c
+    ),
+    r AS (
+        SELECT vec_id, cluster, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cluster) AS rn
+        FROM d
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           round(dist2, 6) AS dist2
+    FROM r WHERE rn = 1
+"""

@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interevent_gaps_events": Q.q_interevent_gaps_events,
         # k-means E-step assignment to broadcast seed centroids
         "kmeans_assign_embeddings": Q.q_kmeans_assign_embeddings,
+        # cross-series correlation matrix (pivot + moment reduce)
+        "cross_corr_daily_events": Q.q_cross_corr_daily_events,
     }
 
 
@@ -411,4 +413,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth_documents": Q.SQL_VOCAB_GROWTH,
         "interevent_gaps_events": Q.SQL_INTEREVENT_GAPS,
         "kmeans_assign_embeddings": Q.SQL_KMEANS_ASSIGN,
+        "cross_corr_daily_events": Q.SQL_CROSS_CORR_DAILY,
     }

@@ -5194,3 +5194,69 @@ SQL_KMEANS_ASSIGN = f"""
            round(dist2, 6) AS dist2
     FROM r WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-series correlation matrix (pivot + pairwise moment reduce)
+# ---------------------------------------------------------------------------
+
+def q_cross_corr_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlation between every two event types' daily
+    series over their COMMON days (inner-join semantics): the daily spine
+    pivots wide (one column per type), per-batch pairwise product moments
+    accumulate vectorized, and one tiny reduce finishes — the shuffle
+    carries days×types cells, the driver pairs×6 sums. NULLF when <2
+    common days or zero variance."""
+    from forecastframe_ray.stages.reshape import pivot_wide
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    types = sorted(pq.read_table(f"{sf_dir}/events.parquet",
+                                 columns=["event_type"])
+                   .column("event_type").unique().to_pylist())
+    wide = pivot_wide(daily, index_keys=["d"], pivot_col="event_type",
+                      value_col="v", categories=types, num_partitions=_NP)
+    pairs = [(a, b) for i, a in enumerate(types) for b in types[i + 1:]]
+
+    def moments(bt: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for a, b in pairs:
+            x = bt[f"v_{a}"].to_numpy(np.float64)
+            y = bt[f"v_{b}"].to_numpy(np.float64)
+            ok = ~(np.isnan(x) | np.isnan(y))
+            xx, yy = np.where(ok, x, 0.0), np.where(ok, y, 0.0)
+            k = f"{a}|{b}"
+            out[f"n@{k}"] = [np.int64(ok.sum())]
+            out[f"sx@{k}"] = [xx.sum()]
+            out[f"sy@{k}"] = [yy.sum()]
+            out[f"sxy@{k}"] = [(xx * yy).sum()]
+            out[f"sxx@{k}"] = [(xx * xx).sum()]
+            out[f"syy@{k}"] = [(yy * yy).sum()]
+        return pd.DataFrame(out)
+
+    part = wide.map_batches(moments, batch_format="pandas").to_pandas()
+    rows = []
+    for a, b in pairs:
+        k = f"{a}|{b}"
+        n = float(part[f"n@{k}"].sum())
+        sx, sy = part[f"sx@{k}"].sum(), part[f"sy@{k}"].sum()
+        sxy = part[f"sxy@{k}"].sum()
+        sxx, syy = part[f"sxx@{k}"].sum(), part[f"syy@{k}"].sum()
+        cov = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        r = cov / np.sqrt(den) if n >= 2 and den > 0 else np.nan
+        rows.append({"type_a": a, "type_b": b, "n_days": np.int64(n),
+                     "corr": np.round(r, 6) if not np.isnan(r) else np.nan})
+    out = pd.DataFrame(rows)
+    out = _fill(out, ["corr"])
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+SQL_CROSS_CORR_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           COALESCE(round(corr(a.v, b.v), 6), {NULLF}) AS corr
+    FROM daily a JOIN daily b
+        ON a.d = b.d AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""

@@ -261,6 +261,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_embeddings": Q.q_kmeans_assign_embeddings,
         # cross-series correlation matrix (pivot + moment reduce)
         "cross_corr_daily_events": Q.q_cross_corr_daily_events,
+        # trailing rolling p90 (quantile_cont ROWS-frame twin)
+        "rolling_p90_daily": Q.q_rolling_p90_daily,
+        # week-over-week growth
+        "wow_growth_daily": Q.q_wow_growth_daily,
+        # gap-fill + per-series median imputation
+        "median_impute_hourly": Q.q_median_impute_hourly,
     }
 
 
@@ -414,4 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "interevent_gaps_events": Q.SQL_INTEREVENT_GAPS,
         "kmeans_assign_embeddings": Q.SQL_KMEANS_ASSIGN,
         "cross_corr_daily_events": Q.SQL_CROSS_CORR_DAILY,
+        "rolling_p90_daily": Q.SQL_ROLLING_P90_DAILY,
+        "wow_growth_daily": Q.SQL_WOW_GROWTH_DAILY,
+        "median_impute_hourly": Q.SQL_MEDIAN_IMPUTE_HOURLY,
     }

@@ -5260,3 +5260,115 @@ SQL_CROSS_CORR_DAILY = f"""
         ON a.d = b.d AND a.event_type < b.event_type
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling p90 / WoW growth / median imputation
+# ---------------------------------------------------------------------------
+
+def q_rolling_p90_daily(sf_dir: str) -> pd.DataFrame:
+    """Trailing 7-ROW p90 per daily series (quantile_cont frame twin)."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    out = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "rolling_quantile", "feature": "v", "window": 7,
+          "q": 0.9, "out_name": "v_p90_roll7"}],
+        num_partitions=_NP)
+    df = out.to_pandas()[["event_type", "d", "v", "v_p90_roll7"]]
+    return df.sort_values(["event_type", "d"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_ROLLING_P90_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           round(quantile_cont(v, 0.9) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS v_p90_roll7
+    FROM daily
+"""
+
+
+def q_wow_growth_daily(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week growth: (v − v[-7]) / v[-7] per series in ROW terms
+    (the gap-filled spine makes row-lag == calendar-lag); NULLF when the
+    lag is missing or zero."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    lagged = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "lag", "features": ["v"], "lags": [7]}],
+        num_partitions=_NP)
+    df = lagged.to_pandas()
+    v = df["v"].to_numpy(np.float64)
+    l7 = df["v_lag7"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g = np.where(np.isnan(l7) | (l7 == 0), np.nan,
+                     np.round((v - l7) / l7, 6))
+    df["wow_growth"] = g
+    df = df[["event_type", "d", "v", "wow_growth"]]
+    df = _fill(df, ["wow_growth"])
+    return df.sort_values(["event_type", "d"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_WOW_GROWTH_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 7) OVER (PARTITION BY event_type ORDER BY d) AS l7
+        FROM daily
+    )
+    SELECT event_type, d, v,
+           COALESCE(CASE WHEN l7 IS NOT NULL AND l7 <> 0
+                         THEN round((v - l7) / l7, 6) END, {NULLF})
+               AS wow_growth
+    FROM l
+"""
+
+
+def q_median_impute_hourly(sf_dir: str) -> pd.DataFrame:
+    """Gap-fill the hourly spine then impute holes with the per-series
+    median of OBSERVED values (the robust alternative to ffill /
+    interpolation, fused in the same keyed pass)."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    hourly = _bucket_series(sf_dir, HOUR_US, "h")
+    out = keyed_window_stage(
+        hourly, ["event_type"], "h",
+        [{"op": "gap_fill", "freq": "h"},
+         {"op": "fill_missing", "features": ["v"], "method": "median"}],
+        num_partitions=_NP)
+    df = out.to_pandas()[["event_type", "h", "v"]]
+    df = _round(df, ["v"], 6)
+    return df.sort_values(["event_type", "h"],
+                          kind="mergesort").reset_index(drop=True)
+
+
+SQL_MEDIAN_IMPUTE_HOURLY = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT b.event_type, g.h
+        FROM bounds b,
+             LATERAL (SELECT unnest(generate_series(b.lo, b.hi,
+                                    INTERVAL 1 HOUR)) AS h) g
+    ),
+    med AS (
+        SELECT event_type, round(median(v), 6) AS m FROM hourly GROUP BY 1
+    )
+    SELECT s.event_type, s.h,
+           round(COALESCE(hourly.v, med.m), 6) AS v
+    FROM spine s
+    LEFT JOIN hourly USING (event_type, h)
+    JOIN med ON med.event_type = s.event_type
+"""

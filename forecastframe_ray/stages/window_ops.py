@@ -284,6 +284,13 @@ def op_fill_missing(df, keys, ts_col, features, method="ffill"):
         def fn(x: pd.DataFrame) -> pd.DataFrame:
             return x.interpolate(method="time", limit_area="inside")
         df[features] = _grouped_ts_apply(df, keys, ts_col, list(features), fn)
+    elif method == "median":
+        # per-series median of the OBSERVED values fills every hole —
+        # the classic robust imputation (SQL twin: join the per-series
+        # median back). Rounded to 6dp so engines agree at the boundary.
+        med = g.transform("median")
+        for f in features:
+            df[f] = df[f].fillna(np.round(med[f], 6))
     else:
         raise ValueError(f"unknown fill method: {method}")
     return df
@@ -359,6 +366,24 @@ def op_cyclic_shift(df, keys, ts_col, features, suffix="_perm"):
         shifted = g[f].shift(1)
         shifted[first_mask] = g[f].transform("last")[first_mask]
         df[f + suffix] = shifted
+    return df
+
+
+def op_rolling_quantile(df, keys, ts_col, feature, window, q,
+                        min_periods=1, out_name=None):
+    """Trailing ROW-window quantile per series — pandas linear
+    interpolation == SQL ``quantile_cont`` over a ``ROWS (window-1)
+    PRECEDING`` frame. Rounded to 6dp."""
+    out_name = out_name or f"{feature}_p{int(q * 100)}_roll{window}"
+    mp = int(min_periods)
+
+    def fn(x: pd.DataFrame) -> pd.DataFrame:
+        r = x[feature].rolling(int(window), min_periods=mp) \
+            .quantile(q, interpolation="linear")
+        return r.to_frame("__q")
+
+    vals = _grouped_ts_apply(df, keys, ts_col, [feature], fn)
+    df[out_name] = np.round(vals[:, 0], 6)
     return df
 
 
@@ -500,6 +525,7 @@ def _register_all(register_op):
     register_op("rolling_corr")(op_rolling_corr)
     register_op("percent_rank")(op_percent_rank)
     register_op("rate")(op_rate)
+    register_op("rolling_quantile")(op_rolling_quantile)
     register_op("ntile")(op_ntile)
     register_op("cume_dist")(op_cume_dist)
     register_op("cusum")(op_cusum)

@@ -4711,27 +4711,25 @@ SQL_TRANSITION_COUNTS = """
 # ---------------------------------------------------------------------------
 
 def q_value_percentiles_events(sf_dir: str) -> pd.DataFrame:
-    """Exact p50/p90/p99 of value per event type — numpy linear-interp
-    quantiles == SQL ``quantile_cont``. Scale note: the bucketed kernel
-    holds ONE GROUP per task, so this path suits bounded per-group volumes
-    (cardinality-heavy groups should gate through the mergeable quantile
-    sketch, ``quantile_sketch_gate_daily``)."""
-    from forecastframe_ray.stages.agg import bucketed_map_groups
+    """Exact p50/p90/p99 of value per event type via the range-partition
+    order-statistic plan (``interpret.grouped_quantiles``): ONE distributed
+    sort + split_at_indices pluck — per-group volume never has to fit one
+    task's heap, the true 100 TB path (the mergeable sketch gate is the
+    approximate alternative)."""
+    from forecastframe_ray.pipelines.interpret import (grouped_moments,
+                                                        grouped_quantiles)
 
     ev = _read(sf_dir, "events", ["event_type", "value"])
-
-    def pct(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy(np.float64)
-        q = np.quantile(v, [0.5, 0.9, 0.99])
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "n": [np.int64(len(v))],
-                             "p50": [np.round(q[0], 6)],
-                             "p90": [np.round(q[1], 6)],
-                             "p99": [np.round(q[2], 6)]})
-
-    out = bucketed_map_groups(ev, ["event_type"], pct,
-                              num_partitions=_NP).to_pandas()
+    counts = grouped_moments(ev, ["event_type"], "value")[["event_type",
+                                                           "n"]]
+    out = grouped_quantiles(ev, ["event_type"], "value",
+                            qs=(0.5, 0.9, 0.99), counts=counts)
+    out = out.rename(columns={"q50": "p50", "q90": "p90", "q99": "p99"})
+    out = out.merge(counts, on="event_type")
+    for c in ("p50", "p90", "p99"):
+        out[c] = np.round(out[c].to_numpy(np.float64), 6)
     out["n"] = out["n"].astype("int64")
+    out = out[["event_type", "n", "p50", "p90", "p99"]]
     return out.sort_values("event_type").reset_index(drop=True)
 
 

@@ -267,6 +267,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wow_growth_daily": Q.q_wow_growth_daily,
         # gap-fill + per-series median imputation
         "median_impute_hourly": Q.q_median_impute_hourly,
+        # per-source ingest audit profile
+        "source_profile_documents": Q.q_source_profile_documents,
+        # lang-ID confusion matrix vs labeled lang
+        "lang_confusion_documents": Q.q_lang_confusion_documents,
     }
 
 
@@ -423,4 +427,6 @@ def oracle_sql() -> dict[str, str]:
         "rolling_p90_daily": Q.SQL_ROLLING_P90_DAILY,
         "wow_growth_daily": Q.SQL_WOW_GROWTH_DAILY,
         "median_impute_hourly": Q.SQL_MEDIAN_IMPUTE_HOURLY,
+        "source_profile_documents": Q.SQL_SOURCE_PROFILE,
+        "lang_confusion_documents": Q.SQL_LANG_CONFUSION,
     }

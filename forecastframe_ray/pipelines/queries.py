@@ -5370,3 +5370,79 @@ SQL_MEDIAN_IMPUTE_HOURLY = """
     LEFT JOIN hourly USING (event_type, h)
     JOIN med ON med.event_type = s.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus profile + lang-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+def q_source_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus composition: doc count, total/mean chars, distinct
+    labeled languages — the ingest-audit query a crawl pipeline runs per
+    upstream feed. One combiner'd aggregate."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang",
+                                       "n_chars"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["source", "lang", "n_chars"]]
+
+    # distinct langs per source via a (source, lang) pre-distinct then a
+    # count — the two-level exact-distinct plan
+    sl = hash_aggregate(docs.map_batches(pre, batch_format="pandas"),
+                        ["source", "lang"], {"nd": ("lang", "size")},
+                        num_partitions=4)
+    langs = hash_aggregate(sl, ["source"], {"n_langs": ("nd", "size")},
+                           num_partitions=4).to_pandas()
+    base = hash_aggregate(docs, ["source"], {
+        "n_docs": ("doc_id", "size"),
+        "sum_chars": ("n_chars", "sum"),
+    }, num_partitions=4).to_pandas()
+    out = base.merge(langs, on="source")
+    out["mean_chars"] = np.round(
+        out["sum_chars"].to_numpy(np.float64)
+        / out["n_docs"].to_numpy(np.float64), 6)
+    out = out.astype({"n_docs": "int64", "sum_chars": "int64",
+                      "n_langs": "int64"})
+    out = out[["source", "n_docs", "sum_chars", "mean_chars", "n_langs"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_PROFILE = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY 1
+"""
+
+
+def q_lang_confusion_documents(sf_dir: str) -> pd.DataFrame:
+    """Lang-ID evaluation: confusion counts of the n-gram heuristic's
+    prediction against the labeled ``lang`` column (zh has no stopword
+    profile, so its mass lands in 'und'/confusions — the matrix quantifies
+    exactly that)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = docs.map_batches(lambda b: textstats.lang_id_batch(b),
+                            batch_format="pandas")
+
+    def pair(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang_true": b["lang"],
+                             "lang_pred": b["lang_pred"],
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    out = hash_aggregate(pred.map_batches(pair, batch_format="pandas"),
+                         ["lang_true", "lang_pred"], {"n": ("one", "sum")},
+                         num_partitions=4).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang_true", "lang_pred"]).reset_index(drop=True)
+
+
+_LANG_CONFUSION_TEMPLATE = """
+    WITH pred AS ({langid})
+    SELECT d.lang AS lang_true, pred.lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN pred USING (doc_id)
+    GROUP BY 1, 2
+"""
+
+SQL_LANG_CONFUSION = _LANG_CONFUSION_TEMPLATE.format(langid=SQL_LANG_ID)

@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_profile_documents": Q.q_source_profile_documents,
         # lang-ID confusion matrix vs labeled lang
         "lang_confusion_documents": Q.q_lang_confusion_documents,
+        # robust median/MAD outlier flags (Hampel filter)
+        "robust_zscore_daily": Q.q_robust_zscore_daily,
+        # modal event type per user (grouped top-1)
+        "favorite_type_per_user": Q.q_favorite_type_per_user,
     }
 
 
@@ -429,4 +433,6 @@ def oracle_sql() -> dict[str, str]:
         "median_impute_hourly": Q.SQL_MEDIAN_IMPUTE_HOURLY,
         "source_profile_documents": Q.SQL_SOURCE_PROFILE,
         "lang_confusion_documents": Q.SQL_LANG_CONFUSION,
+        "robust_zscore_daily": Q.SQL_ROBUST_ZSCORE,
+        "favorite_type_per_user": Q.SQL_FAVORITE_TYPE,
     }

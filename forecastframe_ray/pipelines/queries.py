@@ -5446,3 +5446,106 @@ _LANG_CONFUSION_TEMPLATE = """
 """
 
 SQL_LANG_CONFUSION = _LANG_CONFUSION_TEMPLATE.format(langid=SQL_LANG_ID)
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) outlier flags per series — two-level scale quantiles
+# ---------------------------------------------------------------------------
+
+def q_robust_zscore_daily(sf_dir: str) -> pd.DataFrame:
+    """Robust z-score outliers: |v − median| > 3 · 1.4826 · MAD per series
+    (Hampel filter constants, public). BOTH medians run on the
+    range-partition order-statistic plan — no per-group heap bound — with
+    the per-series stats broadcast back into a vectorized flag pass.
+    Comparison on 6dp-rounded deviation/threshold so a boundary day cannot
+    flip engines. Zero-MAD series (>50% identical values) flag only exact
+    deviants — deviation > 0 — matching the SQL CASE."""
+    from forecastframe_ray.pipelines.interpret import grouped_quantiles
+
+    daily = _bucket_series(sf_dir, DAY_US, "d").materialize()
+    med = grouped_quantiles(daily, ["event_type"], "v", qs=(0.5,))
+    med = med.rename(columns={"q50": "med"})
+    med_map = dict(zip(med["event_type"], med["med"]))
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].map(med_map).to_numpy(np.float64)
+        b = b.copy()
+        b["adev"] = np.abs(b["v"].to_numpy(np.float64) - m)
+        return b
+
+    devs = daily.map_batches(absdev, batch_format="pandas").materialize()
+    mad = grouped_quantiles(devs, ["event_type"], "adev", qs=(0.5,))
+    mad_map = dict(zip(mad["event_type"], mad["q50"]))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].map(med_map).to_numpy(np.float64)
+        md = b["event_type"].map(mad_map).to_numpy(np.float64)
+        dev = np.round(np.abs(b["v"].to_numpy(np.float64) - m), 6)
+        thr = np.round(3.0 * 1.4826 * md, 6)
+        return pd.DataFrame({
+            "event_type": b["event_type"], "d": b["d"], "v": b["v"],
+            "deviation": dev, "threshold": thr,
+            "outlier": (dev > thr).astype("int64"),
+        })
+
+    out = daily.map_batches(flag, batch_format="pandas").to_pandas()
+    return out.sort_values(["event_type", "d"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+SQL_ROBUST_ZSCORE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, median(v) AS med FROM daily GROUP BY 1),
+    a AS (
+        SELECT d.event_type, d.d, d.v, abs(d.v - m.med) AS adev
+        FROM daily d JOIN m USING (event_type)
+    ),
+    md AS (SELECT event_type, median(adev) AS mad FROM a GROUP BY 1)
+    SELECT a.event_type, a.d, a.v,
+           round(a.adev, 6) AS deviation,
+           round(3.0 * 1.4826 * md.mad, 6) AS threshold,
+           CAST(round(a.adev, 6) > round(3.0 * 1.4826 * md.mad, 6)
+                AS BIGINT) AS outlier
+    FROM a JOIN md USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# modal (most frequent) event type per user — grouped top-1 with tie-break
+# ---------------------------------------------------------------------------
+
+def q_favorite_type_per_user(sf_dir: str) -> pd.DataFrame:
+    """Each user's most frequent event type (count desc, type asc on ties)
+    — counts pre-reduce in the combiner'd aggregate, the top-1 cut is the
+    grouped-top-k partial merge (≤ users×1 rows shuffle)."""
+    from forecastframe_ray.stages.topk import grouped_topk
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = hash_aggregate(ev, ["user_id", "event_type"],
+                            {"n": ("event_type", "size")},
+                            num_partitions=_NP)
+
+    def neg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n"] = b["n"].astype("int64")
+        return b
+
+    top = grouped_topk(counts.map_batches(neg, batch_format="pandas"),
+                       ["user_id"], "n", k=1, descending=True,
+                       tiebreak=["event_type"], num_partitions=_NP)
+    out = top.to_pandas().astype({"user_id": "int64", "n": "int64"})
+    out = out.rename(columns={"event_type": "favorite_type"})
+    return out[["user_id", "favorite_type", "n"]] \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+SQL_FAVORITE_TYPE = """
+    SELECT user_id, event_type AS favorite_type, n
+    FROM (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type)
+                   AS rn
+        FROM events GROUP BY 1, 2
+    ) WHERE rn = 1
+"""

@@ -275,6 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_zscore_daily": Q.q_robust_zscore_daily,
         # modal event type per user (grouped top-1)
         "favorite_type_per_user": Q.q_favorite_type_per_user,
+        # LTTB visual downsample (rows-only: sequential selection chain;
+        # pinned by tests/test_lttb.py against a reference implementation)
+        "lttb_daily_events": Q.q_lttb_daily_events,
     }
 
 

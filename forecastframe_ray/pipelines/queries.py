@@ -5549,3 +5549,25 @@ SQL_FAVORITE_TYPE = """
         FROM events GROUP BY 1, 2
     ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# LTTB visual downsampling (rows-only: sequential selection chain is not
+# SQL-expressible; pinned by tests/test_lttb.py against a reference impl)
+# ---------------------------------------------------------------------------
+
+def q_lttb_daily_events(sf_dir: str) -> pd.DataFrame:
+    """20-point LTTB downsample of each daily series (endpoints kept,
+    bucket winners by triangle area)."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    out = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "lttb", "feature": "v", "n_out": 20}],
+        num_partitions=_NP)
+    df = out.to_pandas()
+    df = df[df["selected"] == 1].drop(columns=["selected"])
+    df = df[["event_type", "d", "v"]]
+    return df.sort_values(["event_type", "d"],
+                          kind="mergesort").reset_index(drop=True)

@@ -526,7 +526,55 @@ def _register_all(register_op):
     register_op("percent_rank")(op_percent_rank)
     register_op("rate")(op_rate)
     register_op("rolling_quantile")(op_rolling_quantile)
+    register_op("lttb")(op_lttb)
     register_op("ntile")(op_ntile)
     register_op("cume_dist")(op_cume_dist)
     register_op("cusum")(op_cusum)
     register_op("seasonal_decompose")(op_seasonal_decompose)
+
+
+def op_lttb(df, keys, ts_col, feature, n_out, out_name="selected"):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    public) per series: keep ``n_out`` points that best preserve the
+    series' visual shape — endpoints always kept, interior buckets each
+    contribute the point maximizing the triangle area with the PREVIOUS
+    SELECTED point and the next bucket's centroid (a sequential selection
+    chain — deliberately not SQL-expressible; pinned by pytest against a
+    reference implementation instead of a DuckDB twin).
+
+    Appends a 0/1 ``out_name`` marker column (callers filter) so the op
+    fuses into the keyed stage without changing row count. Series with
+    ≤ n_out rows keep every point. The per-bucket area computation is
+    vectorized; the Python loop is over the n_out−2 buckets only."""
+    n_out = int(n_out)
+    marks = np.zeros(len(df), dtype=np.int64)
+    ts_us = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+    vs = df[feature].to_numpy(np.float64)
+    start = 0
+    for _, g in df.groupby(keys, sort=False, observed=True):
+        n = len(g)
+        sl = slice(start, start + n)
+        x, y = ts_us[sl].astype(np.float64), vs[sl]
+        if n <= n_out:
+            marks[sl] = 1
+            start += n
+            continue
+        sel = [0]
+        # n_out-2 interior buckets over points 1..n-2
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            if b + 2 <= n_out - 2:
+                nlo, nhi = edges[b + 1], edges[b + 2]
+            else:
+                nlo, nhi = n - 1, n
+            ax, ay = x[sel[-1]], y[sel[-1]]
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            bx, by = x[lo:hi], y[lo:hi]
+            area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+            sel.append(lo + int(np.argmax(area)))
+        sel.append(n - 1)
+        marks[np.asarray(sel) + start] = 1
+        start += n
+    df[out_name] = marks
+    return df

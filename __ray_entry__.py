@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LTTB visual downsample (rows-only: sequential selection chain;
         # pinned by tests/test_lttb.py against a reference implementation)
         "lttb_daily_events": Q.q_lttb_daily_events,
+        # composition share of each type within its day
+        "daily_share_events": Q.q_daily_share_events,
     }
 
 
@@ -438,4 +440,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion_documents": Q.SQL_LANG_CONFUSION,
         "robust_zscore_daily": Q.SQL_ROBUST_ZSCORE,
         "favorite_type_per_user": Q.SQL_FAVORITE_TYPE,
+        "daily_share_events": Q.SQL_DAILY_SHARE,
     }

@@ -5571,3 +5571,40 @@ def q_lttb_daily_events(sf_dir: str) -> pd.DataFrame:
     df = df[["event_type", "d", "v"]]
     return df.sort_values(["event_type", "d"],
                           kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# daily composition share (fraction-of-day-total per type)
+# ---------------------------------------------------------------------------
+
+def q_daily_share_events(sf_dir: str) -> pd.DataFrame:
+    """Each type's share of its day's total — the composition dashboard
+    query. Day totals reduce first (day-cardinality result), broadcast
+    back into a vectorized share pass; zero-total days emit NULLF."""
+    daily = _bucket_series(sf_dir, DAY_US, "d").materialize()
+    totals = hash_aggregate(daily, ["d"], {"day_total": ("v", "sum")},
+                            num_partitions=4).to_pandas()
+    tot_map = dict(zip(totals["d"], totals["day_total"]))
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["d"].map(tot_map).to_numpy(np.float64)
+        v = b["v"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sh = np.where(t == 0, np.nan, np.round(v / t, 6))
+        return pd.DataFrame({"event_type": b["event_type"], "d": b["d"],
+                             "v": b["v"], "share": sh})
+
+    out = daily.map_batches(share, batch_format="pandas").to_pandas()
+    out = _fill(out, ["share"])
+    return out.sort_values(["event_type", "d"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+SQL_DAILY_SHARE = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           COALESCE(CASE WHEN sum(v) OVER (PARTITION BY d) <> 0
+                THEN round(v / sum(v) OVER (PARTITION BY d), 6) END,
+                {NULLF}) AS share
+    FROM daily
+"""

@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lttb_daily_events": Q.q_lttb_daily_events,
         # composition share of each type within its day
         "daily_share_events": Q.q_daily_share_events,
+        # deterministic md5 train/val/test split
+        "dataset_split_orders": Q.q_dataset_split_orders,
     }
 
 
@@ -441,4 +443,5 @@ def oracle_sql() -> dict[str, str]:
         "robust_zscore_daily": Q.SQL_ROBUST_ZSCORE,
         "favorite_type_per_user": Q.SQL_FAVORITE_TYPE,
         "daily_share_events": Q.SQL_DAILY_SHARE,
+        "dataset_split_orders": Q.SQL_DATASET_SPLIT,
     }

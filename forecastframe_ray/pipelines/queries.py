@@ -5608,3 +5608,46 @@ SQL_DAILY_SHARE = f"""
                 {NULLF}) AS share
     FROM daily
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split (stages/sample.hash_split)
+# ---------------------------------------------------------------------------
+
+def q_dataset_split_orders(sf_dir: str) -> pd.DataFrame:
+    """80/10/10 hash split of orders by key — membership depends only on
+    md5(o_orderkey), so it is identical for any cluster shape, resume, or
+    later delivery. Output: per-split counts + value totals."""
+    from forecastframe_ray.stages.sample import hash_split
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    tagged = hash_split(orders, "o_orderkey",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = hash_aggregate(tagged, ["split"], {
+        "n": ("o_orderkey", "size"),
+        "sum_price": ("o_totalprice", "sum"),
+    }, num_partitions=4).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out = _round(out, ["sum_price"], 2)
+    return out[["split", "n", "sum_price"]].sort_values("split") \
+        .reset_index(drop=True)
+
+
+SQL_DATASET_SPLIT = """
+    WITH h AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS b
+        FROM orders
+    ),
+    tagged AS (
+        SELECT *,
+               CASE WHEN b < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+                    WHEN b < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM tagged GROUP BY 1
+"""

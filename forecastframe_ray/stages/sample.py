@@ -87,3 +87,26 @@ def stratified_sample(ds, group_cols: list[str], key_col: str, k: int,
                        num_partitions=num_partitions)
     return out.map_batches(lambda b: b.drop(columns=["__smp"]),
                            batch_format="pandas")
+
+
+def hash_split(ds, key_col: str, fractions: dict[str, float]):
+    """Deterministic train/val/test assignment: a row's split depends only
+    on ``md5(str(key))`` — stable across cluster shapes, resumes and later
+    deliveries (the same properties as :func:`hash_sample`, applied to the
+    canonical ML split). ``fractions`` maps split name → fraction (must sum
+    to ≤ 1; any remainder joins the LAST split). Appends a ``split``
+    column; stateless map_batches, no shuffle."""
+    names = list(fractions)
+    cuts = np.cumsum([fractions[n] for n in names])
+    bounds = (cuts * _SPACE).astype(np.int64)
+    bounds[-1] = _SPACE  # remainder folds into the last split
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = _bucket(b[key_col])
+        idx = np.searchsorted(bounds, h, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        b = b.copy()
+        b["split"] = np.asarray(names, dtype=object)[idx]
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": Q.q_embedding_neardup_exact,
         "ann_ivf_recall": Q.q_ann_ivf_recall,
         "ensemble_pred_daily": Q.q_ensemble_pred_daily,
+        # Prophet-style Fourier regression, oracle-exact via the
+        # harmonics-span-dow-indicators identity
+        "fourier_dow_fit_daily": Q.q_fourier_dow_fit_daily,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "minhash_recall": Q.q_minhash_recall,
         "simhash_recall": Q.q_simhash_recall,
@@ -351,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_exact": Q.SQL_EMBEDDING_NEARDUP_EXACT,
         "ann_ivf_recall": Q.SQL_ANN_IVF_RECALL,
         "ensemble_pred_daily": Q.SQL_ENSEMBLE_PRED,
+        "fourier_dow_fit_daily": Q.SQL_FOURIER_DOW_FIT,
         "ngram_jaccard_pairs": Q.SQL_NGRAM_JACCARD,
         "minhash_recall": Q.SQL_MINHASH_RECALL,
         "simhash_recall": Q.SQL_SIMHASH_RECALL,

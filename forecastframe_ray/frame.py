@@ -617,17 +617,23 @@ class RayForecastFrame:
         """Ensemble-feature hook — the engine path for the reference's
         ``calc_prophet_predictions`` (feature_engineering.py:943-985), which
         fits a per-group model and appends its predictions as a feature
-        column. Prophet is not available in this container, so the built-in
-        model is a deterministic per-(group, day-of-week) seasonal mean; the
-        physical plan is the one a real model plugs into: a small fit
-        aggregate broadcast via ``ray.put`` + a scorer ACTOR POOL that loads
-        the fitted state once per actor (``__init__``) and scores per batch.
+        column. Prophet itself is not available in this container; two real
+        engine-native models ship behind the same physical plan (a small
+        distributed fit broadcast via ``ray.put`` + a scorer ACTOR POOL that
+        loads the fitted state once per actor in ``__init__`` and scores per
+        batch):
+
+        - ``"seasonal_mean"`` — per-(group, day-of-week) mean lookup;
+        - ``"fourier"`` — a genuinely FITTED per-group additive regression
+          (weekly Fourier harmonics + linear trend, distributed normal
+          equations; :func:`pipelines.search.fit_fourier`) — the closest
+          in-container analog of Prophet's trend + weekly seasonality.
         """
         import ray as _ray
 
         from forecastframe_ray.stages.agg import hash_aggregate
 
-        assert model == "seasonal_mean", model
+        assert model in ("seasonal_mean", "fourier"), model
         feature = feature or self.target
         self._record("calc_ensemble_predictions",
                      {"model": model, "feature": feature})
@@ -641,6 +647,39 @@ class RayForecastFrame:
             b = b.copy()
             b["__dow"] = b[dtc].dt.dayofweek.astype("int32")
             return b
+
+        if model == "fourier":
+            from forecastframe_ray.pipelines.search import (_day_numbers,
+                                                            _fourier_design,
+                                                            fit_fourier)
+            state = fit_fourier(self._ds, keys, dtc, feature,
+                                order=3, trend=True)
+            order = state["order"]
+            pf = 1 + 2 * order
+            model_ref = _ray.put(state["model"])
+
+            class FourierScorer:
+                def __init__(self):
+                    self.model = _ray.get(model_ref)
+
+                def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                    b = b.copy()
+                    m = b[keys].copy()
+                    m["__dow"] = b[dtc].dt.dayofweek.astype("int64")
+                    m = m.merge(self.model, how="left", on=keys)
+                    X = _fourier_design(m["__dow"].to_numpy(np.int64), order)
+                    C = m[[f"__c{j}" for j in range(pf)]] \
+                        .to_numpy(np.float64)
+                    t = _day_numbers(b[dtc]).astype(np.float64) \
+                        - m["__base"].to_numpy(np.float64)
+                    b[out_col] = (X * C).sum(axis=1) \
+                        + m[f"__c{pf}"].to_numpy(np.float64) * t
+                    return b
+
+            self._ds = self._ds.map_batches(FourierScorer,
+                                            batch_format="pandas",
+                                            concurrency=(1, 8))
+            return self
 
         fitted = hash_aggregate(
             self._ds.map_batches(add_dow, batch_format="pandas"),

@@ -1904,6 +1904,45 @@ SQL_ENSEMBLE_PRED = f"""
 """
 
 
+def q_fourier_dow_fit_daily(sf_dir: str) -> pd.DataFrame:
+    """Prophet-style Fourier regression, oracle-EXACT: fit the weekly
+    harmonic model (order=3, no trend, l2=0) per series by distributed
+    normal equations (:func:`search.fit_fourier` — per-(series,dow)
+    sufficient stats → one coarse-hash aggregate → batched driver solve),
+    then score. Because intercept + all three weekly harmonics span the
+    full day-of-week indicator space, the OLS fitted values equal the
+    per-(series, dow) conditional means — which is precisely what the SQL
+    oracle computes. Checks the whole distributed regression path (design,
+    gram accumulation, solve, broadcast score) for exactness."""
+    from forecastframe_ray.pipelines.search import fit_fourier, score_fourier
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    state = fit_fourier(daily, ["event_type"], "d", "v",
+                        order=3, trend=False)
+    scored = score_fourier(daily, state, ["event_type"], "d", "v",
+                           "fourier_pred")
+
+    def to_dow(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["event_type", "fourier_pred"]].copy()
+        out["dow"] = b["d"].dt.dayofweek.astype("int64")
+        # identical floats within a (series, dow): safe to dedup pre-round
+        return out.drop_duplicates()
+
+    df = scored.map_batches(to_dow, batch_format="pandas") \
+        .to_pandas().drop_duplicates()
+    df = _round(df, ["fourier_pred"], 4)
+    return df[["event_type", "dow", "fourier_pred"]] \
+        .sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+SQL_FOURIER_DOW_FIT = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, CAST(isodow(d) - 1 AS BIGINT) AS dow,
+           round(avg(v), 4) AS fourier_pred
+    FROM daily GROUP BY 1, 2
+"""
+
+
 def q_search_cv_daily(sf_dir: str) -> pd.DataFrame:
     """Grid-search cross-validation driver (reference grid/random search,
     ``model.py:319-513`` + ``cross_validate``, ``model.py:1313-1417``): the

@@ -193,6 +193,146 @@ def score_linear_trend(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def _fourier_design(dow: np.ndarray, order: int) -> np.ndarray:
+    """(n, 1+2·order) weekly-harmonic design:
+    [1, cos(2πk·dow/7), sin(2πk·dow/7)] for k = 1..order."""
+    cols = [np.ones(len(dow), dtype=np.float64)]
+    ang = 2.0 * np.pi * np.asarray(dow, dtype=np.float64) / 7.0
+    for k in range(1, order + 1):
+        cols.append(np.cos(k * ang))
+        cols.append(np.sin(k * ang))
+    return np.stack(cols, axis=1)
+
+
+def fit_fourier(train_ds, keys: list[str], dtc: str, target: str,
+                order: int = 3, trend: bool = False, l2: float = 0.0) -> dict:
+    """Prophet-style additive model per series — weekly Fourier seasonality
+    plus an optional linear trend, fit by distributed normal equations (the
+    real-regression analog of the reference's per-group Prophet feature,
+    ``calc_prophet_predictions`` feature_engineering.py:943-985).
+
+    The weekly design depends on a row only through its day-of-week (7
+    values), so the normal equations collapse to per-(series, dow)
+    sufficient statistics: ``n, Σy`` — plus ``Σdn, Σdn², Σdn·y`` (dn =
+    integer day number, summed in EXACT int64) when ``trend`` is on. One
+    coarse-hash aggregate ships O(series × 7) rows to the driver; trend
+    columns are centered algebraically on the per-series min day; the
+    per-series (1+2·order[+1])² gram systems are solved in one batched
+    ``np.linalg.pinv`` (projection well-defined even for series missing
+    some weekdays). With ``order=3, trend=False, l2=0`` the design spans
+    the full dow-indicator space, so OLS fitted values equal per-dow
+    conditional means — the property the SQL oracle checks exactly.
+
+    ``l2`` ridge-damps every non-intercept coefficient (fit-time only).
+    """
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    order, trend, l2 = int(order), bool(trend), float(l2)
+    p = 1 + 2 * order + (1 if trend else 0)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[target].notna()]
+        m = b[keys].copy()
+        m["__dow"] = b[dtc].dt.dayofweek.astype("int64")
+        y = b[target].to_numpy(dtype=np.float64)
+        m["__n"], m["__sy"] = np.int64(1), y
+        if trend:
+            dn = _day_numbers(b[dtc])
+            m["__sdn"], m["__sdn2"] = dn, dn * dn  # int64-exact sums
+            m["__sdny"] = dn.astype(np.float64) * y
+        cols = [c for c in m.columns if c.startswith("__s") or c == "__n"]
+        return (m.groupby(keys + ["__dow"], sort=False, dropna=False,
+                          observed=True)[cols].sum().reset_index())
+
+    aggs = {"__n": ("__n", "sum"), "__sy": ("__sy", "sum")}
+    if trend:
+        aggs.update({"__sdn": ("__sdn", "sum"), "__sdn2": ("__sdn2", "sum"),
+                     "__sdny": ("__sdny", "sum")})
+    stats = hash_aggregate(
+        train_ds.map_batches(partials, batch_format="pandas"),
+        keys + ["__dow"], aggs).to_pandas()
+
+    # driver-side batched solve over the (series × ≤7)-row stats table
+    skey = stats[keys].astype(str).agg("\x00".join, axis=1).to_numpy() \
+        if len(keys) > 1 else stats[keys[0]].to_numpy()
+    codes, uidx = pd.factorize(skey, sort=False)
+    S = len(uidx)
+    dow = stats["__dow"].to_numpy(np.int64)
+    n = stats["__n"].to_numpy(np.float64)
+    sy = stats["__sy"].to_numpy(np.float64)
+    X7 = _fourier_design(dow, order)          # (rows, 1+2·order)
+    A = np.zeros((S, p, p))
+    rhs = np.zeros((S, p))
+    pf = 1 + 2 * order
+    # Fourier block: Σ x xᵀ weighted by per-(series,dow) counts
+    np.add.at(A, (codes, slice(0, pf), slice(0, pf)),
+              n[:, None, None] * (X7[:, :, None] * X7[:, None, :]))
+    np.add.at(rhs, (codes, slice(0, pf)), sy[:, None] * X7)
+    base = np.zeros(S, dtype=np.int64)
+    if trend:
+        sdn = stats["__sdn"].to_numpy(np.int64)
+        sdn2 = stats["__sdn2"].to_numpy(np.int64)
+        sdny = stats["__sdny"].to_numpy(np.float64)
+        # per-series base day (min mean-day proxy: exact min over dows of
+        # floor(Σdn/n) is not the true min; use int floor of the smallest
+        # per-(series,dow) mean — centering only needs a nearby constant,
+        # exactness comes from the int64 algebra below)
+        mean_dn = sdn // np.maximum(stats["__n"].to_numpy(np.int64), 1)
+        bmin = pd.Series(mean_dn).groupby(codes).min().to_numpy(np.int64)
+        base = bmin
+        b_ = base[codes]
+        nn = stats["__n"].to_numpy(np.int64)
+        st = (sdn - b_ * nn).astype(np.float64)              # Σt (exact)
+        st2 = (sdn2 - 2 * b_ * sdn + nn * b_ * b_).astype(np.float64)
+        sty = sdny - b_.astype(np.float64) * sy              # Σt·y
+        np.add.at(A, (codes, slice(0, pf), pf),
+                  st[:, None] * X7)                          # Σ t·x_j
+        np.add.at(A, (codes, pf, slice(0, pf)), st[:, None] * X7)
+        np.add.at(A, (codes, pf, pf), st2)
+        np.add.at(rhs, (codes, pf), sty)
+    if l2 > 0.0:
+        ridge = np.eye(p) * l2
+        ridge[0, 0] = 0.0  # intercept unpenalized
+        A = A + ridge
+    coef = np.einsum("spq,sq->sp", np.linalg.pinv(A), rhs)
+    model = pd.DataFrame(dict(zip(
+        keys, (stats[k].to_numpy()[np.unique(codes, return_index=True)[1]]
+               for k in keys))))
+    model["__base"] = base
+    for j in range(p):
+        model[f"__c{j}"] = coef[:, j]
+    return {"order": order, "trend": trend, "l2": l2, "model": model}
+
+
+def score_fourier(ds, state: dict, keys: list[str], dtc: str,
+                  target: str, out_col: str):
+    """Broadcast-merge scorer: pred = Σⱼ cⱼ·xⱼ(dow[, t]). Series unseen at
+    fit time score NaN (null-masked by the metrics)."""
+    import ray
+
+    order, trend = state["order"], state["trend"]
+    pf = 1 + 2 * order
+    p = pf + (1 if trend else 0)
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b[keys].copy()
+        m["__dow"] = b[dtc].dt.dayofweek.astype("int64")
+        m = m.merge(ray.get(ref), how="left", on=keys)
+        X = _fourier_design(m["__dow"].to_numpy(np.int64), order)
+        C = m[[f"__c{j}" for j in range(pf)]].to_numpy(np.float64)
+        pred = (X * C).sum(axis=1)
+        if trend:
+            t = _day_numbers(b[dtc]).astype(np.float64) \
+                - m["__base"].to_numpy(np.float64)
+            pred = pred + m[f"__c{pf}"].to_numpy(np.float64) * t
+        b[out_col] = pred
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 #: name -> (fit, score, fit_param_names). ``fit_param_names`` declares which
 #: candidate params the FIT depends on (the rest only affect scoring), so
 #: the search driver can share one fitted state across candidates that
@@ -201,6 +341,7 @@ def score_linear_trend(ds, state: dict, keys: list[str], dtc: str,
 ESTIMATORS = {
     "seasonal_mean": (fit_seasonal_mean, score_seasonal_mean, ("season",)),
     "linear_trend": (fit_linear_trend, score_linear_trend, ("l2",)),
+    "fourier": (fit_fourier, score_fourier, ("order", "trend", "l2")),
 }
 
 

@@ -267,3 +267,105 @@ def test_search_cv_linear_trend_shares_fits():
     mean_rmse = results.groupby("l2")["rmse"].mean()
     assert mean_rmse[0.0] < mean_rmse[1e9]
     assert best["l2"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# fourier estimator (Prophet-style weekly harmonics + optional trend)
+# ---------------------------------------------------------------------------
+
+
+def _fourier_df(trend: bool) -> pd.DataFrame:
+    rng = np.random.default_rng(11)
+    rows = []
+    for si, (s, n) in enumerate([("a", 60), ("b", 60), ("c", 13)]):
+        d = pd.date_range("2022-05-01", periods=n, freq="D")
+        v = (rng.normal(80, 15, n)
+             + 12 * np.sin(2 * np.pi * d.dayofweek / 7)
+             + (0.4 * si * np.arange(n) if trend else 0.0))
+        rows.append(pd.DataFrame({"series": s, "d": d, "v": v}))
+    return pd.concat(rows, ignore_index=True)
+
+
+def test_fourier_no_trend_equals_dow_means(ray_session):
+    """order=3 harmonics + intercept span the dow-indicator space, so OLS
+    fitted values must equal per-(series, dow) conditional means exactly
+    (the identity the SQL oracle of ``fourier_dow_fit_daily`` checks)."""
+    import ray.data as rd
+
+    df = _fourier_df(trend=False)
+    ds = rd.from_pandas(df).repartition(4)
+    state = search.fit_fourier(ds, ["series"], "d", "v",
+                               order=3, trend=False)
+    got = search.score_fourier(ds, state, ["series"], "d", "v",
+                               "pred").to_pandas()
+    got["dow"] = got["d"].dt.dayofweek
+    ref = df.assign(dow=df["d"].dt.dayofweek) \
+        .groupby(["series", "dow"], as_index=False)["v"].mean() \
+        .rename(columns={"v": "ref"})
+    m = got.merge(ref, on=["series", "dow"])
+    assert np.abs(m["pred"] - m["ref"]).max() < 1e-8
+
+
+def test_fourier_trend_matches_lstsq(ray_session):
+    """trend=True must reproduce the per-series full-design OLS solution
+    (numpy lstsq on [1, cos, sin, ..., centered day number])."""
+    import ray.data as rd
+
+    df = _fourier_df(trend=True)
+    ds = rd.from_pandas(df).repartition(4)
+    state = search.fit_fourier(ds, ["series"], "d", "v", order=2, trend=True)
+    got = search.score_fourier(ds, state, ["series"], "d", "v",
+                               "pred").to_pandas()
+    model = state["model"].set_index("series")
+    for s, g in df.groupby("series"):
+        dn = search._day_numbers(g["d"])
+        base = model.loc[s, "__base"]
+        X = np.column_stack([
+            search._fourier_design(g["d"].dt.dayofweek.to_numpy(), 2),
+            (dn - base).astype(float)])
+        beta, *_ = np.linalg.lstsq(X, g["v"].to_numpy(), rcond=None)
+        want = X @ beta
+        have = got[got["series"] == s].sort_values("d")["pred"].to_numpy()
+        assert np.abs(have - want).max() < 1e-6, s
+
+
+def test_fourier_ridge_damps_and_search_runs(ray_session):
+    import ray.data as rd
+
+    df = _fourier_df(trend=False)
+    ds = rd.from_pandas(df).repartition(4)
+    ols = search.fit_fourier(ds, ["series"], "d", "v", order=3)
+    ridge = search.fit_fourier(ds, ["series"], "d", "v", order=3, l2=500.0)
+    ccols = [f"__c{j}" for j in range(1, 7)]
+    assert ridge["model"][ccols].abs().to_numpy().max() \
+        < ols["model"][ccols].abs().to_numpy().max()
+
+    fr = RayForecastFrame(rd.from_pandas(df).repartition(4),
+                          datetime_column="d", target="v",
+                          hierarchy=["series"], num_partitions=4)
+    results, best = search.search_cv(
+        fr, grid={"order": [1, 3], "trend": [False], "l2": [0.0]},
+        estimator="fourier", n_splits=2)
+    assert len(results) == 2 * 2  # candidates × folds
+    assert np.isfinite(results["rmse"]).all()
+    assert best["order"] in (1, 3)
+
+
+def test_frame_fourier_ensemble_hook(ray_session):
+    """calc_ensemble_predictions(model='fourier') appends a real fitted
+    trend+seasonality prediction column via the actor-pool scorer."""
+    import ray.data as rd
+
+    df = _fourier_df(trend=True)
+    fr = RayForecastFrame(rd.from_pandas(df).repartition(4),
+                          datetime_column="d", target="v",
+                          hierarchy=["series"], num_partitions=4)
+    out = fr.calc_ensemble_predictions(model="fourier").to_pandas()
+    assert "v_ensemble_pred" in out.columns
+    assert out["v_ensemble_pred"].notna().all()
+    # least-squares nesting: the fitted additive model can never lose
+    # in-sample to the per-series intercept-only model it nests
+    sse_model = float(((out["v"] - out["v_ensemble_pred"]) ** 2).sum())
+    per_mean = out.groupby("series")["v"].transform("mean")
+    sse_series_mean = float(((out["v"] - per_mean) ** 2).sum())
+    assert sse_model < sse_series_mean

@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "errors_describe_daily": Q.q_errors_describe_daily,
         "cv_fit_summary_daily": Q.q_cv_fit_summary_daily,
         "perm_importance_daily": Q.q_perm_importance_daily,
+        # exact Linear-SHAP attributions (closed-form Shapley of OLS)
+        "linear_shap_daily": Q.q_linear_shap_daily,
         "predict_future_daily": Q.q_predict_future_daily,
         "importance_summary_daily": Q.q_importance_summary_daily,
         "quantile_loss_naive": Q.q_quantile_loss_naive,
@@ -374,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "errors_describe_daily": Q.SQL_ERRORS_DESCRIBE,
         "cv_fit_summary_daily": Q.SQL_CV_FIT_SUMMARY,
         "perm_importance_daily": Q.SQL_PERM_IMPORTANCE,
+        "linear_shap_daily": Q.SQL_LINEAR_SHAP,
         "predict_future_daily": Q.SQL_PREDICT_FUTURE,
         "importance_summary_daily": Q.SQL_IMPORTANCE_SUMMARY,
         "quantile_loss_naive": Q.SQL_QUANTILE_LOSS_NAIVE,

@@ -302,11 +302,10 @@ def _det3(m) -> float:
     return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
 
 
-def fit_ols2(ds, x1: str, x2: str, y: str) -> tuple[float, float, float]:
-    """Distributed 2-feature + intercept OLS via normal equations: the nine
-    cross-product sums are per-batch partials + one tiny aggregate (rows
-    never leave the cluster), the 3×3 solve is an explicit Cramer expansion
-    on the driver. Caller must pre-filter rows so x1/x2/y are non-null."""
+def _ols2_sums(ds, x1: str, x2: str, y: str) -> tuple[float, ...]:
+    """The nine cross-product sums of the 2-feature normal equations:
+    per-batch partials + one tiny aggregate — rows never leave the
+    cluster. Caller must pre-filter rows so x1/x2/y are non-null."""
     from ray.data.aggregate import Sum
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
@@ -322,7 +321,13 @@ def fit_ols2(ds, x1: str, x2: str, y: str) -> tuple[float, float, float]:
     names = ["one", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y"]
     row = ds.map_batches(partials, batch_format="pandas").aggregate(
         *[Sum(c, alias_name=c) for c in names])
-    n, s1, s2, s11, s22, s12, sy, s1y, s2y = (float(row[c]) for c in names)
+    return tuple(float(row[c]) for c in names)
+
+
+def _solve_ols2(sums: tuple[float, ...]) -> tuple[float, float, float]:
+    """Explicit 3×3 Cramer expansion of the normal equations (written out
+    so the SQL oracle reproduces the identical float expression)."""
+    n, s1, s2, s11, s22, s12, sy, s1y, s2y = sums
     col0, col1, col2 = (n, s1, s2), (s1, s11, s12), (s2, s12, s22)
     rhs = (sy, s1y, s2y)
     d = _det3((col0, col1, col2))
@@ -333,6 +338,44 @@ def fit_ols2(ds, x1: str, x2: str, y: str) -> tuple[float, float, float]:
     b2 = _det3(((col0[0], col1[0], rhs[0]), (col0[1], col1[1], rhs[1]),
                 (col0[2], col1[2], rhs[2]))) / d
     return b0, b1, b2
+
+
+def fit_ols2(ds, x1: str, x2: str, y: str) -> tuple[float, float, float]:
+    """Distributed 2-feature + intercept OLS via normal equations: sums by
+    :func:`_ols2_sums`, solve by :func:`_solve_ols2` on the driver."""
+    return _solve_ols2(_ols2_sums(ds, x1, x2, y))
+
+
+def linear_shap(ds, x1: str, x2: str, y: str):
+    """EXACT SHAP attributions for the fitted 2-feature linear model — the
+    engine path of the reference's SHAP explainer (interpret.py:282-286
+    ``calc_shap_values``). For a linear model under the background
+    distribution of the data itself, the Shapley value has the closed form
+    (Lundberg & Lee 2017, "Linear SHAP"):
+
+        φⱼ(x) = βⱼ · (xⱼ − x̄ⱼ),   base value = ȳ,
+        prediction ≡ base + φ₁ + φ₂   (exactly, by OLS intercept algebra).
+
+    One distributed fit (nine-sum aggregate + driver Cramer solve) then a
+    stateless vectorized ``map_batches`` append — O(rows), zero shuffles,
+    no per-row model evaluation. Appends ``{x}_shap`` per feature plus
+    ``base_value`` and ``pred``; caller must pre-filter non-null rows."""
+    sums = _ols2_sums(ds, x1, x2, y)
+    n, s1, s2, _, _, _, sy, _, _ = sums
+    b0, b1, b2 = _solve_ols2(sums)
+    m1, m2, base = s1 / n, s2 / n, sy / n
+
+    def attribute(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        v1 = b[x1].to_numpy(dtype=np.float64)
+        v2 = b[x2].to_numpy(dtype=np.float64)
+        b[f"{x1}_shap"] = b1 * (v1 - m1)
+        b[f"{x2}_shap"] = b2 * (v2 - m2)
+        b["base_value"] = base
+        b["pred"] = b0 + b1 * v1 + b2 * v2
+        return b
+
+    return ds.map_batches(attribute, batch_format="pandas")
 
 
 def _rmse_linear(ds, x1: str, x2: str, y: str,

@@ -2312,6 +2312,64 @@ SQL_PERM_IMPORTANCE = f"""
 """
 
 
+def q_linear_shap_daily(sf_dir: str) -> pd.DataFrame:
+    """Exact Linear-SHAP attributions (reference interpret.py:282-286
+    ``calc_shap_values``, engine path): distributed OLS of daily v on
+    (v_lag1, v_lag7), then per-row φⱼ = βⱼ(xⱼ − x̄ⱼ) with base = ȳ — the
+    closed-form Shapley values of a linear model. The oracle recomputes the
+    Cramer solve, the means, and every per-row attribution in SQL."""
+    from forecastframe_ray.pipelines import interpret as interp
+
+    fr = _daily_frame(sf_dir).lag_features("v", [1, 7])
+    ds = fr.dataset.select_columns(
+        ["event_type", "d", "v", "v_lag1", "v_lag7"]).map_batches(
+        lambda b: b[b["v_lag1"].notna() & b["v_lag7"].notna()],
+        batch_format="pandas")
+    out = interp.linear_shap(ds, "v_lag1", "v_lag7", "v").to_pandas()
+    cols = ["v_lag1_shap", "v_lag7_shap", "base_value", "pred"]
+    out = _round(out[["event_type", "d"] + cols], cols, 4)
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_LINEAR_SHAP = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER w AS lv1, LAG(v, 7) OVER w AS lv7
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    e AS (SELECT * FROM l WHERE lv1 IS NOT NULL AND lv7 IS NOT NULL),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(lv1) AS s1, sum(lv7) AS s2,
+               sum(lv1 * lv1) AS s11, sum(lv7 * lv7) AS s22,
+               sum(lv1 * lv7) AS s12,
+               sum(v) AS sy, sum(lv1 * v) AS s1y, sum(lv7 * v) AS s2y
+        FROM e
+    ),
+    det AS (
+        SELECT s1 / n AS m1, s2 / n AS m2, sy / n AS base,
+          n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS d,
+          sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS d0,
+          n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS d1,
+          n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS d2
+        FROM s
+    ),
+    b AS (SELECT m1, m2, base, d0 / d AS b0, d1 / d AS b1, d2 / d AS b2
+          FROM det)
+    SELECT e.event_type, e.d,
+           round(b.b1 * (e.lv1 - b.m1), 4) AS v_lag1_shap,
+           round(b.b2 * (e.lv7 - b.m2), 4) AS v_lag7_shap,
+           round(b.base, 4) AS base_value,
+           round(b.b0 + b.b1 * e.lv1 + b.b2 * e.lv7, 4) AS pred
+    FROM e CROSS JOIN b
+"""
+
+
 def q_predict_future_daily(sf_dir: str) -> pd.DataFrame:
     """The predict driver (reference model.py:1313-1417 data side): fit the
     stand-in seasonal-mean estimator on ALL history, score the next-7-day

@@ -229,3 +229,30 @@ def test_quantile_loss_matches_reference_formula():
     # q=0.5 pinball is half the MAE
     mae = np.mean(np.abs(a - p))
     assert out.loc[0.5, "loss"] == pytest.approx(mae / 2, rel=1e-12)
+
+
+def test_linear_shap_exactness_and_axioms():
+    """Linear-SHAP (closed-form Shapley of the OLS fit): matches the direct
+    numpy formula, satisfies local accuracy (pred == base + Σφ), and the
+    attributions average to zero over the background (efficiency)."""
+    rng = _rng(13)
+    n = 400
+    x1 = rng.normal(10, 3, n)
+    x2 = rng.normal(-5, 2, n)
+    y = 4.0 + 1.5 * x1 - 2.0 * x2 + rng.normal(0, 1, n)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    out = interp.linear_shap(_many_block_ds(df, 5), "x1", "x2", "y") \
+        .to_pandas()
+
+    # direct reference: numpy lstsq + closed form
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert np.abs(out["x1_shap"] - beta[1] * (x1 - x1.mean())).max() < 1e-8
+    assert np.abs(out["x2_shap"] - beta[2] * (x2 - x2.mean())).max() < 1e-8
+    # local accuracy: prediction decomposes exactly
+    recon = out["base_value"] + out["x1_shap"] + out["x2_shap"]
+    assert np.abs(out["pred"] - recon).max() < 1e-8
+    assert abs(out["base_value"].iloc[0] - y.mean()) < 1e-8
+    # efficiency: attributions sum to zero over the background data
+    assert abs(out["x1_shap"].mean()) < 1e-8
+    assert abs(out["x2_shap"].mean()) < 1e-8

@@ -151,6 +151,13 @@ def run_bench(sf_dir: str, num_cpus: int, num_pages: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
 
+    # same-window speed probe (pure numpy, no Ray): this box's ABSOLUTE
+    # throughput drifts 3-4x between hypervisor windows (BASELINE.md
+    # drift-control table; good-window range 21-35 units/s single-worker).
+    # Recording it beside the walls lets cross-round BENCH comparisons be
+    # probe-normalized instead of misread as regressions.
+    probe_1w = round(_control_run(1, 24), 1)
+
     t0 = time.perf_counter()
     fm = _flagship(num_pages, num_cpus)
     flagship_sec = round(time.perf_counter() - t0, 3)
@@ -175,6 +182,8 @@ def run_bench(sf_dir: str, num_cpus: int, num_pages: int) -> dict:
         "num_cpus": num_cpus,
         "flagship": fm,
         "points_per_sec": fm["points_per_sec"],
+        "window_probe_units_per_sec_1w": probe_1w,
+        "window_probe_good_range": [21, 35],
     }
 
 

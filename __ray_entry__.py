@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_decompose_daily": Q.q_seasonal_decompose_daily,
         # per-series lag-1/2 autocorrelation (distributed moment reduce)
         "acf_daily_events": Q.q_acf_daily_events,
+        # Durbin-Levinson PACF lags 1-3 (closed-form from the ACF)
+        "pacf_daily_events": Q.q_pacf_daily_events,
+        # Schuster periodogram power at the weekly/monthly periods
+        "periodogram_daily_events": Q.q_periodogram_daily_events,
         # shingle containment pairs (pipelines/dedup.ngram_containment)
         "containment_pairs_documents": Q.q_containment_pairs_documents,
         # trend/seasonal strength (Hyndman FPP3, from the decomposition)
@@ -417,6 +421,8 @@ def oracle_sql() -> dict[str, str]:
         "cusum_daily_events": Q.SQL_CUSUM_DAILY,
         "seasonal_decompose_daily": Q.SQL_SEASONAL_DECOMPOSE_DAILY,
         "acf_daily_events": Q.SQL_ACF_DAILY,
+        "pacf_daily_events": Q.SQL_PACF_DAILY,
+        "periodogram_daily_events": Q.SQL_PERIODOGRAM_DAILY,
         "containment_pairs_documents": Q.SQL_CONTAINMENT_PAIRS,
         "decomposition_strength_daily": Q.SQL_DECOMP_STRENGTH,
         "latest_order_per_customer": Q.SQL_LATEST_ORDER,

@@ -4048,6 +4048,174 @@ SQL_ACF_DAILY = f"""
 """
 
 
+def q_pacf_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Partial autocorrelation (lags 1-3) per daily series via the
+    Durbin-Levinson recursion over the lag-k autocorrelations — the
+    standard AR-order diagnostic the reference's forecasting workflow
+    reads next to the ACF. rₖ uses the same pairwise ``corr(v, LAG(v,k))``
+    estimator as ``acf_daily_events`` (documented variant; both sides
+    identical), the distributed part is one keyed lag attach + a tiny
+    per-series sum aggregate, and the three-level recursion is closed-form
+    driver algebra reproduced term-for-term in SQL:
+
+        φ₁₁ = r₁;  φ₂₂ = (r₂−r₁²)/(1−r₁²);  φ₂₁ = r₁(1−φ₂₂);
+        φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁) / (1 − φ₂₁r₁ − φ₂₂r₂)."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    lagged = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "lag", "features": ["v"], "lags": [1, 2, 3]}],
+        num_partitions=_NP)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": b["event_type"]}
+        x = b["v"].to_numpy(np.float64)
+        for k in (1, 2, 3):
+            y = b[f"v_lag{k}"].to_numpy(np.float64)
+            ok = ~np.isnan(y)
+            xx, yy = np.where(ok, x, 0.0), np.where(ok, y, 0.0)
+            out[f"n{k}"] = ok.astype(np.int64)
+            out[f"sx{k}"], out[f"sy{k}"] = xx, yy
+            out[f"sxy{k}"] = xx * yy
+            out[f"sxx{k}"], out[f"syy{k}"] = xx * xx, yy * yy
+        return pd.DataFrame(out)
+
+    spec = {c: (c, "sum")
+            for k in (1, 2, 3)
+            for c in (f"n{k}", f"sx{k}", f"sy{k}",
+                      f"sxy{k}", f"sxx{k}", f"syy{k}")}
+    agg = hash_aggregate(lagged.map_batches(moments, batch_format="pandas"),
+                         ["event_type"], spec, num_partitions=_NP)
+    df = agg.to_pandas()
+    r = {}
+    for k in (1, 2, 3):
+        n = df[f"n{k}"].to_numpy(np.float64)
+        sx, sy = df[f"sx{k}"].to_numpy(np.float64), \
+            df[f"sy{k}"].to_numpy(np.float64)
+        cov = n * df[f"sxy{k}"].to_numpy(np.float64) - sx * sy
+        den = ((n * df[f"sxx{k}"].to_numpy(np.float64) - sx * sx)
+               * (n * df[f"syy{k}"].to_numpy(np.float64) - sy * sy))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r[k] = np.where((n >= 2) & (den > 0),
+                            cov / np.sqrt(np.maximum(den, 1e-300)), np.nan)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p11 = r[1]
+        p22 = (r[2] - r[1] * r[1]) / (1.0 - r[1] * r[1])
+        p21 = r[1] * (1.0 - p22)
+        p33 = (r[3] - p21 * r[2] - p22 * r[1]) \
+            / (1.0 - p21 * r[1] - p22 * r[2])
+    out = pd.DataFrame({"event_type": df["event_type"],
+                        "pacf1": np.round(p11, 6),
+                        "pacf2": np.round(p22, 6),
+                        "pacf3": np.round(p33, 6)})
+    out = _fill(out, ["pacf1", "pacf2", "pacf3"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PACF_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER w AS v1, LAG(v, 2) OVER w AS v2,
+               LAG(v, 3) OVER w AS v3
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    r AS (
+        SELECT event_type, corr(v, v1) AS r1, corr(v, v2) AS r2,
+               corr(v, v3) AS r3
+        FROM l GROUP BY 1
+    ),
+    lvl2 AS (
+        SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM r
+    ),
+    lvl3 AS (
+        SELECT *, r1 * (1.0 - p22) AS p21 FROM lvl2
+    )
+    SELECT event_type,
+           COALESCE(round(r1, 6), {NULLF}) AS pacf1,
+           COALESCE(round(p22, 6), {NULLF}) AS pacf2,
+           COALESCE(round((r3 - p21 * r2 - p22 * r1)
+                          / (1.0 - p21 * r1 - p22 * r2), 6), {NULLF}) AS pacf3
+    FROM lvl3
+"""
+
+
+def q_periodogram_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Single-frequency periodogram power at the weekly and ~monthly
+    periods per daily series — the spectral seasonality-strength diagnostic
+    (Schuster periodogram, power = (C² + S²)/n over mean-centered values
+    with C = Σv·cos − v̄Σcos). The angle uses ``(epoch_day mod P)`` so the
+    engine and SQL evaluate cos/sin at identical SMALL arguments (no
+    large-argument libm range-reduction divergence). One stateless
+    vectorized partials pass + a per-series sum aggregate; the driver sees
+    one row per series."""
+    ev = _bucket_series(sf_dir, DAY_US, "d")
+    periods = (7, 30)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": b["event_type"]}
+        v = b["v"].to_numpy(np.float64)
+        dn = (b["d"].astype("datetime64[us]").astype("int64")
+              // DAY_US).to_numpy()
+        out["n"] = np.ones(len(b), dtype=np.int64)
+        out["sv"] = v
+        for p in periods:
+            ang = 2.0 * np.pi * (dn % p) / p
+            c, s = np.cos(ang), np.sin(ang)
+            out[f"svc{p}"], out[f"svs{p}"] = v * c, v * s
+            out[f"sc{p}"], out[f"ss{p}"] = c, s
+        return pd.DataFrame(out)
+
+    spec = {"n": ("n", "sum"), "sv": ("sv", "sum")}
+    for p in periods:
+        spec.update({f"svc{p}": (f"svc{p}", "sum"),
+                     f"svs{p}": (f"svs{p}", "sum"),
+                     f"sc{p}": (f"sc{p}", "sum"),
+                     f"ss{p}": (f"ss{p}", "sum")})
+    df = hash_aggregate(ev.map_batches(partials, batch_format="pandas"),
+                        ["event_type"], spec,
+                        num_partitions=_NP).to_pandas()
+    n = df["n"].to_numpy(np.float64)
+    vbar = df["sv"].to_numpy(np.float64) / n
+    out = {"event_type": df["event_type"],
+           "n": df["n"].astype("int64")}
+    for p in periods:
+        C = df[f"svc{p}"].to_numpy(np.float64) - vbar * df[f"sc{p}"].to_numpy(np.float64)
+        S = df[f"svs{p}"].to_numpy(np.float64) - vbar * df[f"ss{p}"].to_numpy(np.float64)
+        out[f"power{p}"] = np.round((C * C + S * S) / n, 2)
+    return pd.DataFrame(out)[["event_type", "n", "power7", "power30"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PERIODOGRAM_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    t AS (
+        SELECT event_type, v, epoch_us(d) // {DAY_US} AS dn FROM daily
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(v) AS sv,
+               sum(v * cos(2 * pi() * (dn % 7) / 7)) AS svc7,
+               sum(v * sin(2 * pi() * (dn % 7) / 7)) AS svs7,
+               sum(cos(2 * pi() * (dn % 7) / 7)) AS sc7,
+               sum(sin(2 * pi() * (dn % 7) / 7)) AS ss7,
+               sum(v * cos(2 * pi() * (dn % 30) / 30)) AS svc30,
+               sum(v * sin(2 * pi() * (dn % 30) / 30)) AS svs30,
+               sum(cos(2 * pi() * (dn % 30) / 30)) AS sc30,
+               sum(sin(2 * pi() * (dn % 30) / 30)) AS ss30
+        FROM t GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(((svc7 - sv / n * sc7) * (svc7 - sv / n * sc7)
+                  + (svs7 - sv / n * ss7) * (svs7 - sv / n * ss7)) / n, 2)
+               AS power7,
+           round(((svc30 - sv / n * sc30) * (svc30 - sv / n * sc30)
+                  + (svs30 - sv / n * ss30) * (svs30 - sv / n * ss30)) / n, 2)
+               AS power30
+    FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # shingle containment pairs (pipelines/dedup.ngram_containment)
 # ---------------------------------------------------------------------------
@@ -4509,6 +4677,12 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
         lambda b: b[b["o_orderdate"] < cut], batch_format="pandas")
     orders = broadcast_semi_join(orders, keys, ["o_custkey"]) \
         .drop_columns(["o_custkey"])
+    # consolidate the filtered side before the join exchange: feeding the
+    # JoinOperator a mapped stream of mostly-empty blocks intermittently
+    # stalls the exchange (measured here: 35-84 s plain vs 7-12 s
+    # consolidated, identical output — same pathology as the documented
+    # hash_update pattern, stages/join.py:134-137)
+    orders = orders.repartition(8).materialize()
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -4561,11 +4735,15 @@ SQL_SHIPPING_PRIORITY = f"""
 
 def q_cohort_retention_events(sf_dir: str) -> pd.DataFrame:
     """Classic cohort table: users bucketed by first-active day; for each
-    (cohort, day-offset) the distinct active users. (user, day) de-dupes
-    first, so the final count is a row count — the distinct is pushed down,
-    never recomputed at the wide key. The user→cohort attach is the
-    distributed hash join (both sides are user-cardinality at scale)."""
-    from forecastframe_ray.stages.join import hash_join
+    (cohort, day-offset) the distinct active users. JOIN-FREE plan: one
+    key-co-located partition kernel (``keyed_map_partitions`` on user_id)
+    computes each user's cohort AND offsets in-group (vectorized
+    ``groupby().transform('min')`` across the whole partition), replacing
+    the former distinct-aggregate + cohort-aggregate + hash-join chain —
+    three exchanges become two, and the stall-prone join operator leaves
+    the plan entirely (measured 23 s → ~6 s at sf0.1, identical output).
+    Per-batch (user, day) pre-dedup bounds the shuffle bytes."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
 
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
@@ -4573,34 +4751,30 @@ def q_cohort_retention_events(sf_dir: str) -> pd.DataFrame:
         us = b["ts"].astype("int64")
         return pd.DataFrame({
             "user_id": b["user_id"],
-            "d": pd.to_datetime((us // DAY_US) * DAY_US, unit="us"),
+            "dn": (us // DAY_US).to_numpy(),
+        }).drop_duplicates()  # partial dedup: bounds shuffle bytes
+
+    days = ev.map_batches(to_day, batch_format="pandas")
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()  # finish the (user, day) distinct
+        cohort_dn = part.groupby("user_id", sort=False)["dn"] \
+            .transform("min")
+        return pd.DataFrame({
+            "cohort_dn": cohort_dn.to_numpy(),
+            "offset_days": (part["dn"] - cohort_dn).to_numpy(np.int64),
+            "one": np.ones(len(part), dtype=np.int64),
         })
 
-    days = hash_aggregate(ev.map_batches(to_day, batch_format="pandas"),
-                          ["user_id", "d"], {"n": ("d", "size")},
-                          num_partitions=_NP).drop_columns(["n"])
-    # repartition folds the coarse shuffle's column-less EMPTY pass-through
-    # blocks into real ones (they break the join exchange's field lookup);
-    # materialize because it feeds both the cohort reduce and the join
-    days = days.repartition(4).materialize()
-    # materialize the shuffle-fed join input: a coarse-hash exchange and a
-    # join exchange must not share one streaming DAG (resident-aggregator
-    # deadlock, stages/join.py clamp note)
-    cohort = hash_aggregate(days, ["user_id"], {"cohort": ("d", "min")},
-                            num_partitions=_NP).repartition(4).materialize()
-    joined = hash_join(days, cohort, on=["user_id"], num_partitions=8)
-
-    def offs(b: pd.DataFrame) -> pd.DataFrame:
-        off = ((b["d"] - b["cohort"]).dt.total_seconds() // 86_400) \
-            .astype(np.int64)
-        return pd.DataFrame({"cohort": b["cohort"], "offset_days": off,
-                             "one": np.ones(len(b), dtype=np.int64)})
-
-    out = hash_aggregate(joined.map_batches(offs, batch_format="pandas"),
-                         ["cohort", "offset_days"], {"n_users": ("one", "sum")},
+    rows = keyed_map_partitions(days, ["user_id"], per_user,
+                                num_partitions=_NP)
+    out = hash_aggregate(rows, ["cohort_dn", "offset_days"],
+                         {"n_users": ("one", "sum")},
                          num_partitions=_NP).to_pandas()
+    out["cohort"] = pd.to_datetime(out["cohort_dn"] * DAY_US, unit="us")
     out = out.astype({"offset_days": "int64", "n_users": "int64"})
-    return out.sort_values(["cohort", "offset_days"]).reset_index(drop=True)
+    return out[["cohort", "offset_days", "n_users"]] \
+        .sort_values(["cohort", "offset_days"]).reset_index(drop=True)
 
 
 SQL_COHORT_RETENTION = """

@@ -214,6 +214,31 @@ def bucketed_map_groups(ds, bucket_keys: list[str], fn,
     )
 
 
+def keyed_map_partitions(ds, keys: list[str], fn, num_partitions: int = 64):
+    """Key-co-located PARTITION-level kernel: one coarse shuffle on
+    ``hash(keys)``, then ``fn(partition_df) -> DataFrame`` runs once per
+    partition with every row of each key guaranteed co-resident. Unlike
+    :func:`bucketed_map_groups` the kernel sees the WHOLE partition, so it
+    can stay vectorized across groups (pandas ``groupby().transform`` etc.)
+    instead of paying a Python loop per key — use this when per-key frames
+    are tiny and keys are many (e.g. per-user reductions over millions of
+    users). Per-task heap scales with partition size: scale
+    ``num_partitions`` with the data, not the CPU count."""
+    keys = list(keys)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[PART_COL] = K.partition_ids(batch, keys, num_partitions)
+        return batch
+
+    def run(part: pd.DataFrame) -> pd.DataFrame:
+        return fn(part.drop(columns=[PART_COL]))
+
+    return (ds.map_batches(assign, batch_format="pandas")
+            .groupby(PART_COL)
+            .map_groups(run, batch_format="pandas"))
+
+
 def compact_latest(ds, keys: list[str], order_by: list[str],
                    num_partitions: int = 64):
     """CDC-style compaction: keep each key's single row with the greatest

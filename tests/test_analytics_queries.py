@@ -95,3 +95,35 @@ def test_shipping_priority_filters_and_revenue(ray_session, tmp_path):
     np.testing.assert_allclose(out["revenue"].iloc[0],
                                100.0 * 0.9 + 200.0)   # 290.0
     assert out["o_orderpriority"].iloc[0] == "1-URGENT"
+
+
+def test_keyed_map_partitions_colocates_keys(ray_session):
+    """Every row of a key must reach exactly one partition-kernel call, and
+    a cross-partition reduction over the kernel output must equal the
+    single-frame reference."""
+    import ray.data as rd
+
+    import numpy as np
+    import pandas as pd
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"u": rng.integers(0, 200, 5000),
+                       "x": rng.normal(size=5000)})
+    ds = rd.from_pandas(df).repartition(7)
+
+    def per_key(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("u", sort=False)["x"]
+        return pd.DataFrame({"u": g.size().index,
+                             "n": g.size().to_numpy(),
+                             "mn": g.min().to_numpy()})
+
+    out = keyed_map_partitions(ds, ["u"], per_key, num_partitions=9) \
+        .to_pandas()
+    # co-location: each key appears in exactly one kernel output row
+    assert not out["u"].duplicated().any()
+    ref = df.groupby("u").agg(n=("x", "size"), mn=("x", "min")).reset_index()
+    m = out.sort_values("u").reset_index(drop=True)
+    r = ref.sort_values("u").reset_index(drop=True)
+    assert (m["n"].to_numpy() == r["n"].to_numpy()).all()
+    assert np.allclose(m["mn"].to_numpy(), r["mn"].to_numpy())

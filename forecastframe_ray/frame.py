@@ -384,7 +384,11 @@ class RayForecastFrame:
         rolled = aggregate_features(base, features, gcols + [dtc], groupers["operation"])
         rolled = keyed_window_stage(rolled, gcols, dtc, ops,
                                     num_partitions=max(4, self.num_partitions // 4))
-        rolled = rolled.select_columns(gcols + [dtc] + new_cols).materialize()
+        # repartition before materializing: folds the window shuffle's
+        # empty pass-through blocks into real ones (they intermittently
+        # stall the join exchange — see q_shipping_priority measurement)
+        rolled = rolled.select_columns(gcols + [dtc] + new_cols) \
+            .repartition(max(4, self.num_partitions // 4)).materialize()
         # broadcast only when the rolled side is genuinely small; a
         # high-cardinality grouper (e.g. host×bucket) falls back to a
         # distributed hash join instead of a driver materialize
@@ -770,7 +774,11 @@ class RayForecastFrame:
         keys = (self.hierarchy or []) + [self.datetime_column]
         actuals = self._flush().map_batches(
             lambda b: b.loc[b[self.target].notna(), keys + [self.target]],
-            batch_format="pandas")
+            batch_format="pandas") \
+            .repartition(max(2, self.num_partitions // 4)).materialize()
+        # consolidated before the exchange: a mapped stream of small/empty
+        # blocks intermittently stalls the JoinOperator (measured at
+        # q_shipping_priority: 35-84 s erratic vs 7-12 s consolidated)
         return hash_join(preds, actuals, on=keys, how="outer",
                          num_partitions=self.num_partitions)
 

@@ -376,7 +376,8 @@ class RayForecastFrame:
         Scale assumption (documented): the rolled-up table (rollup columns ×
         buckets) is orders of magnitude smaller than base grain, so it is
         safe to window in fewer partitions and broadcast for the join."""
-        from forecastframe_ray.stages.join import hash_join
+        from forecastframe_ray.stages.join import (
+            consolidate_for_join, hash_join)
 
         gcols = list(groupers["columns"])
         dtc = self.datetime_column
@@ -384,11 +385,11 @@ class RayForecastFrame:
         rolled = aggregate_features(base, features, gcols + [dtc], groupers["operation"])
         rolled = keyed_window_stage(rolled, gcols, dtc, ops,
                                     num_partitions=max(4, self.num_partitions // 4))
-        # repartition before materializing: folds the window shuffle's
-        # empty pass-through blocks into real ones (they intermittently
-        # stall the join exchange — see q_shipping_priority measurement)
-        rolled = rolled.select_columns(gcols + [dtc] + new_cols) \
-            .repartition(max(4, self.num_partitions // 4)).materialize()
+        # folds the window shuffle's empty pass-through blocks into real
+        # ones before the join exchange (see join.consolidate_for_join)
+        rolled = consolidate_for_join(
+            rolled.select_columns(gcols + [dtc] + new_cols),
+            max(4, self.num_partitions // 4))
         # broadcast only when the rolled side is genuinely small; a
         # high-cardinality grouper (e.g. host×bucket) falls back to a
         # distributed hash join instead of a driver materialize
@@ -653,13 +654,11 @@ class RayForecastFrame:
             return b
 
         if model == "fourier":
-            from forecastframe_ray.pipelines.search import (_day_numbers,
-                                                            _fourier_design,
-                                                            fit_fourier)
+            from forecastframe_ray.pipelines.search import (
+                fit_fourier, fourier_score_frame)
             state = fit_fourier(self._ds, keys, dtc, feature,
                                 order=3, trend=True)
-            order = state["order"]
-            pf = 1 + 2 * order
+            order, trend = state["order"], state["trend"]
             model_ref = _ray.put(state["model"])
 
             class FourierScorer:
@@ -667,18 +666,9 @@ class RayForecastFrame:
                     self.model = _ray.get(model_ref)
 
                 def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                    b = b.copy()
-                    m = b[keys].copy()
-                    m["__dow"] = b[dtc].dt.dayofweek.astype("int64")
-                    m = m.merge(self.model, how="left", on=keys)
-                    X = _fourier_design(m["__dow"].to_numpy(np.int64), order)
-                    C = m[[f"__c{j}" for j in range(pf)]] \
-                        .to_numpy(np.float64)
-                    t = _day_numbers(b[dtc]).astype(np.float64) \
-                        - m["__base"].to_numpy(np.float64)
-                    b[out_col] = (X * C).sum(axis=1) \
-                        + m[f"__c{pf}"].to_numpy(np.float64) * t
-                    return b
+                    # scoring math lives in ONE place (search.py)
+                    return fourier_score_frame(b, self.model, keys, dtc,
+                                               out_col, order, trend)
 
             self._ds = self._ds.map_batches(FourierScorer,
                                             batch_format="pandas",
@@ -763,7 +753,8 @@ class RayForecastFrame:
         """J3 ``_merge_actuals`` (model.py:170-199): outer-join predictions
         with the non-null-target actual rows on hierarchy + datetime.
         Distributed hash join (both sides may be large)."""
-        from forecastframe_ray.stages.join import hash_join
+        from forecastframe_ray.stages.join import (
+            consolidate_for_join, hash_join)
 
         if isinstance(prediction_df, pd.DataFrame):
             preds = ray.data.from_pandas(prediction_df)
@@ -772,13 +763,12 @@ class RayForecastFrame:
         if self.target in preds.schema().names:
             return preds
         keys = (self.hierarchy or []) + [self.datetime_column]
-        actuals = self._flush().map_batches(
-            lambda b: b.loc[b[self.target].notna(), keys + [self.target]],
-            batch_format="pandas") \
-            .repartition(max(2, self.num_partitions // 4)).materialize()
-        # consolidated before the exchange: a mapped stream of small/empty
-        # blocks intermittently stalls the JoinOperator (measured at
-        # q_shipping_priority: 35-84 s erratic vs 7-12 s consolidated)
+        actuals = consolidate_for_join(
+            self._flush().map_batches(
+                lambda b: b.loc[b[self.target].notna(),
+                                keys + [self.target]],
+                batch_format="pandas"),
+            max(2, self.num_partitions // 4))
         return hash_join(preds, actuals, on=keys, how="outer",
                          num_partitions=self.num_partitions)
 

@@ -1916,7 +1916,9 @@ def q_fourier_dow_fit_daily(sf_dir: str) -> pd.DataFrame:
     gram accumulation, solve, broadcast score) for exactness."""
     from forecastframe_ray.pipelines.search import fit_fourier, score_fourier
 
-    daily = _bucket_series(sf_dir, DAY_US, "d")
+    # materialized once: the fit aggregate and the scoring map both consume
+    # it — unmaterialized, the upstream bucket shuffle would execute twice
+    daily = _bucket_series(sf_dir, DAY_US, "d").materialize()
     state = fit_fourier(daily, ["event_type"], "d", "v",
                         order=3, trend=False)
     scored = score_fourier(daily, state, ["event_type"], "d", "v",
@@ -2324,7 +2326,7 @@ def q_linear_shap_daily(sf_dir: str) -> pd.DataFrame:
     ds = fr.dataset.select_columns(
         ["event_type", "d", "v", "v_lag1", "v_lag7"]).map_batches(
         lambda b: b[b["v_lag1"].notna() & b["v_lag7"].notna()],
-        batch_format="pandas")
+        batch_format="pandas").materialize()  # fit + attribute share it
     out = interp.linear_shap(ds, "v_lag1", "v_lag7", "v").to_pandas()
     cols = ["v_lag1_shap", "v_lag7_shap", "base_value", "pred"]
     out = _round(out[["event_type", "d"] + cols], cols, 4)
@@ -3980,24 +3982,25 @@ SQL_SEASONAL_DECOMPOSE_DAILY = f"""
 # per-series autocorrelation (distributed raw-moment reduce over lag pairs)
 # ---------------------------------------------------------------------------
 
-def q_acf_daily_events(sf_dir: str) -> pd.DataFrame:
-    """Lag-1/lag-2 autocorrelation per daily series: the lag attach is one
-    keyed window stage, per-batch product moments are vectorized, and the
-    reduce is a tiny per-series hash_aggregate of sums — the driver only
-    ever sees one row per series. Matches SQL ``corr(v, LAG(v, k))``
-    (NULL for <2 pairs or zero variance -> NULLF)."""
+def _lag_corr_table(sf_dir: str, lags: tuple[int, ...]) -> pd.DataFrame:
+    """Per-series pairwise lag-k autocorrelations (the ``corr(v, LAG(v,k))``
+    estimator): one keyed lag attach, vectorized per-batch product moments,
+    and a tiny per-series sum aggregate — the driver only ever sees one row
+    per series. Returns columns event_type, n{k}, r{k} (r NaN for <2 pairs
+    or zero variance). Shared by the ACF and PACF queries so the estimator
+    can never drift between them."""
     from forecastframe_ray.stages.keyed import keyed_window_stage
 
     daily = _bucket_series(sf_dir, DAY_US, "d")
     lagged = keyed_window_stage(
         daily, ["event_type"], "d",
-        [{"op": "lag", "features": ["v"], "lags": [1, 2]}],
+        [{"op": "lag", "features": ["v"], "lags": list(lags)}],
         num_partitions=_NP)
 
     def moments(b: pd.DataFrame) -> pd.DataFrame:
         out = {"event_type": b["event_type"]}
         x = b["v"].to_numpy(np.float64)
-        for k in (1, 2):
+        for k in lags:
             y = b[f"v_lag{k}"].to_numpy(np.float64)
             ok = ~np.isnan(y)
             xx = np.where(ok, x, 0.0)
@@ -4009,16 +4012,17 @@ def q_acf_daily_events(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(out)
 
     spec = {c: (c, "sum")
-            for k in (1, 2)
+            for k in lags
             for c in (f"n{k}", f"sx{k}", f"sy{k}",
                       f"sxy{k}", f"sxx{k}", f"syy{k}")}
     agg = hash_aggregate(lagged.map_batches(moments, batch_format="pandas"),
                          ["event_type"], spec, num_partitions=_NP)
     df = agg.to_pandas()
     res = {"event_type": df["event_type"]}
-    for k in (1, 2):
+    for k in lags:
         n = df[f"n{k}"].to_numpy(np.float64)
-        sx, sy = df[f"sx{k}"].to_numpy(np.float64), df[f"sy{k}"].to_numpy(np.float64)
+        sx, sy = df[f"sx{k}"].to_numpy(np.float64), \
+            df[f"sy{k}"].to_numpy(np.float64)
         cov = n * df[f"sxy{k}"].to_numpy(np.float64) - sx * sy
         den = ((n * df[f"sxx{k}"].to_numpy(np.float64) - sx * sx)
                * (n * df[f"syy{k}"].to_numpy(np.float64) - sy * sy))
@@ -4026,8 +4030,18 @@ def q_acf_daily_events(sf_dir: str) -> pd.DataFrame:
             r = np.where((n >= 2) & (den > 0),
                          cov / np.sqrt(np.maximum(den, 1e-300)), np.nan)
         res[f"n{k}"] = df[f"n{k}"].astype("int64")
-        res[f"acf{k}"] = np.round(r, 6)
-    out = pd.DataFrame(res)[["event_type", "n1", "acf1", "n2", "acf2"]]
+        res[f"r{k}"] = r
+    return pd.DataFrame(res)
+
+
+def q_acf_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Lag-1/lag-2 autocorrelation per daily series (estimator and plan:
+    :func:`_lag_corr_table`). Matches SQL ``corr(v, LAG(v, k))`` (NULL for
+    <2 pairs or zero variance -> NULLF)."""
+    df = _lag_corr_table(sf_dir, (1, 2))
+    out = pd.DataFrame({"event_type": df["event_type"],
+                        "n1": df["n1"], "acf1": np.round(df["r1"], 6),
+                        "n2": df["n2"], "acf2": np.round(df["r2"], 6)})
     out = _fill(out, ["acf1", "acf2"])
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -4059,52 +4073,24 @@ def q_pacf_daily_events(sf_dir: str) -> pd.DataFrame:
     driver algebra reproduced term-for-term in SQL:
 
         φ₁₁ = r₁;  φ₂₂ = (r₂−r₁²)/(1−r₁²);  φ₂₁ = r₁(1−φ₂₂);
-        φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁) / (1 − φ₂₁r₁ − φ₂₂r₂)."""
-    from forecastframe_ray.stages.keyed import keyed_window_stage
+        φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁) / (1 − φ₂₁r₁ − φ₂₂r₂).
 
-    daily = _bucket_series(sf_dir, DAY_US, "d")
-    lagged = keyed_window_stage(
-        daily, ["event_type"], "d",
-        [{"op": "lag", "features": ["v"], "lags": [1, 2, 3]}],
-        num_partitions=_NP)
+    Degenerate denominators (|r₁| = 1, e.g. a 3-point series) yield NaN →
+    NULLF, matching DuckDB where x/0 is NULL (an unguarded divide would
+    emit inf, which ``_fill``/fillna keeps)."""
+    df = _lag_corr_table(sf_dir, (1, 2, 3))
+    r = {k: df[f"r{k}"].to_numpy(np.float64) for k in (1, 2, 3)}
 
-    def moments(b: pd.DataFrame) -> pd.DataFrame:
-        out = {"event_type": b["event_type"]}
-        x = b["v"].to_numpy(np.float64)
-        for k in (1, 2, 3):
-            y = b[f"v_lag{k}"].to_numpy(np.float64)
-            ok = ~np.isnan(y)
-            xx, yy = np.where(ok, x, 0.0), np.where(ok, y, 0.0)
-            out[f"n{k}"] = ok.astype(np.int64)
-            out[f"sx{k}"], out[f"sy{k}"] = xx, yy
-            out[f"sxy{k}"] = xx * yy
-            out[f"sxx{k}"], out[f"syy{k}"] = xx * xx, yy * yy
-        return pd.DataFrame(out)
-
-    spec = {c: (c, "sum")
-            for k in (1, 2, 3)
-            for c in (f"n{k}", f"sx{k}", f"sy{k}",
-                      f"sxy{k}", f"sxx{k}", f"syy{k}")}
-    agg = hash_aggregate(lagged.map_batches(moments, batch_format="pandas"),
-                         ["event_type"], spec, num_partitions=_NP)
-    df = agg.to_pandas()
-    r = {}
-    for k in (1, 2, 3):
-        n = df[f"n{k}"].to_numpy(np.float64)
-        sx, sy = df[f"sx{k}"].to_numpy(np.float64), \
-            df[f"sy{k}"].to_numpy(np.float64)
-        cov = n * df[f"sxy{k}"].to_numpy(np.float64) - sx * sy
-        den = ((n * df[f"sxx{k}"].to_numpy(np.float64) - sx * sx)
-               * (n * df[f"syy{k}"].to_numpy(np.float64) - sy * sy))
+    def safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
         with np.errstate(invalid="ignore", divide="ignore"):
-            r[k] = np.where((n >= 2) & (den > 0),
-                            cov / np.sqrt(np.maximum(den, 1e-300)), np.nan)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        p11 = r[1]
-        p22 = (r[2] - r[1] * r[1]) / (1.0 - r[1] * r[1])
-        p21 = r[1] * (1.0 - p22)
-        p33 = (r[3] - p21 * r[2] - p22 * r[1]) \
-            / (1.0 - p21 * r[1] - p22 * r[2])
+            return np.where(den == 0.0, np.nan,
+                            num / np.where(den == 0.0, 1.0, den))
+
+    p11 = r[1]
+    p22 = safe_div(r[2] - r[1] * r[1], 1.0 - r[1] * r[1])
+    p21 = r[1] * (1.0 - p22)
+    p33 = safe_div(r[3] - p21 * r[2] - p22 * r[1],
+                   1.0 - p21 * r[1] - p22 * r[2])
     out = pd.DataFrame({"event_type": df["event_type"],
                         "pacf1": np.round(p11, 6),
                         "pacf2": np.round(p22, 6),
@@ -4195,14 +4181,14 @@ SQL_PERIODOGRAM_DAILY = f"""
     ),
     s AS (
         SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(v) AS sv,
-               sum(v * cos(2 * pi() * (dn % 7) / 7)) AS svc7,
-               sum(v * sin(2 * pi() * (dn % 7) / 7)) AS svs7,
-               sum(cos(2 * pi() * (dn % 7) / 7)) AS sc7,
-               sum(sin(2 * pi() * (dn % 7) / 7)) AS ss7,
-               sum(v * cos(2 * pi() * (dn % 30) / 30)) AS svc30,
-               sum(v * sin(2 * pi() * (dn % 30) / 30)) AS svs30,
-               sum(cos(2 * pi() * (dn % 30) / 30)) AS sc30,
-               sum(sin(2 * pi() * (dn % 30) / 30)) AS ss30
+               sum(v * cos(2 * pi() * (((dn % 7) + 7) % 7) / 7)) AS svc7,
+               sum(v * sin(2 * pi() * (((dn % 7) + 7) % 7) / 7)) AS svs7,
+               sum(cos(2 * pi() * (((dn % 7) + 7) % 7) / 7)) AS sc7,
+               sum(sin(2 * pi() * (((dn % 7) + 7) % 7) / 7)) AS ss7,
+               sum(v * cos(2 * pi() * (((dn % 30) + 30) % 30) / 30)) AS svc30,
+               sum(v * sin(2 * pi() * (((dn % 30) + 30) % 30) / 30)) AS svs30,
+               sum(cos(2 * pi() * (((dn % 30) + 30) % 30) / 30)) AS sc30,
+               sum(sin(2 * pi() * (((dn % 30) + 30) % 30) / 30)) AS ss30
         FROM t GROUP BY 1
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
@@ -4662,7 +4648,9 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
     join; top-k is a per-batch partial + tiny driver merge (never a global
     sort). Round-then-rank (revenue 6dp desc, orderkey asc) keeps the
     cutoff deterministic across engines."""
-    from forecastframe_ray.stages.join import broadcast_semi_join, hash_join
+    from forecastframe_ray.stages.join import (broadcast_semi_join,
+                                               consolidate_for_join,
+                                               hash_join)
 
     cut = pd.Timestamp(_Q3_CUT)
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -4677,12 +4665,9 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
         lambda b: b[b["o_orderdate"] < cut], batch_format="pandas")
     orders = broadcast_semi_join(orders, keys, ["o_custkey"]) \
         .drop_columns(["o_custkey"])
-    # consolidate the filtered side before the join exchange: feeding the
-    # JoinOperator a mapped stream of mostly-empty blocks intermittently
-    # stalls the exchange (measured here: 35-84 s plain vs 7-12 s
-    # consolidated, identical output — same pathology as the documented
-    # hash_update pattern, stages/join.py:134-137)
-    orders = orders.repartition(8).materialize()
+    # mapped filtered stream -> join input: see consolidate_for_join (the
+    # A/B stall measurement in its docstring was taken on THIS query)
+    orders = consolidate_for_join(orders, 8)
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -5912,9 +5897,14 @@ SQL_DATASET_SPLIT = """
         FROM orders
     ),
     tagged AS (
+        -- floor(), not CAST: DuckDB CAST rounds-to-nearest while the
+        -- engine's .astype(int64) truncates — an unfloored cut is off by
+        -- one at the split boundary (same convention as SQL_SAMPLE_ORDERS)
         SELECT *,
-               CASE WHEN b < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
-                    WHEN b < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+               CASE WHEN b < CAST(floor(0.8 * 4294967296) AS BIGINT)
+                        THEN 'train'
+                    WHEN b < CAST(floor(0.9 * 4294967296) AS BIGINT)
+                        THEN 'val'
                     ELSE 'test' END AS split
         FROM h
     )

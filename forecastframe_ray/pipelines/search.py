@@ -304,31 +304,40 @@ def fit_fourier(train_ds, keys: list[str], dtc: str, target: str,
     return {"order": order, "trend": trend, "l2": l2, "model": model}
 
 
+def fourier_score_frame(b: pd.DataFrame, model: pd.DataFrame,
+                        keys: list[str], dtc: str, out_col: str,
+                        order: int, trend: bool) -> pd.DataFrame:
+    """Score one batch against a fitted fourier model table (the single
+    source of the scoring math — used by :func:`score_fourier` and the
+    frame's actor-pool ensemble hook so the two can never diverge):
+    pred = Σⱼ cⱼ·xⱼ(dow[, t]). Series unseen at fit time score NaN."""
+    b = b.copy()
+    pf = 1 + 2 * order
+    m = b[keys].copy()
+    m["__dow"] = b[dtc].dt.dayofweek.astype("int64")
+    m = m.merge(model, how="left", on=keys)
+    X = _fourier_design(m["__dow"].to_numpy(np.int64), order)
+    C = m[[f"__c{j}" for j in range(pf)]].to_numpy(np.float64)
+    pred = (X * C).sum(axis=1)
+    if trend:
+        t = _day_numbers(b[dtc]).astype(np.float64) \
+            - m["__base"].to_numpy(np.float64)
+        pred = pred + m[f"__c{pf}"].to_numpy(np.float64) * t
+    b[out_col] = pred
+    return b
+
+
 def score_fourier(ds, state: dict, keys: list[str], dtc: str,
                   target: str, out_col: str):
-    """Broadcast-merge scorer: pred = Σⱼ cⱼ·xⱼ(dow[, t]). Series unseen at
-    fit time score NaN (null-masked by the metrics)."""
+    """Broadcast-merge scorer over :func:`fourier_score_frame`."""
     import ray
 
     order, trend = state["order"], state["trend"]
-    pf = 1 + 2 * order
-    p = pf + (1 if trend else 0)
     ref = ray.put(state["model"])
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        m = b[keys].copy()
-        m["__dow"] = b[dtc].dt.dayofweek.astype("int64")
-        m = m.merge(ray.get(ref), how="left", on=keys)
-        X = _fourier_design(m["__dow"].to_numpy(np.int64), order)
-        C = m[[f"__c{j}" for j in range(pf)]].to_numpy(np.float64)
-        pred = (X * C).sum(axis=1)
-        if trend:
-            t = _day_numbers(b[dtc]).astype(np.float64) \
-                - m["__base"].to_numpy(np.float64)
-            pred = pred + m[f"__c{pf}"].to_numpy(np.float64) * t
-        b[out_col] = pred
-        return b
+        return fourier_score_frame(b, ray.get(ref), keys, dtc, out_col,
+                                   order, trend)
 
     return ds.map_batches(score, batch_format="pandas")
 

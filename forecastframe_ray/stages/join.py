@@ -84,6 +84,20 @@ _JOIN_TYPES = {"inner": "inner", "left": "left_outer",
                "right": "right_outer", "outer": "full_outer"}
 
 
+def consolidate_for_join(ds, num_partitions: int = 8):
+    """Consolidate a mapped/shuffled stream before feeding it to a join
+    exchange. Ray Data's JoinOperator INTERMITTENTLY stalls when an input
+    arrives as a stream of mostly-empty pass-through blocks (filtered maps,
+    coarse-hash shuffles): measured on TPC-H Q3 at sf0.1, the un-consolidated
+    plan ran 11.5 / 4.4 / 34.7 / 83.6 s across four identical runs vs
+    7.3 / 11.9 / 4.1 / 3.9 s consolidated, identical output. One
+    ``repartition(n).materialize()`` folds the empties into real blocks and
+    keeps the upstream stages out of the join's streaming DAG (resident-
+    aggregator deadlock note in :func:`hash_join`). Use on the SMALLER side;
+    materializing a huge side trades the stall for an object-store copy."""
+    return ds.repartition(max(2, num_partitions)).materialize()
+
+
 def hash_join(left, right, on: list[str], how: str = "inner",
               num_partitions: int = 32):
     """Distributed hash join for the both-sides-large case (J3; SURVEY.md

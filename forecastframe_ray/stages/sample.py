@@ -97,6 +97,11 @@ def hash_split(ds, key_col: str, fractions: dict[str, float]):
     to ≤ 1; any remainder joins the LAST split). Appends a ``split``
     column; stateless map_batches, no shuffle."""
     names = list(fractions)
+    total = float(sum(fractions.values()))
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"hash_split fractions sum to {total:.6f} > 1 — later splits "
+            "would silently receive zero rows")
     cuts = np.cumsum([fractions[n] for n in names])
     bounds = (cuts * _SPACE).astype(np.int64)
     bounds[-1] = _SPACE  # remainder folds into the last split

@@ -57,3 +57,12 @@ def test_sample_rate_validation():
     for bad in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError):
             deterministic_sample(ds, "k", bad)
+
+
+def test_hash_split_rejects_fractions_over_one():
+    import pytest as _pytest
+
+    from forecastframe_ray.stages.sample import hash_split
+
+    with _pytest.raises(ValueError, match="sum to"):
+        hash_split(None, "k", {"train": 0.8, "val": 0.5, "test": 0.1})

@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_decompose_daily": Q.q_seasonal_decompose_daily,
         # per-series lag-1/2 autocorrelation (distributed moment reduce)
         "acf_daily_events": Q.q_acf_daily_events,
+        # grouped Spearman rank correlation (v vs its 7-day lag)
+        "spearman_daily_events": Q.q_spearman_daily_events,
+        # Mann-Kendall monotone-trend statistic (S + tau-a)
+        "mann_kendall_daily_events": Q.q_mann_kendall_daily_events,
         # Durbin-Levinson PACF lags 1-3 (closed-form from the ACF)
         "pacf_daily_events": Q.q_pacf_daily_events,
         # Schuster periodogram power at the weekly/monthly periods
@@ -421,6 +425,8 @@ def oracle_sql() -> dict[str, str]:
         "cusum_daily_events": Q.SQL_CUSUM_DAILY,
         "seasonal_decompose_daily": Q.SQL_SEASONAL_DECOMPOSE_DAILY,
         "acf_daily_events": Q.SQL_ACF_DAILY,
+        "spearman_daily_events": Q.SQL_SPEARMAN_DAILY,
+        "mann_kendall_daily_events": Q.SQL_MANN_KENDALL_DAILY,
         "pacf_daily_events": Q.SQL_PACF_DAILY,
         "periodogram_daily_events": Q.SQL_PERIODOGRAM_DAILY,
         "containment_pairs_documents": Q.SQL_CONTAINMENT_PAIRS,

@@ -4034,6 +4034,135 @@ def _lag_corr_table(sf_dir: str, lags: tuple[int, ...]) -> pd.DataFrame:
     return pd.DataFrame(res)
 
 
+def q_spearman_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Grouped Spearman rank correlation between each daily series and its
+    own 7-day lag — the outlier-robust monotone-association diagnostic
+    (Pearson on average ranks; ties get the mean of their rank range,
+    pandas ``rank(method='average')`` ≡ SQL ``RANK() + (tie_count-1)/2``).
+    Ranks need every row of a series co-resident, so the plan is the
+    key-co-located partition kernel (``keyed_map_partitions``) with a fully
+    vectorized in-partition kernel: groupby-transform ranks, then the
+    per-series correlation from sum aggregates — one shuffle total, the
+    driver sees one row per series."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    lagged = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "lag", "features": ["v"], "lags": [7]}],
+        num_partitions=_NP)
+    pairs = lagged.map_batches(
+        lambda b: b.loc[b["v_lag7"].notna(),
+                        ["event_type", "v", "v_lag7"]],
+        batch_format="pandas")
+
+    def rho(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("event_type", sort=False)
+        rx = g["v"].rank(method="average").to_numpy(np.float64)
+        ry = g["v_lag7"].rank(method="average").to_numpy(np.float64)
+        t = pd.DataFrame({"event_type": part["event_type"].to_numpy(),
+                          "n": np.ones(len(part), dtype=np.int64),
+                          "sx": rx, "sy": ry, "sxy": rx * ry,
+                          "sxx": rx * rx, "syy": ry * ry})
+        s = t.groupby("event_type", sort=False, observed=True).sum() \
+            .reset_index()
+        n = s["n"].to_numpy(np.float64)
+        sx, sy = s["sx"].to_numpy(), s["sy"].to_numpy()
+        cov = n * s["sxy"].to_numpy() - sx * sy
+        den = ((n * s["sxx"].to_numpy() - sx * sx)
+               * (n * s["syy"].to_numpy() - sy * sy))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where((n >= 2) & (den > 0),
+                         cov / np.sqrt(np.maximum(den, 1e-300)), np.nan)
+        return pd.DataFrame({"event_type": s["event_type"],
+                             "n": s["n"].astype("int64"),
+                             "spearman": np.round(r, 6)})
+
+    out = keyed_map_partitions(pairs, ["event_type"], rho,
+                               num_partitions=_NP).to_pandas()
+    out = _fill(out, ["spearman"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SPEARMAN_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v, LAG(v, 7) OVER w AS v7
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    e AS (SELECT * FROM l WHERE v7 IS NOT NULL),
+    rk AS (
+        SELECT event_type,
+               RANK() OVER (PARTITION BY event_type ORDER BY v)
+                   + (COUNT(*) OVER (PARTITION BY event_type, v) - 1) / 2.0
+                   AS rx,
+               RANK() OVER (PARTITION BY event_type ORDER BY v7)
+                   + (COUNT(*) OVER (PARTITION BY event_type, v7) - 1) / 2.0
+                   AS ry
+        FROM e
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           COALESCE(round(corr(rx, ry), 6), {NULLF}) AS spearman
+    FROM rk GROUP BY 1
+"""
+
+
+def q_mann_kendall_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Mann-Kendall trend statistic per daily series: S = Σ_{i<j}
+    sign(vⱼ − vᵢ) ordered by date, plus tau-a = S / (n(n−1)/2) — the
+    standard nonparametric monotone-trend test for monitoring pipelines
+    (public; Mann 1945 / Kendall). A series' rows are co-located by the
+    keyed partition kernel; the in-kernel pair sweep is one vectorized
+    sign-matrix per series (n≲few hundred daily points — the pair count
+    grows with series LENGTH, not corpus size, so the kernel is scale-safe
+    under the engine's fixed-length-series model). Oracle: per-series
+    self-join on d_i < d_j."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def mk(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n = len(v)
+            s = int(np.sign(v[None, :] - v[:, None])
+                    [np.triu_indices(n, 1)].sum()) if n >= 2 else 0
+            npairs = n * (n - 1) // 2
+            rows.append((et, n, s,
+                         np.round(s / npairs, 6) if npairs else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n", "s", "tau"])
+
+    out = keyed_map_partitions(daily, ["event_type"], mk,
+                               num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["s"] = out["s"].astype("int64")
+    out = _fill(out, ["tau"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_MANN_KENDALL_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    pairs AS (
+        SELECT a.event_type, sign(b.v - a.v) AS sg
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    agg AS (
+        SELECT event_type, CAST(sum(sg) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS npairs
+        FROM pairs GROUP BY 1
+    ),
+    nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM daily GROUP BY 1)
+    SELECT nn.event_type, nn.n, COALESCE(agg.s, 0) AS s,
+           COALESCE(round(agg.s / (nn.n * (nn.n - 1) / 2.0), 6), {NULLF})
+               AS tau
+    FROM nn LEFT JOIN agg USING (event_type)
+"""
+
+
 def q_acf_daily_events(sf_dir: str) -> pd.DataFrame:
     """Lag-1/lag-2 autocorrelation per daily series (estimator and plan:
     :func:`_lag_corr_table`). Matches SQL ``corr(v, LAG(v, k))`` (NULL for

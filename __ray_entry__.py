@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-series lag-1/2 autocorrelation (distributed moment reduce)
         "acf_daily_events": Q.q_acf_daily_events,
         # grouped Spearman rank correlation (v vs its 7-day lag)
+        # S1 pushdown read: predicate + column pruning at the scan
+        "pushdown_filter_events": Q.q_pushdown_filter_events,
         "spearman_daily_events": Q.q_spearman_daily_events,
         # Mann-Kendall monotone-trend statistic (S + tau-a)
         "mann_kendall_daily_events": Q.q_mann_kendall_daily_events,
@@ -425,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_daily_events": Q.SQL_CUSUM_DAILY,
         "seasonal_decompose_daily": Q.SQL_SEASONAL_DECOMPOSE_DAILY,
         "acf_daily_events": Q.SQL_ACF_DAILY,
+        "pushdown_filter_events": Q.SQL_PUSHDOWN_FILTER,
         "spearman_daily_events": Q.SQL_SPEARMAN_DAILY,
         "mann_kendall_daily_events": Q.SQL_MANN_KENDALL_DAILY,
         "pacf_daily_events": Q.SQL_PACF_DAILY,

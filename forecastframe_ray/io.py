@@ -117,3 +117,23 @@ def replay(fr, data, num_partitions: int | None = None):
     for name, kwargs in fr.function_list:
         getattr(out, name)(**kwargs)
     return out
+
+
+def load_table(path: str, columns: list[str] | None = None,
+               filter_expr=None):
+    """Pushdown-aware parquet read — the S1 production entry point for big
+    tables: ``columns`` prunes at the column-chunk level and ``filter_expr``
+    (a ``pyarrow.dataset`` expression, e.g. ``pc.field("ts") >= cutoff``)
+    prunes row groups via footer statistics BEFORE bytes leave storage and
+    filters the surviving fragments during the scan. At 100 TB this is the
+    difference between scanning a day and scanning the archive: a read that
+    loads all columns/rows for a filtered two-column transform is wrong.
+    Returns a lazy ``ray.data.Dataset``."""
+    import ray.data
+
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    if filter_expr is not None:
+        kwargs["filter"] = filter_expr
+    return ray.data.read_parquet(path, **kwargs)

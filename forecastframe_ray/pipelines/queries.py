@@ -4034,6 +4034,43 @@ def _lag_corr_table(sf_dir: str, lags: tuple[int, ...]) -> pd.DataFrame:
     return pd.DataFrame(res)
 
 
+def q_pushdown_filter_events(sf_dir: str) -> pd.DataFrame:
+    """S1 pushdown read: both the column list AND the row predicate
+    (ts ≥ median-ish cutoff AND event_type = 'view') are handed to the
+    parquet scan itself (``io.load_table`` → pyarrow dataset expression),
+    so footer statistics prune row groups before bytes move — no
+    post-read filter stage exists in this plan. Aggregate proves the
+    surviving rows are exactly the SQL WHERE set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from forecastframe_ray.io import load_table
+
+    cut = pd.Timestamp("2024-01-15")
+    ev = load_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"],
+        filter_expr=(pc.field("ts") >= pa.scalar(cut))
+        & (pc.field("event_type") == "view"))
+    out = hash_aggregate(ev, ["event_type"], {
+        "n": ("ts", "size"), "sum_value": ("value", "sum"),
+        "min_ts": ("ts", "min"),
+    }, num_partitions=4).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out = _round(out, ["sum_value"], 4)
+    out["min_ts"] = out["min_ts"].astype("datetime64[us]")
+    return out[["event_type", "n", "sum_value", "min_ts"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PUSHDOWN_FILTER = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value, min(ts) AS min_ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND event_type = 'view'
+    GROUP BY 1
+"""
+
+
 def q_spearman_daily_events(sf_dir: str) -> pd.DataFrame:
     """Grouped Spearman rank correlation between each daily series and its
     own 7-day lag — the outlier-robust monotone-association diagnostic

@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_daily_events": Q.q_acf_daily_events,
         # grouped Spearman rank correlation (v vs its 7-day lag)
         # S1 pushdown read: predicate + column pruning at the scan
+        # Holt double-exp smoothing forecast (degenerate-form oracle gate)
+        "holt_forecast_gate_daily": Q.q_holt_forecast_gate_daily,
         "pushdown_filter_events": Q.q_pushdown_filter_events,
         "spearman_daily_events": Q.q_spearman_daily_events,
         # Mann-Kendall monotone-trend statistic (S + tau-a)
@@ -427,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_daily_events": Q.SQL_CUSUM_DAILY,
         "seasonal_decompose_daily": Q.SQL_SEASONAL_DECOMPOSE_DAILY,
         "acf_daily_events": Q.SQL_ACF_DAILY,
+        "holt_forecast_gate_daily": Q.SQL_HOLT_FORECAST_GATE,
         "pushdown_filter_events": Q.SQL_PUSHDOWN_FILTER,
         "spearman_daily_events": Q.SQL_SPEARMAN_DAILY,
         "mann_kendall_daily_events": Q.SQL_MANN_KENDALL_DAILY,

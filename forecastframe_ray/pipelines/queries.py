@@ -4034,6 +4034,53 @@ def _lag_corr_table(sf_dir: str, lags: tuple[int, ...]) -> pd.DataFrame:
     return pd.DataFrame(res)
 
 
+def q_holt_forecast_gate_daily(sf_dir: str) -> pd.DataFrame:
+    """Holt double-exponential-smoothing forecast, oracle-GATED through the
+    degenerate closed form: at α=β=1 the recursion collapses to
+    l_T = y_T, b_T = y_T − y_{T−1}, so ŷ(T+h) = y_T + h·(y_T − y_{T−1}) —
+    exactly SQL-expressible. The gate exercises the full machinery (the
+    key-co-located sequential fit kernel, per-series state extraction, the
+    future-grid scorer) while the general-(α,β) recursion is pinned by
+    pytest against a direct numpy reference."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", estimator="holt",
+                       alpha=1.0, beta=1.0)
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    return df.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_HOLT_FORECAST_GATE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC)
+                   AS rn
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type,
+               max(CASE WHEN rn = 1 THEN v END) AS y_last,
+               max(CASE WHEN rn = 2 THEN v END) AS y_prev,
+               max(CASE WHEN rn = 1 THEN d END) AS d_last
+        FROM r GROUP BY 1
+    ),
+    f AS (  -- engine future grid extends from the GLOBAL max date
+        SELECT s.event_type, s.y_last, s.y_prev, s.d_last, fd.d
+        FROM s CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    )
+    SELECT event_type, d,
+           round(y_last + datediff('day', d_last, d)
+                 * (y_last - COALESCE(y_prev, y_last)), 6) AS predicted_v
+    FROM f
+"""
+
+
 def q_pushdown_filter_events(sf_dir: str) -> pd.DataFrame:
     """S1 pushdown read: both the column list AND the row predicate
     (ts ≥ median-ish cutoff AND event_type = 'view') are handed to the

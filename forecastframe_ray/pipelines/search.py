@@ -342,6 +342,71 @@ def score_fourier(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def fit_holt(train_ds, keys: list[str], dtc: str, target: str,
+             alpha: float = 0.5, beta: float = 0.3) -> dict:
+    """Holt's linear-trend method (double exponential smoothing, public —
+    Holt 1957/Hyndman fpp): per-series recursion
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l_1 = y_1, b_1 = y_2 − y_1 (b_1 = 0 for one-point series).
+    The recursion is inherently sequential per series, so the fit runs as a
+    key-co-located partition kernel (:func:`keyed_map_partitions`) with a
+    per-series numpy loop over its (sorted) points — O(series length) per
+    series, independent of corpus width; the same documented pattern as the
+    Gorilla irregular-stream path. The fitted state is one (l_T, b_T,
+    last_day) row per series — broadcast at score time; rows never reach
+    the driver. Degenerate α=β=1 collapses to l_T = y_T, b_T = y_T − y_{T−1}
+    — the closed form the SQL oracle gate checks; general (α, β) is pinned
+    by pytest against a direct numpy recursion."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    alpha, beta = float(alpha), float(beta)
+
+    def fit_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part[target].notna()]
+        rows = []
+        for kv, g in part.groupby(keys, sort=False, observed=True):
+            g = g.sort_values(dtc)
+            y = g[target].to_numpy(dtype=np.float64)
+            dn = _day_numbers(g[dtc])
+            level = y[0]
+            trend = (y[1] - y[0]) if len(y) > 1 else 0.0
+            for t in range(1, len(y)):
+                prev = level
+                level = alpha * y[t] + (1.0 - alpha) * (level + trend)
+                trend = beta * (level - prev) + (1.0 - beta) * trend
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, level, trend, dn[-1]))
+        return pd.DataFrame(rows, columns=keys
+                            + ["__level", "__trend", "__lastdn"])
+
+    model = keyed_map_partitions(
+        train_ds, keys, fit_part).to_pandas()
+    return {"alpha": alpha, "beta": beta, "model": model}
+
+
+def score_holt(ds, state: dict, keys: list[str], dtc: str,
+               target: str, out_col: str):
+    """Broadcast-merge scorer: ŷ(T+h) = l_T + h·b_T with h = day gap from
+    the series' last fitted day. Series unseen at fit time score NaN."""
+    import ray
+
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b[keys].merge(ray.get(ref), how="left", on=keys)
+        h = _day_numbers(b[dtc]).astype(np.float64) \
+            - m["__lastdn"].to_numpy(np.float64)
+        b[out_col] = m["__level"].to_numpy(np.float64) \
+            + h * m["__trend"].to_numpy(np.float64)
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 #: name -> (fit, score, fit_param_names). ``fit_param_names`` declares which
 #: candidate params the FIT depends on (the rest only affect scoring), so
 #: the search driver can share one fitted state across candidates that
@@ -351,6 +416,7 @@ ESTIMATORS = {
     "seasonal_mean": (fit_seasonal_mean, score_seasonal_mean, ("season",)),
     "linear_trend": (fit_linear_trend, score_linear_trend, ("l2",)),
     "fourier": (fit_fourier, score_fourier, ("order", "trend", "l2")),
+    "holt": (fit_holt, score_holt, ("alpha", "beta")),
 }
 
 

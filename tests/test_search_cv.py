@@ -369,3 +369,55 @@ def test_frame_fourier_ensemble_hook(ray_session):
     per_mean = out.groupby("series")["v"].transform("mean")
     sse_series_mean = float(((out["v"] - per_mean) ** 2).sum())
     assert sse_model < sse_series_mean
+
+
+def test_holt_matches_direct_recursion(ray_session):
+    """fit_holt's distributed per-series kernel must reproduce the direct
+    numpy Holt recursion (level/trend at train end), and score_holt the
+    h-step-ahead linear forecast."""
+    import ray.data as rd
+
+    df = _fourier_df(trend=True)
+    ds = rd.from_pandas(df).repartition(4)
+    alpha, beta = 0.6, 0.2
+    state = search.fit_holt(ds, ["series"], "d", "v",
+                            alpha=alpha, beta=beta)
+    model = state["model"].set_index("series")
+    for s, g in df.groupby("series"):
+        y = g.sort_values("d")["v"].to_numpy()
+        level, trend = y[0], (y[1] - y[0]) if len(y) > 1 else 0.0
+        for t in range(1, len(y)):
+            prev = level
+            level = alpha * y[t] + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        assert abs(model.loc[s, "__level"] - level) < 1e-10, s
+        assert abs(model.loc[s, "__trend"] - trend) < 1e-10, s
+
+    # forecast: h-step linear extrapolation from the per-series last day
+    future = pd.DataFrame({
+        "series": ["a", "a", "c"],
+        "d": [df[df.series == "a"]["d"].max() + pd.Timedelta(days=h)
+              for h in (1, 3)] + [df[df.series == "c"]["d"].max()
+                                  + pd.Timedelta(days=2)],
+    })
+    scored = search.score_holt(rd.from_pandas(future), state,
+                               ["series"], "d", "v", "pred").to_pandas()
+    for _, row in scored.iterrows():
+        m = model.loc[row["series"]]
+        h = (row["d"] - pd.Timestamp("1970-01-01")).days - m["__lastdn"]
+        assert abs(row["pred"] - (m["__level"] + h * m["__trend"])) < 1e-10
+
+
+def test_holt_in_search_cv_grid(ray_session):
+    import ray.data as rd
+
+    df = _fourier_df(trend=True)
+    fr = RayForecastFrame(rd.from_pandas(df).repartition(4),
+                          datetime_column="d", target="v",
+                          hierarchy=["series"], num_partitions=4)
+    results, best = search.search_cv(
+        fr, grid={"alpha": [0.3, 0.8], "beta": [0.1]},
+        estimator="holt", n_splits=2)
+    assert len(results) == 2 * 2
+    assert np.isfinite(results["rmse"]).all()
+    assert best["alpha"] in (0.3, 0.8)

@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S1 pushdown read: predicate + column pruning at the scan
         # Holt double-exp smoothing forecast (degenerate-form oracle gate)
         "holt_forecast_gate_daily": Q.q_holt_forecast_gate_daily,
+        # Croston intermittent-demand forecast (alpha=1 oracle gate)
+        "croston_gate_daily": Q.q_croston_gate_daily,
         "pushdown_filter_events": Q.q_pushdown_filter_events,
         "spearman_daily_events": Q.q_spearman_daily_events,
         # Mann-Kendall monotone-trend statistic (S + tau-a)
@@ -430,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decompose_daily": Q.SQL_SEASONAL_DECOMPOSE_DAILY,
         "acf_daily_events": Q.SQL_ACF_DAILY,
         "holt_forecast_gate_daily": Q.SQL_HOLT_FORECAST_GATE,
+        "croston_gate_daily": Q.SQL_CROSTON_GATE,
         "pushdown_filter_events": Q.SQL_PUSHDOWN_FILTER,
         "spearman_daily_events": Q.SQL_SPEARMAN_DAILY,
         "mann_kendall_daily_events": Q.SQL_MANN_KENDALL_DAILY,

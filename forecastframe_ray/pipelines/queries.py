@@ -4081,6 +4081,68 @@ SQL_HOLT_FORECAST_GATE = f"""
 """
 
 
+def q_croston_gate_daily(sf_dir: str) -> pd.DataFrame:
+    """Croston intermittent-demand forecast, oracle-GATED through the α=1
+    closed form (ẑ = last nonzero size, p̂ = last inter-demand interval,
+    forecast = ẑ/p̂). The intermittent series is a deterministic mask of
+    the daily series (demand only on Mon/Thu/Sat), applied identically on
+    both sides; the gate exercises the sequential per-series kernel, the
+    interval bookkeeping, and the rate scorer, while general α is
+    pytest-pinned against a direct numpy recursion."""
+    from forecastframe_ray.pipelines.search import fit_croston, score_croston
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def mask(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        dow = b["d"].dt.dayofweek.to_numpy()
+        b["v"] = np.where(np.isin(dow, (0, 3, 5)),
+                          b["v"].to_numpy(np.float64), 0.0)
+        return b
+
+    masked = daily.map_batches(mask, batch_format="pandas").materialize()
+    state = fit_croston(masked, ["event_type"], "d", "v", alpha=1.0)
+    one = masked.map_batches(
+        lambda b: b.drop_duplicates("event_type")[["event_type", "d"]],
+        batch_format="pandas")
+    scored = score_croston(one, state, ["event_type"], "d", "v",
+                           "croston_forecast").to_pandas()
+    out = scored.drop_duplicates("event_type")[
+        ["event_type", "croston_forecast"]]
+    out = _round(out, ["croston_forecast"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_CROSTON_GATE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (
+        SELECT event_type, d,
+               CASE WHEN (isodow(d) - 1) IN (0, 3, 5) THEN v ELSE 0 END AS v
+        FROM daily
+    ),
+    start AS (SELECT event_type, min(d) AS d0 FROM m GROUP BY 1),
+    nz AS (
+        SELECT event_type, d, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC)
+                   AS rn
+        FROM m WHERE v <> 0
+    ),
+    lastnz AS (
+        SELECT event_type,
+               max(CASE WHEN rn = 1 THEN v END) AS q_last,
+               max(CASE WHEN rn = 1 THEN d END) AS t1,
+               max(CASE WHEN rn = 2 THEN d END) AS t2
+        FROM nz GROUP BY 1
+    )
+    SELECT s.event_type,
+           COALESCE(round(l.q_last / CASE
+               WHEN l.t2 IS NOT NULL THEN datediff('day', l.t2, l.t1)
+               ELSE datediff('day', s.d0, l.t1) + 1 END, 6), 0.0)
+               AS croston_forecast
+    FROM start s LEFT JOIN lastnz l USING (event_type)
+"""
+
+
 def q_pushdown_filter_events(sf_dir: str) -> pd.DataFrame:
     """S1 pushdown read: both the column list AND the row predicate
     (ts ≥ median-ish cutoff AND event_type = 'view') are handed to the

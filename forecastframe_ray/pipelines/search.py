@@ -407,6 +407,77 @@ def score_holt(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def fit_croston(train_ds, keys: list[str], dtc: str, target: str,
+                alpha: float = 0.1) -> dict:
+    """Croston's method for INTERMITTENT demand (public — Croston 1972;
+    the retail-forecasting staple for sparse series like the reference's
+    M5 lineage): separate simple exponential smoothing over the nonzero
+    demand SIZES q_i and over the inter-demand INTERVALS τ_i (in days),
+
+        z_i = α·q_i + (1−α)·z_{i−1}   (init z_1 = q_1)
+        p_i = α·τ_i + (1−α)·p_{i−1}   (init p_1 = τ_1)
+
+    with the flat-ahead forecast ẑ/p̂. Zero-demand rows update nothing.
+    Same distributed shape as :func:`fit_holt`: a key-co-located partition
+    kernel runs the per-series recursion, the fitted state is one
+    (ẑ, p̂) row per series. Degenerate α=1 collapses to z = last nonzero
+    size, p = last interval — the SQL oracle gate; general α is
+    pytest-pinned against a direct numpy recursion. Series with no nonzero
+    demand forecast 0."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    alpha = float(alpha)
+
+    def fit_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part[target].notna()]
+        rows = []
+        for kv, g in part.groupby(keys, sort=False, observed=True):
+            g = g.sort_values(dtc)
+            y = g[target].to_numpy(dtype=np.float64)
+            dn = _day_numbers(g[dtc])
+            nz = np.flatnonzero(y != 0.0)
+            if len(nz) == 0:
+                z, p = 0.0, np.nan
+            else:
+                q = y[nz]
+                t = dn[nz].astype(np.float64)
+                # first interval: from the series' first observed day
+                tau = np.diff(np.concatenate(([float(dn[0]) - 1.0], t)))
+                z, p = q[0], tau[0]
+                for i in range(1, len(q)):
+                    z = alpha * q[i] + (1.0 - alpha) * z
+                    p = alpha * tau[i] + (1.0 - alpha) * p
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, z, p))
+        return pd.DataFrame(rows, columns=keys + ["__size", "__interval"])
+
+    model = keyed_map_partitions(train_ds, keys, fit_part).to_pandas()
+    return {"alpha": alpha, "model": model}
+
+
+def score_croston(ds, state: dict, keys: list[str], dtc: str,
+                  target: str, out_col: str):
+    """Flat-ahead Croston rate forecast: ẑ/p̂ per series for every scored
+    row (0 for all-zero series; NaN for series unseen at fit time)."""
+    import ray
+
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b[keys].merge(ray.get(ref), how="left", on=keys)
+        z = m["__size"].to_numpy(np.float64)
+        p = m["__interval"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pred = np.where(z == 0.0, 0.0, z / p)
+        # unseen series: merge produced NaN size -> keep NaN
+        pred = np.where(np.isnan(z), np.nan, pred)
+        b[out_col] = pred
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 #: name -> (fit, score, fit_param_names). ``fit_param_names`` declares which
 #: candidate params the FIT depends on (the rest only affect scoring), so
 #: the search driver can share one fitted state across candidates that
@@ -417,6 +488,7 @@ ESTIMATORS = {
     "linear_trend": (fit_linear_trend, score_linear_trend, ("l2",)),
     "fourier": (fit_fourier, score_fourier, ("order", "trend", "l2")),
     "holt": (fit_holt, score_holt, ("alpha", "beta")),
+    "croston": (fit_croston, score_croston, ("alpha",)),
 }
 
 

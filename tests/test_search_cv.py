@@ -421,3 +421,52 @@ def test_holt_in_search_cv_grid(ray_session):
     assert len(results) == 2 * 2
     assert np.isfinite(results["rmse"]).all()
     assert best["alpha"] in (0.3, 0.8)
+
+
+def test_croston_matches_direct_recursion(ray_session):
+    """fit_croston's distributed kernel must reproduce the direct numpy
+    Croston recursion (SES over nonzero sizes and inter-demand intervals),
+    including the all-zero and single-demand edge cases."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for s, n in [("a", 40), ("b", 40), ("z", 12), ("one", 9)]:
+        d = pd.date_range("2023-02-01", periods=n, freq="D")
+        if s == "z":
+            v = np.zeros(n)
+        elif s == "one":
+            v = np.zeros(n)
+            v[4] = 7.5
+        else:
+            v = np.where(rng.random(n) < 0.3, rng.integers(1, 9, n), 0) \
+                .astype(float)
+        rows.append(pd.DataFrame({"series": s, "d": d, "v": v}))
+    df = pd.concat(rows, ignore_index=True)
+    alpha = 0.25
+    state = search.fit_croston(rd.from_pandas(df).repartition(3),
+                               ["series"], "d", "v", alpha=alpha)
+    model = state["model"].set_index("series")
+    for s, g in df.groupby("series"):
+        g = g.sort_values("d")
+        y = g["v"].to_numpy()
+        dn = search._day_numbers(g["d"])
+        nzi = np.flatnonzero(y != 0)
+        if len(nzi) == 0:
+            assert model.loc[s, "__size"] == 0.0
+            assert np.isnan(model.loc[s, "__interval"])
+            continue
+        q, t = y[nzi], dn[nzi].astype(float)
+        tau = np.diff(np.concatenate(([dn[0] - 1.0], t)))
+        z, p = q[0], tau[0]
+        for i in range(1, len(q)):
+            z = alpha * q[i] + (1 - alpha) * z
+            p = alpha * tau[i] + (1 - alpha) * p
+        assert abs(model.loc[s, "__size"] - z) < 1e-10, s
+        assert abs(model.loc[s, "__interval"] - p) < 1e-10, s
+
+    scored = search.score_croston(
+        rd.from_pandas(df.drop_duplicates("series")), state,
+        ["series"], "d", "v", "pred").to_pandas().set_index("series")
+    assert scored.loc["z", "pred"] == 0.0  # all-zero series forecasts 0
+    assert scored.loc["one", "pred"] == 7.5 / 5.0  # q=7.5, tau=first at day 5

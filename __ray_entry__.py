@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_forecast_gate_daily": Q.q_holt_forecast_gate_daily,
         # Croston intermittent-demand forecast (alpha=1 oracle gate)
         "croston_gate_daily": Q.q_croston_gate_daily,
+        # SMAPE / WAPE / signed mean error of the naive forecast
+        "smape_wape_naive_daily": Q.q_smape_wape_naive_daily,
         "pushdown_filter_events": Q.q_pushdown_filter_events,
         "spearman_daily_events": Q.q_spearman_daily_events,
         # Mann-Kendall monotone-trend statistic (S + tau-a)
@@ -433,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_daily_events": Q.SQL_ACF_DAILY,
         "holt_forecast_gate_daily": Q.SQL_HOLT_FORECAST_GATE,
         "croston_gate_daily": Q.SQL_CROSTON_GATE,
+        "smape_wape_naive_daily": Q.SQL_SMAPE_WAPE_NAIVE,
         "pushdown_filter_events": Q.SQL_PUSHDOWN_FILTER,
         "spearman_daily_events": Q.SQL_SPEARMAN_DAILY,
         "mann_kendall_daily_events": Q.SQL_MANN_KENDALL_DAILY,

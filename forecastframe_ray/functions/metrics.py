@@ -77,6 +77,62 @@ def error_summary(ds, actual_col: str, pred_col: str, group_cols: list[str] | No
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def scaled_error_summary(ds, actual_col: str, pred_col: str,
+                         group_cols: list[str] | None = None):
+    """SMAPE / WAPE / ME (mean error, the signed forecast bias), optionally
+    per group — the scale-robust complements of :func:`error_summary`
+    (public definitions; M-competition conventions):
+
+        SMAPE = mean over valid rows of 2|y−ŷ| / (|y|+|ŷ|)
+                (rows with |y|+|ŷ| = 0 contribute 0, the common convention)
+        WAPE  = Σ|y−ŷ| / Σ|y|
+        ME    = Σ(ŷ−y) / n          (positive = over-forecasting)
+
+    Null actuals or predictions are masked out first. Same physical plan as
+    ``error_summary``: per-batch vectorized partials → one tiny sum
+    aggregate; the driver sees one row per group."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[actual_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        p = batch[pred_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        mask = ~(np.isnan(a) | np.isnan(p))
+        a, p = a[mask], p[mask]
+        den = np.abs(a) + np.abs(p)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sm = np.where(den == 0.0, 0.0, 2.0 * np.abs(a - p) / den)
+        out = batch.loc[mask, list(group_cols or [])].copy()
+        out["__sm"] = sm
+        out["__ae"] = np.abs(a - p)
+        out["__aa"] = np.abs(a)
+        out["__err"] = p - a
+        return out
+
+    partial = ds.map_batches(partials, batch_format="pandas")
+    if group_cols:
+        from forecastframe_ray.stages.agg import hash_aggregate
+
+        out = hash_aggregate(partial, list(group_cols), {
+            "sum_sm": ("__sm", "sum"), "sum_ae": ("__ae", "sum"),
+            "sum_aa": ("__aa", "sum"), "sum_err": ("__err", "sum"),
+            "n": ("__sm", "size"),
+        }).to_pandas()
+    else:
+        row = partial.aggregate(
+            Sum("__sm", alias_name="sum_sm"),
+            Sum("__ae", alias_name="sum_ae"),
+            Sum("__aa", alias_name="sum_aa"),
+            Sum("__err", alias_name="sum_err"),
+            Count(alias_name="n"))
+        out = pd.DataFrame([row])
+
+    out["SMAPE"] = out["sum_sm"] / out["n"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["WAPE"] = np.where(out["sum_aa"] == 0.0, np.nan,
+                               out["sum_ae"] / out["sum_aa"])
+    out["ME"] = out["sum_err"] / out["n"]
+    return out.drop(columns=["sum_sm", "sum_ae", "sum_aa", "sum_err"])
+
+
 def weighted_average(ds, value_col: str, weight_col: str) -> float:
     """Null-masked weighted mean = Sum(w·x)/Sum(w) over non-null x."""
 

@@ -4081,6 +4081,45 @@ SQL_HOLT_FORECAST_GATE = f"""
 """
 
 
+def q_smape_wape_naive_daily(sf_dir: str) -> pd.DataFrame:
+    """Scale-robust error metrics of the lag-1 naive forecast per daily
+    series: SMAPE (M-competition convention, 0 when |y|+|ŷ|=0), WAPE, and
+    signed mean error — ``metrics.scaled_error_summary`` over a keyed lag
+    attach; the oracle recomputes all three in SQL."""
+    from forecastframe_ray.functions.metrics import scaled_error_summary
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    lagged = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "lag", "features": ["v"], "lags": [1]}],
+        num_partitions=_NP)
+    out = scaled_error_summary(lagged, "v", "v_lag1",
+                               group_cols=["event_type"])
+    out["n"] = out["n"].astype("int64")
+    out = _round(out, ["SMAPE", "WAPE", "ME"], 6)
+    return out[["event_type", "n", "SMAPE", "WAPE", "ME"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SMAPE_WAPE_NAIVE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, v, LAG(v, 1) OVER (
+            PARTITION BY event_type ORDER BY d) AS p
+        FROM daily
+    ),
+    e AS (SELECT * FROM l WHERE p IS NOT NULL)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN abs(v) + abs(p) = 0 THEN 0.0
+                          ELSE 2.0 * abs(v - p) / (abs(v) + abs(p)) END), 6)
+               AS SMAPE,
+           round(sum(abs(v - p)) / sum(abs(v)), 6) AS WAPE,
+           round(sum(p - v) / count(*), 6) AS ME
+    FROM e GROUP BY 1
+"""
+
+
 def q_croston_gate_daily(sf_dir: str) -> pd.DataFrame:
     """Croston intermittent-demand forecast, oracle-GATED through the α=1
     closed form (ẑ = last nonzero size, p̂ = last inter-demand interval,

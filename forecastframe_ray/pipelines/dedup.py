@@ -598,7 +598,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       shingle_width: int = 5, threshold: float = 0.7,
                       seed: int = 7, driver_meta_limit: int = 5_000_000,
                       bucket_cap: int = 100_000,
-                      wave_cand_limit: int = 4_000_000):
+                      wave_cand_limit: int = 4_000_000,
+                      approx_docs: int | None = None):
     """Candidate generation + exact verification:
 
     1. signature stage (stateless map_batches, text stays put);
@@ -639,9 +640,20 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # vs the corpus.
     from forecastframe_ray import keys as K
 
+    # candidate-prune fan-out scales like the verify fan-out: with the
+    # signature-row count (docs × bands; int-only ~24 B rows, ~2M rows ≈
+    # 50 MB per task) when the caller passes ``approx_docs`` (llm.run knows
+    # its post-dedup count for free), else with cluster CPUs — a fixed 32
+    # held ~240 MB/task at 20M docs and grows unbounded with the corpus
+    sig_rows = (approx_docs or 0) * num_bands
+    prune_parts = scaled_verify_partitions(sig_rows,
+                                           rows_per_part=2_000_000,
+                                           floor_rows=50_000)
+
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch[PART_COL] = K.partition_ids(batch, ["band", "bucket"], 32)
+        batch[PART_COL] = K.partition_ids(batch, ["band", "bucket"],
+                                          prune_parts)
         return batch
 
     def keep_colliding(part: pd.DataFrame) -> pd.DataFrame:

@@ -85,7 +85,8 @@ def dedup_pipeline(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
     # 4. near-dup pairs + 5. clusters → drop non-representatives
     pairs = D.minhash_lsh_pairs(kept, text_col=text_col, id_col=id_col,
-                                threshold=minhash_threshold).materialize()
+                                threshold=minhash_threshold,
+                                approx_docs=n_exact).materialize()
     n_pairs = pairs.count()
     stage_wall["minhash_pairs_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()

@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_future_daily": Q.q_predict_future_daily,
         "importance_summary_daily": Q.q_importance_summary_daily,
         "quantile_loss_naive": Q.q_quantile_loss_naive,
+        # prediction post-processing: floor + normal-theory CIs
+        "forecast_postprocess_daily": Q.q_forecast_postprocess_daily,
+        "asymmetric_loss_naive": Q.q_asymmetric_loss_naive,
         "distinct_users_daily_kmv": Q.q_distinct_users_daily_kmv,
         "distinct_users_kmv_gate": Q.q_distinct_users_kmv_gate,
         "distinct_users_daily_cascade": Q.q_distinct_users_daily_cascade,
@@ -396,6 +399,8 @@ def oracle_sql() -> dict[str, str]:
         "predict_future_daily": Q.SQL_PREDICT_FUTURE,
         "importance_summary_daily": Q.SQL_IMPORTANCE_SUMMARY,
         "quantile_loss_naive": Q.SQL_QUANTILE_LOSS_NAIVE,
+        "forecast_postprocess_daily": Q.SQL_FORECAST_POSTPROCESS,
+        "asymmetric_loss_naive": Q.SQL_ASYMMETRIC_LOSS_NAIVE,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

@@ -176,3 +176,29 @@ def quantile_loss(ds, actual_col: str, pred_col: str,
     out["n"] = out["n"].astype("int64")
     return out.drop(columns=["sum_loss"]).sort_values("quantile") \
         .reset_index(drop=True)
+
+
+def asymmetric_loss(ds, actual_col: str, pred_col: str,
+                    loss_multiplier: float = 0.9) -> pd.DataFrame:
+    """The reference's M5-winning asymmetric validation loss
+    (``_custom_asymmetric_valid``, model.py:539-548): residual = a − p,
+    ``mean(residual² if residual < 0 else residual² · multiplier)`` —
+    negative residuals (over-forecasts) penalized more than positive ones.
+    Distributed as per-batch (Σloss, n) partials + one tiny reduce; null
+    actuals/preds masked like every metric here. Returns one row
+    ``(n, loss)``."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[actual_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        p = batch[pred_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        mask = ~(np.isnan(a) | np.isnan(p))
+        r = a[mask] - p[mask]
+        loss = np.where(r < 0, r * r, r * r * loss_multiplier)
+        return pd.DataFrame({"__loss": [float(loss.sum())],
+                             "__n": [int(mask.sum())]})
+
+    row = ds.map_batches(partials, batch_format="pandas").aggregate(
+        Sum("__loss", alias_name="sum_loss"), Sum("__n", alias_name="n"))
+    n = int(row["n"])
+    return pd.DataFrame({"n": pd.array([n], dtype="int64"),
+                         "loss": [float(row["sum_loss"]) / n if n else np.nan]})

@@ -6226,3 +6226,83 @@ SQL_DATASET_SPLIT = """
            round(sum(o_totalprice), 2) AS sum_price
     FROM tagged GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# prediction post-processing (reference model.py:27-56) + asymmetric loss
+# (model.py:539-548) — the last unported model-layer data-side pieces
+
+_CI_Z = 1.959963984540054   # norm.ppf(0.975); engine recomputes via Acklam
+_FLOOR = 2600.0             # clamps ~10% of sf0.01 daily rows (real effect)
+
+
+def q_forecast_postprocess_daily(sf_dir: str) -> pd.DataFrame:
+    """Reference prediction post-processing chained exactly as
+    ``predict()`` applies it: floor the ``predicted_*`` columns
+    (``_set_forecast_minimum``, model.py:27-35), then add normal-theory
+    intervals ``pred ± norm.ppf(.975)·sem(pred)``
+    (``_add_simple_confidence_intervals``, model.py:38-56). The sem is a
+    distributed (Σx, Σx², n) reduce; the bounds are a broadcast-scalar
+    vectorized pass — the prediction table never lands on the driver."""
+    from forecastframe_ray.functions import postprocess
+
+    fr = _daily_frame(sf_dir).lag_features("v", [1])
+
+    def as_pred(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["v_lag1"].notna()].copy()
+        return pd.DataFrame({"event_type": b["event_type"], "d": b["d"],
+                             "predicted_v": b["v_lag1"]})
+
+    preds = fr.dataset.map_batches(as_pred, batch_format="pandas")
+    preds = postprocess.set_forecast_minimum(preds, _FLOOR)
+    preds = postprocess.add_confidence_intervals(preds, "predicted_v",
+                                                 alpha=0.975)
+    out = preds.to_pandas()
+    return _round(out[["event_type", "d", "predicted_v",
+                       "predicted_v_lower", "predicted_v_upper"]],
+                  ["predicted_v", "predicted_v_lower", "predicted_v_upper"], 6)
+
+
+SQL_FORECAST_POSTPROCESS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    ),
+    p AS (
+        SELECT event_type, d,
+               CASE WHEN lv > {_FLOOR} THEN lv ELSE {_FLOOR} END AS pred
+        FROM l WHERE lv IS NOT NULL
+    ),
+    s AS (SELECT stddev_samp(pred) / sqrt(count(*)) * {_CI_Z!r} AS hw FROM p)
+    SELECT event_type, d, round(pred, 6) AS predicted_v,
+           round(pred - hw, 6) AS predicted_v_lower,
+           round(pred + hw, 6) AS predicted_v_upper
+    FROM p, s
+"""
+
+
+def q_asymmetric_loss_naive(sf_dir: str) -> pd.DataFrame:
+    """The M5-winning asymmetric validation loss
+    (``_custom_asymmetric_valid``, model.py:539-548) of the naive lag-1
+    daily forecast: residual² with over-forecasts weighted 1.0 and
+    under-forecasts 0.9 — distributed (Σloss, n) partials, tiny reduce."""
+    fr = _daily_frame(sf_dir).lag_features("v", [1])
+    out = metrics.asymmetric_loss(fr.dataset, "v", "v_lag1",
+                                  loss_multiplier=0.9)
+    return _round(out[["n", "loss"]], ["loss"], 2)
+
+
+SQL_ASYMMETRIC_LOSS_NAIVE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    )
+    SELECT count(*) AS n,
+           round(avg(CASE WHEN (v - lv) < 0 THEN (v - lv) * (v - lv)
+                          ELSE (v - lv) * (v - lv) * 0.9 END), 2) AS loss
+    FROM l WHERE lv IS NOT NULL AND v IS NOT NULL
+"""

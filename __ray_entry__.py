@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prediction post-processing: floor + normal-theory CIs
         "forecast_postprocess_daily": Q.q_forecast_postprocess_daily,
         "asymmetric_loss_naive": Q.q_asymmetric_loss_naive,
+        # GPT-style fixed-context token-stream packing
+        "pack_spans_documents": Q.q_pack_spans_documents,
+        "pack_chunk_stats_documents": Q.q_pack_chunk_stats_documents,
         "distinct_users_daily_kmv": Q.q_distinct_users_daily_kmv,
         "distinct_users_kmv_gate": Q.q_distinct_users_kmv_gate,
         "distinct_users_daily_cascade": Q.q_distinct_users_daily_cascade,
@@ -401,6 +404,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_loss_naive": Q.SQL_QUANTILE_LOSS_NAIVE,
         "forecast_postprocess_daily": Q.SQL_FORECAST_POSTPROCESS,
         "asymmetric_loss_naive": Q.SQL_ASYMMETRIC_LOSS_NAIVE,
+        "pack_spans_documents": Q.SQL_PACK_SPANS,
+        "pack_chunk_stats_documents": Q.SQL_PACK_CHUNK_STATS,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

@@ -6306,3 +6306,90 @@ SQL_ASYMMETRIC_LOSS_NAIVE = f"""
                           ELSE (v - lv) * (v - lv) * 0.9 END), 2) AS loss
     FROM l WHERE lv IS NOT NULL AND v IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# GPT-style token-stream packing (pipelines/corpus.pack_token_stream)
+
+_PACK_L = 512          # context length
+_PACK_BKT = 128        # small bucket so sf0.01's 500 docs span 4 buckets
+
+_PACK_SQL = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n + 1) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS g0
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, n, g0,
+             g0 // {_PACK_L} AS c0, (g0 + n - 1) // {_PACK_L} AS c1
+      FROM o WHERE n > 0
+    ),
+    x AS (
+      SELECT doc_id, n, g0, c0,
+             unnest(generate_series(0, c1 - c0)) AS i
+      FROM e
+    ),
+    spans AS (
+      SELECT doc_id, CAST(c0 + i AS BIGINT) AS chunk_id,
+             CAST(GREATEST(0, (c0 + i) * {_PACK_L} - g0) AS BIGINT)
+                 AS tok_start,
+             CAST(LEAST(n, (c0 + i + 1) * {_PACK_L} - g0) AS BIGINT)
+                 AS tok_end
+      FROM x
+    )
+"""
+
+
+def q_pack_spans_documents(sf_dir: str) -> pd.DataFrame:
+    """GPT-style fixed-context packing of the whitespace token stream
+    (docs in doc_id order, 1 EOS separator each, context 512): the
+    (doc_id, chunk_id, doc-local token span) assignment, computed by the
+    distributed two-pass global prefix sum in
+    ``corpus.pack_token_stream`` and pinned row-for-row by the SQL window
+    cumsum + generate_series expansion."""
+    from forecastframe_ray.pipelines import corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    spans = corpus.pack_token_stream(docs, _PACK_L, sep_tokens=1,
+                                     bucket_docs=_PACK_BKT,
+                                     num_partitions=8)
+    out = spans.to_pandas()
+    for c in ["doc_id", "chunk_id", "tok_start", "tok_end"]:
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "chunk_id", "tok_start", "tok_end"]]
+
+
+SQL_PACK_SPANS = _PACK_SQL + """
+    SELECT doc_id, chunk_id, tok_start, tok_end FROM spans
+"""
+
+
+def q_pack_chunk_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-chunk composition of the packed stream: how many docs and
+    content tokens each fixed 512-token chunk holds (separators excluded)
+    — the sequence-boundary profile a packing run reports."""
+    from forecastframe_ray.pipelines import corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    spans = corpus.pack_token_stream(docs, _PACK_L, sep_tokens=1,
+                                     bucket_docs=_PACK_BKT,
+                                     num_partitions=8)
+    out = corpus.pack_chunk_stats(spans).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_content_tokens"] = out["n_content_tokens"].astype("int64")
+    return out[["chunk_id", "n_docs", "n_content_tokens"]]
+
+
+SQL_PACK_CHUNK_STATS = _PACK_SQL + """
+    SELECT chunk_id, count(*) AS n_docs,
+           CAST(sum(tok_end - tok_start) AS BIGINT) AS n_content_tokens
+    FROM spans GROUP BY 1
+"""

@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GPT-style fixed-context token-stream packing
         "pack_spans_documents": Q.q_pack_spans_documents,
         "pack_chunk_stats_documents": Q.q_pack_chunk_stats_documents,
+        # temperature-based data-mixture sampling
+        "mixture_plan_lang": Q.q_mixture_plan_lang,
+        "mixture_sample_lang": Q.q_mixture_sample_lang,
         "distinct_users_daily_kmv": Q.q_distinct_users_daily_kmv,
         "distinct_users_kmv_gate": Q.q_distinct_users_kmv_gate,
         "distinct_users_daily_cascade": Q.q_distinct_users_daily_cascade,
@@ -406,6 +409,8 @@ def oracle_sql() -> dict[str, str]:
         "asymmetric_loss_naive": Q.SQL_ASYMMETRIC_LOSS_NAIVE,
         "pack_spans_documents": Q.SQL_PACK_SPANS,
         "pack_chunk_stats_documents": Q.SQL_PACK_CHUNK_STATS,
+        "mixture_plan_lang": Q.SQL_MIXTURE_PLAN,
+        "mixture_sample_lang": Q.SQL_MIXTURE_SAMPLE,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

@@ -6393,3 +6393,77 @@ SQL_PACK_CHUNK_STATS = _PACK_SQL + """
            CAST(sum(tok_end - tok_start) AS BIGINT) AS n_content_tokens
     FROM spans GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based data-mixture sampling (stages/sample.mixture_*)
+
+_MIX_T = 0.5          # 1/T = 2 → pow(p, 2) is the exactly-representable p·p
+_MIX_BUDGET = 0.5     # keep half the corpus, redistributed by temperature
+
+_MIX_SQL = """
+    WITH s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    t AS (
+      SELECT lang, n, n * 1.0 / (SELECT sum(n) FROM s) AS p FROM s
+    ),
+    wr AS (SELECT lang, n, p, p * p AS w_raw FROM t),
+    w AS (
+      SELECT lang, n, p,
+             w_raw / (SELECT sum(w_raw) FROM wr) AS w
+      FROM wr
+    ),
+    plan AS (
+      SELECT lang, n, p, w,
+             round(LEAST(1.0, w * 0.5 * (SELECT sum(n) FROM s) / n), 6)
+                 AS rate
+      FROM w
+    )
+"""
+
+
+def q_mixture_plan_lang(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled mixture plan over the corpus languages
+    (Lample & Conneau 2019 §3.1 sampling rule, T=0.5): per-lang share p,
+    mixture weight w ∝ p^(1/T), and the deterministic keep-rate for a
+    half-corpus budget. One coarse aggregate; the plan is one tiny row
+    per language."""
+    from forecastframe_ray.stages import sample as S
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    w = S.mixture_weights(docs, "lang", temperature=_MIX_T)
+    budget = _MIX_BUDGET * w["n"].sum()
+    w["rate"] = np.round(np.minimum(
+        1.0, w["w"].to_numpy(np.float64) * budget
+        / w["n"].to_numpy(np.float64)), 6)
+    w["n"] = w["n"].astype("int64")
+    return _round(w[["lang", "n", "p", "w", "rate"]], ["p", "w"], 6)
+
+
+SQL_MIXTURE_PLAN = _MIX_SQL + """
+    SELECT lang, n, round(p, 6) AS p, round(w, 6) AS w, rate FROM plan
+"""
+
+
+def q_mixture_sample_lang(sf_dir: str) -> pd.DataFrame:
+    """The mixture plan applied: per-lang deterministic md5-bucket
+    downsample at the temperature-reweighted rates — membership depends
+    only on md5(doc_id), so it is identical across cluster shapes and
+    resumes, and the SQL twin recomputes it row-for-row."""
+    from forecastframe_ray.stages import sample as S
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = S.mixture_sample(docs, "lang", "doc_id",
+                           budget_frac=_MIX_BUDGET,
+                           temperature=_MIX_T).to_pandas()
+    return out[["doc_id", "lang"]].astype({"doc_id": "int64"})
+
+
+SQL_MIXTURE_SAMPLE = _MIX_SQL + """
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN plan USING (lang)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)
+          < CAST(floor(plan.rate * 4294967296) AS BIGINT)
+"""

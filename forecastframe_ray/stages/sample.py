@@ -115,3 +115,65 @@ def hash_split(ds, key_col: str, fractions: dict[str, float]):
         return b
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture sampling (multilingual-LM data mixing)
+# ---------------------------------------------------------------------------
+
+def mixture_weights(ds, group_col: str, temperature: float = 1.0,
+                    size_col: str | None = None,
+                    num_partitions: int = 16) -> pd.DataFrame:
+    """Temperature-scaled mixture weights — the public multilingual
+    sampling rule (Lample & Conneau 2019 §3.1; mT5): with group shares
+    ``p_i = n_i / N``, sample groups proportionally to
+    ``w_i = p_i^(1/T) / Σ_j p_j^(1/T)``. ``T < 1`` sharpens toward big
+    groups, ``T > 1`` flattens toward uniform (upsampling low-resource
+    groups).
+
+    Sizes come from one coarse-hash aggregate (row counts, or
+    ``size_col`` sums, e.g. token counts); the result is one tiny
+    driver-side row per group: ``(group, n, p, w)``.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    agg = {"n": ((size_col or group_col),
+                 "sum" if size_col else "size")}
+    sizes = hash_aggregate(ds, [group_col], agg,
+                           num_partitions=num_partitions).to_pandas()
+    sizes = sizes.sort_values(group_col).reset_index(drop=True)
+    n = sizes["n"].to_numpy(np.float64)
+    p = n / n.sum()
+    w_raw = p ** (1.0 / temperature)
+    sizes["p"] = p
+    sizes["w"] = w_raw / w_raw.sum()
+    return sizes
+
+
+def mixture_sample(ds, group_col: str, key_col: str, budget_frac: float,
+                   temperature: float = 1.0, size_col: str | None = None,
+                   rate_digits: int = 6):
+    """Deterministic temperature-mixture downsample: with a total budget of
+    ``budget_frac · N`` rows (or ``size_col`` units), each group keeps an
+    expected ``w_i · budget`` — rate ``min(1, w_i · budget / n_i)`` —
+    selected by the same md5-bucket rule as :func:`deterministic_sample`,
+    so membership is independent of cluster shape and resume. Rates are
+    rounded to ``rate_digits`` so an external recomputation (e.g. a SQL
+    oracle) derives bit-identical thresholds. The per-group rate table is
+    tiny and ships inside the map closure; stateless, no shuffle."""
+    w = mixture_weights(ds, group_col, temperature=temperature,
+                        size_col=size_col)
+    budget = budget_frac * w["n"].sum()
+    rate = np.minimum(1.0, (w["w"].to_numpy(np.float64) * budget)
+                      / w["n"].to_numpy(np.float64))
+    rate = np.round(rate, rate_digits)
+    cuts = {g: int(r * _SPACE) for g, r in zip(w[group_col], rate)}
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        h = _bucket(b[key_col])
+        cut = b[group_col].map(cuts).to_numpy(np.int64)
+        return b[h < cut]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -66,3 +66,41 @@ def test_hash_split_rejects_fractions_over_one():
 
     with _pytest.raises(ValueError, match="sum to"):
         hash_split(None, "k", {"train": 0.8, "val": 0.5, "test": 0.1})
+
+
+def test_mixture_weights_formula():
+    from forecastframe_ray.stages.sample import mixture_weights
+    df = pd.DataFrame({"g": ["a"] * 80 + ["b"] * 15 + ["c"] * 5,
+                       "k": range(100)})
+    w = mixture_weights(ray.data.from_pandas(df).repartition(3), "g",
+                        temperature=0.5)
+    p = np.array([0.80, 0.15, 0.05])
+    want = p ** 2 / (p ** 2).sum()
+    np.testing.assert_allclose(w.sort_values("g")["w"], want, rtol=1e-12)
+    # T > 1 flattens: smallest group's weight rises above its share
+    w2 = mixture_weights(ray.data.from_pandas(df), "g", temperature=5.0)
+    w2 = w2.set_index("g")
+    assert w2.loc["c", "w"] > w2.loc["c", "p"]
+    with pytest.raises(ValueError):
+        mixture_weights(ray.data.from_pandas(df), "g", temperature=0.0)
+
+
+def test_mixture_sample_deterministic_and_rate_bounded():
+    from forecastframe_ray.stages.sample import mixture_sample
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], 2000, p=[0.9, 0.1]),
+                       "k": np.arange(2000)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    s1 = mixture_sample(ds, "g", "k", budget_frac=0.5,
+                        temperature=0.5).to_pandas()
+    s2 = mixture_sample(ray.data.from_pandas(df).repartition(7), "g", "k",
+                        budget_frac=0.5, temperature=0.5).to_pandas()
+    # identical membership across partitionings
+    assert set(s1["k"]) == set(s2["k"])
+    # T=0.5 over a 90/10 split concentrates the budget on the big group:
+    # the small group's keep-rate must be well below the big group's
+    kept = s1.groupby("g")["k"].count()
+    tot = df.groupby("g")["k"].count()
+    assert kept["a"] / tot["a"] > kept["b"] / tot["b"]
+    # overall keep close to the budget (md5 buckets are uniform-ish)
+    assert abs(len(s1) / len(df) - 0.5) < 0.08

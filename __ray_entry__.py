@@ -145,15 +145,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_future_daily": Q.q_predict_future_daily,
         "importance_summary_daily": Q.q_importance_summary_daily,
         "quantile_loss_naive": Q.q_quantile_loss_naive,
-        # prediction post-processing: floor + normal-theory CIs
-        "forecast_postprocess_daily": Q.q_forecast_postprocess_daily,
-        "asymmetric_loss_naive": Q.q_asymmetric_loss_naive,
-        # GPT-style fixed-context token-stream packing
-        "pack_spans_documents": Q.q_pack_spans_documents,
-        "pack_chunk_stats_documents": Q.q_pack_chunk_stats_documents,
-        # temperature-based data-mixture sampling
-        "mixture_plan_lang": Q.q_mixture_plan_lang,
-        "mixture_sample_lang": Q.q_mixture_sample_lang,
         "distinct_users_daily_kmv": Q.q_distinct_users_daily_kmv,
         "distinct_users_kmv_gate": Q.q_distinct_users_kmv_gate,
         "distinct_users_daily_cascade": Q.q_distinct_users_daily_cascade,
@@ -312,6 +303,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_share_events": Q.q_daily_share_events,
         # deterministic md5 train/val/test split
         "dataset_split_orders": Q.q_dataset_split_orders,
+        # prediction post-processing: floor + normal-theory CIs
+        "forecast_postprocess_daily": Q.q_forecast_postprocess_daily,
+        "asymmetric_loss_naive": Q.q_asymmetric_loss_naive,
+        # GPT-style fixed-context token-stream packing
+        "pack_spans_documents": Q.q_pack_spans_documents,
+        "pack_chunk_stats_documents": Q.q_pack_chunk_stats_documents,
+        # temperature-based data-mixture sampling
+        "mixture_plan_lang": Q.q_mixture_plan_lang,
+        "mixture_sample_lang": Q.q_mixture_sample_lang,
     }
 
 

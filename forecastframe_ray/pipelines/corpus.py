@@ -327,8 +327,9 @@ def pack_token_stream(ds, context_len: int, text_col: str = "text",
     L, sep = int(context_len), int(sep_tokens)
 
     def count_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch[text_col].str.strip()
-        n = t.str.count(r"\S+").to_numpy(dtype=np.int64)
+        # null text counts as an empty doc (0 tokens, still one separator)
+        n = batch[text_col].fillna("").str.count(r"\S+") \
+            .to_numpy(dtype=np.int64)
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy(np.int64),
             "__n": n,

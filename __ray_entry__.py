@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temperature-based data-mixture sampling
         "mixture_plan_lang": Q.q_mixture_plan_lang,
         "mixture_sample_lang": Q.q_mixture_sample_lang,
+        # Dickey-Fuller unit-root stationarity test per series
+        "dickey_fuller_daily": Q.q_dickey_fuller_daily,
     }
 
 
@@ -411,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunk_stats_documents": Q.SQL_PACK_CHUNK_STATS,
         "mixture_plan_lang": Q.SQL_MIXTURE_PLAN,
         "mixture_sample_lang": Q.SQL_MIXTURE_SAMPLE,
+        "dickey_fuller_daily": Q.SQL_DICKEY_FULLER_DAILY,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

@@ -6467,3 +6467,106 @@ SQL_MIXTURE_SAMPLE = _MIX_SQL + """
                AS BIGINT)
           < CAST(floor(plan.rate * 4294967296) AS BIGINT)
 """
+
+
+# ---------------------------------------------------------------------------
+# Dickey-Fuller unit-root (stationarity) test per series
+
+_DF_CRIT_5PCT = -2.8614   # MacKinnon asymptotic 5% critical value, constant
+
+
+def q_dickey_fuller_daily(sf_dir: str) -> pd.DataFrame:
+    """Dickey-Fuller unit-root test per daily series (lag-0, constant):
+    regress Δv_t on v_{t−1} by the closed-form 1-regressor OLS and report
+    the t-statistic ρ̂/se(ρ̂) plus the 5%-level stationarity flag
+    (|MacKinnon| asymptotic critical value −2.8614). The standard
+    stationarity diagnostic before differencing/detrending a series
+    (Dickey & Fuller 1979 — public). Each series reduces to six sums
+    inside the keyed partition kernel; both sides use the identical
+    raw-sums algebra so the rounded statistics hash-match."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def df_test(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n = len(v)
+            m = n - 1
+            rho = stat = np.nan
+            if m >= 3:
+                x, d = v[:-1], np.diff(v)
+                mx, md = x.sum() / m, d.sum() / m
+                sxx_c = (x * x).sum() - m * mx * mx
+                sxy_c = (x * d).sum() - m * mx * md
+                sdd_c = (d * d).sum() - m * md * md
+                if sxx_c > 0:
+                    rho = sxy_c / sxx_c
+                    s2 = (sdd_c - rho * sxy_c) / (m - 2)
+                    if s2 > 0:
+                        stat = rho / np.sqrt(s2 / sxx_c)
+            rho_r = np.round(rho, 6)
+            stat_r = np.round(stat, 6)
+            rows.append((et, m, rho_r, stat_r,
+                         bool(stat_r < _DF_CRIT_5PCT)
+                         if not np.isnan(stat_r) else False))
+        return pd.DataFrame(rows, columns=["event_type", "m", "rho",
+                                           "df_stat", "stationary"])
+
+    out = keyed_map_partitions(daily, ["event_type"], df_test,
+                               num_partitions=_NP).to_pandas()
+    out["m"] = out["m"].astype("int64")
+    out["stationary"] = out["stationary"].astype("bool")
+    out = _fill(out, ["rho", "df_stat"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DICKEY_FULLER_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type,
+               v - LAG(v) OVER w AS dy,
+               LAG(v) OVER w AS x
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    e AS (SELECT event_type, dy, x FROM l WHERE x IS NOT NULL),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+               sum(x) / count(*) AS mx, sum(dy) / count(*) AS md,
+               sum(x * dy) AS sxy, sum(x * x) AS sxx, sum(dy * dy) AS sdd
+        FROM e GROUP BY 1
+    ),
+    c AS (
+        SELECT event_type, m,
+               sxy - m * mx * md AS sxy_c,
+               sxx - m * mx * mx AS sxx_c,
+               sdd - m * md * md AS sdd_c
+        FROM s
+    ),
+    r AS (
+        SELECT event_type, m,
+               CASE WHEN m >= 3 AND sxx_c > 0
+                    THEN sxy_c / sxx_c END AS rho,
+               sxx_c, sdd_c, sxy_c
+        FROM c
+    ),
+    f AS (
+        SELECT event_type, m, rho, sxx_c,
+               CASE WHEN rho IS NOT NULL
+                    THEN (sdd_c - rho * sxy_c) / (m - 2) END AS s2
+        FROM r
+    ),
+    z AS (
+        SELECT event_type, m, round(rho, 6) AS rho,
+               round(CASE WHEN s2 > 0
+                          THEN rho / sqrt(s2 / sxx_c) END, 6) AS df_stat
+        FROM f
+    )
+    SELECT event_type, m,
+           COALESCE(rho, {NULLF}) AS rho,
+           COALESCE(df_stat, {NULLF}) AS df_stat,
+           COALESCE(df_stat < {_DF_CRIT_5PCT}, false) AS stationary
+    FROM z
+"""

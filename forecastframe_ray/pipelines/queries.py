@@ -6570,3 +6570,62 @@ SQL_DICKEY_FULLER_DAILY = f"""
            COALESCE(df_stat < {_DF_CRIT_5PCT}, false) AS stationary
     FROM z
 """
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau whiteness test (over the shared lag-corr estimator)
+
+_LB_CHI2_3DOF_5PCT = 7.8147   # chi-square 5% critical value, 3 dof (public)
+
+
+def q_ljung_box_daily(sf_dir: str) -> pd.DataFrame:
+    """Ljung-Box Q over lags 1-3 per daily series:
+    ``Q = n(n+2) Σ_k r_k² / (n−k)`` with the engine's shared pairwise
+    ``corr(v, LAG(v,k))`` lag-correlation estimator (documented variant —
+    identical on both sides, so the statistic hash-matches), plus the
+    5%-level reject-whiteness flag against the 3-dof chi-square critical
+    value. The distributed part is the one keyed lag attach + tiny
+    per-series reduce shared with ACF/PACF (Ljung & Box 1978 — public)."""
+    df = _lag_corr_table(sf_dir, (1, 2, 3))
+    n = df["n1"].to_numpy(np.float64) + 1.0   # pairs at lag 1 = n − 1
+    q = np.zeros(len(df))
+    for k in (1, 2, 3):
+        r = df[f"r{k}"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = q + np.where(n - k > 0, r * r / (n - k), np.nan)
+    q = np.round(n * (n + 2.0) * q, 6)
+    out = pd.DataFrame({
+        "event_type": df["event_type"],
+        "n": (df["n1"] + 1).astype("int64"),
+        "lb_stat": q,
+        "reject_white": np.where(np.isnan(q), False,
+                                 q > _LB_CHI2_3DOF_5PCT).astype(bool),
+    })
+    out = _fill(out, ["lb_stat"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LJUNG_BOX_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, v,
+               LAG(v, 1) OVER w AS v1, LAG(v, 2) OVER w AS v2,
+               LAG(v, 3) OVER w AS v3
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               corr(v, v1) AS r1, corr(v, v2) AS r2, corr(v, v3) AS r3
+        FROM l GROUP BY 1
+    ),
+    z AS (
+        SELECT event_type, n,
+               round(n * (n + 2.0) * (r1 * r1 / (n - 1)
+                     + r2 * r2 / (n - 2) + r3 * r3 / (n - 3)), 6) AS lb_stat
+        FROM s
+    )
+    SELECT event_type, n,
+           COALESCE(lb_stat, {NULLF}) AS lb_stat,
+           COALESCE(lb_stat > {_LB_CHI2_3DOF_5PCT}, false) AS reject_white
+    FROM z
+"""

@@ -170,3 +170,24 @@ def test_dickey_fuller_degenerate_constant_series(ray_session, tmp_path):
     assert out["rho"].iloc[0] == NULLF
     assert out["df_stat"].iloc[0] == NULLF
     assert not bool(out["stationary"].iloc[0])
+
+
+def test_ljung_box_white_vs_autocorrelated(ray_session, tmp_path):
+    # i.i.d. noise must not reject whiteness; a smooth sine trend must.
+    from forecastframe_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(21)
+    noise = rng.normal(0, 1, 60)
+    sine = np.sin(np.arange(60) / 4.0) * 10.0 + 100.0
+    ev = pd.DataFrame({
+        "event_type": ["white"] * 60 + ["sine"] * 60,
+        "ts": np.tile(pd.date_range("2024-01-01", periods=60, freq="D")
+                      .values.astype("datetime64[us]"), 2),
+        "value": np.concatenate([noise, sine]),
+    })
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = Q.q_ljung_box_daily(str(tmp_path)).set_index("event_type")
+    assert out.loc["sine", "lb_stat"] > out.loc["white", "lb_stat"]
+    assert bool(out.loc["sine", "reject_white"])
+    assert not bool(out.loc["white", "reject_white"])
+    assert (out["n"] == 60).all()

@@ -6629,3 +6629,86 @@ SQL_LJUNG_BOX_DAILY = f"""
            COALESCE(lb_stat > {_LB_CHI2_3DOF_5PCT}, false) AS reject_white
     FROM z
 """
+
+
+def q_ts_strength_daily(sf_dir: str) -> pd.DataFrame:
+    """Trend / seasonal strength per daily series (Hyndman &
+    Athanasopoulos, FPP3 §4.3 — public): with the additive decomposition's
+    components, ``F_trend = max(0, 1 − var(resid)/var(trend+resid))`` and
+    ``F_seasonal = max(0, 1 − var(resid)/var(seasonal+resid))``. Both
+    engines compute from the decomposition's 6dp-rounded components (the
+    query surface of ``seasonal_decompose_daily``) so the variances agree;
+    zero-variance denominators yield NULLF."""
+    from forecastframe_ray.stages.keyed import keyed_window_stage
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    dec = keyed_window_stage(
+        daily, ["event_type"], "d",
+        [{"op": "seasonal_decompose", "feature": "v", "ma_window": 7}],
+        num_partitions=_NP)
+
+    def parts(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["v_resid"].to_numpy(np.float64)
+        t = b["v_trend"].to_numpy(np.float64)
+        s = b["v_seasonal"].to_numpy(np.float64)
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "__r": r, "__tr": t + r, "__sr": s + r})
+
+    v = hash_aggregate(dec.map_batches(parts, batch_format="pandas"),
+                       ["event_type"],
+                       {"vr": ("__r", "var"), "vtr": ("__tr", "var"),
+                        "vsr": ("__sr", "var")},
+                       num_partitions=4).to_pandas()
+
+    def strength(num: pd.Series, den: pd.Series) -> np.ndarray:
+        den_a = den.to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            f = np.where(den_a > 0,
+                         np.maximum(0.0, 1.0 - num.to_numpy(np.float64)
+                                    / np.where(den_a > 0, den_a, 1.0)),
+                         np.nan)
+        return np.round(f, 6)
+
+    out = pd.DataFrame({"event_type": v["event_type"],
+                        "f_trend": strength(v["vr"], v["vtr"]),
+                        "f_seasonal": strength(v["vr"], v["vsr"])})
+    out = _fill(out, ["f_trend", "f_seasonal"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_TS_STRENGTH_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    t AS (
+        SELECT event_type, d, v,
+               avg(v) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS trend
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, d, v, trend,
+               avg(v - trend) OVER (PARTITION BY event_type, dayofweek(d))
+                   AS seasonal
+        FROM t
+    ),
+    comp AS (
+        SELECT event_type,
+               round(trend, 6) AS tr,
+               round(seasonal, 6) AS se,
+               round(v - trend - seasonal, 6) AS re
+        FROM s
+    ),
+    vv AS (
+        SELECT event_type, var_samp(re) AS vr,
+               var_samp(tr + re) AS vtr, var_samp(se + re) AS vsr
+        FROM comp GROUP BY 1
+    )
+    SELECT event_type,
+           COALESCE(round(CASE WHEN vtr > 0
+                    THEN GREATEST(0, 1 - vr / vtr) END, 6), {NULLF})
+               AS f_trend,
+           COALESCE(round(CASE WHEN vsr > 0
+                    THEN GREATEST(0, 1 - vr / vsr) END, 6), {NULLF})
+               AS f_seasonal
+    FROM vv
+"""

@@ -191,3 +191,24 @@ def test_ljung_box_white_vs_autocorrelated(ray_session, tmp_path):
     assert bool(out.loc["sine", "reject_white"])
     assert not bool(out.loc["white", "reject_white"])
     assert (out["n"] == 60).all()
+
+
+def test_ts_strength_separates_trend_and_seasonality(ray_session, tmp_path):
+    # a pure linear trend scores f_trend ~1 / f_seasonal ~0; a pure weekly
+    # pattern scores the reverse (FPP3 strength-of-components measures)
+    from forecastframe_ray.pipelines import queries as Q
+
+    t = np.arange(56, dtype=np.float64)
+    trendy = 10.0 + 3.0 * t
+    weekly = 100.0 + np.tile([20, -10, 5, 0, -5, 10, -20], 8)
+    ev = pd.DataFrame({
+        "event_type": ["trendy"] * 56 + ["weekly"] * 56,
+        "ts": np.tile(pd.date_range("2024-01-01", periods=56, freq="D")
+                      .values.astype("datetime64[us]"), 2),
+        "value": np.concatenate([trendy, weekly]),
+    })
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = Q.q_ts_strength_daily(str(tmp_path)).set_index("event_type")
+    assert out.loc["trendy", "f_trend"] > 0.99
+    assert out.loc["weekly", "f_seasonal"] > 0.95
+    assert out.loc["weekly", "f_trend"] < 0.6

@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dickey_fuller_daily": Q.q_dickey_fuller_daily,
         "ljung_box_daily": Q.q_ljung_box_daily,
         "ts_strength_daily": Q.q_ts_strength_daily,
+        "demand_classification_users": Q.q_demand_classification_users,
     }
 
 
@@ -418,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "dickey_fuller_daily": Q.SQL_DICKEY_FULLER_DAILY,
         "ljung_box_daily": Q.SQL_LJUNG_BOX_DAILY,
         "ts_strength_daily": Q.SQL_TS_STRENGTH_DAILY,
+        "demand_classification_users": Q.SQL_DEMAND_CLASSIFICATION,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

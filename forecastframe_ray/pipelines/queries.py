@@ -6712,3 +6712,76 @@ SQL_TS_STRENGTH_DAILY = f"""
                AS f_seasonal
     FROM vv
 """
+
+
+def q_demand_classification_users(sf_dir: str) -> pd.DataFrame:
+    """Syntetos-Boylan demand-pattern classification per user series
+    (Syntetos & Boylan 2005 — public; the diagnostic that decides when the
+    Croston estimator applies): ADI = active-span days / demand days and
+    CV² of the daily demand sizes, classified at the standard cutoffs
+    (ADI 1.32, CV² 0.49) into smooth / intermittent / erratic / lumpy.
+    Two coarse-hash aggregates — (user, day) demand sums, then one row per
+    user; the class is derived from the 6dp-rounded measures on BOTH sides
+    so the label can never straddle a float boundary."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "d": b["ts"].dt.floor("D"),
+                             "v": b["value"]})
+
+    daily = hash_aggregate(ev.map_batches(day_fn, batch_format="pandas"),
+                           ["user_id", "d"], {"v": ("v", "sum")},
+                           num_partitions=_NP, hash_keys=["user_id"])
+    per_user = hash_aggregate(
+        daily, ["user_id"],
+        {"n_days": ("v", "size"), "first_d": ("d", "min"),
+         "last_d": ("d", "max"), "mu": ("v", "mean"), "sd": ("v", "std")},
+        num_partitions=4).to_pandas()
+
+    span = (per_user["last_d"] - per_user["first_d"]).dt.days.to_numpy(
+        np.float64) + 1.0
+    n = per_user["n_days"].to_numpy(np.float64)
+    adi = np.round(span / n, 6)
+    mu = per_user["mu"].to_numpy(np.float64)
+    sd = per_user["sd"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cv2 = np.round((sd / mu) ** 2, 6)
+    cls = np.where(
+        np.isnan(cv2), "insufficient",
+        np.where(adi < 1.32, np.where(cv2 < 0.49, "smooth", "erratic"),
+                 np.where(cv2 < 0.49, "intermittent", "lumpy")))
+    out = pd.DataFrame({"user_id": per_user["user_id"],
+                        "n_days": per_user["n_days"].astype("int64"),
+                        "adi": adi, "cv2": cv2, "demand_class": cls})
+    out = _fill(out, ["cv2"])
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_DEMAND_CLASSIFICATION = f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+               min(d) AS first_d, max(d) AS last_d,
+               avg(v) AS mu, stddev_samp(v) AS sd
+        FROM daily GROUP BY 1
+    ),
+    m AS (
+        SELECT user_id, n_days,
+               round((date_diff('day', first_d, last_d) + 1.0)
+                     / n_days, 6) AS adi,
+               round((sd / mu) * (sd / mu), 6) AS cv2
+        FROM u
+    )
+    SELECT user_id, n_days, adi,
+           COALESCE(cv2, {NULLF}) AS cv2,
+           CASE WHEN cv2 IS NULL THEN 'insufficient'
+                WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+                WHEN adi < 1.32 THEN 'erratic'
+                WHEN cv2 < 0.49 THEN 'intermittent'
+                ELSE 'lumpy' END AS demand_class
+    FROM m
+"""

@@ -212,3 +212,29 @@ def test_ts_strength_separates_trend_and_seasonality(ray_session, tmp_path):
     assert out.loc["trendy", "f_trend"] > 0.99
     assert out.loc["weekly", "f_seasonal"] > 0.95
     assert out.loc["weekly", "f_trend"] < 0.6
+
+
+def test_demand_classification_quadrants(ray_session, tmp_path):
+    # four constructed users land in the four Syntetos-Boylan quadrants:
+    # daily+steady=smooth, daily+variable=erratic, sparse+steady=
+    # intermittent, sparse+variable=lumpy
+    from forecastframe_ray.pipelines import queries as Q
+
+    days = pd.date_range("2024-01-01", periods=30, freq="D") \
+        .values.astype("datetime64[us]")
+    rows = []
+    for d in days:                                   # ADI = 1
+        rows.append(("smooth", d, 10.0))
+        rows.append(("erratic", d, 10.0))
+    rows[-1] = ("erratic", days[-1], 400.0)          # one huge spike
+    for d in days[::3]:                              # ADI ≈ 2.8
+        rows.append(("intermittent", d, 10.0))
+        rows.append(("lumpy", d, 10.0))
+    rows[-1] = ("lumpy", days[::3][-1], 400.0)
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = Q.q_demand_classification_users(str(tmp_path)) \
+        .set_index("user_id")
+    for name in ["smooth", "erratic", "intermittent", "lumpy"]:
+        assert out.loc[name, "demand_class"] == name, \
+            (name, dict(out.loc[name]))

@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ljung_box_daily": Q.q_ljung_box_daily,
         "ts_strength_daily": Q.q_ts_strength_daily,
         "demand_classification_users": Q.q_demand_classification_users,
+        "theta_forecast_gate_daily": Q.q_theta_forecast_gate_daily,
     }
 
 
@@ -420,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box_daily": Q.SQL_LJUNG_BOX_DAILY,
         "ts_strength_daily": Q.SQL_TS_STRENGTH_DAILY,
         "demand_classification_users": Q.SQL_DEMAND_CLASSIFICATION,
+        "theta_forecast_gate_daily": Q.SQL_THETA_FORECAST_GATE,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

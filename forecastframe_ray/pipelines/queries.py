@@ -6785,3 +6785,76 @@ SQL_DEMAND_CLASSIFICATION = f"""
                 ELSE 'lumpy' END AS demand_class
     FROM m
 """
+
+
+def q_theta_forecast_gate_daily(sf_dir: str) -> pd.DataFrame:
+    """Theta-method forecast (M3 winner), oracle-GATED through the α=1
+    degenerate form: the SES level collapses to the last θ=2 value
+    ``2·y_T − theta0_T``, so ŷ(T+h) = ½·theta0(T+h) + ½·(2y_T − theta0_T)
+    with theta0 the per-series centered OLS line — every term
+    SQL-expressible with the identical centered raw-sums algebra. The gate
+    exercises the full machinery (co-located fit kernel, per-series state,
+    future-grid scorer); general α is pinned by pytest against a direct
+    numpy recursion."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", estimator="theta", alpha=1.0)
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    return df.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_THETA_FORECAST_GATE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    dn AS (
+        SELECT event_type, d, v,
+               CAST(epoch_us(d) // 86400000000 AS DOUBLE) AS t
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, avg(t) AS mx, avg(v) AS my FROM dn GROUP BY 1
+    ),
+    c AS (
+        SELECT dn.event_type, dn.d, dn.v, dn.t, m.mx, m.my,
+               (dn.t - m.mx) AS tc
+        FROM dn JOIN m USING (event_type)
+    ),
+    s AS (
+        SELECT event_type, mx, my,
+               sum(tc * (v - my)) AS sxy, sum(tc * tc) AS sxx
+        FROM c GROUP BY 1, 2, 3
+    ),
+    sl AS (
+        SELECT event_type, mx, my,
+               CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0.0 END AS b
+        FROM s
+    ),
+    r AS (
+        SELECT event_type, v, t,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC)
+                   AS rn
+        FROM dn
+    ),
+    lastv AS (
+        SELECT event_type,
+               max(CASE WHEN rn = 1 THEN v END) AS y_last,
+               max(CASE WHEN rn = 1 THEN t END) AS t_last
+        FROM r GROUP BY 1
+    ),
+    f AS (  -- engine future grid extends from the GLOBAL max date
+        SELECT sl.event_type, sl.mx, sl.my, sl.b,
+               lastv.y_last, lastv.t_last, fd.d,
+               CAST(epoch_us(fd.d) // 86400000000 AS DOUBLE) AS tf
+        FROM sl JOIN lastv USING (event_type)
+        CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    )
+    SELECT event_type, d,
+           round(0.5 * (my + b * (tf - mx))
+                 + 0.5 * (2 * y_last - (my + b * (t_last - mx))), 6)
+               AS predicted_v
+    FROM f
+"""

@@ -478,6 +478,71 @@ def score_croston(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def fit_theta(train_ds, keys: list[str], dtc: str, target: str,
+              alpha: float = 0.5) -> dict:
+    """The Theta method (Assimakopoulos & Nikolopoulos 2000 — the M3
+    competition winner; public): decompose each series into the θ=0 line
+    (the per-series OLS trend, computed in CENTERED coordinates so no
+    giant epoch-day intermediates cancel) and the θ=2 line
+    ``2·y_t − theta0_t``; run simple exponential smoothing over θ=2; the
+    forecast is the equal-weight combination
+
+        ŷ(T+h) = ½·[ȳ + b·(t_{T+h} − t̄)] + ½·L_T.
+
+    Same distributed shape as :func:`fit_holt`: the SES recursion is
+    inherently sequential per series, so the fit is a key-co-located
+    partition kernel; the state is one (t̄, ȳ, b, L) row per series.
+    Degenerate α=1 collapses L_T to ``2·y_T − theta0_T`` — the SQL oracle
+    gate; general α is pytest-pinned against a direct numpy recursion."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    alpha = float(alpha)
+
+    def fit_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part[target].notna()]
+        rows = []
+        for kv, g in part.groupby(keys, sort=False, observed=True):
+            g = g.sort_values(dtc)
+            y = g[target].to_numpy(dtype=np.float64)
+            t = _day_numbers(g[dtc]).astype(np.float64)
+            mx, my = t.mean(), y.mean()
+            tc = t - mx
+            sxx = (tc * tc).sum()
+            b = ((tc * (y - my)).sum() / sxx) if sxx > 0 else 0.0
+            theta2 = 2.0 * y - (my + b * tc)
+            level = theta2[0]
+            for i in range(1, len(theta2)):
+                level = alpha * theta2[i] + (1.0 - alpha) * level
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, mx, my, b, level))
+        return pd.DataFrame(rows, columns=keys
+                            + ["__mx", "__my", "__slope", "__level"])
+
+    model = keyed_map_partitions(train_ds, keys, fit_part).to_pandas()
+    return {"alpha": alpha, "model": model}
+
+
+def score_theta(ds, state: dict, keys: list[str], dtc: str,
+                target: str, out_col: str):
+    """Broadcast-merge Theta scorer: ½·trend-line extrapolation +
+    ½·smoothed θ=2 level. Series unseen at fit time score NaN."""
+    import ray
+
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b[keys].merge(ray.get(ref), how="left", on=keys)
+        t = _day_numbers(b[dtc]).astype(np.float64)
+        line = m["__my"].to_numpy(np.float64) \
+            + m["__slope"].to_numpy(np.float64) \
+            * (t - m["__mx"].to_numpy(np.float64))
+        b[out_col] = 0.5 * line + 0.5 * m["__level"].to_numpy(np.float64)
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 #: name -> (fit, score, fit_param_names). ``fit_param_names`` declares which
 #: candidate params the FIT depends on (the rest only affect scoring), so
 #: the search driver can share one fitted state across candidates that
@@ -489,6 +554,7 @@ ESTIMATORS = {
     "fourier": (fit_fourier, score_fourier, ("order", "trend", "l2")),
     "holt": (fit_holt, score_holt, ("alpha", "beta")),
     "croston": (fit_croston, score_croston, ("alpha",)),
+    "theta": (fit_theta, score_theta, ("alpha",)),
 }
 
 

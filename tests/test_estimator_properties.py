@@ -83,3 +83,37 @@ def test_croston_recursion_parity_arbitrary(ray_session, vals, alpha):
         p = alpha * tau[i] + (1 - alpha) * p
     assert abs(m["__size"] - z) < 1e-9 * max(1.0, abs(z))
     assert abs(m["__interval"] - p) < 1e-9 * max(1.0, abs(p))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(finite, min_size=2, max_size=60),
+       st.floats(min_value=0.05, max_value=1.0))
+def test_theta_recursion_parity_arbitrary(ray_session, vals, alpha):
+    # Theta: centered OLS line + SES over the theta-2 line; the state must
+    # equal the direct numpy computation for ANY series and alpha
+    df = _series(vals)
+    ds = ray.data.from_pandas(df).repartition(2)
+    state = search.fit_theta(ds, ["k"], "d", "v", alpha=alpha)
+    y = np.asarray(vals, dtype=np.float64)
+    t = (df["d"].astype("datetime64[us]").astype("int64")
+         // 86_400_000_000).to_numpy().astype(np.float64)
+    mx, my = t.mean(), y.mean()
+    tc = t - mx
+    sxx = (tc * tc).sum()
+    b = (tc * (y - my)).sum() / sxx if sxx > 0 else 0.0
+    theta2 = 2.0 * y - (my + b * tc)
+    level = theta2[0]
+    for i in range(1, len(theta2)):
+        level = alpha * theta2[i] + (1 - alpha) * level
+    m = state["model"].iloc[0]
+    scale = max(1.0, float(np.abs(y).max()))
+    assert abs(m["__slope"] - b) < 1e-9 * max(1.0, abs(b))
+    assert abs(m["__level"] - level) < 1e-9 * scale
+    # scorer: half line + half level at an arbitrary horizon
+    future = pd.DataFrame({"k": ["s"], "d": [df["d"].max()
+                                             + pd.Timedelta(days=3)]})
+    got = search.score_theta(ray.data.from_pandas(future), state,
+                             ["k"], "d", "v", "p").to_pandas()
+    tf = t[-1] + 3.0
+    want = 0.5 * (my + b * (tf - mx)) + 0.5 * level
+    assert abs(got["p"].iloc[0] - want) < 1e-9 * scale

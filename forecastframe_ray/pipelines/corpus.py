@@ -347,9 +347,14 @@ def pack_token_stream(ds, context_len: int, text_col: str = "text",
                             ["__bkt"], {"tot": ("__stride", "sum")},
                             num_partitions=min(num_partitions, 16)) \
         .to_pandas().sort_values("__bkt")
+    import ray
+
     tot = totals["tot"].to_numpy(np.int64)
-    offsets = dict(zip(totals["__bkt"].to_numpy(np.int64),
-                       np.concatenate([[0], np.cumsum(tot)[:-1]])))
+    # broadcast the (sorted bucket ids, exclusive prefix) arrays ONCE via
+    # the object store — at 10^12 docs this table is ~15M rows, far too big
+    # to ship inside every task's closure; workers read it zero-copy
+    offsets_ref = ray.put((totals["__bkt"].to_numpy(np.int64),
+                           np.concatenate([[0], np.cumsum(tot)[:-1]])))
 
     def expand(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({id_col: pd.array([], dtype="int64"),
@@ -361,7 +366,9 @@ def pack_token_stream(ds, context_len: int, text_col: str = "text",
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy(np.int64)
         n = g["__n"].to_numpy(np.int64)
-        off = offsets[int(g["__bkt"].iloc[0])]
+        bkt_ids, bkt_offs = ray.get(offsets_ref)
+        off = int(bkt_offs[np.searchsorted(bkt_ids,
+                                           int(g["__bkt"].iloc[0]))])
         stride = n + sep
         g0 = off + np.concatenate([[0], np.cumsum(stride)[:-1]])
         keep = n > 0

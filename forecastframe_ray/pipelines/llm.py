@@ -136,9 +136,18 @@ def run(docs_ds, out_dir: str | None = None, id_col: str = "doc_id",
         text_col: str = "text", minhash_threshold: float = 0.7,
         max_repeats: int = 3, min_words_per_line: int = 5,
         require_terminal: bool = True, num_partitions: int = 32,
-        driver_pair_limit: int = 20_000_000) -> dict:
+        driver_pair_limit: int = 20_000_000,
+        pack_context: int | None = None) -> dict:
     """End-to-end run with checkpointed output. Returns the funnel metrics
-    (docs at each stage, wall seconds, docs/sec on the input count)."""
+    (docs at each stage, wall seconds, docs/sec on the input count).
+
+    ``pack_context``: when set, the surviving corpus is additionally packed
+    into fixed ``pack_context``-token training chunks
+    (:func:`forecastframe_ray.pipelines.corpus.pack_token_stream`) — the
+    funnel's natural last stage — and the metrics gain ``pack`` counts
+    (chunks, content tokens, wall). The span table is checkpointed next to
+    the docs when ``out_dir`` is given. Default ``None`` keeps the pinned
+    funnel numbers byte-identical to the historical benches."""
     t_start = time.perf_counter()
     n_in = docs_ds.count()  # parquet-backed input → metadata-only
 
@@ -165,6 +174,27 @@ def run(docs_ds, out_dir: str | None = None, id_col: str = "doc_id",
         n_new = n_final = final.count()
     funnel["stage_wall_s"]["write_s"] = \
         round(time.perf_counter() - t_write, 3)
+
+    if pack_context:
+        from forecastframe_ray.pipelines.corpus import (pack_chunk_stats,
+                                                        pack_token_stream)
+        t_pack = time.perf_counter()
+        spans = pack_token_stream(final, pack_context, text_col=text_col,
+                                  id_col=id_col,
+                                  num_partitions=num_partitions)
+        if out_dir:
+            from forecastframe_ray.state import checkpoint
+            checkpoint.write_partitioned(
+                spans, out_dir, "pack_spans", [id_col],
+                num_partitions=num_partitions, sort_cols=[id_col, "chunk_id"])
+        stats = pack_chunk_stats(spans).to_pandas()
+        funnel["stage_wall_s"]["pack_s"] = \
+            round(time.perf_counter() - t_pack, 3)
+        funnel["pack"] = {
+            "context_len": int(pack_context),
+            "chunks": int(len(stats)),
+            "content_tokens": int(stats["n_content_tokens"].sum()),
+        }
 
     wall = time.perf_counter() - t_start
     return {

@@ -95,3 +95,28 @@ def test_docs_corpus_deterministic_and_batch_independent():
     kinds = a["kind"].value_counts()
     assert set(kinds.index) == {synth.DOC_UNIQUE, synth.DOC_EXACT_DUP,
                                 synth.DOC_NEAR_DUP, synth.DOC_JUNK}
+
+
+def test_run_with_pack_stage(ray_session, tmp_path):
+    # pack_context chains packing as the funnel's last stage: metrics gain
+    # chunk/token counts that must equal a local recount of the survivors
+    from forecastframe_ray.pipelines import llm
+    from forecastframe_ray.synth import write_docs_corpus
+
+    src = str(tmp_path / "docs")
+    write_docs_corpus(src, 2000, seed=7)
+    docs = ray.data.read_parquet(src)
+    out = str(tmp_path / "ckpt")
+    m = llm.run(docs, out_dir=out, num_partitions=8, pack_context=256)
+    assert "pack" in m and m["pack"]["context_len"] == 256
+    # recount content tokens over the written survivors
+    import pyarrow.dataset as pads
+    kept = pads.dataset(f"{out}/tier=docs").to_table().to_pandas()
+    want_tokens = int(kept["text"].str.count(r"\S+").sum())
+    assert m["pack"]["content_tokens"] == want_tokens
+    total_stream = want_tokens + len(kept)   # +1 separator per doc
+    assert m["pack"]["chunks"] == -(-total_stream // 256)
+    # span table checkpointed next to the docs
+    spans = pads.dataset(f"{out}/tier=pack_spans").to_table().to_pandas()
+    assert (spans.groupby("doc_id")["tok_end"].max().sum()) == want_tokens
+    assert m["stage_wall_s"]["pack_s"] > 0

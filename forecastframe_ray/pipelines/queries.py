@@ -6747,6 +6747,8 @@ def q_demand_classification_users(sf_dir: str) -> pd.DataFrame:
     sd = per_user["sd"].to_numpy(np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         cv2 = np.round((sd / mu) ** 2, 6)
+    # mu == 0 divides to inf in numpy but NULL in SQL — align on NULL
+    cv2 = np.where(np.isfinite(cv2), cv2, np.nan)
     cls = np.where(
         np.isnan(cv2), "insufficient",
         np.where(adi < 1.32, np.where(cv2 < 0.49, "smooth", "erratic"),

@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_strength_daily": Q.q_ts_strength_daily,
         "demand_classification_users": Q.q_demand_classification_users,
         "theta_forecast_gate_daily": Q.q_theta_forecast_gate_daily,
+        "exact_dedup_keep_best_documents": Q.q_exact_dedup_keep_best_documents,
+        "croston_sba_gate_daily": Q.q_croston_sba_gate_daily,
     }
 
 
@@ -422,6 +424,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_strength_daily": Q.SQL_TS_STRENGTH_DAILY,
         "demand_classification_users": Q.SQL_DEMAND_CLASSIFICATION,
         "theta_forecast_gate_daily": Q.SQL_THETA_FORECAST_GATE,
+        "exact_dedup_keep_best_documents": Q.SQL_EXACT_DEDUP_KEEP_BEST,
+        "croston_sba_gate_daily": Q.SQL_CROSTON_SBA_GATE,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

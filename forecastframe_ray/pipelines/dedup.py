@@ -58,8 +58,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
        the driver); above it, a distributed hash join on ``id`` — the scale
        path when even the id set outgrows one worker's heap.
     """
-    import ray
-
     from forecastframe_ray.stages.agg import hash_aggregate
 
     narrow = ds.select_columns([id_col, text_col]).map_batches(
@@ -69,6 +67,51 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     keep = hash_aggregate(narrow, ["__digest"],
                           {"__keep_id": (id_col, "min")})
     keep = keep.select_columns(["__keep_id"]).materialize()
+    return _keep_id_semi_join(ds, keep, id_col, broadcast_limit)
+
+
+def exact_dedup_keep_best(ds, priority: list[tuple[str, bool]],
+                          text_col: str = "text", id_col: str = "doc_id",
+                          broadcast_limit: int = 5_000_000):
+    """Exact dedup with a keep POLICY: per distinct text keep the row that
+    sorts first under ``priority`` — a list of ``(column, ascending)``
+    pairs (e.g. ``[("source", True)]`` keeps the copy from the
+    alphabetically-first source, the crawl-pipeline "preferred provenance"
+    rule), with ``id_col`` ascending as the final tie-break. Identical
+    scale shape to :func:`exact_dedup`: a narrow (id, priority-cols,
+    digest) projection shuffles, the winner per digest is found by a
+    per-batch combiner + one key-co-located reduce, and the corpus is
+    semi-joined on the surviving ids (broadcast refs below
+    ``broadcast_limit``, distributed hash join above)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    cols = [c for c, _ in priority]
+    by = cols + [id_col]
+    asc = [a for _, a in priority] + [True]
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        return df.drop_duplicates("__digest", keep="first")
+
+    narrow = ds.select_columns([id_col, *cols, text_col]).map_batches(
+        lambda b: best(_digest_batch(b, text_col)[[id_col, *cols,
+                                                   "__digest"]]),
+        batch_format="pandas",
+    )
+    winners = keyed_map_partitions(narrow, ["__digest"], best)
+    keep = winners.map_batches(
+        lambda b: pd.DataFrame({"__keep_id": b[id_col]}),
+        batch_format="pandas").materialize()
+    return _keep_id_semi_join(ds, keep, id_col, broadcast_limit)
+
+
+def _keep_id_semi_join(ds, keep, id_col: str, broadcast_limit: int):
+    """Filter ``ds`` to the ids in ``keep`` (one ``__keep_id`` column):
+    worker-side block-ref broadcast below ``broadcast_limit`` survivors,
+    distributed hash join above — shared by both exact-dedup keep rules."""
+    import ray
 
     if keep.count() > broadcast_limit:
         from forecastframe_ray.stages.join import hash_join

@@ -6860,3 +6860,87 @@ SQL_THETA_FORECAST_GATE = f"""
                AS predicted_v
     FROM f
 """
+
+
+def q_exact_dedup_keep_best_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup with the preferred-provenance keep rule: per distinct
+    text keep the copy from the alphabetically-first source (doc_id as
+    tie-break) instead of the plain min-id — the crawl-pipeline policy for
+    choosing which duplicate survives. Oracle: ROW_NUMBER over
+    (digest ORDER BY source, doc_id)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = dedup.exact_dedup_keep_best(docs, [("source", True)]).to_pandas()
+    return out[["doc_id", "source"]].astype({"doc_id": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_EXACT_DEDUP_KEEP_BEST = """
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY source ASC, doc_id ASC) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_croston_sba_gate_daily(sf_dir: str) -> pd.DataFrame:
+    """SBA-debiased Croston forecast (Syntetos-Boylan Approximation 2005:
+    Croston × (1 − α/2)), gated through the same α=1 closed form as
+    ``croston_gate_daily`` — at α=1 the factor is exactly 0.5, so the SQL
+    oracle is half the Croston gate. Exercises the shared-fit /
+    scorer-only-variant estimator registration."""
+    from forecastframe_ray.pipelines.search import (fit_croston,
+                                                    score_croston_sba)
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def mask(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        dow = b["d"].dt.dayofweek.to_numpy()
+        b["v"] = np.where(np.isin(dow, (0, 3, 5)),
+                          b["v"].to_numpy(np.float64), 0.0)
+        return b
+
+    masked = daily.map_batches(mask, batch_format="pandas").materialize()
+    state = fit_croston(masked, ["event_type"], "d", "v", alpha=1.0)
+    one = masked.map_batches(
+        lambda b: b.drop_duplicates("event_type")[["event_type", "d"]],
+        batch_format="pandas")
+    scored = score_croston_sba(one, state, ["event_type"], "d", "v",
+                               "sba_forecast").to_pandas()
+    out = scored.drop_duplicates("event_type")[
+        ["event_type", "sba_forecast"]]
+    out = _round(out, ["sba_forecast"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_CROSTON_SBA_GATE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (
+        SELECT event_type, d,
+               CASE WHEN (isodow(d) - 1) IN (0, 3, 5) THEN v ELSE 0 END AS v
+        FROM daily
+    ),
+    start AS (SELECT event_type, min(d) AS d0 FROM m GROUP BY 1),
+    nz AS (
+        SELECT event_type, d, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC)
+                   AS rn
+        FROM m WHERE v <> 0
+    ),
+    lastnz AS (
+        SELECT event_type,
+               max(CASE WHEN rn = 1 THEN v END) AS q_last,
+               max(CASE WHEN rn = 1 THEN d END) AS t1,
+               max(CASE WHEN rn = 2 THEN d END) AS t2
+        FROM nz GROUP BY 1
+    )
+    SELECT s.event_type,
+           COALESCE(round(0.5 * l.q_last / CASE
+               WHEN l.t2 IS NOT NULL THEN datediff('day', l.t2, l.t1)
+               ELSE datediff('day', s.d0, l.t1) + 1 END, 6), 0.0)
+               AS sba_forecast
+    FROM start s LEFT JOIN lastnz l USING (event_type)
+"""

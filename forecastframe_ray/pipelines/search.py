@@ -478,6 +478,21 @@ def score_croston(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def score_croston_sba(ds, state: dict, keys: list[str], dtc: str,
+                      target: str, out_col: str):
+    """Syntetos-Boylan Approximation (2005 — public): Croston's rate
+    forecast is biased high; SBA multiplies it by ``(1 − α/2)``. Shares
+    :func:`fit_croston`'s fitted state; only the scorer differs."""
+    scored = score_croston(ds, state, keys, dtc, target, out_col)
+    factor = 1.0 - state["alpha"] / 2.0
+
+    def debias(b: pd.DataFrame) -> pd.DataFrame:
+        b[out_col] = b[out_col].to_numpy(np.float64) * factor
+        return b
+
+    return scored.map_batches(debias, batch_format="pandas")
+
+
 def fit_theta(train_ds, keys: list[str], dtc: str, target: str,
               alpha: float = 0.5) -> dict:
     """The Theta method (Assimakopoulos & Nikolopoulos 2000 — the M3
@@ -554,6 +569,7 @@ ESTIMATORS = {
     "fourier": (fit_fourier, score_fourier, ("order", "trend", "l2")),
     "holt": (fit_holt, score_holt, ("alpha", "beta")),
     "croston": (fit_croston, score_croston, ("alpha",)),
+    "croston_sba": (fit_croston, score_croston_sba, ("alpha",)),
     "theta": (fit_theta, score_theta, ("alpha",)),
 }
 

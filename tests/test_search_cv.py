@@ -470,3 +470,24 @@ def test_croston_matches_direct_recursion(ray_session):
         ["series"], "d", "v", "pred").to_pandas().set_index("series")
     assert scored.loc["z", "pred"] == 0.0  # all-zero series forecasts 0
     assert scored.loc["one", "pred"] == 7.5 / 5.0  # q=7.5, tau=first at day 5
+
+
+def test_croston_sba_is_debiased_croston(ray_session):
+    """SBA must equal Croston × (1 − α/2) row-for-row, sharing one fit."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(6)
+    vals = rng.choice([0.0, 0.0, 0.0, 4.0, 9.0], 40)
+    df = pd.DataFrame({"series": "s",
+                       "d": pd.date_range("2024-01-01", periods=40),
+                       "v": vals})
+    ds = rd.from_pandas(df).repartition(2)
+    alpha = 0.3
+    state = search.fit_croston(ds, ["series"], "d", "v", alpha=alpha)
+    base = search.score_croston(ds, state, ["series"], "d", "v",
+                                "p").to_pandas().sort_values("d")
+    sba = search.score_croston_sba(ds, state, ["series"], "d", "v",
+                                   "p").to_pandas().sort_values("d")
+    np.testing.assert_allclose(sba["p"], base["p"] * (1 - alpha / 2),
+                               rtol=1e-12)
+    assert "croston_sba" in search.ESTIMATORS

@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_forecast_gate_daily": Q.q_theta_forecast_gate_daily,
         "exact_dedup_keep_best_documents": Q.q_exact_dedup_keep_best_documents,
         "croston_sba_gate_daily": Q.q_croston_sba_gate_daily,
+        "seasonal_naive_forecast_daily": Q.q_seasonal_naive_forecast_daily,
+        "drift_forecast_daily": Q.q_drift_forecast_daily,
     }
 
 
@@ -426,6 +428,8 @@ def oracle_sql() -> dict[str, str]:
         "theta_forecast_gate_daily": Q.SQL_THETA_FORECAST_GATE,
         "exact_dedup_keep_best_documents": Q.SQL_EXACT_DEDUP_KEEP_BEST,
         "croston_sba_gate_daily": Q.SQL_CROSTON_SBA_GATE,
+        "seasonal_naive_forecast_daily": Q.SQL_SEASONAL_NAIVE_FORECAST,
+        "drift_forecast_daily": Q.SQL_DRIFT_FORECAST,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

@@ -6944,3 +6944,101 @@ SQL_CROSTON_SBA_GATE = f"""
                AS sba_forecast
     FROM start s LEFT JOIN lastnz l USING (event_type)
 """
+
+
+def q_seasonal_naive_forecast_daily(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive baseline forecast (FPP3 §5.2), EXACT oracle — no
+    degenerate gate needed: the 7-day-horizon forecast is the most recent
+    same-phase (same weekday) observation per series, reproduced in SQL by
+    a ROW_NUMBER over (series, day_number mod 7)."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", estimator="seasonal_naive",
+                       period=7)
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    df = _fill(df, ["predicted_v"])
+    return df.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_SEASONAL_NAIVE_FORECAST = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    dn AS (
+        SELECT event_type, d, v,
+               epoch_us(d) // 86400000000 AS t
+        FROM daily
+    ),
+    r AS (
+        SELECT event_type, t % 7 AS phase, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type, t % 7
+                                  ORDER BY t DESC) AS rn
+        FROM dn
+    ),
+    ph AS (SELECT event_type, phase, v FROM r WHERE rn = 1),
+    series AS (SELECT DISTINCT event_type FROM daily),
+    f AS (  -- engine future grid extends from the GLOBAL max date
+        SELECT s.event_type, fd.d,
+               (epoch_us(fd.d) // 86400000000) % 7 AS phase
+        FROM series s CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    )
+    SELECT f.event_type, f.d,
+           COALESCE(round(ph.v, 6), {NULLF}) AS predicted_v
+    FROM f LEFT JOIN ph ON f.event_type = ph.event_type
+                       AND f.phase = ph.phase
+"""
+
+
+def q_drift_forecast_daily(sf_dir: str) -> pd.DataFrame:
+    """Drift-method baseline forecast (FPP3 §5.2), EXACT oracle:
+    ŷ(t) = y_last + (t − t_last)·(y_last − y_first)/(t_last − t_first)
+    per series, i.e. the line through the first and last observations."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", estimator="drift")
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    return df.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_DRIFT_FORECAST = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    dn AS (
+        SELECT event_type, d, v,
+               CAST(epoch_us(d) // 86400000000 AS DOUBLE) AS t
+        FROM daily
+    ),
+    r AS (
+        SELECT event_type, v, t,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t ASC)
+                   AS ra,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t DESC)
+                   AS rd
+        FROM dn
+    ),
+    ends AS (
+        SELECT event_type,
+               max(CASE WHEN ra = 1 THEN v END) AS y0,
+               max(CASE WHEN ra = 1 THEN t END) AS t0,
+               max(CASE WHEN rd = 1 THEN v END) AS y1,
+               max(CASE WHEN rd = 1 THEN t END) AS t1
+        FROM r GROUP BY 1
+    ),
+    f AS (
+        SELECT e.*, fd.d,
+               CAST(epoch_us(fd.d) // 86400000000 AS DOUBLE) AS tf
+        FROM ends e CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    )
+    SELECT event_type, d,
+           round(y1 + (tf - t1) * CASE WHEN t1 > t0
+                 THEN (y1 - y0) / (t1 - t0) ELSE 0.0 END, 6)
+               AS predicted_v
+    FROM f
+"""

@@ -478,6 +478,106 @@ def score_croston(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def fit_seasonal_naive(train_ds, keys: list[str], dtc: str, target: str,
+                       period: int = 7) -> dict:
+    """Seasonal naive baseline (FPP3 §5.2 — public): forecast = the most
+    recent observation with the same seasonal phase (``day_number mod
+    period``; period 7 = same weekday last week). State: one row per
+    (series, phase) — the phase's latest value — found by a vectorized
+    sort + drop-duplicates inside the key-co-located partition kernel."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    period = int(period)
+
+    def fit_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part[target].notna()].copy()
+        dn = _day_numbers(part[dtc])
+        part["__dn"] = dn
+        part["__phase"] = dn % period
+        part = part.sort_values("__dn")
+        last = part.drop_duplicates([*keys, "__phase"], keep="last")
+        out = last[[*keys, "__phase"]].copy()
+        out["__value"] = last[target].to_numpy(np.float64)
+        return out
+
+    model = keyed_map_partitions(train_ds, keys, fit_part).to_pandas()
+    return {"period": period, "model": model}
+
+
+def score_seasonal_naive(ds, state: dict, keys: list[str], dtc: str,
+                         target: str, out_col: str):
+    """Broadcast-merge scorer on (series, phase); phases never observed at
+    fit time (or unseen series) score NaN."""
+    import ray
+
+    period = state["period"]
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__phase"] = _day_numbers(b[dtc]) % period
+        m = b[[*keys, "__phase"]].merge(ray.get(ref), how="left",
+                                        on=[*keys, "__phase"])
+        b[out_col] = m["__value"].to_numpy(np.float64)
+        return b.drop(columns=["__phase"])
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def fit_drift(train_ds, keys: list[str], dtc: str, target: str) -> dict:
+    """Drift-method baseline (FPP3 §5.2 — public): the naive forecast plus
+    the average historical change, ŷ(T+h) = y_T + h·(y_T − y_1)/(T−1)
+    in day units. State: one (first, last) observation pair per series."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    def fit_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part[target].notna()].copy()
+        part["__dn"] = _day_numbers(part[dtc])
+        part = part.sort_values("__dn")
+        first = part.drop_duplicates(keys, keep="first")
+        last = part.drop_duplicates(keys, keep="last")
+        out = first[[*keys]].copy()
+        out["__y0"] = first[target].to_numpy(np.float64)
+        out["__dn0"] = first["__dn"].to_numpy(np.float64)
+        lastk = last.set_index(keys)
+        idx = pd.MultiIndex.from_frame(out[keys]) if len(keys) > 1 \
+            else out[keys[0]]
+        out["__y1"] = lastk.loc[idx, target].to_numpy(np.float64)
+        out["__dn1"] = lastk.loc[idx, "__dn"].to_numpy(np.float64)
+        return out
+
+    model = keyed_map_partitions(train_ds, keys, fit_part).to_pandas()
+    return {"model": model}
+
+
+def score_drift(ds, state: dict, keys: list[str], dtc: str,
+                target: str, out_col: str):
+    """ŷ at day t = y_last + (t − dn_last)·slope, slope = (y_last − y_first)
+    / (dn_last − dn_first); single-observation series extrapolate flat."""
+    import ray
+
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b[keys].merge(ray.get(ref), how="left", on=keys)
+        span = m["__dn1"].to_numpy(np.float64) - m["__dn0"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(span > 0,
+                             (m["__y1"].to_numpy(np.float64)
+                              - m["__y0"].to_numpy(np.float64))
+                             / np.where(span > 0, span, 1.0), 0.0)
+        # unseen series: keep NaN from the merge
+        slope = np.where(np.isnan(m["__y1"].to_numpy(np.float64)),
+                         np.nan, slope)
+        h = _day_numbers(b[dtc]).astype(np.float64) \
+            - m["__dn1"].to_numpy(np.float64)
+        b[out_col] = m["__y1"].to_numpy(np.float64) + h * slope
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def score_croston_sba(ds, state: dict, keys: list[str], dtc: str,
                       target: str, out_col: str):
     """Syntetos-Boylan Approximation (2005 — public): Croston's rate
@@ -571,6 +671,9 @@ ESTIMATORS = {
     "croston": (fit_croston, score_croston, ("alpha",)),
     "croston_sba": (fit_croston, score_croston_sba, ("alpha",)),
     "theta": (fit_theta, score_theta, ("alpha",)),
+    "seasonal_naive": (fit_seasonal_naive, score_seasonal_naive,
+                       ("period",)),
+    "drift": (fit_drift, score_drift, ()),
 }
 
 

@@ -491,3 +491,49 @@ def test_croston_sba_is_debiased_croston(ray_session):
     np.testing.assert_allclose(sba["p"], base["p"] * (1 - alpha / 2),
                                rtol=1e-12)
     assert "croston_sba" in search.ESTIMATORS
+
+
+def test_seasonal_naive_and_drift_baselines(ray_session):
+    """Seasonal naive repeats the last same-phase value; drift runs the
+    line through the first and last observation. Both must be exact."""
+    import ray.data as rd
+
+    d = pd.date_range("2024-01-01", periods=21, freq="D")
+    v = np.arange(21, dtype=np.float64) * 2.0 + 5.0
+    df = pd.DataFrame({"series": "s", "d": d, "v": v})
+    ds = rd.from_pandas(df).repartition(2)
+
+    state = search.fit_seasonal_naive(ds, ["series"], "d", "v", period=7)
+    future = pd.DataFrame({"series": ["s"] * 3,
+                           "d": [d[-1] + pd.Timedelta(days=h)
+                                 for h in (1, 2, 9)]})
+    got = search.score_seasonal_naive(rd.from_pandas(future), state,
+                                      ["series"], "d", "v",
+                                      "p").to_pandas().sort_values("d")
+    # exact phase math: value at last index with same (dn % 7)
+    dn = (df["d"].astype("datetime64[us]").astype("int64")
+          // 86_400_000_000).to_numpy()
+    for _, row in got.iterrows():
+        tf = (pd.Timestamp(row["d"]).to_datetime64().astype("datetime64[us]")
+              .astype("int64") // 86_400_000_000)
+        same = np.flatnonzero(dn % 7 == tf % 7)
+        assert row["p"] == v[same[-1]]
+
+    state = search.fit_drift(ds, ["series"], "d", "v")
+    got = search.score_drift(rd.from_pandas(future), state,
+                             ["series"], "d", "v",
+                             "p").to_pandas().sort_values("d")
+    slope = (v[-1] - v[0]) / 20.0
+    for _, row in got.iterrows():
+        h = (pd.Timestamp(row["d"]) - d[-1]).days
+        assert abs(row["p"] - (v[-1] + h * slope)) < 1e-10
+
+    # single-point series extrapolates flat
+    one = rd.from_pandas(pd.DataFrame({"series": "x", "d": [d[0]],
+                                       "v": [7.0]}))
+    st1 = search.fit_drift(one, ["series"], "d", "v")
+    g1 = search.score_drift(
+        rd.from_pandas(pd.DataFrame({"series": ["x"],
+                                     "d": [d[0] + pd.Timedelta(days=5)]})),
+        st1, ["series"], "d", "v", "p").to_pandas()
+    assert g1["p"].iloc[0] == 7.0

@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--minhash-threshold", type=float, default=0.7)
     ap.add_argument("--max-repeats", type=int, default=3,
                     help="boilerplate line corpus-frequency cutoff")
+    ap.add_argument("--pack-context", type=int, default=0,
+                    help="when > 0, pack survivors into fixed-context "
+                         "training chunks and checkpoint the span table")
     args = ap.parse_args()
 
     import ray
@@ -71,7 +74,8 @@ def main() -> int:
     metrics = llm.run(docs, out_dir=args.out,
                       minhash_threshold=args.minhash_threshold,
                       max_repeats=args.max_repeats,
-                      num_partitions=args.num_partitions)
+                      num_partitions=args.num_partitions,
+                      pack_context=args.pack_context or None)
     print(json.dumps(metrics))
     ray.shutdown()
     return 0

@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_naive_forecast_daily": Q.q_seasonal_naive_forecast_daily,
         "drift_forecast_daily": Q.q_drift_forecast_daily,
         "zipf_fit_documents": Q.q_zipf_fit_documents,
+        "baseline_leaderboard_daily": Q.q_baseline_leaderboard_daily,
     }
 
 
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_naive_forecast_daily": Q.SQL_SEASONAL_NAIVE_FORECAST,
         "drift_forecast_daily": Q.SQL_DRIFT_FORECAST,
         "zipf_fit_documents": Q.SQL_ZIPF_FIT,
+        "baseline_leaderboard_daily": Q.SQL_BASELINE_LEADERBOARD,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

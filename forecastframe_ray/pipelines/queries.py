@@ -7096,3 +7096,105 @@ SQL_ZIPF_FIT = r"""
            round(sxy * sxy / (sxx * syy), 6) AS r2
     FROM s
 """
+
+
+def q_baseline_leaderboard_daily(sf_dir: str) -> pd.DataFrame:
+    """Model-selection capstone with a FULL SQL oracle: hold out the last
+    7 days of each daily series, fit the three exactly-reproducible
+    baseline estimators (per-weekday seasonal mean, seasonal naive,
+    drift) on the train window only, score the holdout and rank by RMSE —
+    the leaderboard a reference user gets from ``cross_validate`` across
+    models (model.py:1356+), restricted to the estimators whose entire
+    fit+score is SQL-expressible so the driver verifies every number."""
+    from forecastframe_ray.functions.metrics import error_summary
+    from forecastframe_ray.pipelines import search
+
+    daily = _bucket_series(sf_dir, DAY_US, "d").materialize()
+    split = daily.aggregate(ray.data.aggregate.Max("d"))["max(d)"] \
+        - pd.Timedelta(days=7)
+    train = daily.map_batches(lambda b: b[b["d"] <= split],
+                              batch_format="pandas").materialize()
+    test = daily.map_batches(lambda b: b[b["d"] > split],
+                             batch_format="pandas").materialize()
+
+    rows = []
+    for name, params in [("seasonal_mean", {"season": "dow"}),
+                         ("seasonal_naive", {"period": 7}),
+                         ("drift", {})]:
+        fit_fn, score_fn, _ = search.ESTIMATORS[name]
+        state = fit_fn(train, ["event_type"], "d", "v", **params)
+        scored = score_fn(test, state, ["event_type"], "d", "v", "pred")
+        summ = error_summary(scored, "v", "pred")
+        rows.append((name, int(summ["n"].iloc[0]),
+                     np.round(float(summ["RMSE"].iloc[0]), 4)))
+    out = pd.DataFrame(rows, columns=["estimator", "n", "rmse"])
+    return out.sort_values("rmse").reset_index(drop=True)
+
+
+SQL_BASELINE_LEADERBOARD = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    split AS (SELECT max(d) - INTERVAL 7 DAY AS sd FROM daily),
+    train AS (SELECT daily.* FROM daily, split WHERE d <= sd),
+    test AS (SELECT daily.* FROM daily, split WHERE d > sd),
+    -- seasonal mean: per-(series, weekday) train mean
+    sm AS (
+        SELECT event_type, isodow(d) - 1 AS dow, avg(v) AS pred
+        FROM train GROUP BY 1, 2
+    ),
+    sm_err AS (
+        SELECT t.v, sm.pred FROM test t
+        JOIN sm ON t.event_type = sm.event_type
+               AND isodow(t.d) - 1 = sm.dow
+    ),
+    -- seasonal naive: latest train value per (series, day_number mod 7)
+    dn AS (SELECT event_type, d, v,
+                  epoch_us(d) // 86400000000 AS t FROM train),
+    snr AS (
+        SELECT event_type, t % 7 AS phase, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type, t % 7
+                                  ORDER BY t DESC) AS rn
+        FROM dn
+    ),
+    sn AS (SELECT event_type, phase, v AS pred FROM snr WHERE rn = 1),
+    sn_err AS (
+        SELECT t.v, sn.pred FROM test t
+        JOIN sn ON t.event_type = sn.event_type
+               AND (epoch_us(t.d) // 86400000000) % 7 = sn.phase
+    ),
+    -- drift: line through first/last train observation
+    dr AS (
+        SELECT event_type, v,
+               CAST(epoch_us(d) // 86400000000 AS DOUBLE) AS t,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d ASC)
+                   AS ra,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC)
+                   AS rd
+        FROM train
+    ),
+    ends AS (
+        SELECT event_type,
+               max(CASE WHEN ra = 1 THEN v END) AS y0,
+               max(CASE WHEN ra = 1 THEN t END) AS t0,
+               max(CASE WHEN rd = 1 THEN v END) AS y1,
+               max(CASE WHEN rd = 1 THEN t END) AS t1
+        FROM dr GROUP BY 1
+    ),
+    dr_err AS (
+        SELECT t.v,
+               e.y1 + (CAST(epoch_us(t.d) // 86400000000 AS DOUBLE) - e.t1)
+                 * CASE WHEN e.t1 > e.t0
+                        THEN (e.y1 - e.y0) / (e.t1 - e.t0) ELSE 0.0 END
+                   AS pred
+        FROM test t JOIN ends e USING (event_type)
+    ),
+    all_err AS (
+        SELECT 'seasonal_mean' AS estimator, v, pred FROM sm_err
+        UNION ALL
+        SELECT 'seasonal_naive', v, pred FROM sn_err
+        UNION ALL
+        SELECT 'drift', v, pred FROM dr_err
+    )
+    SELECT estimator, CAST(count(*) AS BIGINT) AS n,
+           round(sqrt(avg((v - pred) * (v - pred))), 4) AS rmse
+    FROM all_err GROUP BY 1 ORDER BY rmse
+"""

@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_forecast_daily": Q.q_drift_forecast_daily,
         "zipf_fit_documents": Q.q_zipf_fit_documents,
         "baseline_leaderboard_daily": Q.q_baseline_leaderboard_daily,
+        "ses_naive_gate_daily": Q.q_ses_naive_gate_daily,
     }
 
 
@@ -434,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_forecast_daily": Q.SQL_DRIFT_FORECAST,
         "zipf_fit_documents": Q.SQL_ZIPF_FIT,
         "baseline_leaderboard_daily": Q.SQL_BASELINE_LEADERBOARD,
+        "ses_naive_gate_daily": Q.SQL_SES_NAIVE_GATE,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

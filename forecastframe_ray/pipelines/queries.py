@@ -7198,3 +7198,37 @@ SQL_BASELINE_LEADERBOARD = f"""
            round(sqrt(avg((v - pred) * (v - pred))), 4) AS rmse
     FROM all_err GROUP BY 1 ORDER BY rmse
 """
+
+
+def q_ses_naive_gate_daily(sf_dir: str) -> pd.DataFrame:
+    """SES forecast, oracle-GATED through the α=1 degenerate form: the
+    level collapses to the last observation, i.e. the naive flat forecast
+    per series — exactly SQL-expressible. General α is hypothesis-pinned
+    against a direct numpy recursion."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", estimator="ses", alpha=1.0)
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    return df.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_SES_NAIVE_GATE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC)
+                   AS rn
+        FROM daily
+    ),
+    lastv AS (SELECT event_type, v FROM r WHERE rn = 1),
+    f AS (
+        SELECT l.event_type, l.v, fd.d
+        FROM lastv l CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    )
+    SELECT event_type, d, round(v, 6) AS predicted_v FROM f
+"""

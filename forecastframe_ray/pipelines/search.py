@@ -407,6 +407,51 @@ def score_holt(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def fit_ses(train_ds, keys: list[str], dtc: str, target: str,
+            alpha: float = 0.5) -> dict:
+    """Simple exponential smoothing (public — Brown 1956/Hyndman fpp):
+    ``l_t = α·y_t + (1−α)·l_{t−1}``, initialized ``l_1 = y_1``; the
+    forecast is the flat level. Same distributed shape as
+    :func:`fit_holt` (sequential per-series recursion in the
+    key-co-located kernel, one state row per series). Degenerate α=1
+    collapses to the naive last-value forecast — the SQL oracle gate."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    alpha = float(alpha)
+
+    def fit_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part[target].notna()]
+        rows = []
+        for kv, g in part.groupby(keys, sort=False, observed=True):
+            y = g.sort_values(dtc)[target].to_numpy(dtype=np.float64)
+            level = y[0]
+            for t in range(1, len(y)):
+                level = alpha * y[t] + (1.0 - alpha) * level
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, level))
+        return pd.DataFrame(rows, columns=keys + ["__level"])
+
+    model = keyed_map_partitions(train_ds, keys, fit_part).to_pandas()
+    return {"alpha": alpha, "model": model}
+
+
+def score_ses(ds, state: dict, keys: list[str], dtc: str,
+              target: str, out_col: str):
+    """Flat-ahead SES forecast: the smoothed level for every scored row
+    (NaN for series unseen at fit time)."""
+    import ray
+
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b[keys].merge(ray.get(ref), how="left", on=keys)
+        b[out_col] = m["__level"].to_numpy(np.float64)
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def fit_croston(train_ds, keys: list[str], dtc: str, target: str,
                 alpha: float = 0.1) -> dict:
     """Croston's method for INTERMITTENT demand (public — Croston 1972;
@@ -667,6 +712,7 @@ ESTIMATORS = {
     "seasonal_mean": (fit_seasonal_mean, score_seasonal_mean, ("season",)),
     "linear_trend": (fit_linear_trend, score_linear_trend, ("l2",)),
     "fourier": (fit_fourier, score_fourier, ("order", "trend", "l2")),
+    "ses": (fit_ses, score_ses, ("alpha",)),
     "holt": (fit_holt, score_holt, ("alpha", "beta")),
     "croston": (fit_croston, score_croston, ("alpha",)),
     "croston_sba": (fit_croston, score_croston_sba, ("alpha",)),

@@ -117,3 +117,19 @@ def test_theta_recursion_parity_arbitrary(ray_session, vals, alpha):
     tf = t[-1] + 3.0
     want = 0.5 * (my + b * (tf - mx)) + 0.5 * level
     assert abs(got["p"].iloc[0] - want) < 1e-9 * scale
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=60),
+       st.floats(min_value=0.05, max_value=1.0))
+def test_ses_recursion_parity_arbitrary(ray_session, vals, alpha):
+    df = _series(vals)
+    ds = ray.data.from_pandas(df).repartition(2)
+    state = search.fit_ses(ds, ["k"], "d", "v", alpha=alpha)
+    y = np.asarray(vals, dtype=np.float64)
+    level = y[0]
+    for t in range(1, len(y)):
+        level = alpha * y[t] + (1 - alpha) * level
+    m = state["model"].iloc[0]
+    scale = max(1.0, float(np.abs(y).max()))
+    assert abs(m["__level"] - level) < 1e-9 * scale

@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit_documents": Q.q_zipf_fit_documents,
         "baseline_leaderboard_daily": Q.q_baseline_leaderboard_daily,
         "ses_naive_gate_daily": Q.q_ses_naive_gate_daily,
+        "heaps_fit_documents": Q.q_heaps_fit_documents,
     }
 
 
@@ -436,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit_documents": Q.SQL_ZIPF_FIT,
         "baseline_leaderboard_daily": Q.SQL_BASELINE_LEADERBOARD,
         "ses_naive_gate_daily": Q.SQL_SES_NAIVE_GATE,
+        "heaps_fit_documents": Q.SQL_HEAPS_FIT,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

@@ -7232,3 +7232,123 @@ SQL_SES_NAIVE_GATE = f"""
     )
     SELECT event_type, d, round(v, 6) AS predicted_v FROM f
 """
+
+
+def q_heaps_fit_documents(sf_dir: str) -> pd.DataFrame:
+    """Heaps-law fit (Heaps 1978 — public; the vocabulary-growth twin of
+    the Zipf check): OLS of log(cumulative distinct tokens) on
+    log(cumulative total tokens) across the ten doc-id deciles — β in
+    V(n) ∝ n^β, with R². Reuses the distributed first-introduction reduce
+    of ``vocab_growth_documents`` plus one per-decile token-count
+    aggregate; the 10-point fit is centered driver algebra mirrored in
+    SQL."""
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    hi = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id"]).column("doc_id")
+    import pyarrow.compute as pc
+    lo_id, hi_id = pc.min(hi).as_py(), pc.max(hi).as_py()
+    span = max(hi_id - lo_id + 1, 1)
+
+    def decile_of(d: np.ndarray) -> np.ndarray:
+        return np.minimum((d - lo_id) * 10 // span, 9).astype(np.int64)
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.split().explode().dropna()
+        g = pd.DataFrame({
+            "token": ex.to_numpy(),
+            "doc_id": b["doc_id"].to_numpy()[ex.index.to_numpy()],
+        })
+        return g.groupby("token", sort=False, as_index=False)["doc_id"].min()
+
+    first = hash_aggregate(docs.map_batches(toks, batch_format="pandas"),
+                           ["token"], {"first_doc": ("doc_id", "min")},
+                           num_partitions=_NP)
+    new_tok = hash_aggregate(first.map_batches(
+        lambda b: pd.DataFrame({"decile": decile_of(
+            b["first_doc"].to_numpy(np.int64)),
+            "one": np.ones(len(b), dtype=np.int64)}),
+        batch_format="pandas"),
+        ["decile"], {"new_tokens": ("one", "sum")},
+        num_partitions=4).to_pandas()
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "decile": decile_of(b["doc_id"].to_numpy(np.int64)),
+            "n_tok": b["text"].fillna("").str.count(r"\S+")
+            .to_numpy(np.int64)})
+
+    tok_per = hash_aggregate(docs.map_batches(counts, batch_format="pandas"),
+                             ["decile"], {"tokens": ("n_tok", "sum")},
+                             num_partitions=4).to_pandas()
+
+    # every decile has token mass; deciles introducing NO new vocabulary
+    # still belong on the curve (left join + zero-fill) — a tiny synthetic
+    # vocabulary otherwise collapses the fit to one point
+    m = tok_per.merge(new_tok, on="decile", how="left") \
+        .fillna({"new_tokens": 0}).sort_values("decile")
+    x = np.log(np.cumsum(m["tokens"].to_numpy(np.float64)))
+    y = np.log(np.cumsum(m["new_tokens"].to_numpy(np.float64)))
+    xc, yc = x - x.mean(), y - y.mean()
+    sxx, syy, sxy = (xc * xc).sum(), (yc * yc).sum(), (xc * yc).sum()
+    beta = np.round(sxy / sxx, 6) if sxx > 0 else np.nan
+    r2 = np.round(sxy * sxy / (sxx * syy), 6) \
+        if sxx > 0 and syy > 0 else np.nan
+    out = pd.DataFrame({
+        "n_points": pd.array([len(m)], dtype="int64"),
+        "heaps_beta": [beta], "r2": [r2]})
+    return _fill(out, ["heaps_beta", "r2"])
+
+
+SQL_HEAPS_FIT = rf"""
+    WITH bounds AS (
+        SELECT min(doc_id) AS lo,
+               greatest(max(doc_id) - min(doc_id) + 1, 1) AS span
+        FROM documents
+    ),
+    first AS (
+        SELECT x AS token, min(doc_id) AS first_doc
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> '')) AS x
+              FROM documents)
+        GROUP BY 1
+    ),
+    nt AS (
+        SELECT CAST(least((first_doc - bounds.lo) * 10 // bounds.span, 9)
+                    AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS new_tokens
+        FROM first, bounds GROUP BY 1
+    ),
+    tp AS (
+        SELECT CAST(least((doc_id - bounds.lo) * 10 // bounds.span, 9)
+                    AS BIGINT) AS decile,
+               CAST(sum(length(regexp_extract_all(text, '\S+')))
+                    AS BIGINT) AS tokens
+        FROM documents, bounds GROUP BY 1
+    ),
+    cum AS (
+        SELECT tp.decile,
+               ln(CAST(sum(tp.tokens) OVER w AS DOUBLE)) AS x,
+               ln(CAST(sum(COALESCE(nt.new_tokens, 0)) OVER w AS DOUBLE))
+                   AS y
+        FROM tp LEFT JOIN nt USING (decile)
+        WINDOW w AS (ORDER BY tp.decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    m AS (SELECT avg(x) AS mx, avg(y) AS my, count(*) AS k FROM cum),
+    s AS (
+        SELECT sum((x - mx) * (y - my)) AS sxy,
+               sum((x - mx) * (x - mx)) AS sxx,
+               sum((y - my) * (y - my)) AS syy, max(k) AS k
+        FROM cum, m
+    )
+    SELECT CAST(k AS BIGINT) AS n_points,
+           COALESCE(round(CASE WHEN sxx > 0 THEN sxy / sxx END, 6),
+                    {NULLF}) AS heaps_beta,
+           COALESCE(round(CASE WHEN sxx > 0 AND syy > 0
+                          THEN sxy * sxy / (sxx * syy) END, 6),
+                    {NULLF}) AS r2
+    FROM s
+"""

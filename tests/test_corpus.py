@@ -194,3 +194,32 @@ def test_zipf_fit_synthetic_power_law(ray_session, tmp_path):
     assert out["n_tokens"].iloc[0] == 40
     assert abs(out["zipf_slope"].iloc[0] + 1.0) < 0.02
     assert out["r2"].iloc[0] > 0.999
+
+
+def test_heaps_fit_growing_vocabulary(ray_session, tmp_path):
+    # each doc introduces ~sqrt-style new vocabulary: beta must land in
+    # (0, 1) with a tight fit; a single-token corpus degenerates to NULLF
+    from forecastframe_ray.pipelines import queries as Q
+    from forecastframe_ray.pipelines.queries import NULLF
+
+    rng = np.random.default_rng(11)
+    texts, vocab = [], 0
+    for i in range(100):
+        new = [f"w{vocab + j}" for j in range(max(1, int((i + 1) ** 0.5
+                                                        - i ** 0.5 + 1)))]
+        vocab += len(new)
+        old = [f"w{rng.integers(0, max(vocab, 1))}" for _ in range(30)]
+        texts.append(" ".join(new + old))
+    pd.DataFrame({"doc_id": range(100), "text": texts}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    out = Q.q_heaps_fit_documents(str(tmp_path))
+    assert out["n_points"].iloc[0] == 10
+    assert 0.0 < out["heaps_beta"].iloc[0] < 1.0
+    assert out["r2"].iloc[0] > 0.9
+
+    pd.DataFrame({"doc_id": range(10), "text": ["same"] * 10}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    out = Q.q_heaps_fit_documents(str(tmp_path))
+    # constant vocabulary: y is flat -> syy == 0 -> r2 NULLF, beta 0
+    assert out["heaps_beta"].iloc[0] == 0.0
+    assert out["r2"].iloc[0] == NULLF

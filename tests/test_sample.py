@@ -104,3 +104,18 @@ def test_mixture_sample_deterministic_and_rate_bounded():
     assert kept["a"] / tot["a"] > kept["b"] / tot["b"]
     # overall keep close to the budget (md5 buckets are uniform-ish)
     assert abs(len(s1) / len(df) - 0.5) < 0.08
+
+
+def test_mixture_weights_size_col_token_weighted(ray_session):
+    # weighting by a size column (token counts) must use summed sizes, not
+    # row counts: group "b" has few rows but huge docs
+    from forecastframe_ray.stages.sample import mixture_weights
+    df = pd.DataFrame({
+        "g": ["a"] * 90 + ["b"] * 10,
+        "k": range(100),
+        "n_tok": [10] * 90 + [910] * 10,   # a: 900 tokens, b: 9100
+    })
+    w = mixture_weights(ray.data.from_pandas(df).repartition(3), "g",
+                        temperature=1.0, size_col="n_tok").set_index("g")
+    assert w.loc["b", "p"] == pytest.approx(0.91)
+    assert w.loc["b", "w"] == pytest.approx(0.91)   # T=1: w == p

@@ -7352,3 +7352,50 @@ SQL_HEAPS_FIT = rf"""
                     {NULLF}) AS r2
     FROM s
 """
+
+
+def q_trimmed_mean_events(sf_dir: str) -> pd.DataFrame:
+    """Per-type 10-90% trimmed mean of the raw event values — the robust
+    location statistic (drop each group's outer deciles, then mean). The
+    decile bounds come from the engine's range-partition order-statistics
+    plan (:func:`interpret.grouped_quantiles` — constant driver traffic);
+    the trim itself is one broadcast-bounds masked partial-sum pass."""
+    from forecastframe_ray.pipelines.interpret import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    qb = grouped_quantiles(ev, ["event_type"], "value", qs=(0.1, 0.9))
+    lo = dict(zip(qb["event_type"], qb["q10"]))
+    hi = dict(zip(qb["event_type"], qb["q90"]))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        l = b["event_type"].map(lo).to_numpy(np.float64)
+        h = b["event_type"].map(hi).to_numpy(np.float64)
+        keep = (v >= l) & (v <= h)
+        g = pd.DataFrame({"event_type": b["event_type"][keep],
+                          "__v": v[keep]})
+        return g
+
+    out = hash_aggregate(ev.map_batches(partials, batch_format="pandas"),
+                         ["event_type"],
+                         {"n_kept": ("__v", "size"),
+                          "trimmed_mean": ("__v", "mean")},
+                         num_partitions=4).to_pandas()
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out = _round(out, ["trimmed_mean"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_TRIMMED_MEAN_EVENTS = """
+    WITH b AS (
+        SELECT event_type,
+               percentile_cont(0.1) WITHIN GROUP (ORDER BY value) AS lo,
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS hi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(e.value), 6) AS trimmed_mean
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value >= b.lo AND e.value <= b.hi
+    GROUP BY 1
+"""

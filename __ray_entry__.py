@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ses_naive_gate_daily": Q.q_ses_naive_gate_daily,
         "heaps_fit_documents": Q.q_heaps_fit_documents,
         "trimmed_mean_events": Q.q_trimmed_mean_events,
+        "rolling_skew_daily": Q.q_rolling_skew_daily,
     }
 
 
@@ -440,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "ses_naive_gate_daily": Q.SQL_SES_NAIVE_GATE,
         "heaps_fit_documents": Q.SQL_HEAPS_FIT,
         "trimmed_mean_events": Q.SQL_TRIMMED_MEAN_EVENTS,
+        "rolling_skew_daily": Q.SQL_ROLLING_SKEW_DAILY,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

@@ -7399,3 +7399,32 @@ SQL_TRIMMED_MEAN_EVENTS = """
     WHERE e.value >= b.lo AND e.value <= b.hi
     GROUP BY 1
 """
+
+
+def q_rolling_skew_daily(sf_dir: str) -> pd.DataFrame:
+    """W1 rolling third-moment shape statistic: 7-day lag-1 rolling sample
+    skewness (adjusted Fisher-Pearson — the pandas ``rolling().skew()``
+    convention DuckDB's ``skewness`` shares) per series. Windows with
+    fewer than 3 points are NULL on both sides."""
+    fr = _daily_frame(sf_dir).calc_statistical_features(
+        "v", windows=7, aggregations=["skew"], lag=1, min_periods=1)
+    col = "v_skew_roll7_lag1"
+    df = fr.to_pandas()[["event_type", "d", "v", col]]
+    df = _round(df, [col], 6)
+    return _fill(df, [col])
+
+
+SQL_ROLLING_SKEW_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v, epoch_us(d) // {DAY_US} AS dn,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS lv
+        FROM daily
+    )
+    SELECT event_type, d, v,
+           COALESCE(round(CASE WHEN count(lv) OVER w >= 3
+                          THEN skewness(lv) OVER w END, 6), {NULLF})
+               AS v_skew_roll7_lag1
+    FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""

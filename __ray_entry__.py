@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_fit_documents": Q.q_heaps_fit_documents,
         "trimmed_mean_events": Q.q_trimmed_mean_events,
         "rolling_skew_daily": Q.q_rolling_skew_daily,
+        "rolling_corr_market_daily": Q.q_rolling_corr_market_daily,
     }
 
 
@@ -442,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_fit_documents": Q.SQL_HEAPS_FIT,
         "trimmed_mean_events": Q.SQL_TRIMMED_MEAN_EVENTS,
         "rolling_skew_daily": Q.SQL_ROLLING_SKEW_DAILY,
+        "rolling_corr_market_daily": Q.SQL_ROLLING_CORR_MARKET,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

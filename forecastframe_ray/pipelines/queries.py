@@ -7428,3 +7428,58 @@ SQL_ROLLING_SKEW_DAILY = f"""
     FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_rolling_corr_market_daily(sf_dir: str) -> pd.DataFrame:
+    """Rolling co-movement with the market: per series, the 7-day lag-1
+    rolling correlation between its daily value and the all-series daily
+    total — the rolling-beta-style feature a hierarchical forecaster reads
+    per leaf. Day totals reduce to day cardinality (tiny broadcast); the
+    windowed correlation is a per-series pandas kernel mirrored by
+    DuckDB's windowed corr (NULL for <2 points / zero variance)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d").materialize()
+    totals = hash_aggregate(daily, ["d"], {"tot": ("v", "sum")},
+                            num_partitions=4).to_pandas()
+    tot_map = dict(zip(totals["d"], totals["tot"]))
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            lv = g["v"].shift(1)
+            lt = g["d"].map(tot_map).shift(1)
+            corr = lv.rolling(7, min_periods=2).corr(lt)
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"], "v": g["v"],
+                "v_corr_market_roll7_lag1":
+                    np.round(corr.to_numpy(np.float64), 6) + 0.0,
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v",
+                                  "v_corr_market_roll7_lag1"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = _fill(out, ["v_corr_market_roll7_lag1"])
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_ROLLING_CORR_MARKET = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tot AS (SELECT d, sum(v) AS tot FROM daily GROUP BY 1),
+    l AS (
+        SELECT daily.event_type, daily.d, daily.v,
+               epoch_us(daily.d) // {DAY_US} AS dn,
+               LAG(daily.v, 1) OVER w0 AS lv,
+               LAG(tot.tot, 1) OVER w0 AS lt
+        FROM daily JOIN tot USING (d)
+        WINDOW w0 AS (PARTITION BY daily.event_type ORDER BY daily.d)
+    )
+    SELECT event_type, d, v,
+           COALESCE(round(corr(lv, lt) OVER w, 6) + 0.0, {NULLF})
+               AS v_corr_market_roll7_lag1
+    FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""

@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_events": Q.q_trimmed_mean_events,
         "rolling_skew_daily": Q.q_rolling_skew_daily,
         "rolling_corr_market_daily": Q.q_rolling_corr_market_daily,
+        "geo_harmonic_mean_lineitem": Q.q_geo_harmonic_mean_lineitem,
     }
 
 
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean_events": Q.SQL_TRIMMED_MEAN_EVENTS,
         "rolling_skew_daily": Q.SQL_ROLLING_SKEW_DAILY,
         "rolling_corr_market_daily": Q.SQL_ROLLING_CORR_MARKET,
+        "geo_harmonic_mean_lineitem": Q.SQL_GEO_HARMONIC_MEAN,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

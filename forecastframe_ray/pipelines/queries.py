@@ -7483,3 +7483,37 @@ SQL_ROLLING_CORR_MARKET = f"""
     FROM l WINDOW w AS (PARTITION BY event_type ORDER BY dn
                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_geo_harmonic_mean_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Geometric and harmonic means of quantity per return flag — the two
+    classical non-arithmetic means, each an ALGEBRAIC reduce (Σln x and
+    Σ1/x respectively) so they cascade like every other tier carry.
+    Strictly positive domain (lineitem quantities)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def parts(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy(np.float64)
+        return pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                             "__ln": np.log(q), "__inv": 1.0 / q,
+                             "__one": np.ones(len(b), dtype=np.int64)})
+
+    out = hash_aggregate(li.map_batches(parts, batch_format="pandas"),
+                         ["l_returnflag"],
+                         {"n": ("__one", "sum"), "sln": ("__ln", "sum"),
+                          "sinv": ("__inv", "sum")},
+                         num_partitions=4).to_pandas()
+    n = out["n"].to_numpy(np.float64)
+    out["geo_mean"] = np.round(np.exp(out["sln"].to_numpy(np.float64) / n), 6)
+    out["harm_mean"] = np.round(n / out["sinv"].to_numpy(np.float64), 6)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "n", "geo_mean", "harm_mean"]] \
+        .sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_GEO_HARMONIC_MEAN = """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(exp(sum(ln(l_quantity)) / count(*)), 6) AS geo_mean,
+           round(count(*) / sum(1.0 / l_quantity), 6) AS harm_mean
+    FROM lineitem GROUP BY 1
+"""

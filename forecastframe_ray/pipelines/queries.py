@@ -7517,3 +7517,64 @@ SQL_GEO_HARMONIC_MEAN = """
            round(count(*) / sum(1.0 / l_quantity), 6) AS harm_mean
     FROM lineitem GROUP BY 1
 """
+
+
+def q_twap_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted average per (series, day) over the IRREGULAR event
+    stream — the TimescaleDB ``time_weight('LOCF')`` continuous-aggregate
+    shape: each observation holds until the next one (or the day end), and
+    the day's average weighs values by held seconds. One keyed co-located
+    kernel (vectorized diff of the sorted in-day timestamps); the oracle
+    is LEAD() + day-end COALESCE. Days whose observations all share one
+    timestamp fall back to the plain mean of the simultaneous values on
+    both sides (zero-weight guard)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["d"] = b["ts"].dt.floor("D")
+        return b
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (et, d), g in part.groupby(["event_type", "d"], sort=False):
+            g = g.sort_values(["ts", "value"], kind="mergesort")
+            t = g["ts"].astype("datetime64[us]").astype("int64") \
+                .to_numpy()
+            v = g["value"].to_numpy(np.float64)
+            day_end = (d.value // 1000) + 86_400_000_000  # ns → us
+            w = np.diff(np.concatenate([t, [day_end]])).astype(np.float64)
+            tw = float((v * w).sum())
+            ws = float(w.sum())
+            twap = tw / ws if ws > 0 else float(v.mean())
+            rows.append((et, d, len(v), np.round(twap, 6)))
+        return pd.DataFrame(rows, columns=["event_type", "d", "n", "twap"])
+
+    out = keyed_map_partitions(
+        ev.map_batches(day_fn, batch_format="pandas"),
+        ["event_type"], kernel, num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_TWAP_DAILY = """
+    WITH e AS (
+        SELECT event_type, date_trunc('day', ts) AS d, ts, value
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, d, value,
+               epoch_us(COALESCE(LEAD(ts) OVER (
+                            PARTITION BY event_type, d
+                            ORDER BY ts, value),
+                        d + INTERVAL 1 DAY)) - epoch_us(ts) AS held_us
+        FROM e
+    )
+    SELECT event_type, d, CAST(count(*) AS BIGINT) AS n,
+           round(CASE WHEN sum(held_us) > 0
+                      THEN sum(value * held_us) / sum(held_us)
+                      ELSE avg(value) END, 6) AS twap
+    FROM w GROUP BY 1, 2
+"""

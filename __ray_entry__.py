@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_corr_market_daily": Q.q_rolling_corr_market_daily,
         "geo_harmonic_mean_lineitem": Q.q_geo_harmonic_mean_lineitem,
         "twap_daily_events": Q.q_twap_daily_events,
+        "counter_increase_users": Q.q_counter_increase_users,
     }
 
 
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_corr_market_daily": Q.SQL_ROLLING_CORR_MARKET,
         "geo_harmonic_mean_lineitem": Q.SQL_GEO_HARMONIC_MEAN,
         "twap_daily_events": Q.SQL_TWAP_DAILY,
+        "counter_increase_users": Q.SQL_COUNTER_INCREASE,
         "distinct_users_daily_kmv": Q.SQL_DISTINCT_USERS_DAILY,
         "distinct_users_kmv_gate": Q.SQL_DISTINCT_USERS_KMV_GATE,
         "distinct_users_daily_cascade": Q.SQL_DISTINCT_USERS_DAILY,

@@ -7578,3 +7578,51 @@ SQL_TWAP_DAILY = """
                       ELSE avg(value) END, 6) AS twap
     FROM w GROUP BY 1, 2
 """
+
+
+def q_counter_increase_users(sf_dir: str) -> pd.DataFrame:
+    """Counter-agg ``increase()`` per user (the Prometheus/TimescaleDB
+    counter-reset rule — public): reading the event values as a counter
+    sampled over time, each step contributes ``v_i − v_{i−1}`` when
+    monotone and ``v_i`` after a reset (drop ⇒ the counter restarted at
+    zero). One keyed co-located kernel (vectorized diff + reset mask);
+    oracle is LAG() + CASE. Ties on ts are ordered by value on both
+    sides so the scan order is deterministic."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in part.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "value"], kind="mergesort")
+            v = g["value"].to_numpy(np.float64)
+            d = np.diff(v)
+            inc = float(np.where(d >= 0, d, v[1:]).sum())
+            rows.append((uid, len(v), np.round(inc, 6),
+                         int((d < 0).sum())))
+        return pd.DataFrame(rows, columns=["user_id", "n", "increase",
+                                           "n_resets"])
+
+    out = keyed_map_partitions(ev, ["user_id"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = out.astype({"user_id": "int64", "n": "int64",
+                      "n_resets": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_COUNTER_INCREASE = """
+    WITH l AS (
+        SELECT user_id, value,
+               LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, value) AS pv
+        FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(COALESCE(sum(CASE WHEN pv IS NULL THEN 0
+                                   WHEN value >= pv THEN value - pv
+                                   ELSE value END), 0), 6) AS increase,
+           CAST(COALESCE(sum(CASE WHEN value < pv THEN 1 END), 0)
+                AS BIGINT) AS n_resets
+    FROM l GROUP BY 1
+"""

@@ -332,6 +332,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_harmonic_mean_lineitem": Q.q_geo_harmonic_mean_lineitem,
         "twap_daily_events": Q.q_twap_daily_events,
         "counter_increase_users": Q.q_counter_increase_users,
+        "bollinger_daily_events": Q.q_bollinger_daily_events,
+        "drawdown_daily_events": Q.q_drawdown_daily_events,
+        "records_streaks_daily": Q.q_records_streaks_daily,
+        "atr_daily_events": Q.q_atr_daily_events,
+        "benford_lineitem": Q.q_benford_lineitem,
+        "gini_users_events": Q.q_gini_users_events,
     }
 
 
@@ -529,4 +535,10 @@ def oracle_sql() -> dict[str, str]:
         "favorite_type_per_user": Q.SQL_FAVORITE_TYPE,
         "daily_share_events": Q.SQL_DAILY_SHARE,
         "dataset_split_orders": Q.SQL_DATASET_SPLIT,
+        "bollinger_daily_events": Q.SQL_BOLLINGER_DAILY,
+        "drawdown_daily_events": Q.SQL_DRAWDOWN_DAILY,
+        "records_streaks_daily": Q.SQL_RECORDS_STREAKS_DAILY,
+        "atr_daily_events": Q.SQL_ATR_DAILY,
+        "benford_lineitem": Q.SQL_BENFORD_LINEITEM,
+        "gini_users_events": Q.SQL_GINI_USERS,
     }

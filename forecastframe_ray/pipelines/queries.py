@@ -7626,3 +7626,298 @@ SQL_COUNTER_INCREASE = """
                 AS BIGINT) AS n_resets
     FROM l GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# band / drawdown / record-run features on the daily spine (W1 family)
+# ---------------------------------------------------------------------------
+
+def q_bollinger_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Bollinger bands (Bollinger 1980s — public) on the daily spine,
+    leakage-safe form: band = trailing LAG-1 7-row mean ± 2·std (ddof=1,
+    ≥2 points required — same frame the rolling-corr feature uses), plus a
+    breach flag (+1 above the upper band, −1 below the lower, 0 inside)
+    computed from the ROUNDED band on both engines so the comparison is
+    epsilon-stable. One keyed co-located kernel per series."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            lv = g["v"].shift(1)
+            m = lv.rolling(7, min_periods=2).mean().to_numpy(np.float64)
+            s = lv.rolling(7, min_periods=2).std(ddof=1) \
+                .to_numpy(np.float64)
+            up = np.round(m + 2.0 * s, 6)
+            lo = np.round(m - 2.0 * s, 6)
+            v = g["v"].to_numpy(np.float64)
+            breach = np.where(v > up, 1.0, np.where(v < lo, -1.0, 0.0))
+            breach = np.where(np.isnan(up), np.nan, breach)
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"], "v": g["v"],
+                "bb_mid": np.round(m, 6) + 0.0, "bb_up": up + 0.0,
+                "bb_lo": lo + 0.0, "bb_breach": breach + 0.0,
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "bb_mid",
+                                  "bb_up", "bb_lo", "bb_breach"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = _fill(out, ["bb_mid", "bb_up", "bb_lo", "bb_breach"])
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_BOLLINGER_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    w AS (
+        SELECT event_type, d, v,
+               CASE WHEN count(v) OVER w1 >= 2
+                    THEN avg(v) OVER w1 END AS m,
+               stddev_samp(v) OVER w1 AS s
+        FROM daily WINDOW w1 AS (PARTITION BY event_type ORDER BY d
+                                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, v,
+           COALESCE(round(m, 6) + 0.0, {NULLF}) AS bb_mid,
+           COALESCE(round(m + 2 * s, 6) + 0.0, {NULLF}) AS bb_up,
+           COALESCE(round(m - 2 * s, 6) + 0.0, {NULLF}) AS bb_lo,
+           COALESCE(CASE WHEN m IS NULL THEN NULL
+                         WHEN v > round(m + 2 * s, 6) THEN 1.0
+                         WHEN v < round(m - 2 * s, 6) THEN -1.0
+                         ELSE 0.0 END, {NULLF}) AS bb_breach
+    FROM w
+"""
+
+
+def q_drawdown_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Maximum drawdown per daily series: the largest peak-to-trough drop
+    ``max(running_max(v) − v)`` in time order (absolute units — the daily
+    sums can cross zero, so the relative form is ill-posed). Emitted with
+    the series peak and day count; the running max is a per-series
+    co-located kernel, the oracle a ROWS UNBOUNDED PRECEDING window."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            v = g["v"].to_numpy(np.float64)
+            runmax = np.maximum.accumulate(v)
+            rows.append((et, len(v), np.round(float((runmax - v).max()), 6),
+                         np.round(float(v.max()), 6)))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "max_drawdown", "peak"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DRAWDOWN_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               max(v) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS runmax
+        FROM daily
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(max(runmax - v), 6) AS max_drawdown,
+           round(max(v), 6) AS peak
+    FROM r GROUP BY 1
+"""
+
+
+def q_records_streaks_daily(sf_dir: str) -> pd.DataFrame:
+    """Record-high days and the longest up-streak per daily series — the
+    two classic run statistics (records: v strictly above every prior
+    value, first day counts; up-streak: consecutive rows with v > previous
+    v). The kernel is one vectorized pass (cummax + cumsum gaps-and-islands);
+    the oracle is the textbook row_number/grp SQL island construction."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            v = g["v"].to_numpy(np.float64)
+            prior_max = np.concatenate(
+                ([-np.inf], np.maximum.accumulate(v)[:-1]))
+            n_records = int((v > prior_max).sum())
+            up = np.concatenate(([False], v[1:] > v[:-1]))
+            grp = np.cumsum(~up)
+            streak = int(np.bincount(grp[up]).max()) if up.any() else 0
+            rows.append((et, len(v), n_records, streak))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "n_records", "max_up_streak"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    for c in ("n_days", "n_records", "max_up_streak"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_RECORDS_STREAKS_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               CASE WHEN COALESCE(v > max(v) OVER
+                        (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        TRUE) THEN 1 ELSE 0 END AS is_rec,
+               CASE WHEN v > LAG(v) OVER
+                        (PARTITION BY event_type ORDER BY d)
+                    THEN 1 ELSE 0 END AS up
+        FROM daily
+    ),
+    g AS (
+        SELECT event_type, d, up, is_rec,
+               SUM(CASE WHEN up = 0 THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY event_type ORDER BY d) AS grp
+        FROM l
+    ),
+    s AS (SELECT event_type, grp, SUM(up) AS streak FROM g GROUP BY 1, 2)
+    SELECT g2.event_type, CAST(g2.n_days AS BIGINT) AS n_days,
+           CAST(g2.n_records AS BIGINT) AS n_records,
+           CAST(s2.max_up_streak AS BIGINT) AS max_up_streak
+    FROM (SELECT event_type, count(*) AS n_days, SUM(is_rec) AS n_records
+          FROM g GROUP BY 1) g2
+    JOIN (SELECT event_type, MAX(streak) AS max_up_streak
+          FROM s GROUP BY 1) s2 USING (event_type)
+"""
+
+
+def q_atr_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Average True Range (Wilder 1978 — public) over the daily OHLC bars:
+    ``TR = max(high−low, |high−prev_close|, |low−prev_close|)`` (first bar:
+    high−low) and ATR = trailing 7-ROW mean of TR (min 1 row). Bars come
+    from the same unique-stamp OHLC aggregate the ``ohlc_daily_events``
+    entry pins; TR/ATR are computed from the ROUNDED bars on both engines."""
+    bars = q_ohlc_daily_events(sf_dir)
+
+    outs = []
+    for et, g in bars.groupby("event_type", sort=False):
+        g = g.sort_values("d").copy()
+        pc = g["close"].shift(1).to_numpy(np.float64)
+        hi = g["high"].to_numpy(np.float64)
+        lo = g["low"].to_numpy(np.float64)
+        tr = np.maximum(hi - lo,
+                        np.maximum(np.abs(hi - pc), np.abs(lo - pc)))
+        tr = np.where(np.isnan(pc), hi - lo, tr)
+        tr = np.round(tr, 6)
+        atr = pd.Series(tr).rolling(7, min_periods=1).mean() \
+            .to_numpy(np.float64)
+        outs.append(pd.DataFrame({
+            "event_type": g["event_type"], "d": g["d"],
+            "tr": tr + 0.0, "atr7": np.round(atr, 6) + 0.0}))
+    out = pd.concat(outs, ignore_index=True)
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_ATR_DAILY = f"""
+    WITH bars AS ({SQL_OHLC_DAILY}),
+    t AS (
+        SELECT event_type, d,
+               round(CASE WHEN LAG(close) OVER w IS NULL THEN high - low
+                          ELSE GREATEST(high - low,
+                                        abs(high - LAG(close) OVER w),
+                                        abs(low - LAG(close) OVER w))
+                     END, 6) AS tr
+        FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, d, tr + 0.0 AS tr,
+           round(avg(tr) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 6) + 0.0 AS atr7
+    FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# distribution audits: Benford first-digit, Gini concentration
+# ---------------------------------------------------------------------------
+
+def q_benford_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Benford first-significant-digit audit (Benford 1938 — public) of
+    ``l_extendedprice``: digits are taken from the integer cents via string
+    truncation (bit-exact on both engines — no float log10 at power-of-ten
+    boundaries), counted by the salted combiner aggregate, and compared to
+    the Benford expectation ``log10(1 + 1/d)``."""
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def digit_fn(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        return pd.DataFrame({"digit": first,
+                             "__one": np.ones(len(b), dtype=np.int64)})
+
+    out = hash_aggregate(li.map_batches(digit_fn, batch_format="pandas"),
+                         ["digit"], {"n": ("__one", "sum")},
+                         num_partitions=4).to_pandas()
+    total = float(out["n"].sum())
+    out["n"] = out["n"].astype("int64")
+    out["share"] = np.round(out["n"].to_numpy(np.float64) / total, 6)
+    out["benford_p"] = np.round(
+        np.log10(1.0 + 1.0 / out["digit"].to_numpy(np.float64)), 6)
+    return out[["digit", "n", "share", "benford_p"]] \
+        .sort_values("digit").reset_index(drop=True)
+
+
+SQL_BENFORD_LINEITEM = """
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM lineitem
+    )
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / (SELECT count(*) FROM c), 6) AS share,
+           round(log10(1 + 1.0 / digit), 6) AS benford_p
+    FROM c GROUP BY 1
+"""
+
+
+def q_gini_users_events(sf_dir: str) -> pd.DataFrame:
+    """Gini concentration of per-user total event value (Gini 1912 —
+    public; the activity-inequality dashboard number). Per-user totals
+    reduce distributedly (rounded to 6dp so ordering ties are exact on both
+    engines); the closed-form rank formula
+    ``G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n`` runs over the tiny totals
+    vector."""
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    tot = hash_aggregate(ev, ["user_id"], {"tot": ("value", "sum")},
+                         num_partitions=_NP).to_pandas()
+    x = np.sort(np.round(tot["tot"].to_numpy(np.float64), 6))
+    n = len(x)
+    gini = 2.0 * float((np.arange(1, n + 1) * x).sum()) \
+        / (n * float(x.sum())) - (n + 1.0) / n
+    return pd.DataFrame({"n_users": np.array([n], dtype=np.int64),
+                         "gini": [np.round(gini, 6)]})
+
+
+SQL_GINI_USERS = """
+    WITH t AS (
+        SELECT user_id, round(sum(value), 6) AS tot
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT tot, row_number() OVER (ORDER BY tot) AS rn,
+               count(*) OVER () AS n, sum(tot) OVER () AS s
+        FROM t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           round(2.0 * sum(rn * tot) / (max(n) * max(s))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM r
+"""

@@ -338,6 +338,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "atr_daily_events": Q.q_atr_daily_events,
         "benford_lineitem": Q.q_benford_lineitem,
         "gini_users_events": Q.q_gini_users_events,
+        "hampel_daily_events": Q.q_hampel_daily_events,
+        "dow_profile_daily": Q.q_dow_profile_daily,
+        "macd_daily_events": Q.q_macd_daily_events,
+        "audience_overlap_events": Q.q_audience_overlap_events,
+        "normalized_dedup_documents": Q.q_normalized_dedup_documents,
     }
 
 
@@ -541,4 +546,9 @@ def oracle_sql() -> dict[str, str]:
         "atr_daily_events": Q.SQL_ATR_DAILY,
         "benford_lineitem": Q.SQL_BENFORD_LINEITEM,
         "gini_users_events": Q.SQL_GINI_USERS,
+        "hampel_daily_events": Q.SQL_HAMPEL_DAILY,
+        "dow_profile_daily": Q.SQL_DOW_PROFILE_DAILY,
+        "macd_daily_events": Q.SQL_MACD_DAILY,
+        "audience_overlap_events": Q.SQL_AUDIENCE_OVERLAP,
+        "normalized_dedup_documents": Q.SQL_NORMALIZED_DEDUP,
     }

@@ -7921,3 +7921,294 @@ SQL_GINI_USERS = """
                  - (max(n) + 1.0) / max(n), 6) AS gini
     FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# robust filtering / seasonal profiles / momentum (W1 family, batch 2)
+# ---------------------------------------------------------------------------
+
+def q_hampel_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Hampel filter (Hampel 1974 — public; the robust despiking standard)
+    on the daily spine: centered 7-row window (3 each side, shrinking at
+    the edges), outlier when ``|v − med| > 3 · 1.4826 · MAD``, replaced by
+    the window median. Oracle via DuckDB list-windows (``list(v) OVER`` +
+    ``list_aggregate(…, 'median')``) — both engines compute from the same
+    6dp-rounded spine so the strict-inequality comparison is bit-stable."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    K = 3.0 * 1.4826
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            v = g["v"].to_numpy(np.float64)
+            s = pd.Series(v)
+            med = s.rolling(7, center=True, min_periods=1).median() \
+                .to_numpy(np.float64)
+            mad = s.rolling(7, center=True, min_periods=1) \
+                .apply(lambda w: np.median(np.abs(w - np.median(w))),
+                       raw=True).to_numpy(np.float64)
+            flag = np.abs(v - med) > K * mad
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"], "v": g["v"],
+                "v_hampel": np.round(np.where(flag, med, v), 6) + 0.0,
+                "is_outlier": flag.astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "v_hampel",
+                                  "is_outlier"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["is_outlier"] = out["is_outlier"].astype("int64")
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_HAMPEL_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    w AS (
+        SELECT event_type, d, v,
+               list(v) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS l
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, d, v, l,
+               CAST(list_aggregate(l, 'median') AS DOUBLE) AS med
+        FROM w
+    ),
+    h AS (
+        SELECT event_type, d, v, med,
+               CAST(list_aggregate(list_transform(l, x -> abs(x - med)),
+                                   'median') AS DOUBLE) AS mad
+        FROM m
+    )
+    SELECT event_type, d, v,
+           round(CASE WHEN abs(v - med) > 3 * 1.4826 * mad
+                      THEN med ELSE v END, 6) + 0.0 AS v_hampel,
+           CAST(CASE WHEN abs(v - med) > 3 * 1.4826 * mad
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM h
+"""
+
+
+def q_dow_profile_daily(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonal profile per series: n / median / p25 / p75 of
+    the daily value by ISO weekday (Mon=1..Sun=7) — the box-plot row behind
+    every weekly-seasonality dashboard. Quantiles are linear-interpolated
+    (numpy default == DuckDB ``quantile_cont``); the grouped reduce runs on
+    the co-located per-(series, dow) slices."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["dow"] = part["d"].dt.dayofweek.astype(np.int64) + 1
+        rows = []
+        for (et, dow), g in part.groupby(["event_type", "dow"],
+                                         sort=False):
+            v = g["v"].to_numpy(np.float64)
+            rows.append((et, dow, len(v),
+                         np.round(np.percentile(v, 50), 6),
+                         np.round(np.percentile(v, 25), 6),
+                         np.round(np.percentile(v, 75), 6)))
+        return pd.DataFrame(rows, columns=["event_type", "dow", "n",
+                                           "med", "p25", "p75"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["dow"] = out["dow"].astype("int64")
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+SQL_DOW_PROFILE_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, CAST(isodow(d) AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(v, 0.5), 6) AS med,
+           round(quantile_cont(v, 0.25), 6) AS p25,
+           round(quantile_cont(v, 0.75), 6) AS p75
+    FROM daily GROUP BY 1, 2
+"""
+
+
+def q_macd_daily_events(sf_dir: str) -> pd.DataFrame:
+    """MACD (Appel 1970s — public): ``ewm12(v) − ewm26(v)`` per daily
+    series (adjust=True, min_periods=1), the span-9 signal line over the
+    6dp-ROUNDED macd (so both engines feed the second smoothing identical
+    inputs), and the histogram. The oracle reuses the closed-form
+    adjust=True weighted-sum identity the EWMA entry pins
+    (common ``(1−α)^t`` factor cancelled ⇒ ``pow(1/(1−α), rn)`` weights)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            v = pd.Series(g["v"].to_numpy(np.float64))
+            macd = np.round((v.ewm(span=12, adjust=True).mean()
+                             - v.ewm(span=26, adjust=True).mean())
+                            .to_numpy(np.float64), 6)
+            signal = np.round(pd.Series(macd).ewm(span=9, adjust=True)
+                              .mean().to_numpy(np.float64), 6)
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"], "v": g["v"],
+                "macd": macd + 0.0, "signal": signal + 0.0,
+                "hist": np.round(macd - signal, 6) + 0.0}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "macd",
+                                  "signal", "hist"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+#: α = 2/(span+1) ⇒ 1/(1−α): span 12 → 13/11, span 26 → 27/25, span 9 → 5/4
+SQL_MACD_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    e AS (
+        SELECT event_type, d, v, rn,
+               round(SUM(v * pow(13.0 / 11.0, rn)) OVER w
+                         / SUM(pow(13.0 / 11.0, rn)) OVER w
+                     - SUM(v * pow(27.0 / 25.0, rn)) OVER w
+                         / SUM(pow(27.0 / 25.0, rn)) OVER w, 6) AS macd
+        FROM l
+        WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_type, d, v, macd,
+               round(SUM(macd * pow(5.0 / 4.0, rn)) OVER w
+                         / SUM(pow(5.0 / 4.0, rn)) OVER w, 6) AS signal
+        FROM e
+        WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, v, macd + 0.0 AS macd, signal + 0.0 AS signal,
+           round(macd - signal, 6) + 0.0 AS hist
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# audience overlap / normalized dedup (webtext curation, batch 2)
+# ---------------------------------------------------------------------------
+
+def q_audience_overlap_events(sf_dir: str) -> pd.DataFrame:
+    """Audience-overlap Jaccard between event types: for every co-occurring
+    type pair, ``|users(a) ∩ users(b)| / |users(a) ∪ users(b)|``. The
+    distributed plan never builds a global user set: distinct (user, type)
+    memberships reduce once, the pair fan-out happens inside per-user
+    co-located groups (each user emits its own type combinations), and the
+    tiny (type, type) count table merges at the driver."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    du = hash_aggregate(ev, ["user_id", "event_type"],
+                        {"__n": ("event_type", "size")},
+                        num_partitions=_NP)
+
+    def pair_kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for uid, g in part.groupby("user_id", sort=False):
+            ts = np.unique(g["event_type"].to_numpy())
+            if len(ts) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ts), 1)
+            rows_a.append(ts[ia])
+            rows_b.append(ts[ib])
+        if not rows_a:
+            return pd.DataFrame({"ta": pd.Series([], dtype=object),
+                                 "tb": pd.Series([], dtype=object),
+                                 "__one": pd.Series([], dtype=np.int64)})
+        a = np.concatenate(rows_a)
+        return pd.DataFrame({"ta": a, "tb": np.concatenate(rows_b),
+                             "__one": np.ones(len(a), dtype=np.int64)})
+
+    both = hash_aggregate(
+        keyed_map_partitions(du, ["user_id"], pair_kernel,
+                             num_partitions=_NP),
+        ["ta", "tb"], {"n_both": ("__one", "sum")},
+        num_partitions=4).to_pandas()
+    per_type = hash_aggregate(du, ["event_type"],
+                              {"n": ("__n", "size")},
+                              num_partitions=4).to_pandas()
+    sizes = dict(zip(per_type["event_type"], per_type["n"]))
+    both["n_a"] = both["ta"].map(sizes).astype("int64")
+    both["n_b"] = both["tb"].map(sizes).astype("int64")
+    both["n_both"] = both["n_both"].astype("int64")
+    union = both["n_a"] + both["n_b"] - both["n_both"]
+    both["jaccard"] = np.round(
+        both["n_both"].to_numpy(np.float64) / union.to_numpy(np.float64), 6)
+    return both[["ta", "tb", "n_both", "n_a", "n_b", "jaccard"]] \
+        .sort_values(["ta", "tb"]).reset_index(drop=True)
+
+
+SQL_AUDIENCE_OVERLAP = """
+    WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM du a JOIN du b USING (user_id)
+        WHERE a.event_type < b.event_type
+    ),
+    c AS (SELECT ta, tb, count(*) AS n_both FROM p GROUP BY 1, 2),
+    n AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1)
+    SELECT c.ta, c.tb, CAST(c.n_both AS BIGINT) AS n_both,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           round(c.n_both * 1.0 / (na.n + nb.n - c.n_both), 6) AS jaccard
+    FROM c JOIN n na ON na.event_type = c.ta
+           JOIN n nb ON nb.event_type = c.tb
+"""
+
+
+def q_normalized_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy-exact dedup on NORMALIZED text (the C4/CCNet pre-pass —
+    public): lowercase, strip non-[a-z0-9 ], collapse runs of spaces, trim;
+    then keep the min doc_id per normalized class. Normalization is a
+    stateless vectorized map; the class reduce shuffles only the 32-char
+    digest of the normalized text (never the text itself) — the same
+    narrow-key plan as ``exact_dedup``."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm_fn(b: pd.DataFrame) -> pd.DataFrame:
+        nt = b["text"].fillna("").str.lower() \
+            .str.replace(r"[^a-z0-9 ]", "", regex=True) \
+            .str.replace(r" +", " ", regex=True).str.strip()
+        dig = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in nt]
+        return pd.DataFrame({"doc_id": b["doc_id"], "__digest": dig})
+
+    out = hash_aggregate(
+        docs.map_batches(norm_fn, batch_format="pandas"),
+        ["__digest"], {"keep_id": ("doc_id", "min"),
+                       "class_size": ("doc_id", "size")},
+        num_partitions=_NP).to_pandas()
+    out = out[["keep_id", "class_size"]].astype(
+        {"keep_id": "int64", "class_size": "int64"})
+    return out.sort_values("keep_id").reset_index(drop=True)
+
+
+SQL_NORMALIZED_DEDUP = """
+    WITH nrm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                                                  '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS nt
+        FROM documents
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS class_size
+    FROM nrm GROUP BY nt
+"""

@@ -343,6 +343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "macd_daily_events": Q.q_macd_daily_events,
         "audience_overlap_events": Q.q_audience_overlap_events,
         "normalized_dedup_documents": Q.q_normalized_dedup_documents,
+        "holt_winters_gate_daily": Q.q_holt_winters_gate_daily,
+        "rolling_distinct_users_daily": Q.q_rolling_distinct_users_daily,
+        "burstiness_users_events": Q.q_burstiness_users_events,
+        "transition_entropy_events": Q.q_transition_entropy_events,
     }
 
 
@@ -551,4 +555,8 @@ def oracle_sql() -> dict[str, str]:
         "macd_daily_events": Q.SQL_MACD_DAILY,
         "audience_overlap_events": Q.SQL_AUDIENCE_OVERLAP,
         "normalized_dedup_documents": Q.SQL_NORMALIZED_DEDUP,
+        "holt_winters_gate_daily": Q.SQL_HOLT_WINTERS_GATE,
+        "rolling_distinct_users_daily": Q.SQL_ROLLING_DISTINCT_USERS,
+        "burstiness_users_events": Q.SQL_BURSTINESS_USERS,
+        "transition_entropy_events": Q.SQL_TRANSITION_ENTROPY,
     }

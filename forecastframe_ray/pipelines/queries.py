@@ -8212,3 +8212,222 @@ SQL_NORMALIZED_DEDUP = """
            CAST(count(*) AS BIGINT) AS class_size
     FROM nrm GROUP BY nt
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters gate / rolling distinct / burstiness / transition entropy
+# ---------------------------------------------------------------------------
+
+def q_holt_winters_gate_daily(sf_dir: str) -> pd.DataFrame:
+    """Holt-Winters additive forecast, oracle-GATED through the degenerate
+    closed form (the holt/ses/croston gate pattern): at α=1, β=0, γ=0 the
+    trend freezes at its initial ``(mean(season₂) − mean(season₁))/7``, the
+    seasonals freeze at ``y_i − mean(season₁)``, and the level collapses to
+    ``y_T − s_{T mod 7}`` — all SQL-expressible. The gate drives the full
+    machinery (key-co-located sequential fit, per-series (l, b, s₀..s₆)
+    state broadcast, the future-grid scorer); general (α, β, γ) is pinned
+    by pytest against a direct numpy recursion."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", estimator="holt_winters",
+                       alpha=1.0, beta=0.0, gamma=0.0, period=7)
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    return df.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_HOLT_WINTERS_GATE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    init AS (
+        SELECT event_type, count(*) AS n, max(d) AS d_last,
+               avg(CASE WHEN rn <= 7 THEN v END) AS l0,
+               COALESCE((avg(CASE WHEN rn > 7 AND rn <= 14 THEN v END)
+                         - avg(CASE WHEN rn <= 7 THEN v END)) / 7.0, 0)
+                   AS b0,
+               arg_max(v, rn) AS y_last
+        FROM r GROUP BY 1
+    ),
+    seas AS (
+        SELECT r.event_type, (rn - 1) % 7 AS six, r.v - i.l0 AS s
+        FROM r JOIN init i USING (event_type) WHERE rn <= 7
+    ),
+    f AS (
+        SELECT i.*, fd.d, datediff('day', i.d_last, fd.d) AS h
+        FROM init i CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    ),
+    lev AS (
+        SELECT f.*, f.y_last - COALESCE(sl.s, 0) AS level
+        FROM f LEFT JOIN seas sl ON sl.event_type = f.event_type
+                                AND sl.six = (f.n - 1) % 7
+    )
+    SELECT lev.event_type, lev.d,
+           round(lev.level + lev.h * lev.b0 + COALESCE(sf.s, 0), 6)
+               AS predicted_v
+    FROM lev LEFT JOIN seas sf ON sf.event_type = lev.event_type
+                              AND sf.six = (lev.n - 1 + lev.h) % 7
+"""
+
+
+def q_rolling_distinct_users_daily(sf_dir: str) -> pd.DataFrame:
+    """Trailing 7-day distinct active users per event type (the WAU-style
+    rolling-cardinality dashboard number). The distributed plan never
+    re-scans windows: distinct (type, day, user) memberships reduce once,
+    each membership FANS OUT to the ≤7 future days it covers (a stateless
+    vectorized map — the standard shuffle-free rolling-distinct expansion),
+    a second narrow reduce re-distincts, and the per-day count semi-joins
+    back to days that actually exist for the type."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["d"] = b["ts"].dt.floor("D")
+        return b[["event_type", "d", "user_id"]]
+
+    du = hash_aggregate(ev.map_batches(day_fn, batch_format="pandas"),
+                        ["event_type", "d", "user_id"],
+                        {"__n": ("user_id", "size")},
+                        num_partitions=_NP)
+
+    def fan_out(b: pd.DataFrame) -> pd.DataFrame:
+        k = 7
+        idx = np.repeat(np.arange(len(b)), k)
+        off = np.tile(np.arange(k), len(b))
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy()[idx],
+            "d": b["d"].to_numpy()[idx]
+                 + off.astype("timedelta64[D]"),
+            "user_id": b["user_id"].to_numpy()[idx]})
+
+    cov = hash_aggregate(du.map_batches(fan_out, batch_format="pandas"),
+                         ["event_type", "d", "user_id"],
+                         {"__n": ("user_id", "size")},
+                         num_partitions=_NP)
+    counts = hash_aggregate(cov, ["event_type", "d"],
+                            {"u7": ("user_id", "size")},
+                            num_partitions=_NP).to_pandas()
+    # keep only (type, day) pairs that exist in the raw stream
+    present = hash_aggregate(du, ["event_type", "d"],
+                             {"__n": ("user_id", "size")},
+                             num_partitions=_NP).to_pandas()
+    out = counts.merge(present[["event_type", "d"]], on=["event_type", "d"])
+    out["u7"] = out["u7"].astype("int64")
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_ROLLING_DISTINCT_USERS = """
+    WITH du AS (
+        SELECT DISTINCT event_type, date_trunc('day', ts) AS d, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT event_type, d FROM du)
+    SELECT days.event_type, days.d,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS u7
+    FROM days JOIN du ON du.event_type = days.event_type
+        AND du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY 1, 2
+"""
+
+
+def q_burstiness_users_events(sf_dir: str) -> pd.DataFrame:
+    """Burstiness index (Goh & Barabási 2008 — public)
+    ``B = (σ − μ) / (σ + μ)`` over each user's inter-event gap seconds
+    (−1 = perfectly periodic, 0 = Poisson, →1 = bursty). Gaps form inside
+    the per-user co-located kernel ((user_id, ts) is unique in this
+    corpus, so the order is total); σ is the ddof=1 sample std — users
+    with <2 gaps emit NULLF for σ and B."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in part.groupby("user_id", sort=False):
+            t = np.sort(g["ts"].astype("datetime64[us]").astype("int64")
+                        .to_numpy())
+            if len(t) < 2:
+                continue
+            gaps = np.diff(t) / 1e6
+            mu = float(gaps.mean())
+            sd = float(gaps.std(ddof=1)) if len(gaps) > 1 else np.nan
+            b = (sd - mu) / (sd + mu) if (len(gaps) > 1
+                                          and sd + mu > 0) else np.nan
+            rows.append((uid, len(gaps), np.round(mu, 6),
+                         np.round(sd, 6), np.round(b, 6)))
+        return pd.DataFrame(rows, columns=["user_id", "n_gaps", "mean_gap_s",
+                                           "std_gap_s", "burstiness"])
+
+    out = keyed_map_partitions(ev, ["user_id"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = out.astype({"user_id": "int64", "n_gaps": "int64"})
+    out = _fill(out, ["std_gap_s", "burstiness"])
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_BURSTINESS_USERS = f"""
+    WITH l AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts))) / 1e6 AS gap
+        FROM events
+    ),
+    g AS (SELECT user_id, gap FROM l WHERE gap IS NOT NULL),
+    s AS (
+        SELECT user_id, count(*) AS n_gaps, avg(gap) AS mu,
+               stddev_samp(gap) AS sd
+        FROM g GROUP BY 1
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(mu, 6) AS mean_gap_s,
+           COALESCE(round(sd, 6), {NULLF}) AS std_gap_s,
+           COALESCE(CASE WHEN sd + mu > 0
+                         THEN round((sd - mu) / (sd + mu), 6) END, {NULLF})
+               AS burstiness
+    FROM s
+"""
+
+
+def q_transition_entropy_events(sf_dir: str) -> pd.DataFrame:
+    """Conditional next-event entropy per source type (the Markov-chain
+    entropy-rate row): H(next | prev=i) = −Σ_j p(j|i)·ln p(j|i) in nats
+    over the per-user transition stream — how predictable each event type's
+    successor is. Reuses the transition-matrix plan (pairs form in the
+    partition-id shuffle kernel, counts pre-reduce); the entropy fold runs
+    over the tiny (type × type) count table."""
+    counts = q_transition_counts_events(sf_dir)
+    rows = []
+    for prev, g in counts.groupby("prev_type", sort=False):
+        n = g["n"].to_numpy(np.float64)
+        p = n / n.sum()
+        rows.append((prev, int(n.sum()),
+                     np.round(float(-(p * np.log(p)).sum()), 6)))
+    out = pd.DataFrame(rows, columns=["prev_type", "n_out", "h_cond"])
+    out["n_out"] = out["n_out"].astype("int64")
+    return out.sort_values("prev_type").reset_index(drop=True)
+
+
+SQL_TRANSITION_ENTROPY = """
+    WITH l AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
+        FROM l WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.prev_type, CAST(t.tot AS BIGINT) AS n_out,
+           round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) AS h_cond
+    FROM c JOIN t USING (prev_type)
+    GROUP BY 1, 2
+"""

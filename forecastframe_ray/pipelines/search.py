@@ -703,6 +703,94 @@ def score_theta(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def fit_holt_winters(train_ds, keys: list[str], dtc: str, target: str,
+                     alpha: float = 0.3, beta: float = 0.1,
+                     gamma: float = 0.1, period: int = 7) -> dict:
+    """Holt-Winters ADDITIVE triple exponential smoothing (public —
+    Winters 1960 / Hyndman fpp §8.3), ROW-seasonality of ``period`` (the
+    same row-lag convention as ``mase_daily_events``):
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ(y_t − l_{t−1} − b_{t−1}) + (1−γ)·s_{t−m}
+
+    initialized fpp-style: l = mean of the first (≤m) rows, s_i = y_i − l
+    over the first season (missing slots 0), b = (mean of the second
+    season − mean of the first) / m when >m rows exist, else 0. Same
+    distributed shape as :func:`fit_holt` (sequential per-series recursion
+    in the key-co-located kernel, one state row per series — level, trend,
+    the m seasonal slots, last day, row count). Degenerate α=1, β=0, γ=0
+    freezes b and s at their initials and collapses the level to
+    ``y_T − s_{(T mod m)}`` — the closed form the SQL oracle gate checks;
+    general (α, β, γ) is pinned by pytest against a direct numpy
+    recursion."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    alpha, beta, gamma = float(alpha), float(beta), float(gamma)
+    m = int(period)
+    s_cols = [f"__s{i}" for i in range(m)]
+
+    def fit_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part[target].notna()]
+        rows = []
+        for kv, g in part.groupby(keys, sort=False, observed=True):
+            g = g.sort_values(dtc)
+            y = g[target].to_numpy(dtype=np.float64)
+            dn = _day_numbers(g[dtc])
+            n = len(y)
+            m_eff = min(m, n)
+            level = float(np.mean(y[:m_eff]))
+            s = np.zeros(m, dtype=np.float64)
+            s[:m_eff] = y[:m_eff] - level
+            trend = ((float(np.mean(y[m:min(2 * m, n)]))
+                      - float(np.mean(y[:m]))) / m) if n > m else 0.0
+            for t in range(m, n):
+                prev_l, prev_b = level, trend
+                level = alpha * (y[t] - s[t % m]) \
+                    + (1.0 - alpha) * (prev_l + prev_b)
+                trend = beta * (level - prev_l) + (1.0 - beta) * prev_b
+                s[t % m] = gamma * (y[t] - prev_l - prev_b) \
+                    + (1.0 - gamma) * s[t % m]
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, level, trend, *s, dn[-1], n))
+        return pd.DataFrame(rows, columns=keys + ["__level", "__trend"]
+                            + s_cols + ["__lastdn", "__n"])
+
+    model = keyed_map_partitions(train_ds, keys, fit_part).to_pandas()
+    return {"alpha": alpha, "beta": beta, "gamma": gamma, "period": m,
+            "model": model}
+
+
+def score_holt_winters(ds, state: dict, keys: list[str], dtc: str,
+                       target: str, out_col: str):
+    """Broadcast-merge HW scorer: ŷ(T+h) = l_T + h·b_T + s_{(n−1+h) mod m}
+    with h = day gap from the series' last fitted day and n its fitted row
+    count (ROW-seasonality). Series unseen at fit time score NaN."""
+    import ray
+
+    m = int(state["period"])
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        mm = b[keys].merge(ray.get(ref), how="left", on=keys)
+        h = _day_numbers(b[dtc]).astype(np.float64) \
+            - mm["__lastdn"].to_numpy(np.float64)
+        six = ((mm["__n"].to_numpy(np.float64) - 1.0 + h) % m)
+        smat = mm[[f"__s{i}" for i in range(m)]].to_numpy(np.float64)
+        # NaN-safe gather (unseen series -> NaN prediction)
+        valid = ~np.isnan(six)
+        seas = np.full(len(b), np.nan)
+        if valid.any():
+            seas[valid] = smat[np.flatnonzero(valid),
+                               six[valid].astype(np.int64)]
+        b[out_col] = mm["__level"].to_numpy(np.float64) \
+            + h * mm["__trend"].to_numpy(np.float64) + seas
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 #: name -> (fit, score, fit_param_names). ``fit_param_names`` declares which
 #: candidate params the FIT depends on (the rest only affect scoring), so
 #: the search driver can share one fitted state across candidates that
@@ -717,6 +805,8 @@ ESTIMATORS = {
     "croston": (fit_croston, score_croston, ("alpha",)),
     "croston_sba": (fit_croston, score_croston_sba, ("alpha",)),
     "theta": (fit_theta, score_theta, ("alpha",)),
+    "holt_winters": (fit_holt_winters, score_holt_winters,
+                     ("alpha", "beta", "gamma", "period")),
     "seasonal_naive": (fit_seasonal_naive, score_seasonal_naive,
                        ("period",)),
     "drift": (fit_drift, score_drift, ()),

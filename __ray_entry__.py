@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct_users_daily": Q.q_rolling_distinct_users_daily,
         "burstiness_users_events": Q.q_burstiness_users_events,
         "transition_entropy_events": Q.q_transition_entropy_events,
+        "cms_user_counts_gate": Q.q_cms_user_counts_gate,
+        "scd2_history_events": Q.q_scd2_history_events,
+        "skew_profile_events": Q.q_skew_profile_events,
     }
 
 
@@ -559,4 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_distinct_users_daily": Q.SQL_ROLLING_DISTINCT_USERS,
         "burstiness_users_events": Q.SQL_BURSTINESS_USERS,
         "transition_entropy_events": Q.SQL_TRANSITION_ENTROPY,
+        "cms_user_counts_gate": Q.SQL_CMS_USER_COUNTS_GATE,
+        "scd2_history_events": Q.SQL_SCD2_HISTORY,
+        "skew_profile_events": Q.SQL_SKEW_PROFILE,
     }

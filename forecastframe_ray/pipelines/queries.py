@@ -8431,3 +8431,146 @@ SQL_TRANSITION_ENTROPY = """
     FROM c JOIN t USING (prev_type)
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min gate / SCD2 history / skew profile
+# ---------------------------------------------------------------------------
+
+def q_cms_user_counts_gate(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch gate (ann_ivf_recall pattern): a per-event-type
+    (d=4, w=512) CMS over the user_id stream must satisfy BOTH published
+    guarantees against the exact per-user counts — one-sided error
+    (estimate ≥ truth for every user, deterministic) and the ε-bound
+    (max overcount ≤ ⌈e/w · N⌉, the 1−(1/2)^d high-probability bound —
+    deterministic on this fixed corpus/hash). ``n_rows`` / ``n_users``
+    are value-oracled; the sketch build is the mergeable two-level
+    combiner plan (O(groups · d · w) shuffle bytes)."""
+    from forecastframe_ray import keys as K
+    from forecastframe_ray.stages.sketch import (cms_estimate,
+                                                 cms_from_bytes)
+    from forecastframe_ray.stages.sketch import cms_sketch
+
+    W, D = 512, 4
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    sk = cms_sketch(ev, ["event_type"], "user_id", w=W, d=D,
+                    num_partitions=8).to_pandas()
+    true = hash_aggregate(ev, ["event_type", "user_id"],
+                          {"n_true": ("user_id", "size")},
+                          num_partitions=_NP).to_pandas()
+    rows = []
+    for _, r in sk.iterrows():
+        mat = cms_from_bytes(r["cms"], W, D)
+        sub = true[true["event_type"] == r["event_type"]]
+        h = K.hash_key_columns(sub, ["user_id"])
+        est = cms_estimate(mat, h)
+        t = sub["n_true"].to_numpy(np.int64)
+        eps_n = int(np.ceil(np.e / W * r["n"]))
+        rows.append((r["event_type"], int(r["n"]), len(sub),
+                     bool((est >= t).all()),
+                     bool((est - t).max() <= eps_n)))
+    out = pd.DataFrame(rows, columns=["event_type", "n_rows", "n_users",
+                                      "lower_ok", "bound_ok"])
+    out = out.astype({"n_rows": "int64", "n_users": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_CMS_USER_COUNTS_GATE = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           true AS lower_ok, true AS bound_ok
+    FROM events GROUP BY 1
+"""
+
+
+def q_scd2_history_events(sf_dir: str) -> pd.DataFrame:
+    """SCD Type-2 dimension history (Kimball — public) built from the
+    event stream: each user's event_type sequence is compacted to its
+    CHANGE points ((user_id, ts) is unique so the order is total), each
+    change opening a validity interval ``[valid_from, valid_to)`` closed
+    by the next change (current row → the 9999-12-31 sentinel). One keyed
+    co-located kernel (vectorized change mask + shift); the oracle is the
+    textbook LAG-filter + LEAD-close construction."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    SENT = pd.Timestamp("9999-12-31")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, g in part.groupby("user_id", sort=False):
+            g = g.sort_values("ts")
+            et = g["event_type"].to_numpy()
+            change = np.concatenate(([True], et[1:] != et[:-1]))
+            ch = g[change]
+            vf = ch["ts"].reset_index(drop=True)
+            vt = vf.shift(-1).fillna(SENT)
+            outs.append(pd.DataFrame({
+                "user_id": ch["user_id"].to_numpy(),
+                "event_type": ch["event_type"].to_numpy(),
+                "valid_from": vf.to_numpy(),
+                "valid_to": vt.to_numpy(),
+                "is_current": np.concatenate(
+                    (np.zeros(len(ch) - 1, dtype=np.int64), [1]))}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["user_id", "event_type", "valid_from",
+                                  "valid_to", "is_current"])
+
+    out = keyed_map_partitions(ev, ["user_id"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = out.astype({"user_id": "int64", "is_current": "int64"})
+    return out.sort_values(["user_id", "valid_from"]) \
+        .reset_index(drop=True)
+
+
+SQL_SCD2_HISTORY = """
+    WITH l AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS pe
+        FROM events
+    ),
+    ch AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM l WHERE pe IS NULL OR event_type <> pe
+    )
+    SELECT user_id, event_type, valid_from,
+           COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY valid_from),
+                    TIMESTAMP '9999-12-31') AS valid_to,
+           CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id
+                                                 ORDER BY valid_from)
+                          IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM ch
+"""
+
+
+def q_skew_profile_events(sf_dir: str) -> pd.DataFrame:
+    """Key-skew diagnostic over the user_id key space (the number the
+    north_rule's salted-repartition decision reads): rows reduce once to
+    one size per key (narrow shuffle), then the tiny key table folds to
+    top-1 share and the p50/p99 group sizes — the 'is this key space
+    shuffle-safe' dashboard row."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    sizes = hash_aggregate(ev, ["user_id"], {"n": ("user_id", "size")},
+                           num_partitions=_NP).to_pandas()
+    s = sizes["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "n_keys": np.array([len(s)], dtype=np.int64),
+        "n_rows": np.array([int(s.sum())], dtype=np.int64),
+        "top1_share": [np.round(float(s.max()) / float(s.sum()), 6)],
+        "p50_size": [np.round(np.percentile(s, 50), 6)],
+        "p99_size": [np.round(np.percentile(s, 99), 6)],
+    })
+
+
+SQL_SKEW_PROFILE = """
+    WITH sizes AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           round(max(n) * 1.0 / sum(n), 6) AS top1_share,
+           round(quantile_cont(n, 0.5), 6) AS p50_size,
+           round(quantile_cont(n, 0.99), 6) AS p99_size
+    FROM sizes
+"""

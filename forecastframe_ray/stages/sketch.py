@@ -403,3 +403,115 @@ def topk_sketch(ds, group_keys: list[str], value_col: str, k: int = 64,
     parts = ds.map_batches(partials, batch_format="pandas")
     return bucketed_map_groups(parts, gk, merge,
                                num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005 — public): mergeable
+# approximate per-item frequencies. d salted rows × w counters; update adds
+# 1 at position mix64(H(x) ^ salt_j) % w in every row, estimate is the min
+# across rows. Guarantees: est ≥ true always; est ≤ true + εN (ε ≈ e/w)
+# with probability 1 − (1/2)^d per item. Merge = element-wise sum —
+# algebraic like every other tier carry; the sketch travels as a fixed
+# d·w·8-byte binary column.
+# ---------------------------------------------------------------------------
+
+CMS_W_DEFAULT = 512
+CMS_D_DEFAULT = 4
+_CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                       0x85EBCA6B0F4A7C15, 0xC2B2AE35D27D4EB5],
+                      dtype=np.uint64)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain — Steele et al. 2014),
+    vectorized over uint64; numpy unsigned arithmetic wraps mod 2^64."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def cms_positions(h: np.ndarray, w: int, d: int) -> np.ndarray:
+    """(d, len(h)) row positions for hashes ``h``."""
+    h = h.astype(np.uint64, copy=False)
+    return np.stack([(_mix64(h ^ _CMS_SALTS[j]) % np.uint64(w))
+                     .astype(np.int64) for j in range(d)])
+
+
+def cms_from_hashes(h: np.ndarray, w: int = CMS_W_DEFAULT,
+                    d: int = CMS_D_DEFAULT) -> np.ndarray:
+    """Build a (d, w) int64 count matrix from pre-hashed values."""
+    pos = cms_positions(h, w, d)
+    return np.stack([np.bincount(pos[j], minlength=w).astype(np.int64)
+                     for j in range(d)])
+
+
+def cms_merge(mats: list[np.ndarray]) -> np.ndarray:
+    """Element-wise sum — associative/commutative, safe under any
+    shuffle or cascade order."""
+    return np.sum(np.stack(mats), axis=0)
+
+
+def cms_estimate(mat: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Point-query estimates (min across rows) for each hash in ``h``."""
+    d, w = mat.shape
+    pos = cms_positions(h, w, d)
+    return np.min(np.stack([mat[j, pos[j]] for j in range(d)]), axis=0)
+
+
+def cms_to_bytes(mat: np.ndarray) -> bytes:
+    return mat.astype("<i8").tobytes()
+
+
+def cms_from_bytes(b: bytes, w: int, d: int) -> np.ndarray:
+    return np.frombuffer(b, dtype="<i8").reshape(d, w).copy()
+
+
+def cms_sketch(ds, group_keys: list[str], value_col: str,
+               w: int = CMS_W_DEFAULT, d: int = CMS_D_DEFAULT,
+               num_partitions: int = 64):
+    """Per-group Count-Min sketch of ``value_col`` frequencies as a Dataset
+    of ``group_keys + [cms (binary), n (int64)]``.
+
+    Same two-level plan as :func:`distinct_sketch`: each batch pre-reduces
+    to ONE d·w matrix per group it contains, one coarse-hash shuffle sums
+    them. Shuffle traffic is O(groups × d × w × 8 bytes) regardless of row
+    count — the heavy-hitter/frequency analog of the KMV carry."""
+    gk = list(group_keys)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        h = K.hash_key_columns(b, [value_col])
+        rows = []
+        for key, idx in b[gk].groupby(gk, sort=False, dropna=False,
+                                      observed=True).indices.items():
+            key = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(gk, key))
+            row["__cms"] = cms_to_bytes(cms_from_hashes(h[idx], w, d))
+            row["__n"] = len(idx)
+            rows.append(row)
+        if not rows:
+            return pd.DataFrame({**{c: pd.Series([], dtype="object")
+                                    for c in gk},
+                                 "__cms": pd.Series([], dtype="object"),
+                                 "__n": pd.Series([], dtype="int64")})
+        return pd.DataFrame(rows)
+
+    def merge(sub: pd.DataFrame) -> pd.DataFrame:
+        if len(sub) == 0:
+            out = sub[gk].iloc[0:0].copy()
+            out["cms"] = pd.Series([], dtype="object")
+            out["n"] = pd.Series([], dtype="int64")
+            return out
+        mat = cms_merge([cms_from_bytes(x, w, d) for x in sub["__cms"]])
+        out = sub[gk].iloc[:1].copy()
+        out["cms"] = [cms_to_bytes(mat)]
+        out["n"] = int(sub["__n"].sum())
+        return out
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+    return bucketed_map_groups(parts, gk, merge,
+                               num_partitions=num_partitions)

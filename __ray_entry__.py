@@ -350,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts_gate": Q.q_cms_user_counts_gate,
         "scd2_history_events": Q.q_scd2_history_events,
         "skew_profile_events": Q.q_skew_profile_events,
+        "count_windows_users": Q.q_count_windows_users,
+        "welch_ttest_events": Q.q_welch_ttest_events,
+        "chisq_type_dow_events": Q.q_chisq_type_dow_events,
+        "ks_two_sample_events": Q.q_ks_two_sample_events,
     }
 
 
@@ -565,4 +569,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts_gate": Q.SQL_CMS_USER_COUNTS_GATE,
         "scd2_history_events": Q.SQL_SCD2_HISTORY,
         "skew_profile_events": Q.SQL_SKEW_PROFILE,
+        "count_windows_users": Q.SQL_COUNT_WINDOWS_USERS,
+        "welch_ttest_events": Q.SQL_WELCH_TTEST,
+        "chisq_type_dow_events": Q.SQL_CHISQ_TYPE_DOW,
+        "ks_two_sample_events": Q.SQL_KS_TWO_SAMPLE,
     }

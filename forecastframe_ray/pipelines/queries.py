@@ -8574,3 +8574,220 @@ SQL_SKEW_PROFILE = """
            round(quantile_cont(n, 0.99), 6) AS p99_size
     FROM sizes
 """
+
+
+# ---------------------------------------------------------------------------
+# count-based windows / two-sample tests (batch 5)
+# ---------------------------------------------------------------------------
+
+def q_count_windows_users(sf_dir: str) -> pd.DataFrame:
+    """Tumbling COUNT-based windows (every 5 events) per user — the
+    Flink-style count-window shape the time-based hopping/tumbling entries
+    don't cover. Window index = 0-based position // 5 in ts order
+    ((user_id, ts) unique ⇒ total order); per window: n, value sum, start
+    and end stamps. One keyed co-located kernel; oracle is
+    ``(row_number()-1)//5``."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, g in part.groupby("user_id", sort=False):
+            g = g.sort_values("ts").reset_index(drop=True)
+            w = (np.arange(len(g)) // 5).astype(np.int64)
+            agg = g.assign(w=w).groupby("w", sort=True).agg(
+                n=("value", "size"), sum_v=("value", "sum"),
+                w_start=("ts", "min"), w_end=("ts", "max")).reset_index()
+            agg.insert(0, "user_id", uid)
+            outs.append(agg)
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["user_id", "w", "n", "sum_v",
+                                  "w_start", "w_end"])
+
+    out = keyed_map_partitions(ev, ["user_id"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = out.astype({"user_id": "int64", "w": "int64", "n": "int64"})
+    out = _round(out, ["sum_v"], 6)
+    return out.sort_values(["user_id", "w"]).reset_index(drop=True)
+
+
+SQL_COUNT_WINDOWS_USERS = """
+    WITH r AS (
+        SELECT user_id, ts, value,
+               (row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1)
+                   // 5 AS w
+        FROM events
+    )
+    SELECT user_id, CAST(w AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_v,
+           min(ts) AS w_start, max(ts) AS w_end
+    FROM r GROUP BY 1, 2
+"""
+
+
+def q_welch_ttest_events(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947 — public) between the
+    'click' and 'view' value distributions: t statistic and the
+    Welch–Satterthwaite degrees of freedom, both from the per-type
+    (n, mean, ddof=1 var) algebraic reduce — one narrow aggregate, no
+    row-level shuffle."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def parts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["click", "view"])]
+        v = b["value"].to_numpy(np.float64)
+        return pd.DataFrame({"event_type": b["event_type"], "__v": v,
+                             "__v2": v * v,
+                             "__one": np.ones(len(b), dtype=np.int64)})
+
+    agg = hash_aggregate(ev.map_batches(parts, batch_format="pandas"),
+                         ["event_type"],
+                         {"n": ("__one", "sum"), "s": ("__v", "sum"),
+                          "s2": ("__v2", "sum")},
+                         num_partitions=4).to_pandas().set_index("event_type")
+
+    def stats(t):
+        n = float(agg.loc[t, "n"])
+        m = agg.loc[t, "s"] / n
+        var = (agg.loc[t, "s2"] - n * m * m) / (n - 1.0)
+        return n, m, var
+
+    na, ma, va = stats("click")
+    nb, mb, vb = stats("view")
+    se2 = va / na + vb / nb
+    t = (ma - mb) / np.sqrt(se2)
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return pd.DataFrame({
+        "n_click": np.array([int(na)], dtype=np.int64),
+        "n_view": np.array([int(nb)], dtype=np.int64),
+        "mean_diff": [np.round(ma - mb, 6)],
+        "t_stat": [np.round(t, 6)], "welch_dof": [np.round(dof, 6)]})
+
+
+SQL_WELCH_TTEST = """
+    WITH s AS (
+        SELECT event_type, count(*) AS n, avg(value) AS m,
+               var_samp(value) AS v
+        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ),
+    w AS (
+        SELECT (SELECT n FROM s WHERE event_type = 'click') AS na,
+               (SELECT m FROM s WHERE event_type = 'click') AS ma,
+               (SELECT v FROM s WHERE event_type = 'click') AS va,
+               (SELECT n FROM s WHERE event_type = 'view') AS nb,
+               (SELECT m FROM s WHERE event_type = 'view') AS mb,
+               (SELECT v FROM s WHERE event_type = 'view') AS vb
+    )
+    SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+           round(ma - mb, 6) AS mean_diff,
+           round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           round(pow(va / na + vb / nb, 2)
+                 / (pow(va / na, 2) / (na - 1)
+                    + pow(vb / nb, 2) / (nb - 1)), 6) AS welch_dof
+    FROM w
+"""
+
+
+def q_chisq_type_dow_events(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square independence test (Pearson 1900 — public) of the
+    event_type × ISO-weekday contingency table: χ² = Σ (O−E)²/E with
+    E = row_total · col_total / N, plus the table dof. Observed counts are
+    one narrow aggregate; the χ² fold runs over the tiny contingency
+    table."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def dow_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "dow": (b["ts"].dt.dayofweek + 1).astype(np.int64),
+            "__one": np.ones(len(b), dtype=np.int64)})
+
+    obs = hash_aggregate(ev.map_batches(dow_fn, batch_format="pandas"),
+                         ["event_type", "dow"], {"n": ("__one", "sum")},
+                         num_partitions=4).to_pandas()
+    piv = obs.pivot_table(index="event_type", columns="dow", values="n",
+                          fill_value=0, aggfunc="sum")
+    O = piv.to_numpy(np.float64)
+    E = O.sum(axis=1, keepdims=True) * O.sum(axis=0, keepdims=True) / O.sum()
+    chi2 = float(((O - E) ** 2 / E).sum())
+    dof = (O.shape[0] - 1) * (O.shape[1] - 1)
+    return pd.DataFrame({
+        "n": np.array([int(O.sum())], dtype=np.int64),
+        "chi2": [np.round(chi2, 6)],
+        "dof": np.array([dof], dtype=np.int64)})
+
+
+SQL_CHISQ_TYPE_DOW = """
+    WITH o AS (
+        SELECT event_type, isodow(ts) AS dow, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS nn FROM o),
+    rt AS (SELECT event_type, sum(n) AS r FROM o GROUP BY 1),
+    ct AS (SELECT dow, sum(n) AS c FROM o GROUP BY 1)
+    SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n,
+           round(sum(pow(o.n - rt.r * ct.c / tot.nn, 2)
+                     / (rt.r * ct.c / tot.nn)), 6) AS chi2,
+           CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof
+    FROM o JOIN rt USING (event_type) JOIN ct USING (dow)
+           CROSS JOIN tot
+"""
+
+
+def q_ks_two_sample_events(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (public) between the
+    'click' and 'view' value distributions: D = max |F_a(v) − F_b(v)|.
+    The distributed plan reduces rows to one (value, count_a, count_b)
+    row per DISTINCT value first (narrow shuffle — the value domain is
+    2-decimal-bounded, so the reduced table is tiny relative to the
+    stream); the ECDF cumsum + max folds over that reduced table. Also
+    emits the scaled statistic ``sqrt(na·nb/(na+nb))·D``."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def parts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["click", "view"])]
+        return pd.DataFrame({
+            "value": b["value"],
+            "__a": (b["event_type"] == "click").astype(np.int64),
+            "__b": (b["event_type"] == "view").astype(np.int64)})
+
+    red = hash_aggregate(ev.map_batches(parts, batch_format="pandas"),
+                         ["value"], {"c_a": ("__a", "sum"),
+                                     "c_b": ("__b", "sum")},
+                         num_partitions=_NP).to_pandas()
+    red = red.sort_values("value")
+    na = float(red["c_a"].sum())
+    nb = float(red["c_b"].sum())
+    fa = red["c_a"].cumsum().to_numpy(np.float64) / na
+    fb = red["c_b"].cumsum().to_numpy(np.float64) / nb
+    d = float(np.abs(fa - fb).max())
+    return pd.DataFrame({
+        "n_click": np.array([int(na)], dtype=np.int64),
+        "n_view": np.array([int(nb)], dtype=np.int64),
+        "ks_d": [np.round(d, 6)],
+        "ks_scaled": [np.round(np.sqrt(na * nb / (na + nb)) * d, 6)]})
+
+
+SQL_KS_TWO_SAMPLE = """
+    WITH s AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM s),
+    c AS (
+        SELECT sum(ca) OVER (ORDER BY value) * 1.0 / t.na AS fa,
+               sum(cb) OVER (ORDER BY value) * 1.0 / t.nb AS fb,
+               t.na, t.nb
+        FROM s CROSS JOIN t
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_click,
+           CAST(max(nb) AS BIGINT) AS n_view,
+           round(max(abs(fa - fb)), 6) AS ks_d,
+           round(sqrt(max(na) * max(nb) / (max(na) + max(nb)))
+                 * max(abs(fa - fb)), 6) AS ks_scaled
+    FROM c
+"""

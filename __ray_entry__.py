@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_ttest_events": Q.q_welch_ttest_events,
         "chisq_type_dow_events": Q.q_chisq_type_dow_events,
         "ks_two_sample_events": Q.q_ks_two_sample_events,
+        "vwap_daily_events": Q.q_vwap_daily_events,
+        "blocking_dedup_documents": Q.q_blocking_dedup_documents,
     }
 
 
@@ -573,4 +575,6 @@ def oracle_sql() -> dict[str, str]:
         "welch_ttest_events": Q.SQL_WELCH_TTEST,
         "chisq_type_dow_events": Q.SQL_CHISQ_TYPE_DOW,
         "ks_two_sample_events": Q.SQL_KS_TWO_SAMPLE,
+        "vwap_daily_events": Q.SQL_VWAP_DAILY,
+        "blocking_dedup_documents": Q.SQL_BLOCKING_DEDUP,
     }

@@ -44,7 +44,11 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 def _round(df: pd.DataFrame, cols: list[str], digits: int = 6) -> pd.DataFrame:
     df = df.copy()  # callers may pass a column-slice view
     for c in cols:
-        df[c] = np.round(df[c].to_numpy(dtype=np.float64), digits)
+        # + 0.0 folds −0.0 (a mathematically-zero value computed as ~−1e−13
+        # then rounded) onto +0.0 — the two compare equal but HASH apart,
+        # and which side of zero the float error lands on is batch-shape
+        # dependent (BLAS blocking), i.e. flaky
+        df[c] = np.round(df[c].to_numpy(dtype=np.float64), digits) + 0.0
     return df
 
 
@@ -5726,7 +5730,9 @@ def q_kmeans_assign_embeddings(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({
             "vec_id": b["vec_id"],
             "cluster": cl.astype(np.int64),
-            "dist2": np.round(d2[np.arange(len(cl)), cl], 6),
+            # + 0.0 folds the −0.0 a centroid's self-distance can round to
+            # (expanded-form matmul can land ~−1e−13) onto SQL's +0.0
+            "dist2": np.round(d2[np.arange(len(cl)), cl], 6) + 0.0,
         })
 
     out = ds.map_batches(assign, batch_format="pandas").to_pandas()
@@ -8790,4 +8796,137 @@ SQL_KS_TWO_SAMPLE = """
            round(sqrt(max(na) * max(nb) / (max(na) + max(nb)))
                  * max(abs(fa - fb)), 6) AS ks_scaled
     FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# VWAP / sorted-blocking dedup (batch 6)
+# ---------------------------------------------------------------------------
+
+def q_vwap_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Volume-weighted average price per (series, day) — the market twin of
+    the TWAP entry, weighting each observation by the integer ``k`` field
+    extracted from the JSON props bag (vectorized regex extract, no per-row
+    parse). One narrow weighted reduce: Σ(v·k) and Σk cascade like every
+    algebraic carry; zero-total-volume days emit NULLF."""
+    from forecastframe_ray.functions.scalar import extract_json_int
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value", "props"])
+    ext = extract_json_int(ev, "props", "k")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["k"].astype("float64").to_numpy()
+        v = b["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "d": b["ts"].dt.floor("D"),
+            "__vk": v * k, "__k": k,
+            "__one": np.ones(len(b), dtype=np.int64)})
+
+    out = hash_aggregate(ext.map_batches(pre, batch_format="pandas"),
+                         ["event_type", "d"],
+                         {"n": ("__one", "sum"), "svk": ("__vk", "sum"),
+                          "vol": ("__k", "sum")},
+                         num_partitions=_NP).to_pandas()
+    vol = out["vol"].to_numpy(np.float64)
+    svk = out["svk"].to_numpy(np.float64)
+    out["vwap"] = np.where(vol > 0, np.round(svk / vol, 6), NULLF)
+    out["n"] = out["n"].astype("int64")
+    out["vol"] = out["vol"].astype("int64")
+    return out[["event_type", "d", "n", "vol", "vwap"]] \
+        .sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_VWAP_DAILY = f"""
+    WITH e AS (
+        SELECT event_type, date_trunc('day', ts) AS d, value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type, d, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS vol,
+           CASE WHEN sum(k) > 0 THEN round(sum(value * k) / sum(k), 6)
+                ELSE {NULLF} END AS vwap
+    FROM e GROUP BY 1, 2
+"""
+
+
+def _char_shingles(nt: str, width: int = 5) -> set:
+    """Distinct character ``width``-grams, mirroring the SQL oracle's
+    ``substr(nt, i, width)`` over ``1..max(len−width+1, 1)`` (short/empty
+    strings yield one truncated shingle)."""
+    n = max(len(nt) - width + 1, 1)
+    return {nt[i:i + width] for i in range(n)}
+
+
+def q_blocking_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Sorted-key BLOCKING dedup (Fellegi–Sunter-era entity-resolution
+    blocking — public; the non-LSH classical baseline): documents sharing
+    the first 12 chars of their normalized text form a block, and every
+    in-block pair is verified by exact character-5-gram Jaccard ≥ 0.7.
+    Blocks group in one narrow shuffle (block key + doc id + normalized
+    text); pairing is exact within blocks — the block-key LENGTH is the
+    recall/cost dial, with the capped LSH funnel as the adversarial-corpus
+    scale path (this entry is its exact classical control)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm_fn(b: pd.DataFrame) -> pd.DataFrame:
+        nt = b["text"].fillna("").str.lower() \
+            .str.replace(r"[^a-z0-9 ]", "", regex=True) \
+            .str.replace(r" +", " ", regex=True).str.strip()
+        return pd.DataFrame({"doc_id": b["doc_id"], "nt": nt,
+                             "bk": nt.str[:12]})
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bk, g in part.groupby("bk", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            # exact-dup class collapse: one shingle set per distinct text
+            codes, uniq = pd.factorize(g["nt"], sort=False)
+            sets = [_char_shingles(t) for t in uniq]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    sa, sb = sets[codes[i]], sets[codes[j]]
+                    inter = len(sa & sb)
+                    jac = inter / (len(sa) + len(sb) - inter)
+                    if jac >= 0.7:
+                        rows.append((ids[i], ids[j], np.round(jac, 6)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    out = keyed_map_partitions(
+        docs.map_batches(norm_fn, batch_format="pandas"),
+        ["bk"], kernel, num_partitions=_NP).to_pandas()
+    out = out.astype({"id_a": "int64", "id_b": "int64"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_BLOCKING_DEDUP = """
+    WITH nrm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                                                  '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, substr(nt, 1, 12) AS bk,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(strlen(nt) - 4, 1)),
+                   i -> substr(nt, i, 5))) AS s
+        FROM nrm
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (length(a.s) + length(b.s)
+                      - length(list_intersect(a.s, b.s))) AS jac
+        FROM sh a JOIN sh b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(jac, 6) AS jaccard
+    FROM p WHERE jac >= 0.7
 """

@@ -356,6 +356,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_two_sample_events": Q.q_ks_two_sample_events,
         "vwap_daily_events": Q.q_vwap_daily_events,
         "blocking_dedup_documents": Q.q_blocking_dedup_documents,
+        "control_chart_daily": Q.q_control_chart_daily,
+        "pareto_share_events": Q.q_pareto_share_events,
+        "readability_documents": Q.q_readability_documents,
+        "levenshtein_pairs_documents": Q.q_levenshtein_pairs_documents,
+        "cuped_adjusted_users": Q.q_cuped_adjusted_users,
     }
 
 
@@ -577,4 +582,9 @@ def oracle_sql() -> dict[str, str]:
         "ks_two_sample_events": Q.SQL_KS_TWO_SAMPLE,
         "vwap_daily_events": Q.SQL_VWAP_DAILY,
         "blocking_dedup_documents": Q.SQL_BLOCKING_DEDUP,
+        "control_chart_daily": Q.SQL_CONTROL_CHART_DAILY,
+        "pareto_share_events": Q.SQL_PARETO_SHARE,
+        "readability_documents": Q.SQL_READABILITY_DOCS,
+        "levenshtein_pairs_documents": Q.SQL_LEVENSHTEIN_PAIRS,
+        "cuped_adjusted_users": Q.SQL_CUPED_ADJUSTED,
     }

@@ -8930,3 +8930,293 @@ SQL_BLOCKING_DEDUP = """
     SELECT id_a, id_b, round(jac, 6) AS jaccard
     FROM p WHERE jac >= 0.7
 """
+
+
+# ---------------------------------------------------------------------------
+# SPC chart / Pareto / readability / edit distance / CUPED (batch 7)
+# ---------------------------------------------------------------------------
+
+def q_control_chart_daily(sf_dir: str) -> pd.DataFrame:
+    """Shewhart individuals X-MR control chart (public SPC — the 2.66·MR̄
+    rule): per daily series, moving range MR = |v − v_prev|, center = mean
+    of v, limits = center ± 2.66·mean(MR); flag points outside. Limit
+    comparison runs on the ROUNDED limits on both engines."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            v = g["v"].to_numpy(np.float64)
+            mr = np.abs(np.diff(v))
+            center = float(v.mean())
+            mrbar = float(mr.mean()) if len(mr) else 0.0
+            ucl = np.round(center + 2.66 * mrbar, 6)
+            lcl = np.round(center - 2.66 * mrbar, 6)
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"], "v": g["v"],
+                "ucl": ucl + 0.0, "lcl": lcl + 0.0,
+                "out_of_control": ((v > ucl) | (v < lcl))
+                .astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "ucl", "lcl",
+                                  "out_of_control"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["out_of_control"] = out["out_of_control"].astype("int64")
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_CONTROL_CHART_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    mr AS (
+        SELECT event_type, d, v,
+               abs(v - LAG(v) OVER (PARTITION BY event_type ORDER BY d))
+                   AS mrange
+        FROM daily
+    ),
+    lim AS (
+        SELECT event_type,
+               round(avg(v) + 2.66 * COALESCE(avg(mrange), 0), 6) + 0.0
+                   AS ucl,
+               round(avg(v) - 2.66 * COALESCE(avg(mrange), 0), 6) + 0.0
+                   AS lcl
+        FROM mr GROUP BY 1
+    )
+    SELECT m.event_type, m.d, m.v, lim.ucl, lim.lcl,
+           CAST(CASE WHEN m.v > lim.ucl OR m.v < lim.lcl
+                     THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM mr m JOIN lim USING (event_type)
+"""
+
+
+def q_pareto_share_events(sf_dir: str) -> pd.DataFrame:
+    """Pareto 80/20 check: the share of total event value held by the top
+    20% of users (by their 6dp-rounded totals; ties broken by user_id so
+    the cut is total on both engines). Complements the Gini entry — the
+    one-number concentration dashboard pair."""
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    tot = hash_aggregate(ev, ["user_id"], {"tot": ("value", "sum")},
+                         num_partitions=_NP).to_pandas()
+    tot["tot"] = np.round(tot["tot"].to_numpy(np.float64), 6)
+    tot = tot.sort_values(["tot", "user_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    n = len(tot)
+    k = int(np.ceil(0.2 * n))
+    top = float(tot["tot"].iloc[:k].sum())
+    allv = float(tot["tot"].sum())
+    return pd.DataFrame({
+        "n_users": np.array([n], dtype=np.int64),
+        "n_top": np.array([k], dtype=np.int64),
+        "top20_share": [np.round(top / allv, 6)]})
+
+
+SQL_PARETO_SHARE = """
+    WITH t AS (
+        SELECT user_id, round(sum(value), 6) AS tot
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT tot, row_number() OVER (ORDER BY tot DESC, user_id) AS rn,
+               count(*) OVER () AS n
+        FROM t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           CAST(CAST(ceil(0.2 * max(n)) AS BIGINT) AS BIGINT) AS n_top,
+           round(sum(CASE WHEN rn <= ceil(0.2 * n) THEN tot ELSE 0 END)
+                 / sum(tot), 6) AS top20_share
+    FROM r
+"""
+
+
+def q_readability_documents(sf_dir: str) -> pd.DataFrame:
+    """Flesch-Kincaid grade level (Kincaid 1975 — public) with the
+    vowel-run syllable heuristic: words = whitespace tokens, sentences =
+    runs of [.!?] (min 1), syllables = runs of [aeiouy] in the lowercased
+    text. ``0.39·words/sentences + 11.8·syllables/words − 15.59``;
+    zero-word docs emit NULLF. Stateless vectorized map — all three
+    counts are regex-run counts shared verbatim with the oracle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fk(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        words = t.str.count(r"\S+").to_numpy(np.float64)
+        sents = np.maximum(
+            t.str.count(r"[.!?]+").to_numpy(np.float64), 1.0)
+        syll = t.str.lower().str.count(r"[aeiouy]+") \
+            .to_numpy(np.float64)
+        grade = np.where(
+            words > 0,
+            np.round(0.39 * words / sents + 11.8 * syll / words
+                     - 15.59, 6) + 0.0,
+            NULLF)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_words": words.astype(np.int64),
+            "n_sentences": sents.astype(np.int64),
+            "n_syllables": syll.astype(np.int64),
+            "fk_grade": grade})
+
+    out = docs.map_batches(fk, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_READABILITY_DOCS = rf"""
+    WITH c AS (
+        SELECT doc_id,
+               length(regexp_extract_all(text, '\S+')) AS words,
+               greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS sents,
+               length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS syll
+        FROM documents
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+           CAST(sents AS BIGINT) AS n_sentences,
+           CAST(syll AS BIGINT) AS n_syllables,
+           CASE WHEN words > 0
+                THEN round(0.39 * words / sents + 11.8 * syll / words
+                           - 15.59, 6) + 0.0
+                ELSE {NULLF} END AS fk_grade
+    FROM c
+"""
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, row-vectorized DP: the sequential
+    insertion term resolves via the prefix-min identity
+    ``cur[j] = j + min_{{k≤j}}(m[k] − k)`` (one ``np.minimum.accumulate``
+    per row instead of a per-cell Python loop)."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    n = len(bv)
+    prev = np.arange(n + 1, dtype=np.int64)
+    for i, ca in enumerate(a, 1):
+        sub = prev[:-1] + (bv != ord(ca))
+        m = np.minimum(prev[1:] + 1, sub)
+        d = np.concatenate(([i], m - np.arange(1, n + 1)))
+        prev = np.minimum.accumulate(d) + np.arange(n + 1)
+    return int(prev[-1])
+
+
+def q_levenshtein_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """Unit-cost Levenshtein distance for the fixed (2i, 2i+1) pair list
+    (the ngram_jaccard_pairs convention) over 200-char prefixes, plus the
+    normalized similarity ``1 − dist/max(len_a, len_b)`` (both empty →
+    1.0). The classical character-level ER verifier next to the Jaccard /
+    containment set measures; pairs verify inside co-located pair groups
+    with the row-vectorized DP kernel."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pair_id": (b["doc_id"] // 2).astype(np.int64),
+            "doc_id": b["doc_id"],
+            "t": b["text"].fillna("").str[:200]})
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid, g in part.groupby("pair_id", sort=False):
+            if len(g) != 2:
+                continue
+            g = g.sort_values("doc_id")
+            ta, tb = g["t"].iloc[0], g["t"].iloc[1]
+            dist = _levenshtein(ta, tb)
+            mx = max(len(ta), len(tb))
+            sim = 1.0 - dist / mx if mx else 1.0
+            rows.append((pid, dist, np.round(sim, 6)))
+        return pd.DataFrame(rows, columns=["pair_id", "lev_dist",
+                                           "lev_sim"])
+
+    out = keyed_map_partitions(
+        docs.map_batches(prep, batch_format="pandas"),
+        ["pair_id"], kernel, num_partitions=_NP).to_pandas()
+    out = out.astype({"pair_id": "int64", "lev_dist": "int64"})
+    return out.sort_values("pair_id").reset_index(drop=True)
+
+
+SQL_LEVENSHTEIN_PAIRS = """
+    WITH t AS (
+        SELECT doc_id // 2 AS pair_id, doc_id,
+               substr(COALESCE(text, ''), 1, 200) AS t
+        FROM documents
+    ),
+    p AS (
+        SELECT a.pair_id, a.t AS ta, b.t AS tb
+        FROM t a JOIN t b
+            ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id
+    )
+    SELECT pair_id, CAST(levenshtein(ta, tb) AS BIGINT) AS lev_dist,
+           CASE WHEN greatest(strlen(ta), strlen(tb)) = 0 THEN 1.0
+                ELSE round(1.0 - levenshtein(ta, tb) * 1.0
+                           / greatest(strlen(ta), strlen(tb)), 6)
+           END AS lev_sim
+    FROM p
+"""
+
+
+def q_cuped_adjusted_users(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — public, the A/B-test
+    pre-period adjustment): split the stream at the midpoint timestamp,
+    x = each user's pre-period value total, y = post-period total (6dp,
+    zero when absent), θ = cov(x,y)/var(x) over users, and
+    ``y_cuped = y − θ(x − x̄)``. Per-user totals reduce distributedly;
+    θ/x̄ fold over the tiny per-user table."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    span = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    ss = span["ts"].to_pandas().astype("datetime64[us]").astype("int64")
+    # integer epoch-us midpoint on BOTH sides — DuckDB interval division
+    # halves the days and micros components separately, so (max−min)/2
+    # arithmetic is NOT portable between the engines
+    cut = pd.Timestamp((int(ss.min()) + int(ss.max())) // 2, unit="us")
+
+    def split(b: pd.DataFrame) -> pd.DataFrame:
+        pre = b["ts"] < cut
+        v = b["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "__x": np.where(pre, v, 0.0),
+            "__y": np.where(pre, 0.0, v)})
+
+    tot = hash_aggregate(ev.map_batches(split, batch_format="pandas"),
+                         ["user_id"], {"x": ("__x", "sum"),
+                                       "y": ("__y", "sum")},
+                         num_partitions=_NP).to_pandas()
+    x = np.round(tot["x"].to_numpy(np.float64), 6)
+    y = np.round(tot["y"].to_numpy(np.float64), 6)
+    theta = float(np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1))
+    out = pd.DataFrame({
+        "user_id": tot["user_id"].astype("int64"),
+        "x_pre": x, "y_post": y,
+        "y_cuped": np.round(y - theta * (x - x.mean()), 6) + 0.0})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_CUPED_ADJUSTED = """
+    WITH cut AS (
+        SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2)
+            AS c FROM events
+    ),
+    ux AS (
+        SELECT user_id,
+               round(sum(CASE WHEN ts < c THEN value ELSE 0 END), 6) AS x,
+               round(sum(CASE WHEN ts >= c THEN value ELSE 0 END), 6) AS y
+        FROM events CROSS JOIN cut GROUP BY 1
+    ),
+    th AS (
+        SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS mx
+        FROM ux
+    )
+    SELECT user_id, x AS x_pre, y AS y_post,
+           round(y - th.theta * (x - th.mx), 6) + 0.0 AS y_cuped
+    FROM ux CROSS JOIN th
+"""

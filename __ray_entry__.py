@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_documents": Q.q_readability_documents,
         "levenshtein_pairs_documents": Q.q_levenshtein_pairs_documents,
         "cuped_adjusted_users": Q.q_cuped_adjusted_users,
+        "weighted_sample_orders": Q.q_weighted_sample_orders,
+        "conversion_latency_events": Q.q_conversion_latency_events,
     }
 
 
@@ -587,4 +589,6 @@ def oracle_sql() -> dict[str, str]:
         "readability_documents": Q.SQL_READABILITY_DOCS,
         "levenshtein_pairs_documents": Q.SQL_LEVENSHTEIN_PAIRS,
         "cuped_adjusted_users": Q.SQL_CUPED_ADJUSTED,
+        "weighted_sample_orders": Q.SQL_WEIGHTED_SAMPLE_ORDERS,
+        "conversion_latency_events": Q.SQL_CONVERSION_LATENCY,
     }

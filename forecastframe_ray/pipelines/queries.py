@@ -9220,3 +9220,106 @@ SQL_CUPED_ADJUSTED = """
            round(y - th.theta * (x - th.mx), 6) + 0.0 AS y_cuped
     FROM ux CROSS JOIN th
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling / conversion latency (batch 8)
+# ---------------------------------------------------------------------------
+
+def q_weighted_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 — public): each order draws u from the md5-bucket
+    uniform the plain sampler already pins (``(first-8-hex + 0.5)/2³²``)
+    and ranks by ``−ln(u)/w`` with weight w = o_totalprice; the 50
+    smallest ranks are the sample — identical across cluster shapes,
+    resumes and engines. One vectorized key map, then the distributed
+    sort + limit top-k; ids-only output (rank floats never compare)."""
+    import hashlib
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def key_fn(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array([int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+                      for k in b["o_orderkey"]], dtype=np.float64)
+        u = (h + 0.5) / 4294967296.0
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "es_key": -np.log(u) / b["o_totalprice"].to_numpy(np.float64)})
+
+    top = orders.map_batches(key_fn, batch_format="pandas") \
+        .sort("es_key").limit(50).to_pandas()
+    return top[["o_orderkey"]].astype({"o_orderkey": "int64"}) \
+        .sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_WEIGHTED_SAMPLE_ORDERS = """
+    WITH k AS (
+        SELECT o_orderkey,
+               -ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                         1, 8)) AS BIGINT) + 0.5)
+                   / 4294967296.0) / o_totalprice AS es_key
+        FROM orders
+    )
+    SELECT o_orderkey FROM (
+        SELECT o_orderkey FROM k ORDER BY es_key, o_orderkey LIMIT 50
+    ) ORDER BY o_orderkey
+"""
+
+
+def q_conversion_latency_events(sf_dir: str) -> pd.DataFrame:
+    """Time-to-convert: for each user whose first 'purchase' follows their
+    first 'view', the latency seconds between the two firsts; summarized
+    as n_converted plus mean / median / p90 latency (linear-interpolated
+    quantiles == ``quantile_cont``). First-stamps reduce distributedly
+    (min per (user, type)); the latency fold runs over the tiny per-user
+    pair table."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["view", "purchase"])]
+        return b[["user_id", "event_type", "ts"]]
+
+    first = hash_aggregate(ev.map_batches(pre, batch_format="pandas"),
+                           ["user_id", "event_type"],
+                           {"first_ts": ("ts", "min")},
+                           num_partitions=_NP).to_pandas()
+    piv = first.pivot_table(index="user_id", columns="event_type",
+                            values="first_ts", aggfunc="min")
+    if "view" not in piv or "purchase" not in piv:
+        lat = np.array([], dtype=np.float64)
+    else:
+        ok = piv["view"].notna() & piv["purchase"].notna() \
+            & (piv["purchase"] > piv["view"])
+        lat = ((piv.loc[ok, "purchase"].astype("datetime64[us]")
+                .astype("int64")
+                - piv.loc[ok, "view"].astype("datetime64[us]")
+                .astype("int64")) / 1e6).to_numpy(np.float64)
+    if len(lat) == 0:
+        return pd.DataFrame({"n_converted": np.array([0], dtype=np.int64),
+                             "mean_s": [NULLF], "median_s": [NULLF],
+                             "p90_s": [NULLF]})
+    return pd.DataFrame({
+        "n_converted": np.array([len(lat)], dtype=np.int64),
+        "mean_s": [np.round(float(lat.mean()), 6)],
+        "median_s": [np.round(np.percentile(lat, 50), 6)],
+        "p90_s": [np.round(np.percentile(lat, 90), 6)]})
+
+
+SQL_CONVERSION_LATENCY = f"""
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY 1
+    ),
+    l AS (
+        SELECT (epoch_us(fp) - epoch_us(fv)) / 1e6 AS lat
+        FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           COALESCE(round(avg(lat), 6), {NULLF}) AS mean_s,
+           COALESCE(round(quantile_cont(lat, 0.5), 6), {NULLF})
+               AS median_s,
+           COALESCE(round(quantile_cont(lat, 0.9), 6), {NULLF}) AS p90_s
+    FROM l
+"""

@@ -363,6 +363,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuped_adjusted_users": Q.q_cuped_adjusted_users,
         "weighted_sample_orders": Q.q_weighted_sample_orders,
         "conversion_latency_events": Q.q_conversion_latency_events,
+        "rfm_segments_users": Q.q_rfm_segments_users,
+        "lorenz_deciles_users": Q.q_lorenz_deciles_users,
+        "availability_islands_daily": Q.q_availability_islands_daily,
+        "new_vs_returning_daily": Q.q_new_vs_returning_daily,
     }
 
 
@@ -591,4 +595,8 @@ def oracle_sql() -> dict[str, str]:
         "cuped_adjusted_users": Q.SQL_CUPED_ADJUSTED,
         "weighted_sample_orders": Q.SQL_WEIGHTED_SAMPLE_ORDERS,
         "conversion_latency_events": Q.SQL_CONVERSION_LATENCY,
+        "rfm_segments_users": Q.SQL_RFM_SEGMENTS,
+        "lorenz_deciles_users": Q.SQL_LORENZ_DECILES,
+        "availability_islands_daily": Q.SQL_AVAILABILITY_ISLANDS,
+        "new_vs_returning_daily": Q.SQL_NEW_VS_RETURNING,
     }

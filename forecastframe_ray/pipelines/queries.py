@@ -9323,3 +9323,232 @@ SQL_CONVERSION_LATENCY = f"""
            COALESCE(round(quantile_cont(lat, 0.9), 6), {NULLF}) AS p90_s
     FROM l
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM / Lorenz / availability islands / new-vs-returning (batch 9)
+# ---------------------------------------------------------------------------
+
+def _ntile_from_pos(pos: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Exact SQL ``ntile(k)`` bucket (1-based) from 0-based sorted
+    positions: the first ``n mod k`` buckets take ``n//k + 1`` rows."""
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    return np.where(pos < big, pos // (q + 1) + 1,
+                    (r + (pos - big) // q + 1) if q else k).astype(np.int64)
+
+
+def q_rfm_segments_users(sf_dir: str) -> pd.DataFrame:
+    """Classic RFM segmentation (Hughes 1994 — public): per user, recency
+    = days from the user's last active DAY to the global max day,
+    frequency = event count, monetary = 6dp value total; each scored
+    1–4 by exact ``ntile(4)`` in (metric, user_id) order (ascending — so
+    R 1 = most recent only after the 5−x flip, kept raw here for oracle
+    symmetry). Totals reduce distributedly; the three ntile folds run
+    over the tiny per-user table."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "__d": b["ts"].dt.floor("D"),
+            "__v": b["value"].to_numpy(np.float64),
+            "__one": np.ones(len(b), dtype=np.int64)})
+
+    agg = hash_aggregate(ev.map_batches(pre, batch_format="pandas"),
+                         ["user_id"],
+                         {"last_d": ("__d", "max"),
+                          "frequency": ("__one", "sum"),
+                          "monetary": ("__v", "sum")},
+                         num_partitions=_NP).to_pandas()
+    gmax = agg["last_d"].max()
+    agg["recency_days"] = ((gmax - agg["last_d"]).dt.days).astype("int64")
+    agg["monetary"] = np.round(agg["monetary"].to_numpy(np.float64), 6)
+    agg["frequency"] = agg["frequency"].astype("int64")
+    n = len(agg)
+    for col, score in (("recency_days", "r_score"),
+                       ("frequency", "f_score"),
+                       ("monetary", "m_score")):
+        order = agg.sort_values([col, "user_id"]).index
+        pos = np.empty(n, dtype=np.int64)
+        pos[agg.index.get_indexer(order)] = np.arange(n)
+        agg[score] = _ntile_from_pos(pos, n, 4)
+    out = agg[["user_id", "recency_days", "frequency", "monetary",
+               "r_score", "f_score", "m_score"]].copy()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_RFM_SEGMENTS = """
+    WITH u AS (
+        SELECT user_id, max(date_trunc('day', ts)) AS last_d,
+               count(*) AS frequency, round(sum(value), 6) AS monetary
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT max(last_d) AS gmax FROM u)
+    SELECT user_id,
+           CAST(datediff('day', last_d, g.gmax) AS BIGINT)
+               AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY datediff('day', last_d, g.gmax),
+                               user_id) AS BIGINT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS BIGINT)
+               AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS BIGINT)
+               AS m_score
+    FROM u CROSS JOIN g
+"""
+
+
+def q_lorenz_deciles_users(sf_dir: str) -> pd.DataFrame:
+    """Lorenz curve in decile form (the Gini entry's visual twin): users
+    ntile(10)-bucketed by ascending 6dp value total, each decile's share
+    of the grand total and the cumulative share. Exact ntile semantics
+    shared with the RFM entry."""
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    tot = hash_aggregate(ev, ["user_id"], {"tot": ("value", "sum")},
+                         num_partitions=_NP).to_pandas()
+    tot["tot"] = np.round(tot["tot"].to_numpy(np.float64), 6)
+    tot = tot.sort_values(["tot", "user_id"]).reset_index(drop=True)
+    n = len(tot)
+    tot["decile"] = _ntile_from_pos(np.arange(n), n, 10)
+    g = tot.groupby("decile", sort=True).agg(
+        n_users=("user_id", "size"), dec_sum=("tot", "sum")).reset_index()
+    total = float(tot["tot"].sum())
+    g["share"] = np.round(g["dec_sum"].to_numpy(np.float64) / total, 6)
+    g["cum_share"] = np.round(
+        g["dec_sum"].cumsum().to_numpy(np.float64) / total, 6)
+    g["decile"] = g["decile"].astype("int64")
+    g["n_users"] = g["n_users"].astype("int64")
+    return g[["decile", "n_users", "share", "cum_share"]]
+
+
+SQL_LORENZ_DECILES = """
+    WITH t AS (
+        SELECT user_id, round(sum(value), 6) AS tot
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT tot, ntile(10) OVER (ORDER BY tot, user_id) AS decile
+        FROM t
+    ),
+    s AS (
+        SELECT decile, count(*) AS n_users, sum(tot) AS dec_sum
+        FROM d GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(dec_sum / (SELECT sum(tot) FROM t), 6) AS share,
+           round(sum(dec_sum) OVER (ORDER BY decile)
+                 / (SELECT sum(tot) FROM t), 6) AS cum_share
+    FROM s
+"""
+
+
+def q_availability_islands_daily(sf_dir: str) -> pd.DataFrame:
+    """Calendar gaps-and-islands per daily series: contiguous-day runs
+    (islands) over the observed days — island count, longest island, and
+    the largest calendar gap in days. The record-streak entry runs
+    VALUE-direction islands; this one runs CALENDAR-continuity islands
+    (the availability/SLA dashboard row). One keyed vectorized kernel;
+    oracle is the textbook ``d − rn·INTERVAL`` island constant."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            d = np.sort(g["d"].astype("datetime64[us]").astype("int64")
+                        .to_numpy()) // DAY_US
+            gaps = np.diff(d)
+            new_isl = gaps > 1
+            lens = np.diff(np.concatenate(
+                ([0], np.flatnonzero(new_isl) + 1, [len(d)])))
+            rows.append((et, len(d), int(new_isl.sum()) + 1,
+                         int(lens.max()),
+                         int(gaps.max()) if len(gaps) else 0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "n_islands", "longest_island",
+                                           "max_gap_days"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    for c in ("n_days", "n_islands", "longest_island", "max_gap_days"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_AVAILABILITY_ISLANDS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d,
+               epoch_us(d) // {DAY_US}
+                   - row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS isl,
+               epoch_us(d) // {DAY_US}
+                   - LAG(epoch_us(d) // {DAY_US}) OVER (
+                         PARTITION BY event_type ORDER BY d) AS gap
+        FROM daily
+    ),
+    i AS (
+        SELECT event_type, isl, count(*) AS len
+        FROM r GROUP BY 1, 2
+    )
+    SELECT i.event_type, CAST(sum(i.len) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(i.len) AS BIGINT) AS longest_island,
+           CAST(COALESCE(g.mg, 0) AS BIGINT) AS max_gap_days
+    FROM i JOIN (SELECT event_type, max(gap) AS mg FROM r GROUP BY 1) g
+        USING (event_type)
+    GROUP BY 1, g.mg
+"""
+
+
+def q_new_vs_returning_daily(sf_dir: str) -> pd.DataFrame:
+    """Growth-accounting split per day: users active that day whose
+    FIRST-ever active day it is (new) vs the rest (returning). Distinct
+    (user, day) memberships and per-user first days both reduce
+    distributedly; the split is a broadcast first-day lookup inside the
+    day counts."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "d": b["ts"].dt.floor("D")})
+
+    du = hash_aggregate(ev.map_batches(day_fn, batch_format="pandas"),
+                        ["user_id", "d"], {"__n": ("user_id", "size")},
+                        num_partitions=_NP)
+    firsts = hash_aggregate(du, ["user_id"], {"first_d": ("d", "min")},
+                            num_partitions=_NP).to_pandas()
+    fmap = dict(zip(firsts["user_id"], firsts["first_d"]))
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        fd = b["user_id"].map(fmap)
+        return pd.DataFrame({
+            "d": b["d"],
+            "__new": (b["d"] == fd).astype(np.int64),
+            "__ret": (b["d"] != fd).astype(np.int64)})
+
+    out = hash_aggregate(du.map_batches(label, batch_format="pandas"),
+                         ["d"], {"n_new": ("__new", "sum"),
+                                 "n_returning": ("__ret", "sum")},
+                         num_partitions=4).to_pandas()
+    out = out.astype({"n_new": "int64", "n_returning": "int64"})
+    return out.sort_values("d").reset_index(drop=True)
+
+
+SQL_NEW_VS_RETURNING = """
+    WITH du AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    f AS (SELECT user_id, min(d) AS first_d FROM du GROUP BY 1)
+    SELECT du.d,
+           CAST(sum(CASE WHEN du.d = f.first_d THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN du.d <> f.first_d THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM du JOIN f USING (user_id)
+    GROUP BY 1
+"""

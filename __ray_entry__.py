@@ -367,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lorenz_deciles_users": Q.q_lorenz_deciles_users,
         "availability_islands_daily": Q.q_availability_islands_daily,
         "new_vs_returning_daily": Q.q_new_vs_returning_daily,
+        "dau_wau_stickiness": Q.q_dau_wau_stickiness,
+        "weekly_calendar_rollup": Q.q_weekly_calendar_rollup,
+        "mtd_cumsum_daily": Q.q_mtd_cumsum_daily,
+        "bowley_skew_events": Q.q_bowley_skew_events,
     }
 
 
@@ -599,4 +603,8 @@ def oracle_sql() -> dict[str, str]:
         "lorenz_deciles_users": Q.SQL_LORENZ_DECILES,
         "availability_islands_daily": Q.SQL_AVAILABILITY_ISLANDS,
         "new_vs_returning_daily": Q.SQL_NEW_VS_RETURNING,
+        "dau_wau_stickiness": Q.SQL_DAU_WAU_STICKINESS,
+        "weekly_calendar_rollup": Q.SQL_WEEKLY_CALENDAR_ROLLUP,
+        "mtd_cumsum_daily": Q.SQL_MTD_CUMSUM_DAILY,
+        "bowley_skew_events": Q.SQL_BOWLEY_SKEW,
     }

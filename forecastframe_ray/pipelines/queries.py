@@ -9552,3 +9552,187 @@ SQL_NEW_VS_RETURNING = """
     FROM du JOIN f USING (user_id)
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# stickiness / calendar rollups / MTD / robust shape (batch 10)
+# ---------------------------------------------------------------------------
+
+def q_dau_wau_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU/WAU stickiness per day (the engagement dashboard headline):
+    daily distinct users over trailing-7-day distinct users. WAU reuses
+    the shuffle-free fan-out expansion (membership → covered days →
+    re-distinct) the per-type rolling-distinct entry pins, here on the
+    global user space."""
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": b["ts"].dt.floor("D"),
+                             "user_id": b["user_id"]})
+
+    du = hash_aggregate(ev.map_batches(day_fn, batch_format="pandas"),
+                        ["d", "user_id"], {"__n": ("user_id", "size")},
+                        num_partitions=_NP)
+    dau = hash_aggregate(du, ["d"], {"dau": ("user_id", "size")},
+                         num_partitions=4).to_pandas()
+
+    def fan_out(b: pd.DataFrame) -> pd.DataFrame:
+        k = 7
+        idx = np.repeat(np.arange(len(b)), k)
+        off = np.tile(np.arange(k), len(b))
+        return pd.DataFrame({
+            "d": b["d"].to_numpy()[idx] + off.astype("timedelta64[D]"),
+            "user_id": b["user_id"].to_numpy()[idx]})
+
+    cov = hash_aggregate(du.map_batches(fan_out, batch_format="pandas"),
+                         ["d", "user_id"], {"__n": ("user_id", "size")},
+                         num_partitions=_NP)
+    wau = hash_aggregate(cov, ["d"], {"wau": ("user_id", "size")},
+                         num_partitions=4).to_pandas()
+    out = dau.merge(wau, on="d")  # inner: only observed days survive
+    out["dau"] = out["dau"].astype("int64")
+    out["wau"] = out["wau"].astype("int64")
+    out["stickiness"] = np.round(
+        out["dau"].to_numpy(np.float64) / out["wau"].to_numpy(np.float64),
+        6)
+    return out[["d", "dau", "wau", "stickiness"]] \
+        .sort_values("d").reset_index(drop=True)
+
+
+SQL_DAU_WAU_STICKINESS = """
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+    wau AS (
+        SELECT days.d, count(DISTINCT du.user_id) AS wau
+        FROM days JOIN du
+            ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY 1
+    )
+    SELECT d, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (d)
+"""
+
+
+def q_weekly_calendar_rollup(sf_dir: str) -> pd.DataFrame:
+    """Calendar-week rollup (Monday-anchored, ``date_trunc('week')``
+    semantics) per series — the CALENDAR-aligned retention-tier variant
+    next to the epoch-anchored 7d tier: n days, value sum/mean/max per
+    (series, week start)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def week_fn(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].dt.floor("D")
+        wk = d - pd.to_timedelta(d.dt.dayofweek, unit="D")
+        return pd.DataFrame({"event_type": b["event_type"], "wk": wk,
+                             "__v": b["value"].to_numpy(np.float64),
+                             "__one": np.ones(len(b), dtype=np.int64)})
+
+    out = hash_aggregate(ev.map_batches(week_fn, batch_format="pandas"),
+                         ["event_type", "wk"],
+                         {"n": ("__one", "sum"), "sum_v": ("__v", "sum"),
+                          "max_v": ("__v", "max")},
+                         num_partitions=_NP).to_pandas()
+    out["mean_v"] = np.round(out["sum_v"].to_numpy(np.float64)
+                             / out["n"].to_numpy(np.float64), 6)
+    out = _round(out, ["sum_v", "max_v"], 6)
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "wk", "n", "sum_v", "mean_v", "max_v"]] \
+        .sort_values(["event_type", "wk"]).reset_index(drop=True)
+
+
+SQL_WEEKLY_CALENDAR_ROLLUP = """
+    SELECT event_type, date_trunc('week', ts) AS wk,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_v,
+           round(sum(value) / count(*), 6) AS mean_v,
+           round(max(value), 6) AS max_v
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_mtd_cumsum_daily(sf_dir: str) -> pd.DataFrame:
+    """Month-to-date running total per daily series — the expanding sum
+    with CALENDAR-RESET semantics (restarts at each month boundary), the
+    fiscal-dashboard companion to the plain expanding entry. One keyed
+    kernel (grouped cumsum inside (series, month)); oracle is a
+    month-partitioned window."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            mo = g["d"].dt.to_period("M")
+            g["mtd_v"] = np.round(
+                g.groupby(mo, sort=False)["v"].cumsum()
+                .to_numpy(np.float64), 6) + 0.0
+            outs.append(g[["event_type", "d", "v", "mtd_v"]])
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "mtd_v"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_MTD_CUMSUM_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           round(sum(v) OVER (PARTITION BY event_type,
+                                           date_trunc('month', d)
+                              ORDER BY d
+                              ROWS UNBOUNDED PRECEDING), 6) + 0.0
+               AS mtd_v
+    FROM daily
+"""
+
+
+def q_bowley_skew_events(sf_dir: str) -> pd.DataFrame:
+    """Bowley quartile skewness (Bowley 1901 — public, the robust shape
+    twin of the moment skew): ``(Q3 + Q1 − 2·Q2) / (Q3 − Q1)`` of value
+    per event type, with linear-interpolated quartiles
+    (``quantile_cont``). Zero-IQR groups emit NULLF."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            q1, q2, q3 = (np.percentile(v, p) for p in (25, 50, 75))
+            iqr = q3 - q1
+            b = np.round((q3 + q1 - 2 * q2) / iqr, 6) if iqr > 0 else NULLF
+            rows.append((et, len(v), np.round(q1, 6), np.round(q2, 6),
+                         np.round(q3, 6), b))
+        return pd.DataFrame(rows, columns=["event_type", "n", "q1", "q2",
+                                           "q3", "bowley_skew"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_BOWLEY_SKEW = f"""
+    WITH q AS (
+        SELECT event_type, count(*) AS n,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.50) AS q2,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(q1, 6) AS q1, round(q2, 6) AS q2, round(q3, 6) AS q3,
+           CASE WHEN q3 - q1 > 0
+                THEN round((q3 + q1 - 2 * q2) / (q3 - q1), 6)
+                ELSE {NULLF} END AS bowley_skew
+    FROM q
+"""

@@ -371,6 +371,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_calendar_rollup": Q.q_weekly_calendar_rollup,
         "mtd_cumsum_daily": Q.q_mtd_cumsum_daily,
         "bowley_skew_events": Q.q_bowley_skew_events,
+        "char_trigram_score_documents": Q.q_char_trigram_score_documents,
+        "dup_class_histogram_documents": Q.q_dup_class_histogram_documents,
+        "ttr_documents": Q.q_ttr_documents,
+        "lead_lag_xcorr_daily": Q.q_lead_lag_xcorr_daily,
     }
 
 
@@ -607,4 +611,8 @@ def oracle_sql() -> dict[str, str]:
         "weekly_calendar_rollup": Q.SQL_WEEKLY_CALENDAR_ROLLUP,
         "mtd_cumsum_daily": Q.SQL_MTD_CUMSUM_DAILY,
         "bowley_skew_events": Q.SQL_BOWLEY_SKEW,
+        "char_trigram_score_documents": Q.SQL_CHAR_TRIGRAM_SCORE,
+        "dup_class_histogram_documents": Q.SQL_DUP_CLASS_HISTOGRAM,
+        "ttr_documents": Q.SQL_TTR_DOCUMENTS,
+        "lead_lag_xcorr_daily": Q.SQL_LEAD_LAG_XCORR,
     }

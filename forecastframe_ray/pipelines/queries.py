@@ -9736,3 +9736,203 @@ SQL_BOWLEY_SKEW = f"""
                 ELSE {NULLF} END AS bowley_skew
     FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# char-LM score / dup histogram / TTR / lead-lag discovery (batch 11)
+# ---------------------------------------------------------------------------
+
+def q_char_trigram_score_documents(sf_dir: str) -> pd.DataFrame:
+    """Character-trigram corpus-LM quality score (the char-level CCNet
+    twin of ``unigram_logprob``): corpus trigram frequencies over the
+    lowercased text (short docs contribute one truncated gram — the
+    shingle convention), per-doc score = mean ln(C(g)/T) over the doc's
+    gram OCCURRENCES. Gram counts pre-reduce per batch before one narrow
+    merge (the vocabulary is alphabet³-bounded — tiny); scoring broadcasts
+    the count table once."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams_of(t: str) -> list:
+        n = max(len(t) - 2, 1)
+        return [t[i:i + 3] for i in range(n)]
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        allg = []
+        for t in b["text"].fillna("").str.lower():
+            allg.extend(grams_of(t))
+        vc = pd.Series(allg).value_counts()
+        return pd.DataFrame({"g": vc.index, "n": vc.to_numpy(np.int64)})
+
+    counts = hash_aggregate(
+        docs.map_batches(partial_counts, batch_format="pandas"),
+        ["g"], {"n": ("n", "sum")}, num_partitions=4).to_pandas()
+    total = float(counts["n"].sum())
+    logp = dict(zip(counts["g"],
+                    np.log(counts["n"].to_numpy(np.float64) / total)))
+
+    import ray as _ray
+    ref = _ray.put(logp)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lp = _ray.get(ref)
+        rows = []
+        for did, t in zip(b["doc_id"], b["text"].fillna("").str.lower()):
+            gs = grams_of(t)
+            rows.append((did, len(gs),
+                         np.round(float(np.mean([lp[g] for g in gs])), 6)))
+        return pd.DataFrame(rows, columns=["doc_id", "n_grams", "score"])
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    out = out.astype({"doc_id": "int64", "n_grams": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CHAR_TRIGRAM_SCORE = """
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(strlen(lower(text)) - 2, 1)),
+                   i -> substr(lower(text), i, 3))) AS t
+        FROM documents
+    ),
+    c AS (SELECT t, count(*) AS n FROM g GROUP BY 1),
+    tot AS (SELECT sum(n) AS tt FROM c)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(avg(ln(c.n / tot.tt)), 6) AS score
+    FROM g JOIN c USING (t) CROSS JOIN tot
+    GROUP BY 1
+"""
+
+
+def q_dup_class_histogram_documents(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-class size histogram (the curation diagnostic behind the
+    dedup funnel's yield estimate): exact-duplicate classes by text
+    digest, then class-size → class-count. Both reduces are narrow (the
+    32-char digest, then one int)."""
+    from forecastframe_ray.pipelines.dedup import _digest_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    classes = hash_aggregate(
+        docs.map_batches(lambda b: _digest_batch(b, "text"),
+                         batch_format="pandas"),
+        ["__digest"], {"class_size": ("doc_id", "size")},
+        num_partitions=_NP)
+    hist = hash_aggregate(classes, ["class_size"],
+                          {"n_classes": ("class_size", "size")},
+                          num_partitions=4).to_pandas()
+    hist = hist.astype({"class_size": "int64", "n_classes": "int64"})
+    return hist.sort_values("class_size").reset_index(drop=True)
+
+
+SQL_DUP_CLASS_HISTOGRAM = """
+    WITH c AS (SELECT count(*) AS class_size FROM documents GROUP BY text)
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes
+    FROM c GROUP BY 1
+"""
+
+
+def q_ttr_documents(sf_dir: str) -> pd.DataFrame:
+    """Type-token ratio per document (the lexical-richness quality
+    signal): distinct whitespace tokens over total tokens; zero-token
+    docs emit NULLF. Stateless vectorized map sharing the \\S+ token
+    convention with the token-count entry."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ttr(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, t in zip(b["doc_id"], b["text"].fillna("")):
+            toks = t.split()
+            n = len(toks)
+            d = len(set(toks))
+            rows.append((did, n, d,
+                         np.round(d / n, 6) if n else NULLF))
+        return pd.DataFrame(rows, columns=["doc_id", "n_tokens",
+                                           "n_types", "ttr"])
+
+    out = docs.map_batches(ttr, batch_format="pandas").to_pandas()
+    out = out.astype({"doc_id": "int64", "n_tokens": "int64",
+                      "n_types": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TTR_DOCUMENTS = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        FROM documents
+    )
+    SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+           CAST(length(list_distinct(toks)) AS BIGINT) AS n_types,
+           CASE WHEN length(toks) > 0
+                THEN round(length(list_distinct(toks)) * 1.0
+                           / length(toks), 6)
+                ELSE {NULLF} END AS ttr
+    FROM t
+"""
+
+
+def q_lead_lag_xcorr_daily(sf_dir: str) -> pd.DataFrame:
+    """Lead-lag discovery between every two daily series: Pearson
+    correlation of (a_t, b_{t+lag}) for lag ∈ [−3, 3] over common days,
+    reporting each pair's best lag by |corr| (6dp-rounded; ties → the
+    smaller lag). Positive best_lag ⇒ a LEADS b. The daily spine is
+    already the reduced table (days × types), so the 7-lag × pair fold
+    runs over it directly; per-lag corr needs ≥ 2 common days and
+    nonzero variance (else the lag is skipped)."""
+    daily = _bucket_series(sf_dir, DAY_US, "d").to_pandas()
+    piv = daily.pivot_table(index="d", columns="event_type", values="v",
+                            aggfunc="sum").sort_index()
+    types = sorted(piv.columns)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            best = None
+            for lag in range(-3, 4):
+                a = piv[ta]
+                b = piv[tb].shift(-lag)  # b_{t+lag} aligned to t
+                ok = a.notna() & b.notna()
+                if ok.sum() < 2:
+                    continue
+                av, bv = a[ok].to_numpy(np.float64), \
+                    b[ok].to_numpy(np.float64)
+                if av.std() == 0 or bv.std() == 0:
+                    continue
+                c = np.round(float(np.corrcoef(av, bv)[0, 1]), 6)
+                key = (-abs(c), lag)
+                if best is None or key < best[0]:
+                    best = (key, lag, c, int(ok.sum()))
+            if best is not None:
+                rows.append((ta, tb, best[1], best[2], best[3]))
+    out = pd.DataFrame(rows, columns=["ta", "tb", "best_lag", "best_corr",
+                                      "n_common"])
+    out = out.astype({"best_lag": "int64", "n_common": "int64"})
+    return out.sort_values(["ta", "tb"]).reset_index(drop=True)
+
+
+SQL_LEAD_LAG_XCORR = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+               a.v AS av, b.v AS bv
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.event_type > a.event_type
+                    AND b.d = a.d + l.lag * INTERVAL 1 DAY
+    ),
+    c AS (
+        SELECT ta, tb, lag, count(*) AS n_common,
+               round(corr(av, bv), 6) AS r
+        FROM pairs GROUP BY 1, 2, 3
+        HAVING count(*) >= 2 AND corr(av, bv) IS NOT NULL
+    ),
+    best AS (
+        SELECT ta, tb, lag, r, n_common,
+               row_number() OVER (PARTITION BY ta, tb
+                                  ORDER BY abs(r) DESC, lag) AS rn
+        FROM c
+    )
+    SELECT ta, tb, CAST(lag AS BIGINT) AS best_lag, r AS best_corr,
+           CAST(n_common AS BIGINT) AS n_common
+    FROM best WHERE rn = 1
+"""

@@ -375,6 +375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_class_histogram_documents": Q.q_dup_class_histogram_documents,
         "ttr_documents": Q.q_ttr_documents,
         "lead_lag_xcorr_daily": Q.q_lead_lag_xcorr_daily,
+        "mannwhitney_events": Q.q_mannwhitney_events,
+        "dow_anova_daily": Q.q_dow_anova_daily,
+        "runs_test_daily": Q.q_runs_test_daily,
     }
 
 
@@ -615,4 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_class_histogram_documents": Q.SQL_DUP_CLASS_HISTOGRAM,
         "ttr_documents": Q.SQL_TTR_DOCUMENTS,
         "lead_lag_xcorr_daily": Q.SQL_LEAD_LAG_XCORR,
+        "mannwhitney_events": Q.SQL_MANNWHITNEY,
+        "dow_anova_daily": Q.SQL_DOW_ANOVA,
+        "runs_test_daily": Q.SQL_RUNS_TEST,
     }

@@ -9936,3 +9936,212 @@ SQL_LEAD_LAG_XCORR = f"""
            CAST(n_common AS BIGINT) AS n_common
     FROM best WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney / dow ANOVA / runs test (batch 12)
+# ---------------------------------------------------------------------------
+
+def q_mannwhitney_events(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U (Mann & Whitney 1947 — public) between the 'click'
+    and 'view' value samples with tie-corrected AVERAGE ranks, plus the
+    rank-biserial effect size ``1 − 2U/(n_a·n_b)``. Like the KS entry,
+    rows reduce to one (value, count_a, count_b) row per distinct value
+    first; ranks then come from the cumulative counts over that reduced
+    table (avg rank of v = #below + (#at(v)+1)/2) — no row-level rank
+    shuffle."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def parts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["click", "view"])]
+        return pd.DataFrame({
+            "value": b["value"],
+            "__a": (b["event_type"] == "click").astype(np.int64),
+            "__b": (b["event_type"] == "view").astype(np.int64)})
+
+    red = hash_aggregate(ev.map_batches(parts, batch_format="pandas"),
+                         ["value"], {"c_a": ("__a", "sum"),
+                                     "c_b": ("__b", "sum")},
+                         num_partitions=_NP).to_pandas()
+    red = red.sort_values("value").reset_index(drop=True)
+    ct = (red["c_a"] + red["c_b"]).to_numpy(np.float64)
+    below = np.concatenate(([0.0], np.cumsum(ct)[:-1]))
+    avg_rank = below + (ct + 1.0) / 2.0
+    na = float(red["c_a"].sum())
+    nb = float(red["c_b"].sum())
+    ra = float((avg_rank * red["c_a"].to_numpy(np.float64)).sum())
+    u = ra - na * (na + 1.0) / 2.0
+    return pd.DataFrame({
+        "n_click": np.array([int(na)], dtype=np.int64),
+        "n_view": np.array([int(nb)], dtype=np.int64),
+        "u_stat": [np.round(u, 6)],
+        "rank_biserial": [np.round(1.0 - 2.0 * u / (na * nb), 6)]})
+
+
+SQL_MANNWHITNEY = """
+    WITH s AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ),
+    r AS (
+        SELECT ca, cb,
+               COALESCE(sum(ca + cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (ca + cb + 1) / 2.0 AS avg_rank
+        FROM s
+    ),
+    t AS (
+        SELECT sum(ca) AS na, sum(cb) AS nb,
+               sum(avg_rank * ca) AS ra
+        FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+           round(ra - na * (na + 1) / 2.0, 6) AS u_stat,
+           round(1.0 - 2.0 * (ra - na * (na + 1) / 2.0) / (na * nb), 6)
+               AS rank_biserial
+    FROM t
+"""
+
+
+def q_dow_anova_daily(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F of the daily value by ISO weekday per series (the
+    'is the weekly seasonality significant' test): F = (SSB/(k−1)) /
+    (SSW/(n−k)) over the dow groups. One keyed kernel per series; zero
+    within-variance emits NULLF."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["v"].to_numpy(np.float64)
+            dow = (g["d"].dt.dayofweek + 1).to_numpy(np.int64)
+            n = len(v)
+            gm = v.mean()
+            ssb = ssw = 0.0
+            k = 0
+            for w in np.unique(dow):
+                gv = v[dow == w]
+                k += 1
+                ssb += len(gv) * (gv.mean() - gm) ** 2
+                ssw += ((gv - gv.mean()) ** 2).sum()
+            f = np.round((ssb / (k - 1)) / (ssw / (n - k)), 6) \
+                if (k > 1 and n > k and ssw > 0) else NULLF
+            rows.append((et, n, k, f))
+        return pd.DataFrame(rows, columns=["event_type", "n", "k_groups",
+                                           "f_stat"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = out.astype({"n": "int64", "k_groups": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DOW_ANOVA = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    d AS (SELECT event_type, isodow(d) AS dow, v FROM daily),
+    g AS (
+        SELECT event_type, dow, count(*) AS ng, avg(v) AS mg,
+               sum(v * v) - count(*) * avg(v) * avg(v) AS ssw_g
+        FROM d GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, count(*) AS n, avg(v) AS gm
+        FROM d GROUP BY 1
+    ),
+    s AS (
+        SELECT g.event_type, max(tot.n) AS n, count(*) AS k,
+               sum(g.ng * (g.mg - tot.gm) * (g.mg - tot.gm)) AS ssb,
+               sum(g.ssw_g) AS ssw
+        FROM g JOIN tot USING (event_type)
+        GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT)
+               AS k_groups,
+           CASE WHEN k > 1 AND n > k AND ssw > 0
+                THEN round((ssb / (k - 1)) / (ssw / (n - k)), 6)
+                ELSE {NULLF} END AS f_stat
+    FROM s
+"""
+
+
+def q_runs_test_daily(sf_dir: str) -> pd.DataFrame:
+    """Wald–Wolfowitz runs test (1940 — public) per daily series: drop
+    days equal to the series median, count sign runs above/below, and
+    report the z-statistic ``(R − μ)/σ`` with μ = 2·n₁·n₂/n + 1. One
+    keyed kernel; degenerate splits (n₁ or n₂ = 0, or σ = 0) emit
+    NULLF."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            v = g["v"].to_numpy(np.float64)
+            med = np.round(float(np.percentile(v, 50)), 6)
+            s = v[v != med] > med
+            n1 = int(s.sum())
+            n2 = int(len(s) - n1)
+            n = n1 + n2
+            runs = int(1 + (s[1:] != s[:-1]).sum()) if n else 0
+            if n1 and n2:
+                mu = 2.0 * n1 * n2 / n + 1.0
+                var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                       / (n * n * (n - 1.0)))
+                z = np.round((runs - mu) / np.sqrt(var), 6) \
+                    if var > 0 else NULLF
+            else:
+                z = NULLF
+            rows.append((et, n1, n2, runs, z))
+        return pd.DataFrame(rows, columns=["event_type", "n_above",
+                                           "n_below", "n_runs", "z_stat"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    for c in ("n_above", "n_below", "n_runs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_RUNS_TEST = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    med AS (
+        SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med
+        FROM daily GROUP BY 1
+    ),
+    s AS (
+        SELECT daily.event_type, daily.d,
+               CASE WHEN daily.v > med.med THEN 1 ELSE 0 END AS above
+        FROM daily JOIN med USING (event_type)
+        WHERE daily.v <> med.med
+    ),
+    l AS (
+        SELECT event_type, above,
+               LAG(above) OVER (PARTITION BY event_type ORDER BY d) AS pa
+        FROM s
+    ),
+    agg AS (
+        SELECT event_type,
+               sum(above) AS n1,
+               sum(1 - above) AS n2,
+               1 + sum(CASE WHEN pa IS NOT NULL AND above <> pa
+                            THEN 1 ELSE 0 END) AS runs
+        FROM l GROUP BY 1
+    )
+    SELECT event_type, CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           CASE WHEN n1 > 0 AND n2 > 0
+                     AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) > 0
+                THEN round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                                  / ((n1 + n2) * (n1 + n2)
+                                     * (n1 + n2 - 1.0))), 6)
+                ELSE {NULLF} END AS z_stat
+    FROM agg
+"""

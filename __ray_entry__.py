@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_events": Q.q_mannwhitney_events,
         "dow_anova_daily": Q.q_dow_anova_daily,
         "runs_test_daily": Q.q_runs_test_daily,
+        "local_supplier_volume": Q.q_local_supplier_volume,
+        "conversion_within_7d": Q.q_conversion_within_7d,
+        "power_users_division": Q.q_power_users_division,
     }
 
 
@@ -621,4 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_events": Q.SQL_MANNWHITNEY,
         "dow_anova_daily": Q.SQL_DOW_ANOVA,
         "runs_test_daily": Q.SQL_RUNS_TEST,
+        "local_supplier_volume": Q.SQL_LOCAL_SUPPLIER_VOLUME,
+        "conversion_within_7d": Q.SQL_CONVERSION_WITHIN_7D,
+        "power_users_division": Q.SQL_POWER_USERS_DIVISION,
     }

@@ -10145,3 +10145,186 @@ SQL_RUNS_TEST = f"""
                 ELSE {NULLF} END AS z_stat
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 / windowed conversion / relational division (batch 13)
+# ---------------------------------------------------------------------------
+
+def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (public spec): per-nation revenue
+    ``Σ l_extendedprice·(1−l_discount)`` for ASIA-region nations over one
+    order year, counting only lineitems whose supplier and customer share
+    the nation. Dim chain region→nation→supplier broadcasts as one
+    suppkey→nation map (dims ≪ fact); orders in the window semi-filter
+    then carry c_nationkey through the CPU-clamped distributed hash join
+    against the lineitem stream — the Q3 plan with a second broadcast
+    dimension attached."""
+    from forecastframe_ray.stages.join import (consolidate_for_join,
+                                               hash_join)
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia = nat.merge(reg[reg["r_name"] == "ASIA"], left_on="n_regionkey",
+                     right_on="r_regionkey")[["n_nationkey", "n_name"]]
+    nkeys = set(asia["n_nationkey"])
+    nname = dict(zip(asia["n_nationkey"], asia["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cmap = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        cn = b["o_custkey"].map(cmap)
+        keep = cn.isin(nkeys)
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"][keep],
+                             "c_nat": cn[keep].astype(np.int64)})
+
+    ords = consolidate_for_join(
+        orders.map_batches(ord_prep, batch_format="pandas"), 8)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        sn = b["l_suppkey"].map(smap)
+        keep = sn.isin(nkeys)
+        b = b[keep]
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"],
+            "s_nat": sn[keep].astype(np.int64),
+            "part": b["l_extendedprice"].to_numpy(np.float64)
+                    * (1.0 - b["l_discount"].to_numpy(np.float64))})
+
+    joined = hash_join(li.map_batches(li_prep, batch_format="pandas"),
+                       ords, on=["o_orderkey"], num_partitions=8)
+
+    def local_filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nat"] == b["c_nat"]]
+        return pd.DataFrame({"n_nat": b["s_nat"], "part": b["part"]})
+
+    agg = hash_aggregate(
+        joined.map_batches(local_filter, batch_format="pandas"),
+        ["n_nat"], {"revenue": ("part", "sum")},
+        num_partitions=4).to_pandas()
+    agg["n_name"] = agg["n_nat"].map(nname)
+    agg = _round(agg, ["revenue"], 6)
+    return agg[["n_name", "revenue"]].sort_values("n_name") \
+        .reset_index(drop=True)
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+"""
+
+
+def q_conversion_within_7d(sf_dir: str) -> pd.DataFrame:
+    """Windowed conversion rate: among users with a 'view', the share
+    whose first 'purchase' lands within 7 days AFTER their first view —
+    the funnel entry's timeout-constrained twin. Same distributed
+    first-stamp reduce."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["view", "purchase"])]
+        return b[["user_id", "event_type", "ts"]]
+
+    first = hash_aggregate(ev.map_batches(pre, batch_format="pandas"),
+                           ["user_id", "event_type"],
+                           {"first_ts": ("ts", "min")},
+                           num_partitions=_NP).to_pandas()
+    piv = first.pivot_table(index="user_id", columns="event_type",
+                            values="first_ts", aggfunc="min")
+    if "view" not in piv:
+        n_viewers = 0
+        n_conv = 0
+    else:
+        viewers = piv["view"].notna()
+        n_viewers = int(viewers.sum())
+        if "purchase" in piv:
+            lat_us = (piv["purchase"] - piv["view"]) \
+                .dt.total_seconds() * 1e6
+            conv = viewers & piv["purchase"].notna() & (lat_us > 0) \
+                & (lat_us <= 7 * 86_400_000_000)
+            n_conv = int(conv.sum())
+        else:
+            n_conv = 0
+    rate = np.round(n_conv / n_viewers, 6) if n_viewers else NULLF
+    return pd.DataFrame({
+        "n_viewers": np.array([n_viewers], dtype=np.int64),
+        "n_converted_7d": np.array([n_conv], dtype=np.int64),
+        "conv_rate_7d": [rate]})
+
+
+SQL_CONVERSION_WITHIN_7D = f"""
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY 1
+    ),
+    v AS (SELECT * FROM f WHERE fv IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_viewers,
+           CAST(COALESCE(sum(CASE WHEN fp > fv
+                     AND epoch_us(fp) - epoch_us(fv)
+                         <= 7 * 86400000000 THEN 1 END), 0) AS BIGINT)
+               AS n_converted_7d,
+           CASE WHEN count(*) > 0
+                THEN round(COALESCE(sum(CASE WHEN fp > fv
+                         AND epoch_us(fp) - epoch_us(fv)
+                             <= 7 * 86400000000 THEN 1 END), 0)
+                           * 1.0 / count(*), 6)
+                ELSE {NULLF} END AS conv_rate_7d
+    FROM v
+"""
+
+
+def q_power_users_division(sf_dir: str) -> pd.DataFrame:
+    """Relational DIVISION (Codd — public; the 'for all' join family the
+    semi/anti entries don't cover): users active in EVERY event type the
+    corpus contains. Distinct (user, type) memberships reduce once; a
+    user divides when its distinct-type count equals the global type
+    count."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    du = hash_aggregate(ev, ["user_id", "event_type"],
+                        {"__n": ("event_type", "size")},
+                        num_partitions=_NP)
+    per_user = hash_aggregate(du, ["user_id"],
+                              {"n_types": ("event_type", "size")},
+                              num_partitions=_NP).to_pandas()
+    n_all = int(hash_aggregate(du, ["event_type"],
+                               {"__n": ("user_id", "size")},
+                               num_partitions=4).count())
+    out = per_user[per_user["n_types"] == n_all][["user_id", "n_types"]]
+    out = out.astype({"user_id": "int64", "n_types": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_POWER_USERS_DIVISION = """
+    WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+    t AS (SELECT count(DISTINCT event_type) AS n_all FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_types
+    FROM du GROUP BY 1
+    HAVING count(*) = (SELECT n_all FROM t)
+"""

@@ -381,6 +381,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": Q.q_local_supplier_volume,
         "conversion_within_7d": Q.q_conversion_within_7d,
         "power_users_division": Q.q_power_users_division,
+        "basket_lift_lineitem": Q.q_basket_lift_lineitem,
+        "hhi_suppliers_lineitem": Q.q_hhi_suppliers_lineitem,
+        "label_centroid_distances": Q.q_label_centroid_distances,
+        "silhouette_embeddings": Q.q_silhouette_embeddings,
     }
 
 
@@ -627,4 +631,8 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": Q.SQL_LOCAL_SUPPLIER_VOLUME,
         "conversion_within_7d": Q.SQL_CONVERSION_WITHIN_7D,
         "power_users_division": Q.SQL_POWER_USERS_DIVISION,
+        "basket_lift_lineitem": Q.SQL_BASKET_LIFT,
+        "hhi_suppliers_lineitem": Q.SQL_HHI_SUPPLIERS,
+        "label_centroid_distances": Q.SQL_LABEL_CENTROID_DISTANCES,
+        "silhouette_embeddings": Q.SQL_SILHOUETTE_EMBEDDINGS,
     }

@@ -10328,3 +10328,247 @@ SQL_POWER_USERS_DIVISION = """
     FROM du GROUP BY 1
     HAVING count(*) = (SELECT n_all FROM t)
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket lift / HHI / centroid geometry (batch 14)
+# ---------------------------------------------------------------------------
+
+def q_basket_lift_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association (Agrawal 1993 — public): among the
+    top-50 parts by order frequency (count desc, partkey asc — a
+    deterministic cut), every part pair co-occurring in ≥2 orders with
+    its lift ``n_ab·N / (n_a·n_b)`` over the order universe. The top-part
+    set broadcasts as a filter; pair fan-out happens inside per-order
+    co-located groups (never a global self-join of the fact table)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part_orders = hash_aggregate(li, ["l_partkey", "l_orderkey"],
+                                 {"__n": ("l_partkey", "size")},
+                                 num_partitions=_NP)
+    pcnt = hash_aggregate(part_orders, ["l_partkey"],
+                          {"n_ord": ("l_orderkey", "size")},
+                          num_partitions=_NP).to_pandas()
+    top = pcnt.sort_values(["n_ord", "l_partkey"],
+                           ascending=[False, True]).head(50)
+    topset = set(top["l_partkey"])
+    acnt = dict(zip(top["l_partkey"], top["n_ord"]))
+    n_orders = int(hash_aggregate(li, ["l_orderkey"],
+                                  {"__n": ("l_orderkey", "size")},
+                                  num_partitions=_NP).count())
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["l_partkey"].isin(topset)]
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for okey, g in part.groupby("l_orderkey", sort=False):
+            ps = np.unique(g["l_partkey"].to_numpy())
+            if len(ps) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ps), 1)
+            rows_a.append(ps[ia])
+            rows_b.append(ps[ib])
+        if not rows_a:
+            return pd.DataFrame({"pa": pd.Series([], dtype=np.int64),
+                                 "pb": pd.Series([], dtype=np.int64),
+                                 "__one": pd.Series([], dtype=np.int64)})
+        a = np.concatenate(rows_a)
+        return pd.DataFrame({"pa": a, "pb": np.concatenate(rows_b),
+                             "__one": np.ones(len(a), dtype=np.int64)})
+
+    co = hash_aggregate(
+        keyed_map_partitions(
+            part_orders.map_batches(filt, batch_format="pandas"),
+            ["l_orderkey"], pairs, num_partitions=_NP),
+        ["pa", "pb"], {"n_ab": ("__one", "sum")},
+        num_partitions=4).to_pandas()
+    co = co[co["n_ab"] >= 2].copy()
+    na = co["pa"].map(acnt).to_numpy(np.float64)
+    nb = co["pb"].map(acnt).to_numpy(np.float64)
+    co["lift"] = np.round(co["n_ab"].to_numpy(np.float64) * n_orders
+                          / (na * nb), 6)
+    co = co.astype({"pa": "int64", "pb": "int64", "n_ab": "int64"})
+    return co[["pa", "pb", "n_ab", "lift"]] \
+        .sort_values(["pa", "pb"]).reset_index(drop=True)
+
+
+SQL_BASKET_LIFT = """
+    WITH po AS (
+        SELECT DISTINCT l_partkey, l_orderkey FROM lineitem
+    ),
+    cnt AS (SELECT l_partkey, count(*) AS n_ord FROM po GROUP BY 1),
+    top AS (
+        SELECT l_partkey, n_ord FROM cnt
+        ORDER BY n_ord DESC, l_partkey LIMIT 50
+    ),
+    tpo AS (SELECT po.* FROM po JOIN top USING (l_partkey)),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+        FROM tpo a JOIN tpo b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+           round(n_ab * 1.0 * n.n_orders / (ta.n_ord * tb.n_ord), 6)
+               AS lift
+    FROM co JOIN top ta ON ta.l_partkey = co.pa
+            JOIN top tb ON tb.l_partkey = co.pb
+            CROSS JOIN n
+"""
+
+
+def q_hhi_suppliers_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl–Hirschman concentration index (public antitrust
+    convention, ×10000) of supplier revenue shares
+    ``Σ l_extendedprice·(1−l_discount)`` — one algebraic per-supplier
+    reduce (6dp on both sides before shares), then the tiny share² fold."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": b["l_suppkey"],
+            "__r": b["l_extendedprice"].to_numpy(np.float64)
+                   * (1.0 - b["l_discount"].to_numpy(np.float64))})
+
+    tot = hash_aggregate(li.map_batches(rev, batch_format="pandas"),
+                         ["l_suppkey"], {"r": ("__r", "sum")},
+                         num_partitions=_NP).to_pandas()
+    r = np.round(tot["r"].to_numpy(np.float64), 6)
+    share = r / r.sum()
+    return pd.DataFrame({
+        "n_suppliers": np.array([len(r)], dtype=np.int64),
+        "hhi": [np.round(float((share * share).sum()) * 10000.0, 6)]})
+
+
+SQL_HHI_SUPPLIERS = """
+    WITH s AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS r
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(r * r) / (sum(r) * sum(r)) * 10000.0, 6) AS hhi
+    FROM s
+"""
+
+
+def _rounded_centroids(sf_dir: str) -> pd.DataFrame:
+    """label × dim centroid matrix, 6dp-rounded (the parity anchor both
+    the distance and silhouette entries compute from)."""
+    from forecastframe_ray.pipelines.similarity import label_centroids
+
+    cents = label_centroids(
+        _read(sf_dir, "embeddings", ["label", "embedding"])).to_pandas()
+    piv = cents.pivot_table(index="label", columns="dim",
+                            values="centroid", aggfunc="sum").sort_index()
+    return np.round(piv, 6)
+
+
+def q_label_centroid_distances(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Euclidean distances between the per-label centroid
+    vectors (the cluster-geometry dashboard): computed from the
+    6dp-ROUNDED centroids the oracled centroid entry pins, so both
+    engines fold identical inputs."""
+    piv = _rounded_centroids(sf_dir)
+    labels = list(piv.index)
+    C = piv.to_numpy(np.float64)
+    rows = []
+    for i, la in enumerate(labels):
+        for j in range(i + 1, len(labels)):
+            d = float(np.sqrt(((C[i] - C[j]) ** 2).sum()))
+            rows.append((la, labels[j], np.round(d, 6)))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "dist"])
+    return out.astype({"label_a": "int64", "label_b": "int64"}) \
+        .sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+SQL_LABEL_CENTROID_DISTANCES = """
+    WITH c AS (
+        SELECT label, dim, round(avg(x), 6) AS v
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings)
+        GROUP BY 1, 2
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(sum((a.v - b.v) * (a.v - b.v))), 6) AS dist
+    FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+"""
+
+
+def q_silhouette_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each vector,
+    a = distance to its OWN label centroid, b = min distance to any other
+    label's centroid, s = (b − a)/max(a, b); reported as the per-label
+    mean. Centroids broadcast once (6dp-rounded parity anchor); the
+    per-batch work is one (batch × labels) distance matrix, partial
+    (Σs, n) sums pre-reduce before one tiny merge."""
+    piv = _rounded_centroids(sf_dir)
+    labels = np.array(piv.index)
+    C = piv.to_numpy(np.float64)
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d = np.sqrt(d2)
+        own = np.array([lab_pos[int(l)] for l in b["label"]])
+        a = d[np.arange(len(b)), own]
+        d_masked = d.copy()
+        d_masked[np.arange(len(b)), own] = np.inf
+        bb = d_masked.min(axis=1)
+        mx = np.maximum(a, bb)
+        s = np.where(mx > 0, (bb - a) / mx, 0.0)
+        return pd.DataFrame({"label": b["label"], "__s": s,
+                             "__one": np.ones(len(b), dtype=np.int64)})
+
+    agg = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                         ["label"], {"sum_s": ("__s", "sum"),
+                                     "n": ("__one", "sum")},
+                         num_partitions=4).to_pandas()
+    agg["silhouette"] = np.round(agg["sum_s"].to_numpy(np.float64)
+                                 / agg["n"].to_numpy(np.float64), 6)
+    agg = agg.astype({"label": "int64", "n": "int64"})
+    return agg[["label", "n", "silhouette"]] \
+        .sort_values("label").reset_index(drop=True)
+
+
+SQL_SILHOUETTE_EMBEDDINGS = """
+    WITH c AS (
+        SELECT label, dim, round(avg(x), 6) AS v
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings)
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    d AS (
+        SELECT e.vec_id, e.label AS own, c.label AS cl,
+               sqrt(sum((e.x - c.v) * (e.x - c.v))) AS dist
+        FROM e JOIN c USING (dim)
+        GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT vec_id, own,
+               max(CASE WHEN cl = own THEN dist END) AS a,
+               min(CASE WHEN cl <> own THEN dist END) AS b
+        FROM d GROUP BY 1, 2
+    )
+    SELECT own AS label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN greatest(a, b) > 0
+                          THEN (b - a) / greatest(a, b)
+                          ELSE 0.0 END), 6) AS silhouette
+    FROM ab GROUP BY 1
+"""

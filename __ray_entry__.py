@@ -385,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_suppliers_lineitem": Q.q_hhi_suppliers_lineitem,
         "label_centroid_distances": Q.q_label_centroid_distances,
         "silhouette_embeddings": Q.q_silhouette_embeddings,
+        "quantization_error_embeddings": Q.q_quantization_error_embeddings,
+        "best_f1_threshold_documents": Q.q_best_f1_threshold_documents,
+        "asof_forward_events": Q.q_asof_forward_events,
     }
 
 
@@ -635,4 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "hhi_suppliers_lineitem": Q.SQL_HHI_SUPPLIERS,
         "label_centroid_distances": Q.SQL_LABEL_CENTROID_DISTANCES,
         "silhouette_embeddings": Q.SQL_SILHOUETTE_EMBEDDINGS,
+        "quantization_error_embeddings": Q.SQL_QUANTIZATION_ERROR,
+        "best_f1_threshold_documents": Q.SQL_BEST_F1_THRESHOLD,
+        "asof_forward_events": Q.SQL_ASOF_FORWARD,
     }

@@ -10572,3 +10572,173 @@ SQL_SILHOUETTE_EMBEDDINGS = """
                           ELSE 0.0 END), 6) AS silhouette
     FROM ab GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# quantization error / F1 threshold sweep / forward as-of (batch 15)
+# ---------------------------------------------------------------------------
+
+def q_quantization_error_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Symmetric int8 quantization audit (the embedding-compression
+    decision input for ANN at scale): per vector, scale = max|x|/127,
+    q = ⌊x/scale + 0.5⌋ (explicit round-half-up on BOTH engines — SQL
+    round() is half-away while numpy is banker's, so neither is used),
+    reconstruction MSE = mean((x − q·scale)²). Stateless vectorized map;
+    all-zero vectors emit zero error."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def qerr(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        scale = np.abs(X).max(axis=1) / 127.0
+        s = np.where(scale > 0, scale, 1.0)[:, None]
+        q = np.floor(X / s + 0.5)
+        mse = ((X - q * s) ** 2).mean(axis=1)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"],
+            "scale": np.round(scale, 6) + 0.0,
+            "mse": np.round(mse, 9) + 0.0})
+
+    out = ds.map_batches(qerr, batch_format="pandas").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_QUANTIZATION_ERROR = """
+    WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, max(abs(x)) / 127.0 AS scale
+        FROM e GROUP BY 1
+    ),
+    q AS (
+        SELECT e.vec_id, s.scale,
+               e.x - floor(e.x / (CASE WHEN s.scale > 0
+                                       THEN s.scale ELSE 1 END) + 0.5)
+                     * (CASE WHEN s.scale > 0 THEN s.scale ELSE 1 END)
+                   AS err
+        FROM e JOIN s USING (vec_id)
+    )
+    SELECT vec_id, round(max(scale), 6) + 0.0 AS scale,
+           round(avg(err * err), 9) + 0.0 AS mse
+    FROM q GROUP BY 1
+"""
+
+
+def q_best_f1_threshold_documents(sf_dir: str) -> pd.DataFrame:
+    """Threshold sweep maximizing F1 (the standard classifier-calibration
+    fold) — score = n_chars, positive class = lang 'en' (the SCORE is
+    deliberately naive; the OPERATOR under test is the distributed sweep).
+    Rows reduce to one (score, n_pos, n_neg) row per distinct score; the
+    cumulative TP/FP fold over the descending-sorted reduced table finds
+    the smallest best threshold (rounded-F1 desc, threshold asc)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        pos = (b["lang"] == "en").astype(np.int64)
+        return pd.DataFrame({"score": b["n_chars"].astype(np.int64),
+                             "__p": pos, "__n": 1 - pos})
+
+    red = hash_aggregate(docs.map_batches(pre, batch_format="pandas"),
+                         ["score"], {"n_pos": ("__p", "sum"),
+                                     "n_neg": ("__n", "sum")},
+                         num_partitions=_NP).to_pandas()
+    red = red.sort_values("score", ascending=False).reset_index(drop=True)
+    tp = red["n_pos"].cumsum().to_numpy(np.float64)
+    fp = red["n_neg"].cumsum().to_numpy(np.float64)
+    p_total = float(red["n_pos"].sum())
+    fn = p_total - tp
+    f1 = np.round(2 * tp / (2 * tp + fp + fn), 6)
+    order = np.lexsort((red["score"].to_numpy(), -f1))
+    best = order[0]
+    return pd.DataFrame({
+        "threshold": np.array([red.loc[best, "score"]], dtype=np.int64),
+        "f1": [f1[best]],
+        "precision": [np.round(tp[best] / (tp[best] + fp[best]), 6)],
+        "recall": [np.round(tp[best] / p_total, 6)]})
+
+
+SQL_BEST_F1_THRESHOLD = """
+    WITH s AS (
+        SELECT n_chars AS score,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos,
+               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_neg
+        FROM documents GROUP BY 1
+    ),
+    c AS (
+        SELECT score,
+               sum(n_pos) OVER (ORDER BY score DESC) AS tp,
+               sum(n_neg) OVER (ORDER BY score DESC) AS fp,
+               (SELECT sum(n_pos) FROM s) AS p_total
+        FROM s
+    ),
+    f AS (
+        SELECT score, tp, fp, p_total,
+               round(2.0 * tp / (2.0 * tp + fp + (p_total - tp)), 6)
+                   AS f1,
+               row_number() OVER (
+                   ORDER BY round(2.0 * tp
+                                  / (2.0 * tp + fp + (p_total - tp)), 6)
+                       DESC, score) AS rn
+        FROM c
+    )
+    SELECT CAST(score AS BIGINT) AS threshold, f1,
+           round(tp * 1.0 / (tp + fp), 6) AS precision,
+           round(tp * 1.0 / p_total, 6) AS recall
+    FROM f WHERE rn = 1
+"""
+
+
+def q_asof_forward_events(sf_dir: str) -> pd.DataFrame:
+    """FORWARD as-of join (the existing as-of entry runs backward): each
+    'purchase' picks the same user's NEXT 'click' at or after it —
+    stages/join.asof_join(direction='forward'). No-match purchases emit
+    the 9999-12-31 / NULLF sentinels. ((user_id, ts) is unique, so the
+    nearest-forward row is total-ordered on both engines.)"""
+    from forecastframe_ray.stages.join import asof_join
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts", "value"])
+    left = ev.map_batches(
+        lambda b: b[b["event_type"] == "purchase"]
+        [["event_id", "user_id", "ts", "value"]],
+        batch_format="pandas")
+    right = ev.map_batches(
+        lambda b: b[b["event_type"] == "click"]
+        [["user_id", "ts", "value"]].rename(
+            columns={"ts": "click_ts", "value": "click_value"}),
+        batch_format="pandas")
+    out = asof_join(left, right, on=["user_id"], left_ts="ts",
+                    right_ts="click_ts", direction="forward",
+                    num_partitions=_NP).to_pandas()
+    out["click_ts"] = out["click_ts"].fillna(pd.Timestamp("9999-12-31"))
+    out["click_value"] = out["click_value"].fillna(NULLF)
+    out = out.astype({"event_id": "int64", "user_id": "int64"})
+    out = out[["event_id", "user_id", "ts", "value", "click_ts",
+               "click_value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ASOF_FORWARD = f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS click_ts, value AS click_value FROM events
+        WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT p.event_id, min(c.click_ts) AS nts
+        FROM p JOIN c ON c.user_id = p.user_id AND c.click_ts >= p.ts
+        GROUP BY 1
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           COALESCE(cv.click_ts, TIMESTAMP '9999-12-31') AS click_ts,
+           COALESCE(cv.click_value, {NULLF}) AS click_value
+    FROM p
+    LEFT JOIN m USING (event_id)
+    LEFT JOIN c cv ON cv.user_id = p.user_id AND cv.click_ts = m.nts
+"""

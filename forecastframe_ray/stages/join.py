@@ -309,10 +309,30 @@ def _keyed_cogroup(left, right, on: list[str], plan: dict, frame_kernel,
     tagged = left.map_batches(tag(0, {}), batch_format="pyarrow").union(
         right.map_batches(tag(1, plan["renames"]), batch_format="pyarrow"))
 
+    # Ray's groupby shuffle can retype an ALL-NULL column inside a
+    # one-sided partition (e.g. a left-only key group: every right-side
+    # column is null) to Arrow null / pandas object — merge_asof /
+    # range kernels then fail dtype validation. Re-anchor each frame to
+    # the planned union types after to_pandas.
+    type_fixes = {name: typ for name, typ in union_fields}
+
+    def _coerce(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            if df[c].dtype != object:
+                continue
+            typ = type_fixes.get(c)
+            if typ is None:
+                continue
+            if pa.types.is_timestamp(typ):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            elif (pa.types.is_integer(typ) or pa.types.is_floating(typ)):
+                df[c] = pd.to_numeric(df[c])
+        return df
+
     def kernel(t: pa.Table) -> pa.Table:
         mask = pc.equal(t["__side"], 0)
-        lf = t.filter(mask).select(lcols).to_pandas()
-        rf = t.filter(pc.invert(mask)).select(rcols).to_pandas()
+        lf = _coerce(t.filter(mask).select(lcols).to_pandas())
+        rf = _coerce(t.filter(pc.invert(mask)).select(rcols).to_pandas())
         out = pa.Table.from_pandas(frame_kernel(lf, rf),
                                    schema=out_schema, preserve_index=False)
         # from_pandas attaches dict-valued pandas metadata; downstream

@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantization_error_embeddings": Q.q_quantization_error_embeddings,
         "best_f1_threshold_documents": Q.q_best_f1_threshold_documents,
         "asof_forward_events": Q.q_asof_forward_events,
+        "late_events_watermark": Q.q_late_events_watermark,
+        "weighted_median_events": Q.q_weighted_median_events,
     }
 
 
@@ -641,4 +643,6 @@ def oracle_sql() -> dict[str, str]:
         "quantization_error_embeddings": Q.SQL_QUANTIZATION_ERROR,
         "best_f1_threshold_documents": Q.SQL_BEST_F1_THRESHOLD,
         "asof_forward_events": Q.SQL_ASOF_FORWARD,
+        "late_events_watermark": Q.SQL_LATE_EVENTS_WATERMARK,
+        "weighted_median_events": Q.SQL_WEIGHTED_MEDIAN,
     }

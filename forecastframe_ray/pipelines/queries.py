@@ -10742,3 +10742,143 @@ SQL_ASOF_FORWARD = f"""
     LEFT JOIN m USING (event_id)
     LEFT JOIN c cv ON cv.user_id = p.user_id AND cv.click_ts = m.nts
 """
+
+
+# ---------------------------------------------------------------------------
+# watermark late-arrival scan / weighted median (batch 16)
+# ---------------------------------------------------------------------------
+
+def q_late_events_watermark(sf_dir: str) -> pd.DataFrame:
+    """Streaming late-arrival audit: reading events in ARRIVAL order
+    (event_id), the watermark is the running max event time seen so far;
+    an event is late when it lands > 1 hour behind the watermark. The
+    classic distributed PREFIX-SCAN shape: arrival-range partitions each
+    compute a local running max, the P per-partition maxima fold on the
+    driver into exclusive prefix offsets (P numbers — tiny), and a second
+    vectorized pass applies them. Summarized per event_type (count +
+    late count + max lateness seconds)."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    n_total = int(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+    P = _NP
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__arr"] = (b["event_id"].to_numpy(np.int64) * P
+                       // max(n_total, 1)).clip(0, P - 1)
+        return b
+
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    def local_max(part: pd.DataFrame) -> pd.DataFrame:
+        p = int(part["__arr"].iloc[0])
+        return pd.DataFrame({"__arr": [p],
+                             "mx": [part["ts"].max()]})
+
+    parts = keyed_map_partitions(
+        _read(sf_dir, "events", ["event_id", "ts"])
+        .map_batches(assign, batch_format="pandas"),
+        ["__arr"], local_max, num_partitions=P).to_pandas() \
+        .sort_values("__arr")
+    # exclusive prefix max per partition (driver fold over P rows)
+    pmax = {}
+    run = pd.Timestamp.min
+    for _, r in parts.iterrows():
+        pmax[int(r["__arr"])] = run
+        run = max(run, r["mx"])
+
+    def flag(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values("event_id")
+        p = int(part["__arr"].iloc[0])
+        ts = part["ts"]
+        wm = np.maximum.accumulate(
+            ts.astype("datetime64[us]").astype("int64").to_numpy())
+        prefix = pmax.get(p, pd.Timestamp.min)
+        if prefix > pd.Timestamp.min:
+            wm = np.maximum(wm, np.int64(prefix.value // 1000))
+        late_s = (wm - ts.astype("datetime64[us]").astype("int64")
+                  .to_numpy()) / 1e6
+        return pd.DataFrame({
+            "event_type": part["event_type"],
+            "__late": (late_s > 3600.0).astype(np.int64),
+            "__lat_s": late_s,
+            "__one": np.ones(len(part), dtype=np.int64)})
+
+    out = hash_aggregate(
+        keyed_map_partitions(
+            ev.map_batches(assign, batch_format="pandas"),
+            ["__arr"], flag, num_partitions=P),
+        ["event_type"],
+        {"n": ("__one", "sum"), "n_late": ("__late", "sum"),
+         "max_late_s": ("__lat_s", "max")},
+        num_partitions=4).to_pandas()
+    out = out.astype({"n": "int64", "n_late": "int64"})
+    out = _round(out, ["max_late_s"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LATE_EVENTS_WATERMARK = """
+    WITH w AS (
+        SELECT event_type, ts,
+               max(ts) OVER (ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS wm
+        FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN epoch_us(wm) - epoch_us(ts) > 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(max((epoch_us(wm) - epoch_us(ts)) / 1e6), 6)
+               AS max_late_s
+    FROM w GROUP BY 1
+"""
+
+
+def q_weighted_median_events(sf_dir: str) -> pd.DataFrame:
+    """Weighted median (lower weighted median — the smallest value whose
+    cumulative weight reaches half the total) of event value per type,
+    weighted by the JSON ``k`` volume field. Rows reduce to one
+    (type, value, Σweight) row per distinct value first; the cumulative
+    fold runs over that reduced table."""
+    from forecastframe_ray.functions.scalar import extract_json_int
+
+    ev = _read(sf_dir, "events", ["event_type", "value", "props"])
+    ext = extract_json_int(ev, "props", "k")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "value": b["value"],
+                             "__w": b["k"].astype("float64")})
+
+    red = hash_aggregate(ext.map_batches(pre, batch_format="pandas"),
+                         ["event_type", "value"], {"w": ("__w", "sum")},
+                         num_partitions=_NP).to_pandas()
+    rows = []
+    for et, g in red.groupby("event_type", sort=True):
+        g = g.sort_values("value")
+        w = g["w"].to_numpy(np.float64)
+        half = w.sum() / 2.0
+        ix = int(np.searchsorted(np.cumsum(w), half))
+        rows.append((et, int(w.sum()),
+                     np.round(float(g["value"].iloc[ix]), 6)))
+    out = pd.DataFrame(rows, columns=["event_type", "total_w",
+                                      "w_median"])
+    out["total_w"] = out["total_w"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_WEIGHTED_MEDIAN = """
+    WITH e AS (
+        SELECT event_type, value,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS w
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, value,
+               sum(w) OVER (PARTITION BY event_type ORDER BY value) AS cw,
+               sum(w) OVER (PARTITION BY event_type) AS tw
+        FROM e
+    )
+    SELECT event_type, CAST(max(tw) AS BIGINT) AS total_w,
+           round(min(CASE WHEN cw >= tw / 2.0 THEN value END), 6)
+               AS w_median
+    FROM c GROUP BY 1
+"""

@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_forward_events": Q.q_asof_forward_events,
         "late_events_watermark": Q.q_late_events_watermark,
         "weighted_median_events": Q.q_weighted_median_events,
+        "hour_dow_heatmap_events": Q.q_hour_dow_heatmap_events,
+        "covariance_embeddings": Q.q_covariance_embeddings,
     }
 
 
@@ -645,4 +647,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward_events": Q.SQL_ASOF_FORWARD,
         "late_events_watermark": Q.SQL_LATE_EVENTS_WATERMARK,
         "weighted_median_events": Q.SQL_WEIGHTED_MEDIAN,
+        "hour_dow_heatmap_events": Q.SQL_HOUR_DOW_HEATMAP,
+        "covariance_embeddings": Q.SQL_COVARIANCE_EMBEDDINGS,
     }

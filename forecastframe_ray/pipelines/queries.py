@@ -10882,3 +10882,91 @@ SQL_WEIGHTED_MEDIAN = """
                AS w_median
     FROM c GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# calendar heatmap / embedding covariance (batch 17)
+# ---------------------------------------------------------------------------
+
+def q_hour_dow_heatmap_events(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day × ISO-weekday activity heatmap (count + mean value per
+    cell) — the classic traffic-pattern matrix, one narrow two-key
+    reduce."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def cell(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dow": (b["ts"].dt.dayofweek + 1).astype(np.int64),
+            "hour": b["ts"].dt.hour.astype(np.int64),
+            "__v": b["value"].to_numpy(np.float64),
+            "__one": np.ones(len(b), dtype=np.int64)})
+
+    out = hash_aggregate(ev.map_batches(cell, batch_format="pandas"),
+                         ["dow", "hour"],
+                         {"n": ("__one", "sum"), "sum_v": ("__v", "sum")},
+                         num_partitions=4).to_pandas()
+    out["mean_v"] = np.round(out["sum_v"].to_numpy(np.float64)
+                             / out["n"].to_numpy(np.float64), 6)
+    out = out.astype({"dow": "int64", "hour": "int64", "n": "int64"})
+    out = _round(out, ["sum_v"], 6)
+    return out[["dow", "hour", "n", "sum_v", "mean_v"]] \
+        .sort_values(["dow", "hour"]).reset_index(drop=True)
+
+
+SQL_HOUR_DOW_HEATMAP = """
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_v,
+           round(sum(value) / count(*), 6) AS mean_v
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_covariance_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Sample covariance matrix of the embedding dimensions (the PCA /
+    whitening input) via the one-pass distributed moment plan: each batch
+    contributes (n, Σx, XᵀX) partials, one tiny driver fold finishes
+    ``cov = (XᵀX − n·x̄x̄ᵀ)/(n−1)``. Emitted as the upper triangle in
+    long form. PARITY NOTE: entries are 6dp-rounded; the oracle is
+    DuckDB's covar_samp over the unnested dim pairs."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        d = X.shape[1]
+        xtx = X.T @ X
+        iu = np.triu_indices(d)
+        return pd.DataFrame({
+            "da": iu[0].astype(np.int64), "db": iu[1].astype(np.int64),
+            "xtx": xtx[iu],
+            "sa": X.sum(axis=0)[iu[0]], "sb": X.sum(axis=0)[iu[1]],
+            "n": np.full(len(iu[0]), len(b), dtype=np.int64)})
+
+    agg = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                         ["da", "db"],
+                         {"xtx": ("xtx", "sum"), "sa": ("sa", "sum"),
+                          "sb": ("sb", "sum"), "n": ("n", "sum")},
+                         num_partitions=_NP).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    cov = (agg["xtx"].to_numpy(np.float64)
+           - agg["sa"].to_numpy(np.float64)
+           * agg["sb"].to_numpy(np.float64) / n) / (n - 1.0)
+    out = pd.DataFrame({
+        "dim_a": agg["da"].astype("int64") + 1,   # 1-based like the oracle
+        "dim_b": agg["db"].astype("int64") + 1,
+        "cov": np.round(cov, 6) + 0.0})
+    return out.sort_values(["dim_a", "dim_b"]).reset_index(drop=True)
+
+
+SQL_COVARIANCE_EMBEDDINGS = """
+    WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    SELECT a.dim AS dim_a, b.dim AS dim_b,
+           round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2
+"""

@@ -392,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_events": Q.q_weighted_median_events,
         "hour_dow_heatmap_events": Q.q_hour_dow_heatmap_events,
         "covariance_embeddings": Q.q_covariance_embeddings,
+        "debounce_events": Q.q_debounce_events,
+        "point_in_time_user_state": Q.q_point_in_time_user_state,
     }
 
 
@@ -649,4 +651,6 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_events": Q.SQL_WEIGHTED_MEDIAN,
         "hour_dow_heatmap_events": Q.SQL_HOUR_DOW_HEATMAP,
         "covariance_embeddings": Q.SQL_COVARIANCE_EMBEDDINGS,
+        "debounce_events": Q.SQL_DEBOUNCE_EVENTS,
+        "point_in_time_user_state": Q.SQL_POINT_IN_TIME_STATE,
     }

@@ -10970,3 +10970,104 @@ SQL_COVARIANCE_EMBEDDINGS = """
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# debounce / point-in-time state (batch 18)
+# ---------------------------------------------------------------------------
+
+def q_debounce_events(sf_dir: str) -> pd.DataFrame:
+    """Burst compaction (debounce): per (user, type) stream, events
+    within 5 minutes of their predecessor chain into one burst
+    (gaps-and-islands on the inter-event gap), and only each burst's
+    FIRST event survives — the standard duplicate-click/retry suppressor.
+    Summarized per user: events in, bursts kept, compaction ratio."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    GAP_US = 5 * 60 * 1_000_000
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in part.groupby("user_id", sort=False):
+            n_in = len(g)
+            kept = 0
+            for _, s in g.groupby("event_type", sort=False):
+                t = np.sort(s["ts"].astype("datetime64[us]")
+                            .astype("int64").to_numpy())
+                kept += int(1 + (np.diff(t) > GAP_US).sum())
+            rows.append((uid, n_in, kept,
+                         np.round(kept / n_in, 6)))
+        return pd.DataFrame(rows, columns=["user_id", "n_events",
+                                           "n_kept", "keep_ratio"])
+
+    out = keyed_map_partitions(ev, ["user_id"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = out.astype({"user_id": "int64", "n_events": "int64",
+                      "n_kept": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_DEBOUNCE_EVENTS = """
+    WITH l AS (
+        SELECT user_id, event_type, ts,
+               LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts) AS pt
+        FROM events
+    ),
+    k AS (
+        SELECT user_id,
+               CASE WHEN pt IS NULL
+                         OR epoch_us(ts) - epoch_us(pt) > 300000000
+                    THEN 1 ELSE 0 END AS is_first
+        FROM l
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_first) AS BIGINT) AS n_kept,
+           round(sum(is_first) * 1.0 / count(*), 6) AS keep_ratio
+    FROM k GROUP BY 1
+"""
+
+
+def q_point_in_time_user_state(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time dimension lookup (the SCD2 entry's 'AS OF T' query):
+    at the stream's integer-epoch-us midpoint, each user's then-active
+    event_type — the latest event at or before T ((user_id, ts) unique ⇒
+    deterministic). Users with no activity by T are absent. One keyed
+    arg-max reduce."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    span = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    ss = span["ts"].to_pandas().astype("datetime64[us]").astype("int64")
+    cut = pd.Timestamp((int(ss.min()) + int(ss.max())) // 2, unit="us")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["ts"] <= cut]
+
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        idx = part.groupby("user_id", sort=False)["ts"].idxmax()
+        sub = part.loc[idx]
+        return pd.DataFrame({"user_id": sub["user_id"],
+                             "state_type": sub["event_type"],
+                             "state_ts": sub["ts"]})
+
+    out = keyed_map_partitions(
+        ev.map_batches(pre, batch_format="pandas"),
+        ["user_id"], kernel, num_partitions=_NP).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_POINT_IN_TIME_STATE = """
+    WITH cut AS (
+        SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2)
+            AS c FROM events
+    )
+    SELECT user_id,
+           arg_max(event_type, ts) AS state_type,
+           max(ts) AS state_ts
+    FROM events CROSS JOIN cut
+    WHERE ts <= cut.c
+    GROUP BY 1
+"""

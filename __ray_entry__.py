@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covariance_embeddings": Q.q_covariance_embeddings,
         "debounce_events": Q.q_debounce_events,
         "point_in_time_user_state": Q.q_point_in_time_user_state,
+        "corpus_checksum_documents": Q.q_corpus_checksum_documents,
+        "profile_orders": Q.q_profile_orders,
     }
 
 
@@ -653,4 +655,6 @@ def oracle_sql() -> dict[str, str]:
         "covariance_embeddings": Q.SQL_COVARIANCE_EMBEDDINGS,
         "debounce_events": Q.SQL_DEBOUNCE_EVENTS,
         "point_in_time_user_state": Q.SQL_POINT_IN_TIME_STATE,
+        "corpus_checksum_documents": Q.SQL_CORPUS_CHECKSUM,
+        "profile_orders": Q.SQL_PROFILE_ORDERS,
     }

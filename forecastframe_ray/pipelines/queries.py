@@ -11071,3 +11071,145 @@ SQL_POINT_IN_TIME_STATE = """
     WHERE ts <= cut.c
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus checksum / column profile (batch 19)
+# ---------------------------------------------------------------------------
+
+def q_corpus_checksum_documents(sf_dir: str) -> pd.DataFrame:
+    """Order-insensitive corpus checksum (the integrity stamp a resume /
+    replication check compares): per-row 60-bit md5 prefix of the text,
+    summed mod 2⁶¹−1 — commutative, so any partitioning/arrival order
+    yields the same stamp. Per-batch partial sums keep the shuffle at one
+    int per block."""
+    import hashlib
+
+    MOD = (1 << 61) - 1
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = 0
+        for t in b["text"].fillna(""):
+            s = (s + int(hashlib.md5(t.encode()).hexdigest()[:15], 16)) \
+                % MOD
+        return pd.DataFrame({"part_sum": np.array([s], dtype=np.int64),
+                             "n": np.array([len(b)], dtype=np.int64)})
+
+    # fold the tiny per-block partials with PYTHON ints on the driver —
+    # partials approach 2^61, so an int64 aggregate sum would overflow
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    total = sum(int(x) for x in parts["part_sum"]) % MOD
+    return pd.DataFrame({
+        "n_docs": np.array([int(parts["n"].sum())], dtype=np.int64),
+        "checksum": np.array([total], dtype=np.int64)})
+
+
+SQL_CORPUS_CHECKSUM = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(CAST(('0x' || substr(md5(text), 1, 15))
+                              AS BIGINT) AS HUGEINT))
+                % 2305843009213693951 AS BIGINT) AS checksum
+    FROM documents
+"""
+
+
+def q_profile_orders(sf_dir: str) -> pd.DataFrame:
+    """Generic column profiler over orders (the data-quality first-look):
+    per column — row count, null count, distinct count, min and max
+    rendered as text. Distinct counts reduce per column via the narrow
+    per-(column, value-digest) plan; min/max are algebraic."""
+    orders = _read(sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+
+    def render(v) -> str:
+        if isinstance(v, float):
+            return f"{v:.2f}"
+        if isinstance(v, pd.Timestamp):
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        return str(v)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # TYPED per-batch min/max per column (string-rendered extremes
+        # would aggregate lexicographically — "1000" < "999")
+        row = {"__k": 0, "n": len(b)}
+        for c in cols:
+            row[f"null_{c}"] = int(b[c].isna().sum())
+            row[f"mn_{c}"] = b[c].min()
+            row[f"mx_{c}"] = b[c].max()
+        return pd.DataFrame([row])
+
+    aggs = {"n": ("n", "sum")}
+    for c in cols:
+        aggs[f"null_{c}"] = (f"null_{c}", "sum")
+        aggs[f"mn_{c}"] = (f"mn_{c}", "min")
+        aggs[f"mx_{c}"] = (f"mx_{c}", "max")
+    onerow = hash_aggregate(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["__k"], aggs, num_partitions=2).to_pandas().iloc[0]
+    base = pd.DataFrame(
+        [(c, int(onerow["n"]), int(onerow[f"null_{c}"]),
+          render(onerow[f"mn_{c}"]), render(onerow[f"mx_{c}"]))
+         for c in cols],
+        columns=["col", "n", "n_null", "mn", "mx"])
+
+    def dvals(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in cols:
+            outs.append(pd.DataFrame({
+                "col": c, "val": b[c].astype(str)}))
+        return pd.concat(outs, ignore_index=True)
+
+    dv = hash_aggregate(
+        hash_aggregate(orders.map_batches(dvals, batch_format="pandas"),
+                       ["col", "val"], {"__n": ("val", "size")},
+                       num_partitions=_NP),
+        ["col"], {"n_distinct": ("val", "size")},
+        num_partitions=4).to_pandas()
+    out = base.merge(dv, on="col")
+    out = out.astype({"n": "int64", "n_null": "int64",
+                      "n_distinct": "int64"})
+    return out[["col", "n", "n_null", "n_distinct", "mn", "mx"]] \
+        .sort_values("col").reset_index(drop=True)
+
+
+SQL_PROFILE_ORDERS = """
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS mn,
+             CAST(max(o_orderkey) AS VARCHAR) AS mx
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT),
+             CAST(min(o_custkey) AS VARCHAR),
+             CAST(max(o_custkey) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             min(o_orderstatus), max(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             printf('%.2f', min(o_totalprice)),
+             printf('%.2f', max(o_totalprice)) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderdate) AS BIGINT),
+             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             min(o_orderpriority), max(o_orderpriority) FROM orders
+    ) ORDER BY col
+"""

@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_in_time_user_state": Q.q_point_in_time_user_state,
         "corpus_checksum_documents": Q.q_corpus_checksum_documents,
         "profile_orders": Q.q_profile_orders,
+        "grubbs_daily_events": Q.q_grubbs_daily_events,
+        "reconciliation_orders_lineitem": Q.q_reconciliation_orders_lineitem,
+        "bounce_rate_daily": Q.q_bounce_rate_daily,
     }
 
 
@@ -657,4 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "point_in_time_user_state": Q.SQL_POINT_IN_TIME_STATE,
         "corpus_checksum_documents": Q.SQL_CORPUS_CHECKSUM,
         "profile_orders": Q.SQL_PROFILE_ORDERS,
+        "grubbs_daily_events": Q.SQL_GRUBBS_DAILY,
+        "reconciliation_orders_lineitem": Q.SQL_RECONCILIATION,
+        "bounce_rate_daily": Q.SQL_BOUNCE_RATE_DAILY,
     }

@@ -11213,3 +11213,173 @@ SQL_PROFILE_ORDERS = """
              min(o_orderpriority), max(o_orderpriority) FROM orders
     ) ORDER BY col
 """
+
+
+# ---------------------------------------------------------------------------
+# Grubbs outlier / order reconciliation / bounce rate (batch 20)
+# ---------------------------------------------------------------------------
+
+def q_grubbs_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Grubbs single-outlier statistic (Grubbs 1950 — public) per daily
+    series: ``G = max|v − mean| / sd`` (ddof=1), with the offending day.
+    One keyed kernel; constant series (sd = 0) emit NULLF. Ties on
+    |v − mean| break to the earliest day on both engines."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            v = g["v"].to_numpy(np.float64)
+            sd = float(v.std(ddof=1)) if len(v) > 1 else 0.0
+            dev = np.round(np.abs(v - v.mean()), 6)
+            ix = int(np.argmax(dev))  # first max = earliest day
+            gstat = np.round(dev[ix] / sd, 6) if sd > 0 else NULLF
+            rows.append((et, len(v), g["d"].iloc[ix], gstat))
+        return pd.DataFrame(rows, columns=["event_type", "n",
+                                           "outlier_d", "g_stat"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_GRUBBS_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    s AS (
+        SELECT event_type, count(*) AS n, avg(v) AS m,
+               stddev_samp(v) AS sd
+        FROM daily GROUP BY 1
+    ),
+    d AS (
+        SELECT daily.event_type, daily.d,
+               round(abs(daily.v - s.m), 6) AS dev, s.n, s.sd
+        FROM daily JOIN s USING (event_type)
+    ),
+    r AS (
+        SELECT event_type, d, dev, n, sd,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dev DESC, d) AS rn
+        FROM d
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, d AS outlier_d,
+           CASE WHEN sd > 0 THEN round(dev / sd, 6)
+                ELSE {NULLF} END AS g_stat
+    FROM r WHERE rn = 1
+"""
+
+
+def q_reconciliation_orders_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Cross-table reconciliation (the warehouse trust check): each
+    order's header ``o_totalprice`` against its lineitems' gross
+    ``Σ extendedprice·(1−discount)·(1+tax)`` — coverage counts plus the
+    mean/median header-to-detail ratio. The detail side pre-reduces per
+    order (narrow), the header side hash-joins in; ratio stats fold over
+    the per-order table."""
+    from forecastframe_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def gross(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["l_orderkey"],
+            "__g": b["l_extendedprice"].to_numpy(np.float64)
+                   * (1.0 - b["l_discount"].to_numpy(np.float64))
+                   * (1.0 + b["l_tax"].to_numpy(np.float64))})
+
+    detail = hash_aggregate(li.map_batches(gross, batch_format="pandas"),
+                            ["o_orderkey"], {"g": ("__g", "sum")},
+                            num_partitions=_NP)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    from forecastframe_ray.stages.join import consolidate_for_join
+    joined = hash_join(consolidate_for_join(orders, 8), detail,
+                       on=["o_orderkey"], num_partitions=8).to_pandas()
+    ratio = np.round(joined["o_totalprice"].to_numpy(np.float64)
+                     / np.round(joined["g"].to_numpy(np.float64), 6), 6)
+    n_orders = int(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+    return pd.DataFrame({
+        "n_orders": np.array([n_orders], dtype=np.int64),
+        "n_with_lines": np.array([len(joined)], dtype=np.int64),
+        "mean_ratio": [np.round(float(ratio.mean()), 6)],
+        "p50_ratio": [np.round(float(np.percentile(ratio, 50)), 6)]})
+
+
+SQL_RECONCILIATION = """
+    WITH d AS (
+        SELECT l_orderkey AS o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax)), 6) AS g
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT round(o_totalprice / g, 6) AS ratio
+        FROM orders JOIN d USING (o_orderkey)
+    )
+    SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_with_lines,
+           round(avg(ratio), 6) AS mean_ratio,
+           round(quantile_cont(ratio, 0.5), 6) AS p50_ratio
+    FROM j
+"""
+
+
+def q_bounce_rate_daily(sf_dir: str) -> pd.DataFrame:
+    """Bounce rate per day (classic web analytics): share of sessions
+    starting that day with exactly ONE event. Sessions come from the
+    fused keyed sessionize stage (30-min gap); the per-session reduce and
+    the daily fold are both narrow."""
+    sess = _sessionized_events(sf_dir)
+    per = hash_aggregate(sess, ["user_id", "session_id"],
+                         {"n_events": ("event_id", "count"),
+                          "start_ts": ("ts", "min")},
+                         num_partitions=_NP)
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "d": b["start_ts"].dt.floor("D"),
+            "__b": (b["n_events"] == 1).astype(np.int64),
+            "__one": np.ones(len(b), dtype=np.int64)})
+
+    out = hash_aggregate(per.map_batches(day_fn, batch_format="pandas"),
+                         ["d"], {"n_sessions": ("__one", "sum"),
+                                 "n_bounce": ("__b", "sum")},
+                         num_partitions=4).to_pandas()
+    out["bounce_rate"] = np.round(
+        out["n_bounce"].to_numpy(np.float64)
+        / out["n_sessions"].to_numpy(np.float64), 6)
+    out = out.astype({"n_sessions": "int64", "n_bounce": "int64"})
+    return out[["d", "n_sessions", "n_bounce", "bounce_rate"]] \
+        .sort_values("d").reset_index(drop=True)
+
+
+SQL_BOUNCE_RATE_DAILY = f"""
+    WITH b AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w
+                            > INTERVAL {_SESSION_GAP_S} SECOND
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM b
+    ),
+    per AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               date_trunc('day', min(ts)) AS d
+        FROM s GROUP BY 1, 2
+    )
+    SELECT d, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate
+    FROM per GROUP BY 1
+"""

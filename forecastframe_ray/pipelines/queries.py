@@ -11291,11 +11291,15 @@ def q_reconciliation_orders_lineitem(sf_dir: str) -> pd.DataFrame:
                    * (1.0 - b["l_discount"].to_numpy(np.float64))
                    * (1.0 + b["l_tax"].to_numpy(np.float64))})
 
-    detail = hash_aggregate(li.map_batches(gross, batch_format="pandas"),
-                            ["o_orderkey"], {"g": ("__g", "sum")},
-                            num_partitions=_NP)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     from forecastframe_ray.stages.join import consolidate_for_join
+
+    # the detail side is a coarse-shuffle output — consolidate before the
+    # join exchange (empty column-less blocks stall/break Dataset.join)
+    detail = consolidate_for_join(
+        hash_aggregate(li.map_batches(gross, batch_format="pandas"),
+                       ["o_orderkey"], {"g": ("__g", "sum")},
+                       num_partitions=_NP), 8)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     joined = hash_join(consolidate_for_join(orders, 8), detail,
                        on=["o_orderkey"], num_partitions=8).to_pandas()
     ratio = np.round(joined["o_totalprice"].to_numpy(np.float64)

@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grubbs_daily_events": Q.q_grubbs_daily_events,
         "reconciliation_orders_lineitem": Q.q_reconciliation_orders_lineitem,
         "bounce_rate_daily": Q.q_bounce_rate_daily,
+        "naive2_forecast_daily": Q.q_naive2_forecast_daily,
+        "kmv_set_ops_gate": Q.q_kmv_set_ops_gate,
     }
 
 
@@ -663,4 +665,6 @@ def oracle_sql() -> dict[str, str]:
         "grubbs_daily_events": Q.SQL_GRUBBS_DAILY,
         "reconciliation_orders_lineitem": Q.SQL_RECONCILIATION,
         "bounce_rate_daily": Q.SQL_BOUNCE_RATE_DAILY,
+        "naive2_forecast_daily": Q.SQL_NAIVE2_FORECAST,
+        "kmv_set_ops_gate": Q.SQL_KMV_SET_OPS_GATE,
     }

@@ -11387,3 +11387,122 @@ SQL_BOUNCE_RATE_DAILY = f"""
                  / count(*), 6) AS bounce_rate
     FROM per GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Naive2 forecast / KMV set operations (batch 21)
+# ---------------------------------------------------------------------------
+
+def q_naive2_forecast_daily(sf_dir: str) -> pd.DataFrame:
+    """Naive2 forecast (the M-competition deseasonalized-naive benchmark)
+    per daily series — EXACT oracle, no degenerate gate: multiplicative
+    ROW-seasonal indices (slot mean / grand mean, zero slots → 1), last
+    deseasonalized value re-seasonalized 7 days ahead. Drives the 12th
+    registered estimator end-to-end (keyed fit, state broadcast,
+    future-grid scorer)."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", estimator="naive2", period=7)
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    return df.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_NAIVE2_FORECAST = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    gm AS (
+        SELECT event_type, avg(v) AS g, count(*) AS n,
+               max(d) AS d_last, arg_max(v, rn) AS y_last
+        FROM r GROUP BY 1
+    ),
+    seas AS (
+        SELECT r.event_type, (rn - 1) % 7 AS six,
+               CASE WHEN gm.g = 0 OR avg(r.v) / gm.g = 0 THEN 1.0
+                    ELSE avg(r.v) / gm.g END AS s
+        FROM r JOIN gm USING (event_type)
+        GROUP BY 1, 2, gm.g
+    ),
+    f AS (
+        SELECT gm.*, fd.d, datediff('day', gm.d_last, fd.d) AS h
+        FROM gm CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    )
+    SELECT f.event_type, f.d,
+           round(f.y_last / sl.s * COALESCE(sf2.s, 1.0), 6) AS predicted_v
+    FROM f
+    JOIN seas sl ON sl.event_type = f.event_type
+                AND sl.six = (f.n - 1) % 7
+    LEFT JOIN seas sf2 ON sf2.event_type = f.event_type
+                      AND sf2.six = (f.n - 1 + f.h) % 7
+"""
+
+
+def q_kmv_set_ops_gate(sf_dir: str) -> pd.DataFrame:
+    """KMV set operations (Beyer et al. 2007 — public): distinct 'click'
+    and 'view' user sets as KMV sketches; union by sketch merge,
+    intersection by inclusion–exclusion. In the k=4096 EXACT regime every
+    number is value-oracled against COUNT(DISTINCT); a k=64 estimated
+    union must land within 30% (≈2.4σ) — the gate bit."""
+    from forecastframe_ray.stages.sketch import (distinct_sketch,
+                                                 kmv_estimate, kmv_merge,
+                                                 kmv_from_bytes)
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def only(types):
+        return ev.map_batches(
+            lambda b, t=types: b[b["event_type"].isin(t)],
+            batch_format="pandas")
+
+    def sk(types, k):
+        df = distinct_sketch(only(types), ["event_type"], "user_id",
+                             k=k, num_partitions=4).to_pandas()
+        mats = [kmv_from_bytes(x) for x in df["kmv"]]
+        return kmv_merge(mats, k) if mats else np.array([], dtype=np.uint64)
+
+    a = sk(["click"], 4096)
+    b = sk(["view"], 4096)
+    assert len(a) < 4096 and len(b) < 4096  # exact regime
+    union = kmv_merge([a, b], 4096)
+    n_a, n_b = len(a), len(b)
+    n_union = len(union)
+    n_inter = n_a + n_b - n_union
+    est_union = kmv_estimate(kmv_merge([sk(["click"], 64),
+                                        sk(["view"], 64)], 64), 64)
+    ok = abs(est_union - n_union) / n_union <= 0.30
+    return pd.DataFrame({
+        "n_click_users": np.array([n_a], dtype=np.int64),
+        "n_view_users": np.array([n_b], dtype=np.int64),
+        "n_union": np.array([n_union], dtype=np.int64),
+        "n_intersect": np.array([n_inter], dtype=np.int64),
+        "est_ok": [bool(ok)]})
+
+
+SQL_KMV_SET_OPS_GATE = """
+    SELECT CAST(count(DISTINCT CASE WHEN event_type = 'click'
+                                    THEN user_id END) AS BIGINT)
+               AS n_click_users,
+           CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                                    THEN user_id END) AS BIGINT)
+               AS n_view_users,
+           CAST(count(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                    THEN user_id END) AS BIGINT)
+               AS n_union,
+           CAST(count(DISTINCT CASE WHEN event_type = 'click'
+                                    THEN user_id END)
+                + count(DISTINCT CASE WHEN event_type = 'view'
+                                      THEN user_id END)
+                - count(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                      THEN user_id END) AS BIGINT)
+               AS n_intersect,
+           true AS est_ok
+    FROM events
+"""

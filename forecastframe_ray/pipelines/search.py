@@ -523,6 +523,75 @@ def score_croston(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def fit_naive2(train_ds, keys: list[str], dtc: str, target: str,
+               period: int = 7) -> dict:
+    """Naive2 (M-competition benchmark — public): multiplicative
+    ROW-seasonal indices ``s_i = mean(y at pos ≡ i) / grand mean``
+    (zero-mean slots guard to 1), forecast = last DESEASONALIZED value
+    re-seasonalized at the target slot. Deterministic given the index
+    definition — fully SQL-expressible, no degenerate gate needed. Same
+    distributed shape as the other sequential fits (keyed co-located
+    kernel, one state row per series)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    m = int(period)
+    s_cols = [f"__s{i}" for i in range(m)]
+
+    def fit_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part[target].notna()]
+        rows = []
+        for kv, g in part.groupby(keys, sort=False, observed=True):
+            g = g.sort_values(dtc)
+            y = g[target].to_numpy(dtype=np.float64)
+            dn = _day_numbers(g[dtc])
+            n = len(y)
+            pos = np.arange(n) % m
+            gm = float(y.mean())
+            s = np.ones(m, dtype=np.float64)
+            if gm != 0:
+                for i in range(m):
+                    yi = y[pos == i]
+                    if len(yi):
+                        si = float(yi.mean()) / gm
+                        s[i] = si if si != 0 else 1.0
+            z_last = y[-1] / s[(n - 1) % m]
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, z_last, *s, dn[-1], n))
+        return pd.DataFrame(rows, columns=keys + ["__z"] + s_cols
+                            + ["__lastdn", "__n"])
+
+    model = keyed_map_partitions(train_ds, keys, fit_part).to_pandas()
+    return {"period": m, "model": model}
+
+
+def score_naive2(ds, state: dict, keys: list[str], dtc: str,
+                 target: str, out_col: str):
+    """Naive2 scorer: ŷ(T+h) = z_T · s_{(n−1+h) mod m} with h = day gap
+    from the series' last fitted day (ROW-seasonality). Unseen series
+    score NaN."""
+    import ray
+
+    m = int(state["period"])
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        mm = b[keys].merge(ray.get(ref), how="left", on=keys)
+        h = _day_numbers(b[dtc]).astype(np.float64) \
+            - mm["__lastdn"].to_numpy(np.float64)
+        six = (mm["__n"].to_numpy(np.float64) - 1.0 + h) % m
+        smat = mm[[f"__s{i}" for i in range(m)]].to_numpy(np.float64)
+        valid = ~np.isnan(six)
+        seas = np.full(len(b), np.nan)
+        if valid.any():
+            seas[valid] = smat[np.flatnonzero(valid),
+                               six[valid].astype(np.int64)]
+        b[out_col] = mm["__z"].to_numpy(np.float64) * seas
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def fit_seasonal_naive(train_ds, keys: list[str], dtc: str, target: str,
                        period: int = 7) -> dict:
     """Seasonal naive baseline (FPP3 §5.2 — public): forecast = the most
@@ -807,6 +876,7 @@ ESTIMATORS = {
     "theta": (fit_theta, score_theta, ("alpha",)),
     "holt_winters": (fit_holt_winters, score_holt_winters,
                      ("alpha", "beta", "gamma", "period")),
+    "naive2": (fit_naive2, score_naive2, ("period",)),
     "seasonal_naive": (fit_seasonal_naive, score_seasonal_naive,
                        ("period",)),
     "drift": (fit_drift, score_drift, ()),

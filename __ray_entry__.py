@@ -401,6 +401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate_daily": Q.q_bounce_rate_daily,
         "naive2_forecast_daily": Q.q_naive2_forecast_daily,
         "kmv_set_ops_gate": Q.q_kmv_set_ops_gate,
+        "combo_forecast_daily": Q.q_combo_forecast_daily,
+        "lmoments_events": Q.q_lmoments_events,
+        "expected_shortfall_events": Q.q_expected_shortfall_events,
     }
 
 
@@ -667,4 +670,7 @@ def oracle_sql() -> dict[str, str]:
         "bounce_rate_daily": Q.SQL_BOUNCE_RATE_DAILY,
         "naive2_forecast_daily": Q.SQL_NAIVE2_FORECAST,
         "kmv_set_ops_gate": Q.SQL_KMV_SET_OPS_GATE,
+        "combo_forecast_daily": Q.SQL_COMBO_FORECAST,
+        "lmoments_events": Q.SQL_LMOMENTS,
+        "expected_shortfall_events": Q.SQL_EXPECTED_SHORTFALL,
     }

@@ -11506,3 +11506,170 @@ SQL_KMV_SET_OPS_GATE = """
            true AS est_ok
     FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# forecast combination / L-moments / expected shortfall (batch 22)
+# ---------------------------------------------------------------------------
+
+def q_combo_forecast_daily(sf_dir: str) -> pd.DataFrame:
+    """Forecast combination (Bates & Granger 1969 — public; the 'simple
+    average beats the components' classic): the equal-weight mean of the
+    three exactly-SQL-reproducible baselines — naive (SES α=1),
+    seasonal-naive (ROW lag 7) and drift — per series over the 7-day
+    future grid. Every component drives its registered estimator
+    end-to-end; the oracle recomputes all three closed forms."""
+    fr = _daily_frame(sf_dir)
+    parts = []
+    for est, kw in (("ses", {"alpha": 1.0}),
+                    ("seasonal_naive", {"period": 7}),
+                    ("drift", {})):
+        p = fr.predict(periods=7, freq="D", estimator=est, **kw) \
+            .to_pandas()[["event_type", "d", "predicted_v"]] \
+            .rename(columns={"predicted_v": est})
+        parts.append(p.set_index(["event_type", "d"]))
+    out = pd.concat(parts, axis=1).reset_index()
+    out["combo_v"] = np.round(
+        (out["ses"] + out["seasonal_naive"] + out["drift"]) / 3.0, 6)
+    out = out[["event_type", "d", "combo_v"]]
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_COMBO_FORECAST = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, max(n) AS n, max(d) AS d_last,
+               arg_max(v, rn) AS y_last,
+               arg_min(v, rn) AS y_first
+        FROM r GROUP BY 1
+    ),
+    f AS (
+        SELECT s.*, fd.d, datediff('day', s.d_last, fd.d) AS h
+        FROM s CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    ),
+    sn AS (  -- seasonal-naive: value at row n - 7 + ((h-1) mod 7) + 1
+        SELECT f.event_type, f.d,
+               r.v AS snv
+        FROM f JOIN r ON r.event_type = f.event_type
+                     AND r.rn = f.n - 7 + ((f.h - 1) % 7) + 1
+    )
+    SELECT f.event_type, f.d,
+           round((f.y_last
+                  + sn.snv
+                  + (f.y_last + f.h * (f.y_last - f.y_first)
+                               / (f.n - 1))) / 3.0, 6) AS combo_v
+    FROM f JOIN sn ON sn.event_type = f.event_type AND sn.d = f.d
+"""
+
+
+def q_lmoments_events(sf_dir: str) -> pd.DataFrame:
+    """First three L-moments per event type (Hosking 1990 — public; the
+    robust distribution-shape family): λ₁ = mean, λ₂ (L-scale) and
+    τ₃ = λ₃/λ₂ (L-skewness) from the probability-weighted moments
+    ``b_r = Σ C(i−1, r) x_(i) / (n·C(n−1, r))``. One keyed kernel per
+    type (sorted vector + rank weights); the oracle mirrors the rank
+    arithmetic with row_number."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            x = np.sort(g["value"].to_numpy(np.float64))
+            n = len(x)
+            i = np.arange(1, n + 1, dtype=np.float64)
+            b0 = x.mean()
+            b1 = ((i - 1) * x).sum() / (n * (n - 1.0))
+            b2 = ((i - 1) * (i - 2) * x).sum() \
+                / (n * (n - 1.0) * (n - 2.0))
+            l1 = b0
+            l2 = 2 * b1 - b0
+            l3 = 6 * b2 - 6 * b1 + b0
+            rows.append((et, n, np.round(l1, 6), np.round(l2, 6),
+                         np.round(l3 / l2, 6) if l2 != 0 else NULLF))
+        return pd.DataFrame(rows, columns=["event_type", "n", "l1", "l2",
+                                           "tau3"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LMOMENTS = f"""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_type) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, max(n) AS n,
+               avg(value) AS b0,
+               sum((i - 1) * value) / (max(n) * (max(n) - 1.0)) AS b1,
+               sum((i - 1) * (i - 2) * value)
+                   / (max(n) * (max(n) - 1.0) * (max(n) - 2.0)) AS b2
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(b0, 6) AS l1,
+           round(2 * b1 - b0, 6) AS l2,
+           CASE WHEN 2 * b1 - b0 <> 0
+                THEN round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 6)
+                ELSE {NULLF} END AS tau3
+    FROM b
+"""
+
+
+def q_expected_shortfall_events(sf_dir: str) -> pd.DataFrame:
+    """Expected shortfall / CVaR (public risk convention): per event
+    type, the mean of values STRICTLY ABOVE the 6dp-rounded p95
+    (``quantile_cont``) — the tail-severity number next to the p99 the
+    percentile entry pins. Empty tails emit NULLF."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            thr = np.round(np.percentile(v, 95), 6)
+            tail = v[v > thr]
+            es = np.round(float(tail.mean()), 6) if len(tail) else NULLF
+            rows.append((et, len(v), thr, len(tail), es))
+        return pd.DataFrame(rows, columns=["event_type", "n", "p95",
+                                           "n_tail", "es95"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = out.astype({"n": "int64", "n_tail": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EXPECTED_SHORTFALL = f"""
+    WITH q AS (
+        SELECT event_type, count(*) AS n,
+               round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY 1
+    )
+    SELECT q.event_type, CAST(q.n AS BIGINT) AS n, q.p95,
+           CAST(count(e.value) AS BIGINT) AS n_tail,
+           COALESCE(round(avg(e.value), 6), {NULLF}) AS es95
+    FROM q LEFT JOIN events e
+        ON e.event_type = q.event_type AND e.value > q.p95
+    GROUP BY 1, 2, 3
+"""

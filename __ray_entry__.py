@@ -404,6 +404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "combo_forecast_daily": Q.q_combo_forecast_daily,
         "lmoments_events": Q.q_lmoments_events,
         "expected_shortfall_events": Q.q_expected_shortfall_events,
+        "winkler_interval_daily": Q.q_winkler_interval_daily,
+        "theil_u_daily": Q.q_theil_u_daily,
+        "psi_orders_priority": Q.q_psi_orders_priority,
     }
 
 
@@ -673,4 +676,7 @@ def oracle_sql() -> dict[str, str]:
         "combo_forecast_daily": Q.SQL_COMBO_FORECAST,
         "lmoments_events": Q.SQL_LMOMENTS,
         "expected_shortfall_events": Q.SQL_EXPECTED_SHORTFALL,
+        "winkler_interval_daily": Q.SQL_WINKLER_INTERVAL,
+        "theil_u_daily": Q.SQL_THEIL_U,
+        "psi_orders_priority": Q.SQL_PSI_ORDERS,
     }

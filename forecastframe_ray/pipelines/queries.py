@@ -11673,3 +11673,186 @@ SQL_EXPECTED_SHORTFALL = f"""
         ON e.event_type = q.event_type AND e.value > q.p95
     GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Winkler interval score / Theil U / PSI drift (batch 23)
+# ---------------------------------------------------------------------------
+
+def q_winkler_interval_daily(sf_dir: str) -> pd.DataFrame:
+    """Winkler interval score (Winkler 1972 — public; the standard
+    interval-forecast evaluation): per series, the naive interval
+    ``lag1 ± 1.96·σ`` (σ = ddof=1 std of ALL lag-1 residuals — the
+    in-sample evaluation convention, documented) scored at α=0.05:
+    ``W = (u−l) + (2/α)·(l−y)⁺ + (2/α)·(y−u)⁺``, plus empirical
+    coverage. Completes the metrics family with an INTERVAL metric next
+    to the point metrics. Interval bounds are 6dp-rounded on both
+    engines before scoring."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    Z, A = 1.96, 0.05
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            v = g["v"].to_numpy(np.float64)
+            res = np.diff(v)
+            if len(res) < 2:
+                continue
+            sd = float(res.std(ddof=1))
+            lo = np.round(v[:-1] - Z * sd, 6)
+            hi = np.round(v[:-1] + Z * sd, 6)
+            y = v[1:]
+            w = (hi - lo) \
+                + (2.0 / A) * np.maximum(lo - y, 0.0) \
+                + (2.0 / A) * np.maximum(y - hi, 0.0)
+            rows.append((et, len(y),
+                         np.round(float(w.mean()), 6),
+                         np.round(float(((y >= lo) & (y <= hi)).mean()),
+                                  6)))
+        return pd.DataFrame(rows, columns=["event_type", "n",
+                                           "mean_winkler", "coverage"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_WINKLER_INTERVAL = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS p
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, stddev_samp(v - p) AS sd
+        FROM l WHERE p IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+        SELECT l.event_type, l.v AS y,
+               round(l.p - 1.96 * s.sd, 6) AS lo,
+               round(l.p + 1.96 * s.sd, 6) AS hi
+        FROM l JOIN s USING (event_type) WHERE l.p IS NOT NULL
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(avg((hi - lo)
+                     + 40.0 * greatest(lo - y, 0)
+                     + 40.0 * greatest(y - hi, 0)), 6) AS mean_winkler,
+           round(avg(CASE WHEN y >= lo AND y <= hi
+                          THEN 1.0 ELSE 0.0 END), 6) AS coverage
+    FROM b GROUP BY 1
+"""
+
+
+def q_theil_u_daily(sf_dir: str) -> pd.DataFrame:
+    """Theil's U (M-competition convention — public): the seasonal-naive
+    (ROW lag 7) RMSE over the naive (lag 1) RMSE per series, on the rows
+    where BOTH forecasts exist — < 1 means the weekly pattern beats
+    persistence."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            v = g["v"].to_numpy(np.float64)
+            if len(v) < 8:
+                continue
+            y = v[7:]
+            e_sn = y - v[:-7]
+            e_n = y - v[6:-1]
+            rmse_sn = float(np.sqrt((e_sn ** 2).mean()))
+            rmse_n = float(np.sqrt((e_n ** 2).mean()))
+            u = np.round(rmse_sn / rmse_n, 6) if rmse_n > 0 else NULLF
+            rows.append((et, len(y), np.round(rmse_sn, 6),
+                         np.round(rmse_n, 6), u))
+        return pd.DataFrame(rows, columns=["event_type", "n", "rmse_sn7",
+                                           "rmse_naive", "theil_u"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_THEIL_U = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, v,
+               LAG(v, 1) OVER w AS p1, LAG(v, 7) OVER w AS p7
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    e AS (SELECT * FROM l WHERE p7 IS NOT NULL)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sqrt(avg((v - p7) * (v - p7))), 6) AS rmse_sn7,
+           round(sqrt(avg((v - p1) * (v - p1))), 6) AS rmse_naive,
+           CASE WHEN sqrt(avg((v - p1) * (v - p1))) > 0
+                THEN round(sqrt(avg((v - p7) * (v - p7)))
+                           / sqrt(avg((v - p1) * (v - p1))), 6)
+                ELSE {NULLF} END AS theil_u
+    FROM e GROUP BY 1
+"""
+
+
+def q_psi_orders_priority(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index (public credit-scoring / ML-monitoring
+    convention): the o_orderpriority mix of the FIRST order-date half vs
+    the second — ``PSI = Σ (p−q)·ln(p/q)`` over the category bins
+    (integer-epoch-us midpoint split; both halves' bins union, zero bins
+    guarded with the 1e−6 floor convention). One narrow two-key reduce;
+    the PSI fold runs over the tiny bin table."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+    span = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate"])
+    ss = span["o_orderdate"].to_pandas().astype("datetime64[us]") \
+        .astype("int64")
+    cut = pd.Timestamp((int(ss.min()) + int(ss.max())) // 2, unit="us")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "prio": b["o_orderpriority"],
+            "__a": (b["o_orderdate"] < cut).astype(np.int64),
+            "__b": (b["o_orderdate"] >= cut).astype(np.int64)})
+
+    red = hash_aggregate(orders.map_batches(pre, batch_format="pandas"),
+                         ["prio"], {"n_a": ("__a", "sum"),
+                                    "n_b": ("__b", "sum")},
+                         num_partitions=4).to_pandas()
+    na = float(red["n_a"].sum())
+    nb = float(red["n_b"].sum())
+    p = np.maximum(red["n_a"].to_numpy(np.float64) / na, 1e-6)
+    q = np.maximum(red["n_b"].to_numpy(np.float64) / nb, 1e-6)
+    psi = float(((p - q) * np.log(p / q)).sum())
+    return pd.DataFrame({
+        "n_first_half": np.array([int(na)], dtype=np.int64),
+        "n_second_half": np.array([int(nb)], dtype=np.int64),
+        "psi": [np.round(psi, 6)]})
+
+
+SQL_PSI_ORDERS = """
+    WITH cut AS (
+        SELECT make_timestamp((epoch_us(min(o_orderdate))
+                               + epoch_us(max(o_orderdate))) // 2) AS c
+        FROM orders
+    ),
+    r AS (
+        SELECT o_orderpriority AS prio,
+               sum(CASE WHEN o_orderdate < c THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN o_orderdate >= c THEN 1 ELSE 0 END) AS n_b
+        FROM orders CROSS JOIN cut GROUP BY 1
+    ),
+    t AS (SELECT sum(n_a) AS na, sum(n_b) AS nb FROM r)
+    SELECT CAST(t.na AS BIGINT) AS n_first_half,
+           CAST(t.nb AS BIGINT) AS n_second_half,
+           round(sum((greatest(n_a / t.na, 1e-6)
+                      - greatest(n_b / t.nb, 1e-6))
+                     * ln(greatest(n_a / t.na, 1e-6)
+                          / greatest(n_b / t.nb, 1e-6))), 6) AS psi
+    FROM r CROSS JOIN t GROUP BY 1, 2
+"""

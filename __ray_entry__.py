@@ -407,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winkler_interval_daily": Q.q_winkler_interval_daily,
         "theil_u_daily": Q.q_theil_u_daily,
         "psi_orders_priority": Q.q_psi_orders_priority,
+        "js_divergence_sources": Q.q_js_divergence_sources,
+        "cohen_kappa_lang": Q.q_cohen_kappa_lang,
     }
 
 
@@ -679,4 +681,6 @@ def oracle_sql() -> dict[str, str]:
         "winkler_interval_daily": Q.SQL_WINKLER_INTERVAL,
         "theil_u_daily": Q.SQL_THEIL_U,
         "psi_orders_priority": Q.SQL_PSI_ORDERS,
+        "js_divergence_sources": Q.SQL_JS_DIVERGENCE_SOURCES,
+        "cohen_kappa_lang": Q.SQL_COHEN_KAPPA_LANG,
     }

@@ -11856,3 +11856,121 @@ SQL_PSI_ORDERS = """
                           / greatest(n_b / t.nb, 1e-6))), 6) AS psi
     FROM r CROSS JOIN t GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon source divergence / Cohen's kappa (batch 24)
+# ---------------------------------------------------------------------------
+
+def q_js_divergence_sources(sf_dir: str) -> pd.DataFrame:
+    """Jensen–Shannon divergence (nats) between each source's whitespace
+    token distribution and the corpus distribution — the corpus-mix
+    monitoring number. Present-token terms fold distributedly from the
+    per-(source, token) reduce joined with the per-token corpus totals;
+    the absent-token mass closes in CLOSED FORM
+    (``0.5·ln2·(1 − Σ_present q)``), so no per-source full-vocabulary
+    pass is ever needed."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        outs_s, outs_t = [], []
+        for s, t in zip(b["source"], b["text"].fillna("")):
+            tt = t.split()
+            outs_s.extend([s] * len(tt))
+            outs_t.extend(tt)
+        return pd.DataFrame({"source": outs_s, "tok": outs_t,
+                             "__one": np.ones(len(outs_t),
+                                              dtype=np.int64)})
+
+    st = hash_aggregate(docs.map_batches(toks, batch_format="pandas"),
+                        ["source", "tok"], {"n": ("__one", "sum")},
+                        num_partitions=_NP).to_pandas()
+    tot_by_tok = st.groupby("tok")["n"].sum()
+    n_all = float(st["n"].sum())
+    rows = []
+    for src, g in st.groupby("source", sort=True):
+        n_src = float(g["n"].sum())
+        p = g["n"].to_numpy(np.float64) / n_src
+        q = tot_by_tok.loc[g["tok"]].to_numpy(np.float64) / n_all
+        m = (p + q) / 2.0
+        present = 0.5 * float((p * np.log(p / m)
+                               + q * np.log(q / m)).sum())
+        absent = 0.5 * np.log(2.0) * (1.0 - float(q.sum()))
+        rows.append((src, int(n_src), np.round(present + absent, 6)))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens", "js_div"])
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_JS_DIVERGENCE_SOURCES = r"""
+    WITH g AS (
+        SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents
+    ),
+    st AS (SELECT source, tok, count(*) AS n FROM g GROUP BY 1, 2),
+    tt AS (SELECT tok, sum(n) AS nt FROM st GROUP BY 1),
+    tots AS (SELECT sum(n) AS n_all FROM st),
+    src AS (SELECT source, sum(n) AS n_src FROM st GROUP BY 1),
+    terms AS (
+        SELECT st.source,
+               st.n / src.n_src AS p,
+               tt.nt / tots.n_all AS q
+        FROM st JOIN tt USING (tok) JOIN src USING (source)
+                CROSS JOIN tots
+    )
+    SELECT source, CAST(max(src.n_src) AS BIGINT) AS n_tokens,
+           round(0.5 * sum(p * ln(p / ((p + q) / 2))
+                           + q * ln(q / ((p + q) / 2)))
+                 + 0.5 * ln(2) * (1 - sum(q)), 6) AS js_div
+    FROM terms JOIN src USING (source)
+    GROUP BY 1
+"""
+
+
+def q_cohen_kappa_lang(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa (Cohen 1960 — public) of the n-gram lang-ID
+    heuristic against the corpus label — chance-corrected agreement,
+    folded from the same confusion counts the lang-confusion entry pins:
+    ``κ = (p_o − p_e)/(1 − p_e)`` with p_e = Σ row-share · col-share."""
+    conf = q_lang_confusion_documents(sf_dir)
+    n = float(conf["n"].sum())
+    po = float(conf.loc[conf["lang_true"] == conf["lang_pred"], "n"].sum()) / n
+    row = conf.groupby("lang_true")["n"].sum() / n
+    col = conf.groupby("lang_pred")["n"].sum() / n
+    langs = sorted(set(row.index) | set(col.index))
+    pe = float(sum(row.get(l, 0.0) * col.get(l, 0.0) for l in langs))
+    kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else NULLF
+    return pd.DataFrame({
+        "n_docs": np.array([int(n)], dtype=np.int64),
+        "p_observed": [np.round(po, 6)],
+        "p_expected": [np.round(pe, 6)],
+        "kappa": [np.round(kappa, 6)]})
+
+
+SQL_COHEN_KAPPA_LANG = f"""
+    WITH conf AS ({{conf}}),
+    t AS (SELECT sum(n) AS nn FROM conf),
+    po AS (
+        SELECT sum(CASE WHEN lang_true = lang_pred THEN n ELSE 0 END)
+                   / t.nn AS po
+        FROM conf CROSS JOIN t GROUP BY t.nn
+    ),
+    r AS (SELECT lang_true AS l, sum(n) AS nr FROM conf GROUP BY 1),
+    c AS (SELECT lang_pred AS l, sum(n) AS nc FROM conf GROUP BY 1),
+    pe AS (
+        SELECT sum(r.nr * c.nc) / (t.nn * t.nn) AS pe
+        FROM r JOIN c USING (l) CROSS JOIN t GROUP BY t.nn
+    )
+    SELECT CAST(t.nn AS BIGINT) AS n_docs,
+           round(po.po, 6) AS p_observed,
+           round(pe.pe, 6) AS p_expected,
+           CASE WHEN pe.pe < 1.0
+                THEN round((po.po - pe.pe) / (1.0 - pe.pe), 6)
+                ELSE {NULLF} END AS kappa
+    FROM po CROSS JOIN pe CROSS JOIN t
+"""
+
+# substitute the confusion CTE (replace, not .format — the confusion SQL
+# may itself contain braces)
+SQL_COHEN_KAPPA_LANG = SQL_COHEN_KAPPA_LANG.replace(
+    "{conf}", SQL_LANG_CONFUSION)

@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_orders_priority": Q.q_psi_orders_priority,
         "js_divergence_sources": Q.q_js_divergence_sources,
         "cohen_kappa_lang": Q.q_cohen_kappa_lang,
+        "blocking_recall_documents": Q.q_blocking_recall_documents,
     }
 
 
@@ -683,4 +684,5 @@ def oracle_sql() -> dict[str, str]:
         "psi_orders_priority": Q.SQL_PSI_ORDERS,
         "js_divergence_sources": Q.SQL_JS_DIVERGENCE_SOURCES,
         "cohen_kappa_lang": Q.SQL_COHEN_KAPPA_LANG,
+        "blocking_recall_documents": Q.SQL_BLOCKING_RECALL,
     }

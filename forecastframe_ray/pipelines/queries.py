@@ -11974,3 +11974,82 @@ SQL_COHEN_KAPPA_LANG = f"""
 # may itself contain braces)
 SQL_COHEN_KAPPA_LANG = SQL_COHEN_KAPPA_LANG.replace(
     "{conf}", SQL_LANG_CONFUSION)
+
+
+# ---------------------------------------------------------------------------
+# blocking recall gate (batch 25)
+# ---------------------------------------------------------------------------
+
+def q_blocking_recall_documents(sf_dir: str) -> pd.DataFrame:
+    """Recall gate for the classical BLOCKING dedup (minhash_recall
+    pattern): its pair output must contain ≥90% of ALL true pairs with
+    normalized char-5-gram Jaccard ≥ 0.7 — the exact truth is recomputed
+    on both sides (here brute-force with the size-ratio prune, in SQL by
+    the exploded normalized-shingle oracle). Prefix blocking's recall is
+    CORPUS-DEPENDENT (pairs differing in their first 12 normalized chars
+    are invisible to it — the structural contrast with LSH banding);
+    this gate documents where the classical baseline stands on this
+    corpus."""
+    import re
+
+    docs_df = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def norm(t: str) -> str:
+        t = re.sub(r"[^a-z0-9 ]", "", t.lower())
+        return re.sub(r" +", " ", t).strip()
+
+    nt = [norm(t) for t in docs_df["text"].fillna("")]
+    sets = [_char_shingles(t) for t in nt]
+    ids = docs_df["doc_id"].to_numpy()
+    true_pairs = set()
+    for i in range(len(sets)):
+        si, zi = sets[i], len(sets[i])
+        for j in range(i + 1, len(sets)):
+            zj = len(sets[j])
+            if min(zi, zj) < 0.7 * max(zi, zj):
+                continue
+            inter = len(si & sets[j])
+            jac = inter / (zi + zj - inter)
+            if jac >= 0.7:
+                true_pairs.add((ids[i], ids[j]))
+    blk = q_blocking_dedup_documents(sf_dir)
+    found = set(zip(blk["id_a"], blk["id_b"]))
+    hit = sum(p in found for p in true_pairs)
+    recall = hit / max(len(true_pairs), 1)
+    return pd.DataFrame({
+        "n_true": pd.Series([len(true_pairs)], dtype="int64"),
+        "recall_ok": pd.Series([recall >= 0.9], dtype="bool")})
+
+
+SQL_BLOCKING_RECALL = """
+    WITH nrm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                                                  '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(strlen(nt) - 4, 1)),
+                   i -> substr(nt, i, 5))) AS s
+        FROM nrm
+    ),
+    cand AS (
+        SELECT a.s AS sa, b.s AS sb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE least(length(a.s), length(b.s))
+              >= 0.7 * greatest(length(a.s), length(b.s))
+    ),
+    j AS (
+        SELECT CAST(length(list_intersect(sa, sb)) AS DOUBLE)
+               / (length(sa) + length(sb) - length(list_intersect(sa, sb)))
+               AS jac
+        FROM cand
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true, true AS recall_ok
+    FROM j WHERE jac >= 0.7
+"""

@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "js_divergence_sources": Q.q_js_divergence_sources,
         "cohen_kappa_lang": Q.q_cohen_kappa_lang,
         "blocking_recall_documents": Q.q_blocking_recall_documents,
+        "changepoint_sse_daily": Q.q_changepoint_sse_daily,
+        "local_maxima_daily": Q.q_local_maxima_daily,
     }
 
 
@@ -685,4 +687,6 @@ def oracle_sql() -> dict[str, str]:
         "js_divergence_sources": Q.SQL_JS_DIVERGENCE_SOURCES,
         "cohen_kappa_lang": Q.SQL_COHEN_KAPPA_LANG,
         "blocking_recall_documents": Q.SQL_BLOCKING_RECALL,
+        "changepoint_sse_daily": Q.SQL_CHANGEPOINT_SSE,
+        "local_maxima_daily": Q.SQL_LOCAL_MAXIMA,
     }

@@ -12053,3 +12053,148 @@ SQL_BLOCKING_RECALL = """
     SELECT CAST(count(*) AS BIGINT) AS n_true, true AS recall_ok
     FROM j WHERE jac >= 0.7
 """
+
+
+# ---------------------------------------------------------------------------
+# changepoint via SSE argmin / local maxima (batch 26)
+# ---------------------------------------------------------------------------
+
+def q_changepoint_sse_daily(sf_dir: str) -> pd.DataFrame:
+    """Single-changepoint detection by binary segmentation (the first
+    step of PELT/binseg — public): per series the split minimizing the
+    two-segment SSE (prefix-sum closed form: ``SSE_seg = Σx² −
+    (Σx)²/n``), reported with the variance-reduction share
+    ``1 − SSE_split/SSE_total``. Ties break to the EARLIEST split day.
+    One keyed vectorized kernel; the oracle mirrors the prefix cumsums
+    with windows."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").reset_index(drop=True)
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < 3:
+                continue
+            cs = np.cumsum(v)
+            cs2 = np.cumsum(v * v)
+            k = np.arange(1, n)  # left size
+            sse_l = cs2[:-1] - cs[:-1] ** 2 / k
+            sse_r = (cs2[-1] - cs2[:-1]) \
+                - (cs[-1] - cs[:-1]) ** 2 / (n - k)
+            sse = np.round(sse_l + sse_r, 6)
+            total = np.round(cs2[-1] - cs[-1] ** 2 / n, 6)
+            ix = int(np.argmin(sse))  # first min = earliest split
+            red = np.round(1.0 - sse[ix] / total, 6) if total > 0 \
+                else NULLF
+            rows.append((et, n, g["d"].iloc[ix], red))
+        return pd.DataFrame(rows, columns=["event_type", "n",
+                                           "split_after_d",
+                                           "var_reduction"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_CHANGEPOINT_SSE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               row_number() OVER w AS k,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(v) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cs,
+               sum(v * v) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS cs2,
+               sum(v) OVER (PARTITION BY event_type) AS ts,
+               sum(v * v) OVER (PARTITION BY event_type) AS ts2
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    s AS (
+        SELECT event_type, d, n, ts, ts2,
+               round((cs2 - cs * cs / k)
+                     + ((ts2 - cs2) - (ts - cs) * (ts - cs) / (n - k)),
+                     6) AS sse
+        FROM r WHERE k < n AND n >= 3
+    ),
+    b AS (
+        SELECT event_type, d, n, ts, ts2, sse,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY sse, d) AS rn
+        FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, d AS split_after_d,
+           CASE WHEN round(ts2 - ts * ts / n, 6) > 0
+                THEN round(1.0 - sse / round(ts2 - ts * ts / n, 6), 6)
+                ELSE {NULLF} END AS var_reduction
+    FROM b WHERE rn = 1
+"""
+
+
+def q_local_maxima_daily(sf_dir: str) -> pd.DataFrame:
+    """Local-maxima (peak) profile per daily series: days strictly above
+    BOTH neighbors (interior rows only) — peak count, the tallest peak's
+    value and its day (value-desc, day-asc tie-break)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").reset_index(drop=True)
+            v = g["v"].to_numpy(np.float64)
+            if len(v) < 3:
+                continue
+            peak = (v[1:-1] > v[:-2]) & (v[1:-1] > v[2:])
+            ixs = np.flatnonzero(peak) + 1
+            if len(ixs) == 0:
+                rows.append((et, 0, NULLF,
+                             pd.Timestamp("9999-12-31")))
+                continue
+            order = ixs[np.lexsort((ixs, -v[ixs]))]
+            top = int(order[0])
+            rows.append((et, len(ixs), np.round(v[top], 6),
+                         g["d"].iloc[top]))
+        return pd.DataFrame(rows, columns=["event_type", "n_peaks",
+                                           "top_peak_v", "top_peak_d"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_peaks"] = out["n_peaks"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LOCAL_MAXIMA = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+        SELECT event_type, d, v,
+               LAG(v) OVER w AS pv, LEAD(v) OVER w AS nv
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    p AS (
+        SELECT event_type, d, v FROM l
+        WHERE pv IS NOT NULL AND nv IS NOT NULL
+          AND v > pv AND v > nv
+    ),
+    b AS (
+        SELECT event_type, d, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v DESC, d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS np
+        FROM p
+    ),
+    base AS (SELECT DISTINCT event_type FROM daily
+             WHERE (SELECT count(*) FROM daily d2
+                    WHERE d2.event_type = daily.event_type) >= 3)
+    SELECT base.event_type,
+           CAST(COALESCE(b.np, 0) AS BIGINT) AS n_peaks,
+           COALESCE(round(b.v, 6), {NULLF}) AS top_peak_v,
+           COALESCE(b.d, TIMESTAMP '9999-12-31') AS top_peak_d
+    FROM base LEFT JOIN b ON b.event_type = base.event_type AND b.rn = 1
+"""

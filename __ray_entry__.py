@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_recall_documents": Q.q_blocking_recall_documents,
         "changepoint_sse_daily": Q.q_changepoint_sse_daily,
         "local_maxima_daily": Q.q_local_maxima_daily,
+        "holt_damped_gate_daily": Q.q_holt_damped_gate_daily,
+        "activation_latency_users": Q.q_activation_latency_users,
     }
 
 
@@ -689,4 +691,6 @@ def oracle_sql() -> dict[str, str]:
         "blocking_recall_documents": Q.SQL_BLOCKING_RECALL,
         "changepoint_sse_daily": Q.SQL_CHANGEPOINT_SSE,
         "local_maxima_daily": Q.SQL_LOCAL_MAXIMA,
+        "holt_damped_gate_daily": Q.SQL_HOLT_DAMPED_GATE,
+        "activation_latency_users": Q.SQL_ACTIVATION_LATENCY,
     }

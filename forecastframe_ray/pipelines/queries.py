@@ -12198,3 +12198,110 @@ SQL_LOCAL_MAXIMA = f"""
            COALESCE(b.d, TIMESTAMP '9999-12-31') AS top_peak_d
     FROM base LEFT JOIN b ON b.event_type = base.event_type AND b.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# damped Holt gate / activation latency (batch 27)
+# ---------------------------------------------------------------------------
+
+def q_holt_damped_gate_daily(sf_dir: str) -> pd.DataFrame:
+    """Damped-trend Holt forecast, oracle-GATED through the α=1/β=1
+    degenerate fit (l_T = y_T, b_T = y_T − y_{T−1}, exactly as the plain
+    Holt gate pins) with the φ=0.9 damped horizon sum
+    ``φ(1−φʰ)/(1−φ)`` — all SQL-expressible. Drives the 13th registered
+    estimator; general (α, β) is already pinned by the Holt recursion
+    test, and φ=1 recovers plain Holt by construction."""
+    fr = _daily_frame(sf_dir)
+    preds = fr.predict(periods=7, freq="D", estimator="holt_damped",
+                       alpha=1.0, beta=1.0, phi=0.9)
+    df = preds.to_pandas()[["event_type", "d", "predicted_v"]]
+    df = _round(df, ["predicted_v"], 6)
+    return df.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_HOLT_DAMPED_GATE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC)
+                   AS rn
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type,
+               max(CASE WHEN rn = 1 THEN v END) AS y_last,
+               max(CASE WHEN rn = 2 THEN v END) AS y_prev,
+               max(CASE WHEN rn = 1 THEN d END) AS d_last
+        FROM r GROUP BY 1
+    ),
+    f AS (
+        SELECT s.*, fd.d, datediff('day', s.d_last, fd.d) AS h
+        FROM s CROSS JOIN (
+            SELECT unnest(generate_series(maxd + INTERVAL 1 DAY,
+                                          maxd + INTERVAL 7 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT max(d) AS maxd FROM daily)
+        ) fd
+    )
+    SELECT event_type, d,
+           round(y_last
+                 + 0.9 * (1 - pow(0.9, h)) / 0.1
+                   * (y_last - COALESCE(y_prev, y_last)), 6)
+               AS predicted_v
+    FROM f
+"""
+
+
+def q_activation_latency_users(sf_dir: str) -> pd.DataFrame:
+    """Activation latency (the PLG growth metric): for users reaching
+    ≥5 events, the seconds from their 1st to their 5th event —
+    summarized as activated-user count plus median/p90 latency
+    (``quantile_cont`` twins). One keyed kernel picks each user's 5th
+    stamp ((user_id, ts) unique ⇒ total order)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in part.groupby("user_id", sort=False):
+            t = np.sort(g["ts"].astype("datetime64[us]").astype("int64")
+                        .to_numpy())
+            if len(t) < 5:
+                continue
+            rows.append((uid, (t[4] - t[0]) / 1e6))
+        return pd.DataFrame(rows, columns=["user_id", "lat_s"])
+
+    lat = keyed_map_partitions(ev, ["user_id"], kernel,
+                               num_partitions=_NP).to_pandas()
+    if len(lat) == 0:
+        return pd.DataFrame({
+            "n_activated": np.array([0], dtype=np.int64),
+            "median_s": [NULLF], "p90_s": [NULLF]})
+    v = lat["lat_s"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "n_activated": np.array([len(v)], dtype=np.int64),
+        "median_s": [np.round(np.percentile(v, 50), 6)],
+        "p90_s": [np.round(np.percentile(v, 90), 6)]})
+
+
+SQL_ACTIVATION_LATENCY = f"""
+    WITH r AS (
+        SELECT user_id, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    ),
+    l AS (
+        SELECT user_id,
+               (epoch_us(max(CASE WHEN rn = 5 THEN ts END))
+                - epoch_us(max(CASE WHEN rn = 1 THEN ts END))) / 1e6
+                   AS lat_s
+        FROM r WHERE rn IN (1, 5) GROUP BY 1
+        HAVING max(CASE WHEN rn = 5 THEN ts END) IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_activated,
+           COALESCE(round(quantile_cont(lat_s, 0.5), 6), {NULLF})
+               AS median_s,
+           COALESCE(round(quantile_cont(lat_s, 0.9), 6), {NULLF}) AS p90_s
+    FROM l
+"""

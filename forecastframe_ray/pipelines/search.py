@@ -860,6 +860,44 @@ def score_holt_winters(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def fit_holt_damped(train_ds, keys: list[str], dtc: str, target: str,
+                    alpha: float = 0.5, beta: float = 0.3,
+                    phi: float = 0.9) -> dict:
+    """Damped-trend Holt fit = the plain :func:`fit_holt` state plus the
+    damping factor φ carried for the scorer (damping is a pure
+    score-time transform, so ``phi`` is NOT in the fit params and CV
+    candidates differing only in φ share one fit)."""
+    state = fit_holt(train_ds, keys, dtc, target, alpha=alpha, beta=beta)
+    state["phi"] = float(phi)
+    return state
+
+
+def score_holt_damped(ds, state: dict, keys: list[str], dtc: str,
+                      target: str, out_col: str):
+    """Damped-trend Holt scorer (Gardner & McKenzie 1985 — public; the
+    fpp practical default): ŷ(T+h) = l_T + (φ + φ² + … + φʰ)·b_T =
+    l_T + b_T·φ(1−φʰ)/(1−φ); φ=1 recovers plain Holt."""
+    import ray
+
+    phi = float(state.get("phi", 0.9))
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b[keys].merge(ray.get(ref), how="left", on=keys)
+        h = _day_numbers(b[dtc]).astype(np.float64) \
+            - m["__lastdn"].to_numpy(np.float64)
+        if phi == 1.0:
+            damp = h
+        else:
+            damp = phi * (1.0 - phi ** h) / (1.0 - phi)
+        b[out_col] = m["__level"].to_numpy(np.float64) \
+            + damp * m["__trend"].to_numpy(np.float64)
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 #: name -> (fit, score, fit_param_names). ``fit_param_names`` declares which
 #: candidate params the FIT depends on (the rest only affect scoring), so
 #: the search driver can share one fitted state across candidates that
@@ -877,6 +915,8 @@ ESTIMATORS = {
     "holt_winters": (fit_holt_winters, score_holt_winters,
                      ("alpha", "beta", "gamma", "period")),
     "naive2": (fit_naive2, score_naive2, ("period",)),
+    "holt_damped": (fit_holt_damped, score_holt_damped,
+                    ("alpha", "beta")),
     "seasonal_naive": (fit_seasonal_naive, score_seasonal_naive,
                        ("period",)),
     "drift": (fit_drift, score_drift, ()),

@@ -414,6 +414,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_maxima_daily": Q.q_local_maxima_daily,
         "holt_damped_gate_daily": Q.q_holt_damped_gate_daily,
         "activation_latency_users": Q.q_activation_latency_users,
+        # TPC-H Q6/Q4/Q12 shapes (scan-filter-agg, EXISTS semi-join,
+        # CASE-split join aggregation)
+        "q6_revenue_filter": Q.q_q6_revenue_filter,
+        "q4_priority_exists": Q.q_q4_priority_exists,
+        "q12_returnflag_priority": Q.q_q12_returnflag_priority,
     }
 
 
@@ -693,4 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "local_maxima_daily": Q.SQL_LOCAL_MAXIMA,
         "holt_damped_gate_daily": Q.SQL_HOLT_DAMPED_GATE,
         "activation_latency_users": Q.SQL_ACTIVATION_LATENCY,
+        "q6_revenue_filter": Q.SQL_Q6_REVENUE,
+        "q4_priority_exists": Q.SQL_Q4_PRIORITY,
+        "q12_returnflag_priority": Q.SQL_Q12_PRIORITY,
     }

@@ -12305,3 +12305,150 @@ SQL_ACTIVATION_LATENCY = f"""
            COALESCE(round(quantile_cont(lat_s, 0.9), 6), {NULLF}) AS p90_s
     FROM l
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 / Q4 / Q12 shapes (public TPC-H spec, adapted to available columns)
+# ---------------------------------------------------------------------------
+
+_Q6_LO = "1996-01-01"
+_Q6_HI = "1997-01-01"
+
+
+def q_q6_revenue_filter(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape (public spec): tight scan-filter-aggregate — revenue
+    that would be gained by dropping small discounts on low-quantity lines
+    in one shipping year. The whole operator is a pruned 4-column read →
+    vectorized per-batch mask + partial (sum, count) combiner → tiny driver
+    fold; no shuffle at any scale."""
+    lo, hi = pd.Timestamp(_Q6_LO), pd.Timestamp(_Q6_HI)
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+             & (b["l_discount"] >= 0.02) & (b["l_discount"] <= 0.04)
+             & (b["l_quantity"] < 24.0))
+        sel = b.loc[m]
+        rev = (sel["l_extendedprice"].to_numpy(np.float64)
+               * sel["l_discount"].to_numpy(np.float64)).sum()
+        return pd.DataFrame({"rev": [rev], "n": [int(m.sum())]})
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "revenue": [np.round(float(parts["rev"].sum()), 4)],
+        "n_lines": np.array([int(parts["n"].sum())], dtype=np.int64),
+    })
+
+
+SQL_Q6_REVENUE = f"""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+      AND l_shipdate < TIMESTAMP '{_Q6_HI}'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+"""
+
+
+def q_q4_priority_exists(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders placed in a window
+    that have AT LEAST ONE returned lineitem (`l_returnflag = 'R'` stands in
+    for the spec's commit-late predicate — this corpus carries no
+    commit/receipt dates), counted per priority. The EXISTS is a distributed
+    semi-join: the probe side dedups to distinct orderkeys FIRST (narrow
+    int64 column, partial dedup inside each batch then a hash dedup), so
+    the join ships one row per qualifying order, never the full lineitem
+    fan-in; counts come from the CPU-clamped hash aggregate."""
+    from forecastframe_ray.stages.join import hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-07-01")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def ret_keys(b: pd.DataFrame) -> pd.DataFrame:
+        k = b.loc[b["l_returnflag"] == "R", "l_orderkey"].unique()
+        return pd.DataFrame({"o_orderkey": k})
+
+    keys = hash_aggregate(li.map_batches(ret_keys, batch_format="pandas"),
+                          ["o_orderkey"], {"dummy": ("o_orderkey", "count")},
+                          num_partitions=_NP).drop_columns(["dummy"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)],
+        batch_format="pandas")
+
+    joined = hash_join(orders, keys, on=["o_orderkey"], num_partitions=_NP)
+    out = hash_count(joined, ["o_orderpriority"], out_col="order_count",
+                     num_partitions=_NP).to_pandas()
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_Q4_PRIORITY = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_q12_returnflag_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split, `l_returnflag` standing
+    in for the absent shipmode column): lines shipped in one year joined to
+    their orders; per flag, how many belong to critical-priority orders
+    (1-URGENT / 2-HIGH) vs the rest. The CASE indicators are computed
+    vectorized inside the join output batches and pre-summed by the partial
+    combiner, so the exchange carries one row per (flag, partial)."""
+    from forecastframe_ray.stages.join import hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag",
+                                    "l_shipdate"])
+    li = li.map_batches(
+        lambda b: b.loc[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi),
+                        ["l_orderkey", "l_returnflag"]],
+        batch_format="pandas")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+
+    joined = hash_join(li, orders, on=["l_orderkey"], num_partitions=_NP)
+
+    def indicators(b: pd.DataFrame) -> pd.DataFrame:
+        hi_pri = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "high_line_count": hi_pri.astype(np.int64),
+            "low_line_count": (~hi_pri).astype(np.int64),
+        })
+
+    agg = hash_aggregate(joined.map_batches(indicators,
+                                            batch_format="pandas"),
+                         ["l_returnflag"],
+                         {"high_line_count": ("high_line_count", "sum"),
+                          "low_line_count": ("low_line_count", "sum")},
+                         num_partitions=_NP).to_pandas()
+    for c in ("high_line_count", "low_line_count"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_Q12_PRIORITY = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+"""

@@ -419,6 +419,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue_filter": Q.q_q6_revenue_filter,
         "q4_priority_exists": Q.q_q4_priority_exists,
         "q12_returnflag_priority": Q.q_q12_returnflag_priority,
+        # technical indicators (Cutler RSI, Lane stochastic, OBV)
+        "rsi_daily_events": Q.q_rsi_daily_events,
+        "stochastic_daily_events": Q.q_stochastic_daily_events,
+        "obv_daily_events": Q.q_obv_daily_events,
     }
 
 
@@ -701,4 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_revenue_filter": Q.SQL_Q6_REVENUE,
         "q4_priority_exists": Q.SQL_Q4_PRIORITY,
         "q12_returnflag_priority": Q.SQL_Q12_PRIORITY,
+        "rsi_daily_events": Q.SQL_RSI_DAILY,
+        "stochastic_daily_events": Q.SQL_STOCHASTIC_DAILY,
+        "obv_daily_events": Q.SQL_OBV_DAILY,
     }

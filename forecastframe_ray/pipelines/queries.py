@@ -12452,3 +12452,172 @@ SQL_Q12_PRIORITY = """
       AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# technical indicators on the daily spine (public formulas: Cutler RSI,
+# Lane stochastic oscillator, Granville on-balance volume)
+# ---------------------------------------------------------------------------
+
+def q_rsi_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Cutler's RSI (simple-average variant — the Wilder original is a
+    recursive EWM, not SQL-expressible): 14-row trailing means of the
+    up/down moves of the daily series, RSI = 100·ag/(ag+al). Flat windows
+    (ag+al = 0) pin to 50 on both engines; the first row of each series
+    (no move yet) is the NULL sentinel. One co-located kernel per series."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            dv = g["v"].diff()
+            gains = dv.clip(lower=0.0)
+            losses = (-dv).clip(lower=0.0)
+            ag = gains.rolling(14, min_periods=1).mean().to_numpy(np.float64)
+            al = losses.rolling(14, min_periods=1).mean().to_numpy(np.float64)
+            tot = ag + al
+            rsi = np.where(tot > 0, 100.0 * ag / np.where(tot > 0, tot, 1.0),
+                           50.0)
+            rsi = np.where(np.isnan(tot), np.nan, rsi)
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"], "v": g["v"],
+                "rsi14": np.round(rsi, 6) + 0.0}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "rsi14"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = _fill(out, ["rsi14"])
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_RSI_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    mv AS (
+        SELECT event_type, d, v,
+               v - LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS dv
+        FROM daily
+    ),
+    w AS (
+        SELECT event_type, d, v,
+               avg(CASE WHEN dv IS NULL THEN NULL
+                        ELSE greatest(dv, 0) END) OVER w1 AS ag,
+               avg(CASE WHEN dv IS NULL THEN NULL
+                        ELSE greatest(-dv, 0) END) OVER w1 AS al
+        FROM mv WINDOW w1 AS (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, v,
+           COALESCE(round(CASE WHEN ag IS NULL THEN NULL
+                               WHEN ag + al > 0
+                               THEN 100.0 * ag / (ag + al)
+                               ELSE 50.0 END, 6) + 0.0, {NULLF}) AS rsi14
+    FROM w
+"""
+
+
+def q_stochastic_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Lane stochastic oscillator on the daily spine: %K = position of
+    today's value inside the trailing-14 (incl. today) min..max range,
+    %D = 3-row mean of the unrounded %K. Flat ranges pin to 50; %D needs
+    ≥1 finite %K in its window. Co-located kernel per series; the oracle
+    nests two window CTEs."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            v = g["v"].astype(np.float64)
+            lo = v.rolling(14, min_periods=1).min()
+            hi = v.rolling(14, min_periods=1).max()
+            rng = (hi - lo).to_numpy()
+            k = np.where(rng > 0,
+                         100.0 * (v.to_numpy() - lo.to_numpy())
+                         / np.where(rng > 0, rng, 1.0), 50.0)
+            dcol = pd.Series(k).rolling(3, min_periods=1).mean() \
+                .to_numpy(np.float64)
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"], "v": g["v"],
+                "pct_k": np.round(k, 6) + 0.0,
+                "pct_d": np.round(dcol, 6) + 0.0}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "pct_k", "pct_d"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_STOCHASTIC_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               min(v) OVER w1 AS lo, max(v) OVER w1 AS hi
+        FROM daily WINDOW w1 AS (PARTITION BY event_type ORDER BY d
+                                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT event_type, d, v,
+               CASE WHEN hi > lo THEN 100.0 * (v - lo) / (hi - lo)
+                    ELSE 50.0 END AS kv
+        FROM r
+    )
+    SELECT event_type, d, v,
+           round(kv, 6) + 0.0 AS pct_k,
+           round(avg(kv) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               + 0.0 AS pct_d
+    FROM k
+"""
+
+
+def q_obv_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Granville on-balance volume adapted to the daily value spine:
+    running sum of +v / −v / 0 by the sign of the day-over-day move (first
+    row of each series contributes 0). Prefix sums are per-series
+    co-located state — exactly the cumulative pattern the MTD/drawdown
+    kernels use; oracle is SUM OVER UNBOUNDED PRECEDING."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            v = g["v"].to_numpy(np.float64)
+            dv = np.diff(v, prepend=np.nan)
+            step = np.where(np.isnan(dv), 0.0,
+                            np.where(dv > 0, v, np.where(dv < 0, -v, 0.0)))
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"], "v": g["v"],
+                "obv": np.round(np.cumsum(step), 6) + 0.0}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "obv"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_OBV_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    mv AS (
+        SELECT event_type, d, v,
+               v - LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS dv
+        FROM daily
+    )
+    SELECT event_type, d, v,
+           round(sum(CASE WHEN dv IS NULL THEN 0.0
+                          WHEN dv > 0 THEN v
+                          WHEN dv < 0 THEN -v ELSE 0.0 END)
+                 OVER (PARTITION BY event_type ORDER BY d
+                       ROWS UNBOUNDED PRECEDING), 6) + 0.0 AS obv
+    FROM mv
+"""

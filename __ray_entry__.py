@@ -423,6 +423,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rsi_daily_events": Q.q_rsi_daily_events,
         "stochastic_daily_events": Q.q_stochastic_daily_events,
         "obv_daily_events": Q.q_obv_daily_events,
+        # fourth-moment window, rank correlation vs market, interval sweep
+        "rolling_kurt_daily": Q.q_rolling_kurt_daily,
+        "kendall_tau_market_daily": Q.q_kendall_tau_market_daily,
+        "max_concurrency_events": Q.q_max_concurrency_events,
     }
 
 
@@ -708,4 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "rsi_daily_events": Q.SQL_RSI_DAILY,
         "stochastic_daily_events": Q.SQL_STOCHASTIC_DAILY,
         "obv_daily_events": Q.SQL_OBV_DAILY,
+        "rolling_kurt_daily": Q.SQL_ROLLING_KURT_DAILY,
+        "kendall_tau_market_daily": Q.SQL_KENDALL_TAU_MARKET,
+        "max_concurrency_events": Q.SQL_MAX_CONCURRENCY,
     }

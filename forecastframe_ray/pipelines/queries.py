@@ -12621,3 +12621,194 @@ SQL_OBV_DAILY = f"""
                        ROWS UNBOUNDED PRECEDING), 6) + 0.0 AS obv
     FROM mv
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling kurtosis / Kendall tau-b vs market / global max-concurrency sweep
+# ---------------------------------------------------------------------------
+
+def q_rolling_kurt_daily(sf_dir: str) -> pd.DataFrame:
+    """W1 fourth-moment shape statistic: trailing-14 sample EXCESS kurtosis
+    (bias-corrected G2 — pandas ``rolling.kurt`` and DuckDB ``kurtosis``
+    agree on the estimator), ≥4 points required. Completes the rolling
+    moment family (mean/std → skew → kurt); same co-located kernel shape."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            k = g["v"].rolling(14, min_periods=4).kurt() \
+                .to_numpy(np.float64)
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"], "v": g["v"],
+                "kurt14": np.round(k, 6) + 0.0}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "kurt14"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = _fill(out, ["kurt14"])
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_ROLLING_KURT_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           COALESCE(CASE WHEN count(v) OVER w >= 4
+                         THEN round(kurtosis(v) OVER w, 6) + 0.0 END,
+                    {NULLF}) AS kurt14
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_kendall_tau_market_daily(sf_dir: str) -> pd.DataFrame:
+    """Kendall tau-b (Kendall 1938, tie-corrected form) between each daily
+    series and the MARKET total (sum over all series per day) — the
+    rank-correlation counterpart of ``rolling_corr_market``. The market
+    spine is one row per day (tiny; merged in as a broadcast), the pair
+    statistics are a per-series vectorized sign-matrix kernel (quadratic in
+    the SERIES length, which is bounded by the calendar, never by corpus
+    size). Both engines quantize v and the market total to 6dp so tie
+    detection agrees."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+    from forecastframe_ray.stages.join import broadcast_left_join
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    mkt = hash_aggregate(daily, ["d"], {"m": ("v", "sum")},
+                         num_partitions=4).to_pandas()
+    mkt["m"] = np.round(mkt["m"].to_numpy(np.float64), 6)
+    joined = broadcast_left_join(daily, mkt, on=["d"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            x = g["v"].to_numpy(np.float64)
+            y = g["m"].to_numpy(np.float64)
+            n = len(x)
+            if n < 2:
+                rows.append((et, n, np.nan))
+                continue
+            iu = np.triu_indices(n, k=1)
+            sx = np.sign(x[:, None] - x[None, :])[iu]
+            sy = np.sign(y[:, None] - y[None, :])[iu]
+            prod = sx * sy
+            conc = int((prod > 0).sum())
+            disc = int((prod < 0).sum())
+            tx_only = int(((sx == 0) & (sy != 0)).sum())
+            ty_only = int(((sy == 0) & (sx != 0)).sum())
+            den = np.sqrt(float(conc + disc + ty_only)
+                          * float(conc + disc + tx_only))
+            tau = (conc - disc) / den if den > 0 else np.nan
+            rows.append((et, n, np.round(tau, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days", "tau_b"])
+
+    out = keyed_map_partitions(joined, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["tau_b"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_KENDALL_TAU_MARKET = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    mkt AS (SELECT d, round(sum(v), 6) AS m FROM daily GROUP BY d),
+    j AS (SELECT event_type, daily.d, v, m FROM daily JOIN mkt USING (d)),
+    p AS (
+        SELECT a.event_type,
+               sum(CASE WHEN (a.v - b.v) * (a.m - b.m) > 0
+                        THEN 1 ELSE 0 END) AS conc,
+               sum(CASE WHEN (a.v - b.v) * (a.m - b.m) < 0
+                        THEN 1 ELSE 0 END) AS disc,
+               sum(CASE WHEN a.v = b.v AND a.m <> b.m
+                        THEN 1 ELSE 0 END) AS tx_only,
+               sum(CASE WHEN a.m = b.m AND a.v <> b.v
+                        THEN 1 ELSE 0 END) AS ty_only
+        FROM j a JOIN j b ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY 1
+    ),
+    n AS (SELECT event_type, count(*) AS n_days FROM j GROUP BY 1)
+    SELECT n.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+           COALESCE(round((conc - disc)
+                          / sqrt((conc + disc + ty_only)
+                                 * (conc + disc + tx_only)), 6) + 0.0,
+                    {NULLF}) AS tau_b
+    FROM n LEFT JOIN p ON n.event_type = p.event_type
+    ORDER BY 1
+"""
+
+
+def q_max_concurrency_events(sf_dir: str) -> pd.DataFrame:
+    """Peak concurrency of 30-minute activity intervals (one per event):
+    the classic interval sweep — every interval contributes (+1 at start,
+    −1 at end), peak = max prefix sum over boundaries ordered by
+    (time, delta) with closes before opens at ties ([start, end)
+    semantics). Distributed as a SINGLE-pass prefix scan: monotone
+    time-range partitions each report (Σdelta, max local prefix) — P tiny
+    rows — and the driver folds exclusive offsets; no second pass because
+    the answer is a scalar, and no global sort because the partition
+    mapping is order-preserving."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    span_us = 1_800_000_000  # 30 min
+    ev = _read(sf_dir, "events", ["ts"])
+
+    ext = ev.map_batches(
+        lambda b: pd.DataFrame({
+            "lo": [b["ts"].min()], "hi": [b["ts"].max()]}),
+        batch_format="pandas").to_pandas()
+    lo = ext["lo"].min().value // 1000
+    hi = ext["hi"].max().value // 1000 + span_us
+    P = _NP
+    width = max((hi - lo) // P + 1, 1)
+
+    def boundaries(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ts = np.concatenate([t, t + span_us])
+        delta = np.concatenate([np.ones(len(t), dtype=np.int64),
+                                -np.ones(len(t), dtype=np.int64)])
+        return pd.DataFrame({
+            "t": ts, "delta": delta,
+            "__rng": np.minimum((ts - lo) // width, P - 1)})
+
+    def local(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        # a hash partition may hold several range keys — fold each alone
+        for rng, g in part.groupby("__rng", sort=False):
+            g = g.sort_values(["t", "delta"], kind="mergesort")
+            c = np.cumsum(g["delta"].to_numpy(np.int64))
+            rows.append((int(rng), int(c[-1]), int(c.max())))
+        return pd.DataFrame(rows, columns=["__rng", "total", "local_max"])
+
+    parts = keyed_map_partitions(
+        ev.map_batches(boundaries, batch_format="pandas"),
+        ["__rng"], local, num_partitions=P).to_pandas() \
+        .sort_values("__rng")
+    offset, best = 0, 0
+    for _, r in parts.iterrows():
+        best = max(best, offset + int(r["local_max"]))
+        offset += int(r["total"])
+    n = int(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+    return pd.DataFrame({
+        "max_concurrency": np.array([best], dtype=np.int64),
+        "n_intervals": np.array([n], dtype=np.int64)})
+
+
+SQL_MAX_CONCURRENCY = """
+    WITH b AS (
+        SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT epoch_us(ts) + 1800000000, -1 FROM events
+    ),
+    s AS (
+        SELECT sum(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS c
+        FROM b
+    )
+    SELECT CAST(max(c) AS BIGINT) AS max_concurrency,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS n_intervals
+    FROM s
+"""

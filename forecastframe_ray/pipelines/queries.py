@@ -10770,9 +10770,9 @@ def q_late_events_watermark(sf_dir: str) -> pd.DataFrame:
     from forecastframe_ray.stages.agg import keyed_map_partitions
 
     def local_max(part: pd.DataFrame) -> pd.DataFrame:
-        p = int(part["__arr"].iloc[0])
-        return pd.DataFrame({"__arr": [p],
-                             "mx": [part["ts"].max()]})
+        # a hash partition may hold several arrival-range keys
+        out = part.groupby("__arr", sort=False)["ts"].max().reset_index()
+        return out.rename(columns={"ts": "mx"})
 
     parts = keyed_map_partitions(
         _read(sf_dir, "events", ["event_id", "ts"])
@@ -10787,21 +10787,25 @@ def q_late_events_watermark(sf_dir: str) -> pd.DataFrame:
         run = max(run, r["mx"])
 
     def flag(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values("event_id")
-        p = int(part["__arr"].iloc[0])
-        ts = part["ts"]
-        wm = np.maximum.accumulate(
-            ts.astype("datetime64[us]").astype("int64").to_numpy())
-        prefix = pmax.get(p, pd.Timestamp.min)
-        if prefix > pd.Timestamp.min:
-            wm = np.maximum(wm, np.int64(prefix.value // 1000))
-        late_s = (wm - ts.astype("datetime64[us]").astype("int64")
-                  .to_numpy()) / 1e6
-        return pd.DataFrame({
-            "event_type": part["event_type"],
-            "__late": (late_s > 3600.0).astype(np.int64),
-            "__lat_s": late_s,
-            "__one": np.ones(len(part), dtype=np.int64)})
+        outs = []
+        # a hash partition may hold several arrival-range keys — each has
+        # its own exclusive-prefix watermark
+        for p, g in part.groupby("__arr", sort=False):
+            g = g.sort_values("event_id")
+            ts = g["ts"]
+            wm = np.maximum.accumulate(
+                ts.astype("datetime64[us]").astype("int64").to_numpy())
+            prefix = pmax.get(int(p), pd.Timestamp.min)
+            if prefix > pd.Timestamp.min:
+                wm = np.maximum(wm, np.int64(prefix.value // 1000))
+            late_s = (wm - ts.astype("datetime64[us]").astype("int64")
+                      .to_numpy()) / 1e6
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"],
+                "__late": (late_s > 3600.0).astype(np.int64),
+                "__lat_s": late_s,
+                "__one": np.ones(len(g), dtype=np.int64)}))
+        return pd.concat(outs, ignore_index=True)
 
     out = hash_aggregate(
         keyed_map_partitions(

@@ -427,6 +427,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_kurt_daily": Q.q_rolling_kurt_daily,
         "kendall_tau_market_daily": Q.q_kendall_tau_market_daily,
         "max_concurrency_events": Q.q_max_concurrency_events,
+        # embedding-space audits (pair histogram, norms, spectral gate)
+        "cosine_histogram_embeddings": Q.q_cosine_histogram_embeddings,
+        "norm_stats_embeddings": Q.q_norm_stats_embeddings,
+        "pca_spectrum_gate_embeddings": Q.q_pca_spectrum_gate_embeddings,
     }
 
 
@@ -715,4 +719,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_kurt_daily": Q.SQL_ROLLING_KURT_DAILY,
         "kendall_tau_market_daily": Q.SQL_KENDALL_TAU_MARKET,
         "max_concurrency_events": Q.SQL_MAX_CONCURRENCY,
+        "cosine_histogram_embeddings": Q.SQL_COSINE_HISTOGRAM,
+        "norm_stats_embeddings": Q.SQL_NORM_STATS,
+        "pca_spectrum_gate_embeddings": Q.SQL_PCA_SPECTRUM_GATE,
     }

@@ -12816,3 +12816,149 @@ SQL_MAX_CONCURRENCY = """
            CAST((SELECT count(*) FROM events) AS BIGINT) AS n_intervals
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding-space audits: pairwise-cosine histogram, norm stats, spectral gate
+# ---------------------------------------------------------------------------
+
+def q_cosine_histogram_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distribution audit of PAIRWISE cosine similarity: counts of all i<j
+    pairs in ten fixed [−1,1] bins. The comparison matrix is broadcast once
+    (`ray.put` semantics via closure capture — same shape as the ANN query
+    broadcast) and each batch computes a |B|×n matmul + partial histogram,
+    so the exchange carries 10 ints per batch. All-pairs is quadratic BY
+    DEFINITION — at corpus scale the op audits a deterministic cap of rows
+    (vec_id order, documented), which bounds the broadcast at cap×dim;
+    sf-scale inputs sit below the cap so the oracle sees every pair. Sims
+    are rounded to 6dp on both engines before binning so edge assignment
+    agrees."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    norms = np.linalg.norm(M, axis=1)
+    Mn = M / np.where(norms > 0, norms, 1.0)[:, None]
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        B = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        bn = np.linalg.norm(B, axis=1)
+        Bn = B / np.where(bn > 0, bn, 1.0)[:, None]
+        sims = Bn @ Mn.T
+        bid = b["vec_id"].to_numpy(np.int64)
+        mask = bid[:, None] < ids[None, :]
+        s = np.round(sims[mask], 6)
+        binned = np.clip(np.floor((s + 1.0) / 0.2), 0, 9).astype(np.int64)
+        counts = np.bincount(binned, minlength=10)
+        return pd.DataFrame({"bin": np.arange(10, dtype=np.int64),
+                             "n_pairs": counts})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("bin", as_index=False)["n_pairs"].sum()
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+SQL_COSINE_HISTOGRAM = """
+    WITH p AS (
+        SELECT CAST(least(greatest(floor(
+                   (round(list_cosine_similarity(a.embedding, b.embedding),
+                          6) + 1.0) / 0.2), 0), 9) AS BIGINT) AS bin
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin)
+    SELECT CAST(bins.bin AS BIGINT) AS bin,
+           CAST(count(p.bin) AS BIGINT) AS n_pairs
+    FROM bins LEFT JOIN p ON bins.bin = p.bin
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_norm_stats_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Per-label L2-norm profile (n, mean, min, max) — the standard sanity
+    gate before cosine ops (zero / unnormalized vectors distort every
+    similarity). Vectorized per-batch norms → the CPU-clamped hash
+    aggregate; one tiny exchange row per (label, partial)."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def norms(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"label": b["label"],
+                             "nrm": np.linalg.norm(M, axis=1)})
+
+    agg = hash_aggregate(emb.map_batches(norms, batch_format="pandas"),
+                         ["label"],
+                         {"n": ("nrm", "count"), "mean_norm": ("nrm", "mean"),
+                          "min_norm": ("nrm", "min"),
+                          "max_norm": ("nrm", "max")},
+                         num_partitions=4).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    agg = _round(agg, ["mean_norm", "min_norm", "max_norm"], 6)
+    return agg.sort_values("label").reset_index(drop=True)
+
+
+SQL_NORM_STATS = """
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(sqrt(list_dot_product(embedding, embedding))), 6)
+               AS mean_norm,
+           round(min(sqrt(list_dot_product(embedding, embedding))), 6)
+               AS min_norm,
+           round(max(sqrt(list_dot_product(embedding, embedding))), 6)
+               AS max_norm
+    FROM embeddings GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pca_spectrum_gate_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Spectral gate for the PCA path: the eigenvalues of the one-pass
+    population covariance must satisfy Σλ = trace(C) and Σλ² = ‖C‖²_F
+    (Schatten-1/2 identities) — both right-hand sides are SQL-computable
+    from unnested per-dimension covariances WITHOUT an eigensolver, so the
+    driver-side eigh (64×64 — constant, never data-sized) is pinned by an
+    exact oracle. Covariance partials are per-batch (n, Σx, ΣxxT) combiner
+    rows; nothing data-sized leaves the cluster."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "n": [len(M)],
+            "sx": [M.sum(axis=0).tobytes()],
+            "sxx": [(M.T @ M).tobytes()],
+        })
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    d = 64
+    sx = np.sum([np.frombuffer(v, dtype=np.float64) for v in parts["sx"]],
+                axis=0)
+    sxx = np.sum([np.frombuffer(v, dtype=np.float64).reshape(d, d)
+                  for v in parts["sxx"]], axis=0)
+    mu = sx / n
+    C = sxx / n - np.outer(mu, mu)
+    lam = np.linalg.eigvalsh(C)
+    return pd.DataFrame({
+        "n_dims": np.array([d], dtype=np.int64),
+        "trace": [np.round(float(lam.sum()), 4)],
+        "frob2": [np.round(float((lam ** 2).sum()), 4)],
+    })
+
+
+SQL_PCA_SPECTRUM_GATE = """
+    WITH e AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    c AS (
+        SELECT a.i AS i, b.i AS j, covar_pop(a.x, b.x) AS cv
+        FROM e a JOIN e b USING (vec_id)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(max(i) AS BIGINT) AS n_dims,
+           round(sum(CASE WHEN i = j THEN cv ELSE 0 END), 4) AS trace,
+           round(sum(cv * cv), 4) AS frob2
+    FROM c
+"""

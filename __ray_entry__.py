@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_histogram_embeddings": Q.q_cosine_histogram_embeddings,
         "norm_stats_embeddings": Q.q_norm_stats_embeddings,
         "pca_spectrum_gate_embeddings": Q.q_pca_spectrum_gate_embeddings,
+        # lakehouse schema evolution + text canonicalization
+        "schema_evolution_union": Q.q_schema_evolution_union,
+        "normalize_text_documents": Q.q_normalize_text_documents,
     }
 
 
@@ -722,4 +725,6 @@ def oracle_sql() -> dict[str, str]:
         "cosine_histogram_embeddings": Q.SQL_COSINE_HISTOGRAM,
         "norm_stats_embeddings": Q.SQL_NORM_STATS,
         "pca_spectrum_gate_embeddings": Q.SQL_PCA_SPECTRUM_GATE,
+        "schema_evolution_union": Q.SQL_SCHEMA_EVOLUTION_UNION,
+        "normalize_text_documents": Q.SQL_NORMALIZE_TEXT,
     }

@@ -12962,3 +12962,104 @@ SQL_PCA_SPECTRUM_GATE = """
            round(sum(cv * cv), 4) AS frob2
     FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution union + deterministic text normalization
+# ---------------------------------------------------------------------------
+
+def q_schema_evolution_union(sf_dir: str) -> pd.DataFrame:
+    """Lakehouse schema-evolution read: two file generations of the orders
+    table (v1 carries price, v2 carries date+priority) unioned BY NAME with
+    null fill via ``stages.reshape.union_by_name`` — no shuffle, the blocks
+    just conform and concatenate. Summarized per generation so the oracle
+    pins both the null-fill and the row routing."""
+    from forecastframe_ray.stages.reshape import union_by_name
+
+    v1 = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    v1 = v1.map_batches(lambda b: b[b["o_orderkey"] % 2 == 0],
+                        batch_format="pandas")
+    v2 = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    v2 = v2.map_batches(lambda b: b[b["o_orderkey"] % 2 == 1],
+                        batch_format="pandas")
+    u = union_by_name([v1, v2])
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "gen": np.where(b["o_totalprice"].notna(), "v1", "v2"),
+            "has_price": b["o_totalprice"].notna().astype(np.int64),
+            "has_date": b["o_orderdate"].notna().astype(np.int64),
+            "price": b["o_totalprice"].fillna(0.0),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    agg = hash_aggregate(u.map_batches(mark, batch_format="pandas"),
+                         ["gen"],
+                         {"n": ("one", "sum"),
+                          "n_price": ("has_price", "sum"),
+                          "n_date": ("has_date", "sum"),
+                          "sum_price": ("price", "sum")},
+                         num_partitions=4).to_pandas()
+    for c in ("n", "n_price", "n_date"):
+        agg[c] = agg[c].astype(np.int64)
+    agg = _round(agg, ["sum_price"], 4)
+    return agg.sort_values("gen").reset_index(drop=True)
+
+
+SQL_SCHEMA_EVOLUTION_UNION = """
+    WITH u AS (
+        SELECT o_orderkey, o_totalprice, NULL::TIMESTAMP AS o_orderdate,
+               NULL::VARCHAR AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT CASE WHEN o_totalprice IS NOT NULL THEN 'v1' ELSE 'v2' END AS gen,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_price,
+           CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_date,
+           round(sum(COALESCE(o_totalprice, 0)), 4) AS sum_price
+    FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_normalize_text_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic text canonicalization (the byte-identity contract the
+    north_rule demands of extraction, applied as a standalone stage): NFC
+    unicode normalization → lowercase → strip → collapse ASCII whitespace
+    runs to one space; emitted as (doc_id, md5, n_chars) so the oracle
+    checks the exact bytes without shipping them. Stateless vectorized
+    map_batches; the whitespace class is pinned to ASCII on both engines
+    (python re vs RE2 \\s semantics differ on unicode)."""
+    import hashlib
+    import re as _re
+    import unicodedata
+
+    ws = _re.compile(r"[ \t\n\r\f]+")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("")
+        out = [ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+               for t in texts]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "md5": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in out],
+            "n_chars": np.array([len(t) for t in out], dtype=np.int64)})
+
+    out = docs.map_batches(norm, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_NORMALIZE_TEXT = """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))),
+                                   '[ \t\n\r\f]+', ' ', 'g'))) AS md5,
+           CAST(length(trim(regexp_replace(lower(nfc_normalize(
+                    COALESCE(text, ''))), '[ \t\n\r\f]+', ' ', 'g')))
+                AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+"""

@@ -77,3 +77,31 @@ def melt_long(ds, index_keys: list[str], value_cols: list[str],
         return out
 
     return ds.map_batches(narrow, batch_format="pandas")
+
+
+def union_by_name(datasets: list, fill=None):
+    """Schema-evolution union: concatenate Datasets whose schemas differ
+    (columns added/dropped across file versions — the standard lakehouse
+    read problem; reference has no analog, this is engine surface). The
+    target schema is the NAME-ordERED union of all input columns; each
+    side gets its missing columns appended as ``fill`` (default None →
+    null) inside a vectorized map_batches, then the blocks union without
+    any shuffle. Column dtype reconciliation is Arrow's (union of null +
+    typed promotes to typed)."""
+    all_cols: list[str] = []
+    for ds in datasets:
+        for name in ds.schema().names:
+            if name not in all_cols:
+                all_cols.append(name)
+    target = sorted(all_cols)
+
+    def conform(b: pd.DataFrame) -> pd.DataFrame:
+        for c in target:
+            if c not in b.columns:
+                b[c] = fill
+        return b[target]
+
+    out = datasets[0].map_batches(conform, batch_format="pandas")
+    for ds in datasets[1:]:
+        out = out.union(ds.map_batches(conform, batch_format="pandas"))
+    return out

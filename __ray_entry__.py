@@ -434,6 +434,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lakehouse schema evolution + text canonicalization
         "schema_evolution_union": Q.q_schema_evolution_union,
         "normalize_text_documents": Q.q_normalize_text_documents,
+        # graph centrality, business-day calendar, Misra-Gries heavy hitters
+        "pagerank_types_events": Q.q_pagerank_types_events,
+        "business_days_to_ship": Q.q_business_days_to_ship,
+        "heavy_hitters_users_events": Q.q_heavy_hitters_users_events,
     }
 
 
@@ -727,4 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_spectrum_gate_embeddings": Q.SQL_PCA_SPECTRUM_GATE,
         "schema_evolution_union": Q.SQL_SCHEMA_EVOLUTION_UNION,
         "normalize_text_documents": Q.SQL_NORMALIZE_TEXT,
+        "pagerank_types_events": Q.SQL_PAGERANK_TYPES,
+        "business_days_to_ship": Q.SQL_BUSINESS_DAYS,
+        "heavy_hitters_users_events": Q.SQL_HEAVY_HITTERS_USERS,
     }

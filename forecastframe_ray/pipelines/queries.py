@@ -13063,3 +13063,205 @@ SQL_NORMALIZE_TEXT = """
                 AS BIGINT) AS n_chars
     FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# graph centrality / business-day calendar / Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def q_pagerank_types_events(sf_dir: str) -> pd.DataFrame:
+    """Weighted PageRank (Brin-Page 1998, damping 0.85, 3 synchronous
+    iterations from uniform) over the event-type transition graph. Edge
+    weights come from the distributed per-user transition kernel (same
+    shape as ``transition_counts_events``); the power iteration itself runs
+    on the driver over a T×T matrix where T = event-type CARDINALITY —
+    bounded by the vocabulary, never the corpus. Precondition (checked):
+    every node has out-weight > 0; the oracle unrolls the same 3
+    iterations as nested CTEs."""
+    from forecastframe_ray.keys import partition_ids
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__part"] = partition_ids(b, ["user_id"], _NP)
+        return b
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts"], kind="mergesort")
+        nxt = part.groupby("user_id", sort=False)["event_type"].shift(-1)
+        ok = nxt.notna()
+        sub = pd.DataFrame({"p": part["event_type"][ok], "q": nxt[ok]})
+        out = sub.groupby(["p", "q"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partial = (ev.map_batches(assign, batch_format="pandas")
+               .groupby("__part").map_groups(pairs, batch_format="pandas"))
+    edges = hash_aggregate(partial, ["p", "q"], {"n": ("n", "sum")},
+                           num_partitions=4).to_pandas()
+
+    nodes = sorted(set(edges["p"]) | set(edges["q"]))
+    idx = {t: i for i, t in enumerate(nodes)}
+    T = len(nodes)
+    W = np.zeros((T, T), dtype=np.float64)
+    for p, q, n in edges.itertuples(index=False):
+        W[idx[p], idx[q]] = float(n)
+    wout = W.sum(axis=1)
+    if (wout <= 0).any():
+        raise RuntimeError("pagerank: dangling node (no out-transitions)")
+    P = W / wout[:, None]
+    pr = np.full(T, 1.0 / T)
+    for _ in range(3):
+        pr = 0.15 / T + 0.85 * (pr @ P)
+    return pd.DataFrame({"event_type": nodes,
+                         "pr3": np.round(pr, 6) + 0.0}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PAGERANK_TYPES = """
+    WITH tr AS (
+        SELECT event_type AS p,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS q
+        FROM events
+    ),
+    e AS (SELECT p, q, count(*)::DOUBLE AS n FROM tr
+          WHERE q IS NOT NULL GROUP BY 1, 2),
+    w AS (SELECT p, sum(n) AS wout FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT event_type FROM events),
+    nn AS (SELECT count(*)::DOUBLE AS t FROM nodes),
+    r0 AS (SELECT event_type, 1.0 / nn.t AS pr FROM nodes, nn),
+    r1 AS (SELECT n.event_type,
+                  0.15 / nn.t + 0.85 * COALESCE(
+                      (SELECT sum(r0.pr * e.n / w.wout)
+                       FROM e JOIN r0 ON r0.event_type = e.p
+                              JOIN w ON w.p = e.p
+                       WHERE e.q = n.event_type), 0) AS pr
+           FROM nodes n, nn),
+    r2 AS (SELECT n.event_type,
+                  0.15 / nn.t + 0.85 * COALESCE(
+                      (SELECT sum(r1.pr * e.n / w.wout)
+                       FROM e JOIN r1 ON r1.event_type = e.p
+                              JOIN w ON w.p = e.p
+                       WHERE e.q = n.event_type), 0) AS pr
+           FROM nodes n, nn),
+    r3 AS (SELECT n.event_type,
+                  0.15 / nn.t + 0.85 * COALESCE(
+                      (SELECT sum(r2.pr * e.n / w.wout)
+                       FROM e JOIN r2 ON r2.event_type = e.p
+                              JOIN w ON w.p = e.p
+                       WHERE e.q = n.event_type), 0) AS pr
+           FROM nodes n, nn)
+    SELECT event_type, round(pr, 6) + 0.0 AS pr3 FROM r3 ORDER BY 1
+"""
+
+
+def q_business_days_to_ship(sf_dir: str) -> pd.DataFrame:
+    """Order→ship latency in BUSINESS days (Mon–Fri, [order, ship) interval
+    — numpy ``busday_count`` semantics) per order priority, over the rows
+    where the ship date is not before the order date (this synthetic corpus
+    has no causal guarantee; the filter is part of the contract). The join
+    is the CPU-clamped distributed hash join; the busday arithmetic is one
+    vectorized C call per batch. Oracle expands each interval with
+    generate_series — exact, if quadratic in days (oracle-side only)."""
+    from forecastframe_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    joined = hash_join(li, orders, on=["l_orderkey"], num_partitions=_NP)
+
+    def busdays(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] >= b["o_orderdate"]]
+        a = b["o_orderdate"].to_numpy().astype("datetime64[D]")
+        s = b["l_shipdate"].to_numpy().astype("datetime64[D]")
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "bd": np.busday_count(a, s).astype(np.float64),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    agg = hash_aggregate(joined.map_batches(busdays, batch_format="pandas"),
+                         ["o_orderpriority"],
+                         {"n": ("one", "sum"), "mean_bd": ("bd", "mean"),
+                          "max_bd": ("bd", "max")},
+                         num_partitions=4).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["max_bd"] = agg["max_bd"].astype(np.int64)
+    agg = _round(agg, ["mean_bd"], 6)
+    return agg.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_BUSINESS_DAYS = """
+    WITH j AS (
+        SELECT o_orderpriority, o_orderdate, l_shipdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+    ),
+    d AS (
+        SELECT o_orderpriority, o_orderdate, l_shipdate,
+               CASE WHEN l_shipdate = o_orderdate THEN 0
+                    ELSE (SELECT count(*) FROM
+                          unnest(generate_series(j.o_orderdate,
+                                                 j.l_shipdate
+                                                   - INTERVAL 1 DAY,
+                                                 INTERVAL 1 DAY)) AS t(dd)
+                          WHERE isodow(dd) <= 5) END AS bd
+        FROM j
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(avg(bd), 6) AS mean_bd, CAST(max(bd) AS BIGINT) AS max_bd
+    FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_heavy_hitters_users_events(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters (1982; mergeable-summaries form, Agarwal
+    et al. 2013): every user with more than n/k of all events. Pass 1:
+    each batch reduces to a ≤k-counter MG summary (exact in-batch counts,
+    then the (k+1)-th-largest subtraction), summaries merge by counter
+    addition + re-truncation — the MG guarantee (no miss for true
+    heavy hitters) survives merging. Pass 2 re-counts ONLY the surviving
+    candidates exactly (broadcast filter + hash count) so the emitted
+    counts carry no sketch error; the oracle is a plain HAVING."""
+    K = 500
+    ev = _read(sf_dir, "events", ["user_id"])
+    n_total = int(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+    thresh = n_total / K
+
+    def mg_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["user_id"].value_counts()
+        if len(cnt) > K:
+            sub = cnt.iloc[K]  # (k+1)-th largest
+            cnt = (cnt - sub).iloc[:K]
+            cnt = cnt[cnt > 0]
+        return pd.DataFrame({"user_id": cnt.index.to_numpy(),
+                             "c": cnt.to_numpy(np.int64)})
+
+    partials = ev.map_batches(mg_batch, batch_format="pandas").to_pandas()
+    merged = partials.groupby("user_id")["c"].sum().sort_values(
+        ascending=False)
+    if len(merged) > K:
+        sub = merged.iloc[K]
+        merged = (merged - sub).iloc[:K]
+        merged = merged[merged > 0]
+    cand = set(merged.index.tolist())
+
+    exact = hash_count(
+        ev.map_batches(lambda b: b[b["user_id"].isin(cand)],
+                       batch_format="pandas"),
+        ["user_id"], out_col="n_events", num_partitions=4).to_pandas()
+    exact = exact[exact["n_events"] > thresh].copy()
+    exact["n_events"] = exact["n_events"].astype(np.int64)
+    exact["user_id"] = exact["user_id"].astype(np.int64)
+    return exact.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_HEAVY_HITTERS_USERS = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    HAVING count(*) > (SELECT count(*) FROM events) / 500.0
+    ORDER BY 1
+"""

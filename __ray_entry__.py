@@ -438,6 +438,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_types_events": Q.q_pagerank_types_events,
         "business_days_to_ship": Q.q_business_days_to_ship,
         "heavy_hitters_users_events": Q.q_heavy_hitters_users_events,
+        # quantile normalization, state dwell time, grouped OLS
+        "quantile_normalize_daily": Q.q_quantile_normalize_daily,
+        "state_dwell_time_events": Q.q_state_dwell_time_events,
+        "ols_price_quantity_brand": Q.q_ols_price_quantity_brand,
     }
 
 
@@ -734,4 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_types_events": Q.SQL_PAGERANK_TYPES,
         "business_days_to_ship": Q.SQL_BUSINESS_DAYS,
         "heavy_hitters_users_events": Q.SQL_HEAVY_HITTERS_USERS,
+        "quantile_normalize_daily": Q.SQL_QUANTILE_NORMALIZE_DAILY,
+        "state_dwell_time_events": Q.SQL_STATE_DWELL_TIME,
+        "ols_price_quantity_brand": Q.SQL_OLS_PRICE_QUANTITY,
     }

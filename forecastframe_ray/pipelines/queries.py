@@ -13265,3 +13265,171 @@ SQL_HEAVY_HITTERS_USERS = """
     HAVING count(*) > (SELECT count(*) FROM events) / 500.0
     ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization / state dwell time / grouped OLS
+# ---------------------------------------------------------------------------
+
+def q_quantile_normalize_daily(sf_dir: str) -> pd.DataFrame:
+    """Quantile normalization (Bolstad et al. 2003 — the microarray
+    standard) across the daily series: every series' r-th order statistic
+    is replaced by the MEAN of the r-th order statistics across all series,
+    making the per-series marginal distributions identical. Rank assignment
+    is deterministic ((v, d) ties). Two tiny exchanges: per-series ranking
+    is a co-located kernel, the cross-series rank means are one
+    hash-aggregate over (rank) — rows bounded by the calendar."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+    from forecastframe_ray.stages.join import broadcast_left_join
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def rank_kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values(["v", "d"], kind="mergesort").copy()
+            g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)
+
+    ranked = keyed_map_partitions(daily, ["event_type"], rank_kernel,
+                                  num_partitions=_NP)
+    means = hash_aggregate(ranked, ["rnk"], {"qn_v": ("v", "mean")},
+                           num_partitions=4).to_pandas()
+    means["qn_v"] = np.round(means["qn_v"].to_numpy(np.float64), 6)
+    out = broadcast_left_join(ranked, means, on=["rnk"]).to_pandas()
+    out = out[["event_type", "d", "v", "rnk", "qn_v"]]
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_QUANTILE_NORMALIZE_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v, d) AS rnk
+        FROM daily
+    ),
+    m AS (SELECT rnk, round(avg(v), 6) AS qn_v FROM r GROUP BY 1)
+    SELECT event_type, d, v, CAST(r.rnk AS BIGINT) AS rnk, qn_v
+    FROM r JOIN m ON r.rnk = m.rnk
+"""
+
+
+def q_state_dwell_time_events(sf_dir: str) -> pd.DataFrame:
+    """Time-in-state aggregation (uptime/monitoring semantics): each event
+    puts its user INTO the state named by its type until that user's next
+    event; dwell = gap to the next event, attributed to the CURRENT type
+    (each user's last event has no dwell). Per-user ordering is a
+    partition-id shuffle kernel with a vectorized grouped shift — the same
+    co-location contract the transition matrix uses — then one tiny merge
+    aggregate per state."""
+    from forecastframe_ray.keys import partition_ids
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__part"] = partition_ids(b, ["user_id"], _NP)
+        return b
+
+    def dwell(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts"], kind="mergesort").copy()
+        part["__t"] = part["ts"].astype("datetime64[us]").astype("int64")
+        nxt = part.groupby("user_id", sort=False)["__t"].shift(-1)
+        ok = nxt.notna()
+        dw = (nxt[ok].to_numpy(np.float64)
+              - part["__t"][ok].to_numpy(np.float64)) / 1e6
+        sub = pd.DataFrame({"event_type": part["event_type"][ok],
+                            "dw": dw,
+                            "one": np.ones(int(ok.sum()), dtype=np.int64)})
+        return (sub.groupby("event_type", sort=False)
+                .agg(n=("one", "sum"), sum_dw=("dw", "sum"),
+                     max_dw=("dw", "max")).reset_index())
+
+    partial = (ev.map_batches(assign, batch_format="pandas")
+               .groupby("__part").map_groups(dwell, batch_format="pandas"))
+    out = hash_aggregate(partial, ["event_type"],
+                         {"n": ("n", "sum"), "sum_dw": ("sum_dw", "sum"),
+                          "max_dw": ("max_dw", "max")},
+                         num_partitions=4).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["mean_dw_s"] = out["sum_dw"] / out["n"]
+    out = _round(out[["event_type", "n", "mean_dw_s", "max_dw"]],
+                 ["mean_dw_s", "max_dw"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_STATE_DWELL_TIME = """
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                - epoch_us(ts)) / 1e6 AS dw
+        FROM events
+    )
+    SELECT event_type, CAST(count(dw) AS BIGINT) AS n,
+           round(sum(dw) / count(dw), 6) AS mean_dw_s,
+           round(max(dw), 6) AS max_dw
+    FROM g WHERE dw IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ols_price_quantity_brand(sf_dir: str) -> pd.DataFrame:
+    """Grouped bivariate OLS (price-elasticity audit): per part BRAND,
+    regress quantity on extended price across lineitems — slope, intercept
+    and Pearson r from the five streaming moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²). The brand lookup is a broadcast dim join (part is the small
+    side); the moments pre-reduce per batch so the exchange carries one
+    row per (brand, partial). Oracle uses regr_slope/regr_intercept/corr."""
+    from forecastframe_ray.stages.join import broadcast_left_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas() \
+        .rename(columns={"p_partkey": "l_partkey"})
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    joined = broadcast_left_join(li, part, on=["l_partkey"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_extendedprice"].to_numpy(np.float64)
+        y = b["l_quantity"].to_numpy(np.float64)
+        g = pd.DataFrame({"p_brand": b["p_brand"], "x": x, "y": y,
+                          "xy": x * y, "x2": x * x, "y2": y * y,
+                          "one": np.ones(len(b), dtype=np.int64)})
+        return (g.groupby("p_brand", sort=False)
+                .agg(n=("one", "sum"), sx=("x", "sum"), sy=("y", "sum"),
+                     sxy=("xy", "sum"), sx2=("x2", "sum"),
+                     sy2=("y2", "sum")).reset_index())
+
+    agg = hash_aggregate(joined.map_batches(moments, batch_format="pandas"),
+                         ["p_brand"],
+                         {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                          "sy": ("sy", "sum"), "sxy": ("sxy", "sum"),
+                          "sx2": ("sx2", "sum"), "sy2": ("sy2", "sum")},
+                         num_partitions=4).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    sx, sy = agg["sx"].to_numpy(np.float64), agg["sy"].to_numpy(np.float64)
+    sxy = agg["sxy"].to_numpy(np.float64)
+    sx2, sy2 = agg["sx2"].to_numpy(np.float64), agg["sy2"].to_numpy(np.float64)
+    cov = sxy - sx * sy / n
+    vx = sx2 - sx * sx / n
+    vy = sy2 - sy * sy / n
+    slope = cov / vx
+    out = pd.DataFrame({
+        "p_brand": agg["p_brand"],
+        "n": agg["n"].astype(np.int64),
+        "slope": np.round(slope, 9) + 0.0,
+        "intercept": np.round(sy / n - slope * sx / n, 6) + 0.0,
+        "r": np.round(cov / np.sqrt(vx * vy), 6) + 0.0})
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_OLS_PRICE_QUANTITY = """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(l_quantity, l_extendedprice), 9) + 0.0 AS slope,
+           round(regr_intercept(l_quantity, l_extendedprice), 6) + 0.0
+               AS intercept,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS r
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1 ORDER BY 1
+"""

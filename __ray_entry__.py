@@ -442,6 +442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize_daily": Q.q_quantile_normalize_daily,
         "state_dwell_time_events": Q.q_state_dwell_time_events,
         "ols_price_quantity_brand": Q.q_ols_price_quantity_brand,
+        # survival analysis, Sharpe drift, sequence-gap audit
+        "kaplan_meier_users": Q.q_kaplan_meier_users,
+        "sharpe_daily_events": Q.q_sharpe_daily_events,
+        "id_gaps_events": Q.q_id_gaps_events,
     }
 
 
@@ -741,4 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize_daily": Q.SQL_QUANTILE_NORMALIZE_DAILY,
         "state_dwell_time_events": Q.SQL_STATE_DWELL_TIME,
         "ols_price_quantity_brand": Q.SQL_OLS_PRICE_QUANTITY,
+        "kaplan_meier_users": Q.SQL_KAPLAN_MEIER,
+        "sharpe_daily_events": Q.SQL_SHARPE_DAILY,
+        "id_gaps_events": Q.SQL_ID_GAPS,
     }

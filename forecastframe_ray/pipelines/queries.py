@@ -13433,3 +13433,195 @@ SQL_OLS_PRICE_QUANTITY = """
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival / Sharpe drift ratio / id-sequence gap audit
+# ---------------------------------------------------------------------------
+
+def q_kaplan_meier_users(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival estimator (1958) over user lifetimes: lifetime
+    = whole days between a user's first and last event; a user whose last
+    event falls within 7 days of corpus end is CENSORED (still alive at
+    their observed lifetime), otherwise their lifetime is a death. S(t)
+    steps down only at death times: S = Π(1 − d_i/n_i) over ordered
+    distinct lifetimes. Distribution: per-user (min,max) is one hash
+    aggregate; lifetimes then reduce to (t, deaths, total) rows bounded by
+    the CALENDAR (whole days), and only that tiny table reaches the driver
+    for the ordered product."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    span = hash_aggregate(ev, ["user_id"],
+                          {"first_ts": ("ts", "min"),
+                           "last_ts": ("ts", "max")},
+                          num_partitions=_NP)
+    end = ev.map_batches(lambda b: pd.DataFrame({"m": [b["ts"].max()]}),
+                         batch_format="pandas").to_pandas()["m"].max()
+    cutoff = end - pd.Timedelta(days=7)
+
+    def life(b: pd.DataFrame) -> pd.DataFrame:
+        t = ((b["last_ts"].astype("datetime64[us]").astype("int64")
+              - b["first_ts"].astype("datetime64[us]").astype("int64"))
+             // DAY_US).astype(np.int64)
+        return pd.DataFrame({
+            "t": t,
+            "death": (b["last_ts"] <= cutoff).astype(np.int64),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    tab = hash_aggregate(span.map_batches(life, batch_format="pandas"),
+                         ["t"], {"d": ("death", "sum"), "c": ("one", "sum")},
+                         num_partitions=4).to_pandas().sort_values("t")
+    total = int(tab["c"].sum())
+    at_risk = total - np.concatenate([[0], np.cumsum(tab["c"].to_numpy())[:-1]])
+    surv = np.cumprod(1.0 - tab["d"].to_numpy(np.float64) / at_risk)
+    out = pd.DataFrame({
+        "t_days": tab["t"].astype(np.int64).to_numpy(),
+        "n_at_risk": at_risk.astype(np.int64),
+        "n_deaths": tab["d"].astype(np.int64).to_numpy(),
+        "survival": np.round(surv, 6) + 0.0})
+    return out.reset_index(drop=True)
+
+
+SQL_KAPLAN_MEIER = """
+    WITH u AS (
+        SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+    ),
+    ce AS (SELECT max(ts) AS e FROM events),
+    lt AS (
+        SELECT (epoch_us(l) - epoch_us(f)) // 86400000000 AS t,
+               CASE WHEN l <= (SELECT e - INTERVAL 7 DAY FROM ce)
+                    THEN 1 ELSE 0 END AS death
+        FROM u
+    ),
+    tab AS (SELECT t, sum(death) AS d, count(*) AS c FROM lt GROUP BY 1),
+    r AS (
+        SELECT t, d, c,
+               (SELECT count(*) FROM lt) - COALESCE(
+                   sum(c) OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n_at_risk
+        FROM tab
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_deaths,
+           round(product(1.0 - d / n_at_risk) OVER (ORDER BY t), 6) + 0.0
+               AS survival
+    FROM r ORDER BY t
+"""
+
+
+def q_sharpe_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Annualized Sharpe-style drift ratio per daily series, on ABSOLUTE
+    day-over-day moves (the daily sums cross zero, so relative returns are
+    ill-posed): √365 · mean(Δv) / std(Δv, ddof=1). One co-located kernel
+    per series; oracle is avg/stddev_samp over the lagged difference."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            dv = g["v"].diff().dropna().to_numpy(np.float64)
+            if len(dv) < 2 or dv.std(ddof=1) == 0:
+                rows.append((et, len(dv), np.nan))
+                continue
+            rows.append((et, len(dv),
+                         np.round(np.sqrt(365.0) * dv.mean()
+                                  / dv.std(ddof=1), 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_moves",
+                                           "sharpe"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_moves"] = out["n_moves"].astype(np.int64)
+    out = _fill(out, ["sharpe"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SHARPE_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    mv AS (
+        SELECT event_type,
+               v - LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS dv
+        FROM daily
+    )
+    SELECT event_type, CAST(count(dv) AS BIGINT) AS n_moves,
+           COALESCE(round(sqrt(365.0) * avg(dv) / stddev_samp(dv), 6) + 0.0,
+                    {NULLF}) AS sharpe
+    FROM mv WHERE dv IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_id_gaps_events(sf_dir: str) -> pd.DataFrame:
+    """Sequence-integrity audit: the 50 largest runs of MISSING event_ids
+    within the 'click' stream (gaps between consecutive observed ids),
+    largest-first then by position. Distributed as monotone id-range
+    partitions: each partition emits its INTERNAL gaps vectorized plus its
+    (min,max) — cross-partition boundary gaps fold on the driver from P
+    tiny rows, so no global sort happens. Top-50 is a per-partition
+    partial + driver merge."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+    clicks = ev.map_batches(
+        lambda b: b.loc[b["event_type"] == "click", ["event_id"]],
+        batch_format="pandas")
+    n_total = int(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+    P = _NP
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__rng"] = (b["event_id"].to_numpy(np.int64) * P
+                      // max(n_total, 1)).clip(0, P - 1)
+        return b
+
+    def local(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rng, g in part.groupby("__rng", sort=False):
+            ids = np.sort(g["event_id"].to_numpy(np.int64))
+            d = np.diff(ids)
+            at = np.nonzero(d > 1)[0]
+            for i in at:
+                rows.append((int(rng), int(ids[i] + 1), int(ids[i + 1] - 1),
+                             0))
+            rows.append((int(rng), int(ids[0]), int(ids[-1]), 1))
+        return pd.DataFrame(rows, columns=["__rng", "a", "b", "is_span"])
+
+    parts = keyed_map_partitions(clicks.map_batches(assign,
+                                                    batch_format="pandas"),
+                                 ["__rng"], local,
+                                 num_partitions=P).to_pandas()
+    gaps = parts[parts["is_span"] == 0][["a", "b"]].copy()
+    spans = parts[parts["is_span"] == 1].sort_values("__rng")
+    # boundary gaps between consecutive non-empty partitions
+    brows = []
+    prev_max = None
+    for _, r in spans.iterrows():
+        if prev_max is not None and r["a"] > prev_max + 1:
+            brows.append((prev_max + 1, r["a"] - 1))
+        prev_max = r["b"]
+    if brows:
+        gaps = pd.concat([gaps, pd.DataFrame(brows, columns=["a", "b"])],
+                         ignore_index=True)
+    gaps["gap_len"] = (gaps["b"] - gaps["a"] + 1).astype(np.int64)
+    out = gaps.sort_values(["gap_len", "a"], ascending=[False, True]) \
+        .head(50)[["a", "b", "gap_len"]].astype(np.int64)
+    return out.rename(columns={"a": "gap_start", "b": "gap_end"}) \
+        .reset_index(drop=True)
+
+
+SQL_ID_GAPS = """
+    WITH c AS (
+        SELECT event_id,
+               LAG(event_id) OVER (ORDER BY event_id) AS prev_id
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT CAST(prev_id + 1 AS BIGINT) AS gap_start,
+           CAST(event_id - 1 AS BIGINT) AS gap_end,
+           CAST(event_id - prev_id - 1 AS BIGINT) AS gap_len
+    FROM c WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    ORDER BY gap_len DESC, gap_start LIMIT 50
+"""

@@ -446,6 +446,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier_users": Q.q_kaplan_meier_users,
         "sharpe_daily_events": Q.q_sharpe_daily_events,
         "id_gaps_events": Q.q_id_gaps_events,
+        # quadratic trend, floored balance, weekday adjustment
+        "quadratic_trend_daily": Q.q_quadratic_trend_daily,
+        "stock_balance_daily": Q.q_stock_balance_daily,
+        "weekday_adjust_daily": Q.q_weekday_adjust_daily,
     }
 
 
@@ -748,4 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier_users": Q.SQL_KAPLAN_MEIER,
         "sharpe_daily_events": Q.SQL_SHARPE_DAILY,
         "id_gaps_events": Q.SQL_ID_GAPS,
+        "quadratic_trend_daily": Q.SQL_QUADRATIC_TREND,
+        "stock_balance_daily": Q.SQL_STOCK_BALANCE,
+        "weekday_adjust_daily": Q.SQL_WEEKDAY_ADJUST,
     }

@@ -13625,3 +13625,183 @@ SQL_ID_GAPS = """
     FROM c WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
     ORDER BY gap_len DESC, gap_start LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# quadratic trend / zero-floored stock balance / weekday seasonal adjustment
+# ---------------------------------------------------------------------------
+
+def q_quadratic_trend_daily(sf_dir: str) -> pd.DataFrame:
+    """Degree-2 polynomial trend per daily series, fit EXACTLY by Cramer's
+    rule on the normal equations — six moment sums (n, Σt, Σt², Σt³, Σt⁴,
+    Σv, Σvt, Σvt²) fully determine (a,b,c), so both engines evaluate the
+    same closed form and the oracle needs no linear-algebra library.
+    t = whole days since each series' first day (keeps the moments small).
+    Moments pre-reduce per batch; one row per (series, partial) crosses."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            t = ((g["d"].astype("datetime64[us]").astype("int64")
+                  - g["d"].astype("datetime64[us]").astype("int64").min())
+                 // DAY_US).to_numpy(np.float64)
+            v = g["v"].to_numpy(np.float64)
+            n = float(len(v))
+            s1, s2, s3, s4 = (t.sum(), (t**2).sum(), (t**3).sum(),
+                              (t**4).sum())
+            b0, b1, b2 = v.sum(), (v*t).sum(), (v*t*t).sum()
+            A = np.array([[n, s1, s2], [s1, s2, s3], [s2, s3, s4]])
+            det = np.linalg.det(A)
+            if abs(det) < 1e-9:
+                rows.append((et, int(n), np.nan, np.nan, np.nan))
+                continue
+            def rep(col, bv=np.array([b0, b1, b2])):
+                M = A.copy(); M[:, col] = bv
+                return np.linalg.det(M)
+            a, b, c = rep(0) / det, rep(1) / det, rep(2) / det
+            rows.append((et, int(n), np.round(a, 6) + 0.0,
+                         np.round(b, 6) + 0.0, np.round(c, 8) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "coef_a", "coef_b", "coef_c"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["coef_a", "coef_b", "coef_c"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_QUADRATIC_TREND = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tt AS (
+        SELECT event_type, v,
+               CAST(datediff('day',
+                    min(d) OVER (PARTITION BY event_type), d) AS DOUBLE)
+                   AS t
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, count(*)::DOUBLE AS n, sum(t) AS s1,
+               sum(t*t) AS s2, sum(t*t*t) AS s3, sum(t*t*t*t) AS s4,
+               sum(v) AS b0, sum(v*t) AS b1, sum(v*t*t) AS b2
+        FROM tt GROUP BY 1
+    ),
+    dets AS (
+        SELECT event_type, n,
+               n*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)
+                   AS det,
+               b0*(s2*s4 - s3*s3) - s1*(b1*s4 - s3*b2)
+                   + s2*(b1*s3 - s2*b2) AS det_a,
+               n*(b1*s4 - b2*s3) - b0*(s1*s4 - s3*s2)
+                   + s2*(s1*b2 - s2*b1) AS det_b,
+               n*(s2*b2 - s3*b1) - s1*(s1*b2 - b1*s2)
+                   + b0*(s1*s3 - s2*s2) AS det_c
+        FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN abs(det) >= 1e-9
+                         THEN round(det_a / det, 6) + 0.0 END, {NULLF})
+               AS coef_a,
+           COALESCE(CASE WHEN abs(det) >= 1e-9
+                         THEN round(det_b / det, 6) + 0.0 END, {NULLF})
+               AS coef_b,
+           COALESCE(CASE WHEN abs(det) >= 1e-9
+                         THEN round(det_c / det, 8) + 0.0 END, {NULLF})
+               AS coef_c
+    FROM dets ORDER BY 1
+"""
+
+
+def q_stock_balance_daily(sf_dir: str) -> pd.DataFrame:
+    """Zero-floored running balance (inventory semantics: demand can't
+    drive stock negative): S_t = max(0, S_{t−1} + Δv_t). The recursion is
+    NOT a prefix sum, but has the exact closed form
+    S_t = P_t − min(0, min_{j≤t} P_j) with P the plain cumsum — which IS
+    window-expressible, so the oracle needs no recursion and the kernel
+    stays one vectorized pass. Flows are the day-over-day moves of the
+    daily series (first day flows its own value)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            v = g["v"].to_numpy(np.float64)
+            flow = np.diff(v, prepend=0.0)
+            flow[0] = v[0]
+            P = np.cumsum(flow)
+            runmin = np.minimum.accumulate(P)
+            bal = P - np.minimum(runmin, 0.0)
+            outs.append(pd.DataFrame({
+                "event_type": g["event_type"], "d": g["d"],
+                "flow": np.round(flow, 6) + 0.0,
+                "balance": np.round(bal, 6) + 0.0}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "flow", "balance"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_STOCK_BALANCE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    f AS (
+        SELECT event_type, d,
+               COALESCE(v - LAG(v) OVER w, v) AS flow
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    p AS (
+        SELECT event_type, d, flow,
+               sum(flow) OVER w2 AS cum
+        FROM f WINDOW w2 AS (PARTITION BY event_type ORDER BY d
+                             ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, d, round(flow, 6) + 0.0 AS flow,
+           round(cum - least(min(cum) OVER w2, 0), 6) + 0.0 AS balance
+    FROM p WINDOW w2 AS (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_weekday_adjust_daily(sf_dir: str) -> pd.DataFrame:
+    """Weekday seasonal ADJUSTMENT (not just the profile): per series,
+    v_adj = v − mean(v | same weekday) + mean(v) — removes the day-of-week
+    effect while preserving the level. Both factor means are per-series
+    aggregates computed inside one co-located kernel (grouped transform,
+    no second shuffle); the oracle is two nested window averages."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["dow"] = part["d"].dt.dayofweek.astype(np.int64)
+        g = part.groupby("event_type", sort=False)
+        grand = g["v"].transform("mean")
+        dowm = part.groupby(["event_type", "dow"], sort=False)["v"] \
+            .transform("mean")
+        part["v_adj"] = np.round(
+            part["v"].to_numpy(np.float64) - dowm.to_numpy(np.float64)
+            + grand.to_numpy(np.float64), 6) + 0.0
+        return part[["event_type", "d", "v", "v_adj"]]
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_WEEKDAY_ADJUST = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           round(v - avg(v) OVER (PARTITION BY event_type, isodow(d))
+                   + avg(v) OVER (PARTITION BY event_type), 6) + 0.0
+               AS v_adj
+    FROM daily
+"""

@@ -450,6 +450,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadratic_trend_daily": Q.q_quadratic_trend_daily,
         "stock_balance_daily": Q.q_stock_balance_daily,
         "weekday_adjust_daily": Q.q_weekday_adjust_daily,
+        # AR(1) fit, partial-pooling shrinkage, exponential inter-arrival KS
+        "ar1_forecast_daily": Q.q_ar1_forecast_daily,
+        "pooled_shrinkage_daily": Q.q_pooled_shrinkage_daily,
+        "interarrival_expfit_events": Q.q_interarrival_expfit_events,
+        # lexical richness, Good-Turing spectrum, per-doc word entropy
+        "lexical_richness_documents": Q.q_lexical_richness_documents,
+        "good_turing_documents": Q.q_good_turing_documents,
+        "word_entropy_documents": Q.q_word_entropy_documents,
     }
 
 
@@ -755,4 +763,10 @@ def oracle_sql() -> dict[str, str]:
         "quadratic_trend_daily": Q.SQL_QUADRATIC_TREND,
         "stock_balance_daily": Q.SQL_STOCK_BALANCE,
         "weekday_adjust_daily": Q.SQL_WEEKDAY_ADJUST,
+        "ar1_forecast_daily": Q.SQL_AR1_FORECAST,
+        "pooled_shrinkage_daily": Q.SQL_POOLED_SHRINKAGE,
+        "interarrival_expfit_events": Q.SQL_INTERARRIVAL_EXPFIT,
+        "lexical_richness_documents": Q.SQL_LEXICAL_RICHNESS,
+        "good_turing_documents": Q.SQL_GOOD_TURING,
+        "word_entropy_documents": Q.SQL_WORD_ENTROPY,
     }

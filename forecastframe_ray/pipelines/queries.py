@@ -13805,3 +13805,397 @@ SQL_WEEKDAY_ADJUST = f"""
                AS v_adj
     FROM daily
 """
+
+
+# ---------------------------------------------------------------------------
+# AR(1) fit / partial-pooling shrinkage / exponential inter-arrival KS
+# ---------------------------------------------------------------------------
+
+def q_ar1_forecast_daily(sf_dir: str) -> pd.DataFrame:
+    """Exact AR(1)-with-intercept fit per daily series: OLS of v_t on
+    v_{t-1} (phi = Σ(x−x̄)(y−ȳ)/Σ(x−x̄)², c = ȳ − φx̄ — the same closed
+    form DuckDB's regr_slope/regr_intercept evaluate), plus the one-step
+    forecast c + φ·v_T. Pairs are formed inside the co-located partition
+    kernel; only (series, 4 floats) rows cross the exchange."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            if len(v) < 3:
+                rows.append((et, max(len(v) - 1, 0), np.nan, np.nan, np.nan))
+                continue
+            x, y = v[:-1], v[1:]
+            xm, ym = x.mean(), y.mean()
+            sxx = ((x - xm) ** 2).sum()
+            if sxx < 1e-12:
+                rows.append((et, len(x), np.nan, np.nan, np.nan))
+                continue
+            phi = ((x - xm) * (y - ym)).sum() / sxx
+            c = ym - phi * xm
+            rows.append((et, len(x), np.round(phi, 6) + 0.0,
+                         np.round(c, 6) + 0.0,
+                         np.round(c + phi * v[-1], 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_pairs", "phi",
+                                           "intercept", "next_forecast"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out = _fill(out, ["phi", "intercept", "next_forecast"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_AR1_FORECAST = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    p AS (
+        SELECT event_type, v,
+               LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS x
+        FROM daily
+    ),
+    fit AS (
+        SELECT event_type, count(*) AS n_pairs,
+               regr_slope(v, x) AS phi, regr_intercept(v, x) AS c
+        FROM p WHERE x IS NOT NULL GROUP BY 1
+    ),
+    last AS (SELECT event_type, arg_max(v, d) AS v_last FROM daily GROUP BY 1)
+    SELECT f.event_type, CAST(f.n_pairs AS BIGINT) AS n_pairs,
+           COALESCE(CASE WHEN f.n_pairs >= 2
+                         THEN round(f.phi, 6) + 0.0 END, {NULLF}) AS phi,
+           COALESCE(CASE WHEN f.n_pairs >= 2
+                         THEN round(f.c, 6) + 0.0 END, {NULLF}) AS intercept,
+           COALESCE(CASE WHEN f.n_pairs >= 2
+                         THEN round(f.c + f.phi * l.v_last, 6) + 0.0 END,
+                    {NULLF}) AS next_forecast
+    FROM fit f JOIN last l USING (event_type) ORDER BY 1
+"""
+
+
+def q_pooled_shrinkage_daily(sf_dir: str) -> pd.DataFrame:
+    """Empirical-Bayes partial pooling of per-series daily means toward the
+    grand mean (one-way random-effects shrinkage, cf. Gelman & Hill ch. 12):
+    τ² = max(0, var(m_i) − s²_pooled·mean(1/n_i)) by method of moments,
+    shrink_i = τ²/(τ² + s²_pooled/n_i), m̃_i = gm + shrink_i·(m_i − gm).
+    Engine side: one map-side (n, Σv, Σv²) combine per series — the k-row
+    moment table is the only thing that leaves the cluster."""
+    ev = _bucket_series(sf_dir, DAY_US, "d")
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["v2"] = b["v"].to_numpy(np.float64) ** 2
+        b["n"] = 1.0
+        return b[["event_type", "n", "v", "v2"]]
+
+    agg = hash_aggregate(ev.map_batches(moments, batch_format="pandas"),
+                         ["event_type"],
+                         {"n": ("n", "sum"), "s": ("v", "sum"),
+                          "ss": ("v2", "sum")}, num_partitions=_NP)
+    g = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    m = g["s"].to_numpy(np.float64) / n
+    s2 = (g["ss"].to_numpy(np.float64) - n * m * m) / (n - 1.0)
+    gm = m.mean()
+    vb = m.var(ddof=1)
+    s2p = ((n - 1.0) * s2).sum() / (n.sum() - len(n))
+    tau2 = max(0.0, vb - s2p * (1.0 / n).mean())
+    shrink = tau2 / (tau2 + s2p / n)
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "n_days": n.astype(np.int64),
+        "mean_raw": np.round(m, 6) + 0.0,
+        "shrink": np.round(shrink, 6) + 0.0,
+        "mean_shrunk": np.round(gm + shrink * (m - gm), 6) + 0.0,
+    })
+
+
+SQL_POOLED_SHRINKAGE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    g AS (
+        SELECT event_type, count(*)::DOUBLE AS n, avg(v) AS m,
+               var_samp(v) AS s2
+        FROM daily GROUP BY 1
+    ),
+    t AS (
+        SELECT avg(m) AS gm, var_samp(m) AS vb,
+               sum((n - 1) * s2) / (sum(n) - count(*)) AS s2p,
+               avg(1.0 / n) AS inv
+        FROM g
+    ),
+    t2 AS (SELECT gm, s2p, greatest(0, vb - s2p * inv) AS tau2 FROM t)
+    SELECT g.event_type, CAST(g.n AS BIGINT) AS n_days,
+           round(g.m, 6) + 0.0 AS mean_raw,
+           round(t2.tau2 / (t2.tau2 + t2.s2p / g.n), 6) + 0.0 AS shrink,
+           round(t2.gm + (g.m - t2.gm) * t2.tau2
+                 / (t2.tau2 + t2.s2p / g.n), 6) + 0.0 AS mean_shrunk
+    FROM g CROSS JOIN t2 ORDER BY 1
+"""
+
+
+def q_interarrival_expfit_events(sf_dir: str) -> pd.DataFrame:
+    """Exponential inter-arrival fit + Kolmogorov-Smirnov goodness-of-fit
+    per event type: gaps g_i between consecutive events (ordered by
+    (ts, event_id)), MLE mean = avg(g) (rounded to 6 so both engines
+    evaluate the SAME fitted CDF), and the one-sample KS statistic
+    D = max_i max(i/n − F(g_(i)), F(g_(i)) − (i−1)/n) against
+    F(g) = 1 − exp(−g/mean). Sorting happens inside the co-located
+    partition; one row per type crosses."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            us = g["ts"].astype("int64").to_numpy()
+            if len(us) < 2:
+                rows.append((et, 0, np.nan, np.nan))
+                continue
+            gaps = np.diff(us) / 1e6
+            mg = np.round(gaps.mean(), 6) + 0.0
+            gs = np.sort(gaps)
+            nn = float(len(gs))
+            rn = np.arange(1, len(gs) + 1, dtype=np.float64)
+            F = 1.0 - np.exp(-gs / mg)
+            ks = np.maximum(rn / nn - F, F - (rn - 1.0) / nn).max()
+            rows.append((et, len(gs), mg, np.round(ks, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                           "mean_gap_s", "ks_stat"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_gaps"] = out["n_gaps"].astype(np.int64)
+    out = _fill(out, ["mean_gap_s", "ks_stat"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_INTERARRIVAL_EXPFIT = f"""
+    WITH o AS (
+        SELECT event_type, ts,
+               LAG(ts) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(prev)) / 1e6 AS g
+        FROM o WHERE prev IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, count(*)::DOUBLE AS n,
+               round(avg(g), 6) + 0.0 AS mg
+        FROM gaps GROUP BY 1
+    ),
+    r AS (
+        SELECT g.event_type, g.g, m.n, m.mg,
+               ROW_NUMBER() OVER (PARTITION BY g.event_type
+                                  ORDER BY g.g) AS rn
+        FROM gaps g JOIN m USING (event_type)
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps, mg AS mean_gap_s,
+           round(max(greatest(rn / n - (1 - exp(-g / mg)),
+                              (1 - exp(-g / mg)) - (rn - 1) / n)), 6) + 0.0
+               AS ks_stat
+    FROM r GROUP BY event_type, n, mg ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# lexical richness / Good-Turing spectrum / per-doc word entropy
+# ---------------------------------------------------------------------------
+
+def q_lexical_richness_documents(sf_dir: str) -> pd.DataFrame:
+    """Lexical-richness profile per source over whitespace tokens: token
+    count N, type count V, hapax ratio V1/V, Simpson's repeat index
+    D = Σc(c−1)/(N(N−1)) and Yule's K = 10⁴·(Σc² − N)/N². Every sum is an
+    INTEGER over the (source, token) count table (one map-side partial +
+    one coarse-hash merge), so both engines divide identical integers —
+    only the final ratios are float."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[["source"]].copy()
+        ex["tok"] = b["text"].str.split()
+        ex = ex.explode("tok").dropna(subset=["tok"])
+        vc = ex.groupby(["source", "tok"], sort=False).size()
+        out = vc.rename("cnt").reset_index()
+        return out.rename(columns={"tok": "token"})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["source", "token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP)
+
+    def spectrum(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"], "n": c, "v": np.ones_like(c),
+            "v1": (c == 1).astype(np.int64), "c2": c * c,
+            "cc1": c * (c - 1)})
+
+    s = hash_aggregate(tc.map_batches(spectrum, batch_format="pandas"),
+                       ["source"],
+                       {"n": ("n", "sum"), "v": ("v", "sum"),
+                        "v1": ("v1", "sum"), "c2": ("c2", "sum"),
+                        "cc1": ("cc1", "sum")},
+                       num_partitions=_NP).to_pandas()
+    s = s.sort_values("source").reset_index(drop=True)
+    n = s["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "source": s["source"],
+        "n_tokens": s["n"].astype(np.int64),
+        "n_types": s["v"].astype(np.int64),
+        "hapax_ratio": np.round(s["v1"].to_numpy(np.float64)
+                                / s["v"].to_numpy(np.float64), 6) + 0.0,
+        "simpson_d": np.round(s["cc1"].to_numpy(np.float64)
+                              / (n * (n - 1.0)), 6) + 0.0,
+        "yule_k": np.round(1e4 * (s["c2"].to_numpy(np.float64) - n)
+                           / (n * n), 6) + 0.0,
+    })
+
+
+SQL_LEXICAL_RICHNESS = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    s AS (
+      SELECT source, sum(c) AS n, count(*) AS v,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+             sum(c * c) AS c2, sum(c * (c - 1)) AS cc1
+      FROM tc GROUP BY 1
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
+           round(v1 * 1.0 / v, 6) + 0.0 AS hapax_ratio,
+           round(cc1 * 1.0 / (n * (n - 1.0)), 6) + 0.0 AS simpson_d,
+           round(1e4 * (c2 - n) / (n * n * 1.0), 6) + 0.0 AS yule_k
+    FROM s ORDER BY 1
+"""
+
+
+def q_good_turing_documents(sf_dir: str) -> pd.DataFrame:
+    """Good-Turing frequency-of-frequencies over the corpus vocabulary:
+    N_r = number of token types seen exactly r times (r = 1..10) and the
+    adjusted count r* = (r+1)·N_{r+1}/N_r (Gale & Sampson's unsmoothed
+    estimator; NULLF where N_{r+1} is absent). The spectrum is two chained
+    integer count-aggregates — no floats until the final ratio."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP)
+
+    def to_r(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"r": b["c"].astype(np.int64), "one": 1})
+
+    ff = hash_aggregate(tc.map_batches(to_r, batch_format="pandas"),
+                        ["r"], {"nr": ("one", "sum")},
+                        num_partitions=_NP).to_pandas()
+    ff = ff.set_index("r")["nr"]
+    rows = []
+    for r in range(1, 11):
+        nr = int(ff.get(r, 0))
+        nr1 = int(ff.get(r + 1, 0))
+        rstar = (np.round((r + 1.0) * nr1 / nr, 6) + 0.0
+                 if nr > 0 and nr1 > 0 else NULLF)
+        rows.append((r, nr, rstar))
+    return pd.DataFrame(rows, columns=["r", "n_r", "r_star"]) \
+        .astype({"r": np.int64, "n_r": np.int64})
+
+
+SQL_GOOD_TURING = rf"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    ff AS (SELECT c AS r, count(*) AS nr FROM tc GROUP BY 1),
+    grid AS (SELECT unnest(range(1, 11)) AS r)
+    SELECT g.r, CAST(COALESCE(f1.nr, 0) AS BIGINT) AS n_r,
+           COALESCE(CASE WHEN f1.nr > 0 AND f2.nr > 0
+                         THEN round((g.r + 1.0) * f2.nr / f1.nr, 6) + 0.0
+                    END, {NULLF}) AS r_star
+    FROM grid g
+    LEFT JOIN ff f1 ON f1.r = g.r
+    LEFT JOIN ff f2 ON f2.r = g.r + 1
+    ORDER BY g.r
+"""
+
+
+def q_word_entropy_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-document Shannon word entropy (bits) over whitespace tokens —
+    H = log2(n) − (Σ c·log2 c)/n — plus the normalized form H/log2(V)
+    (NULLF for single-type or empty docs). Fully per-row parallel: the
+    explode/groupby runs inside each batch, nothing shuffles."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[["doc_id"]].copy()
+        ex["tok"] = b["text"].str.split()
+        ex = ex.explode("tok").dropna(subset=["tok"])
+        tc = ex.groupby(["doc_id", "tok"], sort=False).size() \
+            .rename("c").reset_index()
+        c = tc["c"].to_numpy(np.float64)
+        tc["clc"] = c * np.log2(c)
+        g = tc.groupby("doc_id", sort=False)
+        agg = pd.DataFrame({"n": g["c"].sum(), "v": g["c"].size(),
+                            "slc": g["clc"].sum()}).reset_index()
+        out = b[["doc_id"]].merge(agg, on="doc_id", how="left")
+        n = out["n"].fillna(0).to_numpy(np.float64)
+        v = out["v"].fillna(0).to_numpy(np.float64)
+        slc = out["slc"].fillna(0).to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.where(n > 0, np.log2(np.maximum(n, 1.0)) - slc
+                         / np.maximum(n, 1.0), np.nan)
+            hn = np.where(v > 1, h / np.log2(np.maximum(v, 2.0)), np.nan)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"],
+            "n_tokens": n.astype(np.int64),
+            "n_types": v.astype(np.int64),
+            "entropy_bits": np.where(np.isnan(h), NULLF,
+                                     np.round(h, 6) + 0.0),
+            "norm_entropy": np.where(np.isnan(hn), NULLF,
+                                     np.round(hn, 6) + 0.0),
+        })
+
+    out = docs.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WORD_ENTROPY = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS v,
+             sum(c * log2(c)) AS slc
+      FROM tc GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.v, 0) AS BIGINT) AS n_types,
+           COALESCE(CASE WHEN d.n > 0
+                         THEN round(log2(d.n) - d.slc / d.n, 6) + 0.0 END,
+                    {NULLF}) AS entropy_bits,
+           COALESCE(CASE WHEN d.v > 1
+                         THEN round((log2(d.n) - d.slc / d.n)
+                                    / log2(d.v), 6) + 0.0 END,
+                    {NULLF}) AS norm_entropy
+    FROM documents doc LEFT JOIN d USING (doc_id)
+    ORDER BY doc.doc_id
+"""

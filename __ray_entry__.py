@@ -458,6 +458,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_richness_documents": Q.q_lexical_richness_documents,
         "good_turing_documents": Q.q_good_turing_documents,
         "word_entropy_documents": Q.q_word_entropy_documents,
+        # HLL distinct gate, variance F-test, cross-sectional z-score
+        "hll_distinct_gate": Q.q_hll_distinct_gate,
+        "variance_ftest_daily": Q.q_variance_ftest_daily,
+        "cross_sectional_zscore_daily": Q.q_cross_sectional_zscore_daily,
     }
 
 
@@ -769,4 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_richness_documents": Q.SQL_LEXICAL_RICHNESS,
         "good_turing_documents": Q.SQL_GOOD_TURING,
         "word_entropy_documents": Q.SQL_WORD_ENTROPY,
+        "hll_distinct_gate": Q.SQL_HLL_DISTINCT_GATE,
+        "variance_ftest_daily": Q.SQL_VARIANCE_FTEST,
+        "cross_sectional_zscore_daily": Q.SQL_CROSS_SECTIONAL_ZSCORE,
     }

@@ -14199,3 +14199,150 @@ SQL_WORD_ENTROPY = rf"""
     FROM documents doc LEFT JOIN d USING (doc_id)
     ORDER BY doc.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog gate / variance F-test / cross-sectional z-score
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct_gate(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog accuracy gate (distinct_users_kmv_gate pattern): the
+    p=12 (4096-register, σ≈1.6%) HLL estimate of distinct users per event
+    type must land within 5% (≈3σ) of exact; ``n_exact`` comes from the
+    engine's exact-regime KMV sketch and is value-oracled against
+    count(DISTINCT). Exercises stages/sketch.py's second mergeable
+    distinct carry — fixed 4 KB per group vs KMV's 8·k bytes."""
+    from forecastframe_ray.stages.sketch import distinct_sketch, hll_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    est = hll_distinct(ev, ["event_type"], "user_id",
+                       p=12, num_partitions=8).to_pandas()
+    exact = distinct_sketch(ev, ["event_type"], "user_id",
+                            k=4096, num_partitions=8).to_pandas()
+    assert bool(exact["is_exact"].all())
+    out = exact[["event_type"]].copy()
+    out["n_exact"] = exact["distinct_est"].astype("int64")
+    rel_err = np.abs(est.set_index("event_type").loc[
+        out["event_type"], "distinct_est"].to_numpy()
+        - out["n_exact"].to_numpy()) / out["n_exact"].to_numpy()
+    out["err_ok"] = rel_err <= 0.05
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HLL_DISTINCT_GATE = """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS err_ok
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_variance_ftest_daily(sf_dir: str) -> pd.DataFrame:
+    """Two-sample variance F-test between the first and second time-halves
+    of each daily series (heteroscedasticity / regime-change screen):
+    halves split at row_number ≤ n//2 in day order, F = s₁²/s₂² with
+    sample variances. NULLF when either half has < 2 points or s₂² = 0."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n1 = len(v) // 2
+            a, b = v[:n1], v[n1:]
+            if len(a) < 2 or len(b) < 2:
+                rows.append((et, len(a), len(b), np.nan, np.nan, np.nan))
+                continue
+            v1, v2 = a.var(ddof=1), b.var(ddof=1)
+            f = v1 / v2 if v2 > 0 else np.nan
+            rows.append((et, len(a), len(b), np.round(v1, 6) + 0.0,
+                         np.round(v2, 6) + 0.0,
+                         np.round(f, 6) + 0.0 if np.isfinite(f) else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n1", "n2",
+                                           "var1", "var2", "f_stat"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["n1", "n2"]] = out[["n1", "n2"]].astype(np.int64)
+    out = _fill(out, ["var1", "var2", "f_stat"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VARIANCE_FTEST = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    h AS (SELECT event_type, v,
+                 CASE WHEN rn <= n // 2 THEN 1 ELSE 2 END AS half FROM r),
+    a AS (SELECT event_type, half, count(*) AS cnt, var_samp(v) AS s2
+          FROM h GROUP BY 1, 2)
+    SELECT a1.event_type,
+           CAST(a1.cnt AS BIGINT) AS n1, CAST(a2.cnt AS BIGINT) AS n2,
+           COALESCE(CASE WHEN a1.cnt >= 2 AND a2.cnt >= 2
+                         THEN round(a1.s2, 6) + 0.0 END, {NULLF}) AS var1,
+           COALESCE(CASE WHEN a1.cnt >= 2 AND a2.cnt >= 2
+                         THEN round(a2.s2, 6) + 0.0 END, {NULLF}) AS var2,
+           COALESCE(CASE WHEN a1.cnt >= 2 AND a2.cnt >= 2 AND a2.s2 > 0
+                         THEN round(a1.s2 / a2.s2, 6) + 0.0 END, {NULLF})
+               AS f_stat
+    FROM a a1 JOIN a a2 ON a1.event_type = a2.event_type
+                        AND a1.half = 1 AND a2.half = 2
+    ORDER BY 1
+"""
+
+
+def q_cross_sectional_zscore_daily(sf_dir: str) -> pd.DataFrame:
+    """Cross-sectional standardization: each series' daily value z-scored
+    against the SAME-DAY distribution across all series (the feature that
+    makes heterogeneous series comparable in pooled models). Day moments
+    reduce first (day-cardinality result, broadcast back) — the
+    daily_share_events plan shape. NULLF when the day has < 2 series or
+    zero dispersion."""
+    daily = _bucket_series(sf_dir, DAY_US, "d").materialize()
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["v2"] = b["v"].to_numpy(np.float64) ** 2
+        b["n"] = 1.0
+        return b[["d", "n", "v", "v2"]]
+
+    stats = hash_aggregate(daily.map_batches(moments, batch_format="pandas"),
+                           ["d"], {"n": ("n", "sum"), "s": ("v", "sum"),
+                                   "ss": ("v2", "sum")},
+                           num_partitions=4).to_pandas()
+    n = stats["n"].to_numpy(np.float64)
+    m = stats["s"].to_numpy(np.float64) / n
+    with np.errstate(invalid="ignore"):
+        sd = np.sqrt(np.maximum(
+            (stats["ss"].to_numpy(np.float64) - n * m * m) / (n - 1.0), 0.0))
+    mean_map = dict(zip(stats["d"], m))
+    sd_map = dict(zip(stats["d"], np.where(n >= 2, sd, np.nan)))
+
+    def z(b: pd.DataFrame) -> pd.DataFrame:
+        mu = b["d"].map(mean_map).to_numpy(np.float64)
+        s = b["d"].map(sd_map).to_numpy(np.float64)
+        v = b["v"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            zz = np.where(s > 0, np.round((v - mu) / s, 6) + 0.0, np.nan)
+        return pd.DataFrame({"event_type": b["event_type"], "d": b["d"],
+                             "v": b["v"], "z_cs": zz})
+
+    out = daily.map_batches(z, batch_format="pandas").to_pandas()
+    out = _fill(out, ["z_cs"])
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_CROSS_SECTIONAL_ZSCORE = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT event_type, d, v,
+           COALESCE(CASE WHEN count(*) OVER w >= 2
+                          AND stddev_samp(v) OVER w > 0
+                         THEN round((v - avg(v) OVER w)
+                                    / stddev_samp(v) OVER w, 6) + 0.0 END,
+                    {NULLF}) AS z_cs
+    FROM daily WINDOW w AS (PARTITION BY d)
+"""

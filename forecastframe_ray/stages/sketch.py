@@ -515,3 +515,98 @@ def cms_sketch(ds, group_keys: list[str], value_col: str,
     parts = ds.map_batches(partials, batch_format="pandas")
     return bucketed_map_groups(parts, gk, merge,
                                num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet & Meunier 2007)
+# ---------------------------------------------------------------------------
+#: default precision: 2^12 = 4096 uint8 registers → σ ≈ 1.04/√4096 ≈ 1.6%
+HLL_P_DEFAULT = 12
+
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros of nonzero uint64s (smear + popcount
+    of the complement — no float log2, so exact at power-of-two edges)."""
+    x = x.astype(np.uint64, copy=True)
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    ones = _POP_LUT[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+    return (64 - ones).astype(np.int64)
+
+
+def hll_from_hashes(h: np.ndarray, p: int = HLL_P_DEFAULT) -> np.ndarray:
+    """Dense uint8 register array: register = first p hash bits, value =
+    1 + leading-zero run of the remaining 64−p bits (capped at 64−p+1)."""
+    m = 1 << p
+    h = h.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # uint64 wraps: drops the index bits
+    rho = np.full(len(h), 64 - p + 1, dtype=np.int64)
+    nz = rest != 0
+    rho[nz] = _clz64(rest[nz]) + 1
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Register-wise max — associative, commutative, idempotent."""
+    return np.maximum.reduce(parts)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Raw HLL estimate with the small-range linear-counting correction
+    (the 64-bit-hash variant needs no large-range correction)."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds, group_keys: list[str], value_col: str,
+                 p: int = HLL_P_DEFAULT, num_partitions: int = 64):
+    """Per-group approximate COUNT(DISTINCT) via HyperLogLog — same
+    two-level plan as :func:`distinct_sketch` (per-batch partial registers
+    per group, one coarse-hash merge), but the carry is a FIXED 2^p bytes
+    per group regardless of cardinality, vs KMV's 8k bytes — the right
+    trade above ~10⁶ distinct per group. Returns
+    ``group_keys + [hll (binary), distinct_est (float64)]``."""
+    gk = list(group_keys)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        h = K.hash_key_columns(b, [value_col])
+        rows = []
+        sub = b[gk]
+        for key, idx in sub.groupby(gk, sort=False, dropna=False,
+                                    observed=True).indices.items():
+            key = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(gk, key))
+            row["__hll"] = hll_from_hashes(h[idx], p).tobytes()
+            rows.append(row)
+        if not rows:
+            return pd.DataFrame({**{c: pd.Series([], dtype="object")
+                                    for c in gk},
+                                 "__hll": pd.Series([], dtype="object")})
+        return pd.DataFrame(rows)
+
+    def merge(sub: pd.DataFrame) -> pd.DataFrame:
+        if len(sub) == 0:
+            out = sub[gk].iloc[0:0].copy()
+            out["hll"] = pd.Series([], dtype="object")
+            out["distinct_est"] = pd.Series([], dtype="float64")
+            return out
+        regs = hll_merge([np.frombuffer(x, dtype=np.uint8)
+                          for x in sub["__hll"]])
+        out = sub[gk].iloc[:1].copy()
+        out["hll"] = [regs.tobytes()]
+        out["distinct_est"] = hll_estimate(regs)
+        return out
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+    return bucketed_map_groups(parts, gk, merge,
+                               num_partitions=num_partitions)

@@ -462,6 +462,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_gate": Q.q_hll_distinct_gate,
         "variance_ftest_daily": Q.q_variance_ftest_daily,
         "cross_sectional_zscore_daily": Q.q_cross_sectional_zscore_daily,
+        # bigram LM perplexity, dominant ACF period, holiday distance
+        "bigram_perplexity_documents": Q.q_bigram_perplexity_documents,
+        "dominant_period_daily": Q.q_dominant_period_daily,
+        "holiday_distance_daily": Q.q_holiday_distance_daily,
     }
 
 
@@ -776,4 +780,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_gate": Q.SQL_HLL_DISTINCT_GATE,
         "variance_ftest_daily": Q.SQL_VARIANCE_FTEST,
         "cross_sectional_zscore_daily": Q.SQL_CROSS_SECTIONAL_ZSCORE,
+        "bigram_perplexity_documents": Q.SQL_BIGRAM_PERPLEXITY,
+        "dominant_period_daily": Q.SQL_DOMINANT_PERIOD,
+        "holiday_distance_daily": Q.SQL_HOLIDAY_DISTANCE,
     }

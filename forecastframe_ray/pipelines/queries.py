@@ -14346,3 +14346,181 @@ SQL_CROSS_SECTIONAL_ZSCORE = f"""
                     {NULLF}) AS z_cs
     FROM daily WINDOW w AS (PARTITION BY d)
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity / dominant ACF period / holiday-distance calendar
+# ---------------------------------------------------------------------------
+
+def q_bigram_perplexity_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-doc perplexity under the corpus's add-one-smoothed bigram LM
+    (pipelines/tfidf.bigram_doc_logprob) — the quality-filter signal CCNet
+    computes with an external LM, here self-trained so it stays
+    SQL-oracle-able end to end."""
+    from forecastframe_ray.pipelines.tfidf import bigram_doc_logprob
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_doc_logprob(docs, num_partitions=_NP).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_bigrams": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BIGRAM_PERPLEXITY = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    dbg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    cb AS (SELECT w1, w2, sum(tf) AS c FROM dbg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(tf) AS n1 FROM dbg GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT token) AS v
+      FROM (SELECT unnest(t) AS token FROM toks)
+    ),
+    sc AS (
+      SELECT dbg.doc_id,
+             sum(dbg.tf * ln((cb.c + 1.0) / (c1.n1 + vocab.v))) AS s,
+             sum(dbg.tf) AS m
+      FROM dbg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams,
+           round(s / m, 6) + 0.0 AS lm_logprob,
+           round(exp(-s / m), 6) + 0.0 AS perplexity
+    FROM sc ORDER BY doc_id
+"""
+
+
+def q_dominant_period_daily(sf_dir: str) -> pd.DataFrame:
+    """Dominant seasonal period per series: the lag k ∈ [2, 10] maximizing
+    the sample ACF r_k = Σ_{t>k}(v_t−v̄)(v_{t−k}−v̄) / Σ(v_t−v̄)² — the
+    autodetect step before seasonal models pick their period. Argmax is
+    taken over r_k ROUNDED to 6 (tie → smallest k) so both engines rank
+    identical values."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            dv = v - v.mean()
+            den = (dv ** 2).sum()
+            best_k, best_r = None, None
+            for k in range(2, 11):
+                if len(v) <= k or den <= 0:
+                    continue
+                r = np.round((dv[k:] * dv[:-k]).sum() / den, 6) + 0.0
+                if best_r is None or r > best_r:
+                    best_k, best_r = k, r
+            if best_k is None:
+                rows.append((et, 0, np.nan))
+            else:
+                rows.append((et, best_k, best_r))
+        return pd.DataFrame(rows, columns=["event_type", "best_lag",
+                                           "best_acf"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["best_lag"] = out["best_lag"].astype(np.int64)
+    out = _fill(out, ["best_acf"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DOMINANT_PERIOD = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu FROM daily GROUP BY 1),
+    r AS (
+        SELECT d.event_type, d.v, m.mu,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d) AS rn
+        FROM daily d JOIN m USING (event_type)
+    ),
+    den AS (SELECT event_type, sum((v - mu) * (v - mu)) AS den
+            FROM r GROUP BY 1),
+    ks AS (SELECT unnest(range(2, 11)) AS k),
+    acf AS (
+        SELECT a.event_type, ks.k,
+               round(sum((a.v - a.mu) * (b.v - b.mu)) / any_value(den.den),
+                     6) + 0.0 AS rk
+        FROM ks, r a
+        JOIN r b ON a.event_type = b.event_type AND a.rn = b.rn + ks.k
+        JOIN den ON den.event_type = a.event_type
+        WHERE den.den > 0
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, k, rk,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY rk DESC, k) AS pos
+        FROM acf
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS best_lag, rk AS best_acf
+    FROM ranked WHERE pos = 1 ORDER BY 1
+"""
+
+
+#: fixed civil-holiday list bracketing the testdata window (deterministic —
+#: a calendar feature table, not external data)
+_HOLIDAYS = ("2024-01-01", "2024-01-15", "2024-02-14", "2024-02-19")
+
+
+def q_holiday_distance_daily(sf_dir: str) -> pd.DataFrame:
+    """Holiday-distance calendar features per (series, day): is_holiday,
+    signed days to the NEAREST holiday (negative = holiday is in the past;
+    ties to the future one), from a fixed four-date civil list. The classic
+    forecastframe-style calendar enrich, vectorized via searchsorted."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    hol = np.array([pd.Timestamp(h).value // 1000 for h in _HOLIDAYS],
+                   dtype=np.int64)  # epoch us
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["d"].astype("datetime64[us]").astype("int64").to_numpy()
+        pos = np.searchsorted(hol, us)
+        nxt = hol[np.minimum(pos, len(hol) - 1)]
+        prv = hol[np.maximum(pos - 1, 0)]
+        d_next = (nxt - us) // DAY_US
+        d_prev = (us - prv) // DAY_US
+        has_next = pos < len(hol)
+        has_prev = pos > 0
+        # signed distance to nearest: future positive, past negative
+        pick_next = has_next & (~has_prev | (d_next <= d_prev))
+        nearest = np.where(pick_next, d_next, -d_prev)
+        return pd.DataFrame({
+            "event_type": b["event_type"], "d": b["d"], "v": b["v"],
+            "is_holiday": nearest == 0,
+            "days_to_nearest": nearest.astype(np.int64)})
+
+    out = daily.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+_HOLIDAY_VALUES = ", ".join(f"(DATE '{h}')" for h in _HOLIDAYS)
+
+SQL_HOLIDAY_DISTANCE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    hol AS (SELECT * FROM (VALUES {_HOLIDAY_VALUES}) AS t(h)),
+    dist AS (
+        SELECT d.event_type, d.d, d.v,
+               min(CASE WHEN h.h >= d.d
+                        THEN datediff('day', CAST(d.d AS DATE), h.h) END)
+                   AS d_next,
+               min(CASE WHEN h.h < d.d
+                        THEN datediff('day', h.h, CAST(d.d AS DATE)) END)
+                   AS d_prev
+        FROM daily d CROSS JOIN hol h GROUP BY 1, 2, 3
+    )
+    SELECT event_type, d, v,
+           COALESCE(d_next, d_prev + 1) = 0 AS is_holiday,
+           CAST(CASE WHEN d_next IS NOT NULL
+                      AND (d_prev IS NULL OR d_next <= d_prev)
+                     THEN d_next ELSE -d_prev END AS BIGINT)
+               AS days_to_nearest
+    FROM dist
+"""

@@ -298,3 +298,107 @@ def bm25_scores(ds, query_terms: list[str], text_col: str = "text",
         return bt
 
     return summed.map_batches(fin, batch_format="pandas")
+
+
+def doc_bigram_freqs(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, w1, w2, tf) rows — per-document counts of ADJACENT whitespace
+    token pairs. Same zero-shuffle shape as :func:`doc_term_freqs`: the
+    explode preserves token order within each row, so adjacency is just
+    ``index[1:] == index[:-1]`` on the exploded frame — fully vectorized."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].str.split().explode().dropna()
+        ridx = ex.index.to_numpy()
+        tokv = ex.to_numpy()
+        if len(tokv) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "w1": pd.Series([], dtype="object"),
+                                 "w2": pd.Series([], dtype="object"),
+                                 "tf": pd.Series([], dtype="int64")})
+        same = ridx[1:] == ridx[:-1]
+        g = pd.DataFrame({
+            id_col: b[id_col].to_numpy()[ridx[:-1][same]],
+            "w1": tokv[:-1][same], "w2": tokv[1:][same],
+        })
+        out = (g.groupby([id_col, "w1", "w2"], sort=False).size()
+                .reset_index(name="tf"))
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    return ds.map_batches(partial, batch_format="pandas")
+
+
+def bigram_doc_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                       num_partitions: int = 64,
+                       broadcast_limit: int = BROADCAST_VOCAB_LIMIT):
+    """Per-document mean bigram log-probability + perplexity under the
+    corpus's own add-one-smoothed bigram LM (the CCNet/Wenzek-style quality
+    signal one order up from :func:`unigram_doc_logprob`):
+    ``p(w2|w1) = (c(w1,w2)+1) / (c_left(w1)+V)`` with V = corpus unigram
+    vocabulary size, ``lm_logprob = Σ tf·ln p / Σ tf`` and
+    ``perplexity = exp(−lm_logprob)``. Docs with < 2 tokens are omitted.
+
+    Scale shape: bigram/context tables build combiner-first; scoring ships
+    them broadcast under ``broadcast_limit`` rows, else through the
+    distributed hash-join path (two joins, each small side repartitioned +
+    materialized first per the aggregator-pool rule)."""
+    import ray
+
+    bg = doc_bigram_freqs(ds, text_col, id_col).materialize()
+    cb = hash_aggregate(bg, ["w1", "w2"], {"c": ("tf", "sum")},
+                        num_partitions=num_partitions)
+    c1 = hash_aggregate(bg, ["w1"], {"n1": ("tf", "sum")},
+                        num_partitions=num_partitions)
+    vocab = hash_aggregate(doc_term_freqs(ds, text_col, id_col), ["token"],
+                           {"n": ("tf", "sum")},
+                           num_partitions=num_partitions)
+    V = float(vocab.count())
+
+    n_bigrams = cb.count()
+    if n_bigrams <= broadcast_limit:
+        cb_df = ensure_columns(cb.to_pandas(),
+                               {"w1": "object", "w2": "object", "c": "int64"})
+        c1_df = ensure_columns(c1.to_pandas(),
+                               {"w1": "object", "n1": "int64"})
+        cb_ref, c1_ref = ray.put(cb_df), ray.put(c1_df)
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.merge(ray.get(cb_ref), on=["w1", "w2"], how="inner")
+            b = b.merge(ray.get(c1_ref), on="w1", how="inner")
+            tf = b["tf"].to_numpy(np.float64)
+            lp = tf * np.log((b["c"].to_numpy(np.float64) + 1.0)
+                             / (b["n1"].to_numpy(np.float64) + V))
+            return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                                 "__s": lp, "__m": b["tf"].to_numpy("int64")})
+
+        partial = bg.map_batches(score, batch_format="pandas")
+    else:
+        from forecastframe_ray.stages.join import hash_join
+
+        j1 = hash_join(bg, cb.repartition(8).materialize(),
+                       on=["w1", "w2"], num_partitions=num_partitions) \
+            .materialize()
+        j2 = hash_join(j1, c1.repartition(8).materialize(),
+                       on=["w1"], num_partitions=num_partitions)
+
+        def score_joined(b: pd.DataFrame) -> pd.DataFrame:
+            tf = b["tf"].to_numpy(np.float64)
+            lp = tf * np.log((b["c"].to_numpy(np.float64) + 1.0)
+                             / (b["n1"].to_numpy(np.float64) + V))
+            return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                                 "__s": lp, "__m": b["tf"].to_numpy("int64")})
+
+        partial = j2.map_batches(score_joined, batch_format="pandas")
+
+    sums = hash_aggregate(partial, [id_col],
+                          {"s": ("__s", "sum"), "n_bigrams": ("__m", "sum")},
+                          num_partitions=max(8, num_partitions // 2))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b["n_bigrams"].to_numpy(np.float64)
+        lp = b["s"].to_numpy(np.float64) / m
+        b["lm_logprob"] = np.round(lp, 6) + 0.0
+        b["perplexity"] = np.round(np.exp(-lp), 6) + 0.0
+        return b[[id_col, "n_bigrams", "lm_logprob", "perplexity"]]
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -116,3 +116,28 @@ def test_label_centroids_matches_numpy():
         got = out.loc[out["label"] == lab, "centroid"].to_numpy()
         np.testing.assert_allclose(got, want, atol=1e-9)
         assert (out.loc[out["label"] == lab, "n"] == (labels == lab).sum()).all()
+
+
+def test_bigram_join_path_matches_broadcast():
+    from forecastframe_ray.pipelines.tfidf import bigram_doc_logprob
+
+    docs = ray.data.from_pandas(_docs()).repartition(4)
+    a = bigram_doc_logprob(docs).to_pandas()
+    b = bigram_doc_logprob(docs, broadcast_limit=0).to_pandas()
+    cols = ["doc_id", "n_bigrams", "lm_logprob", "perplexity"]
+    pd.testing.assert_frame_equal(_canon(a[cols], ["doc_id"]),
+                                  _canon(b[cols], ["doc_id"]))
+    assert 7 not in set(a["doc_id"])  # empty doc has no bigrams
+    # add-one smoothing keeps every probability < 1 → logprob < 0, ppl > 1
+    assert (a["lm_logprob"] < 0).all()
+    assert (a["perplexity"] > 1).all()
+
+
+def test_bigram_freqs_adjacency():
+    from forecastframe_ray.pipelines.tfidf import doc_bigram_freqs
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b a b", "c"]})
+    out = doc_bigram_freqs(ray.data.from_pandas(df)).to_pandas()
+    got = {(r.doc_id, r.w1, r.w2): r.tf for r in out.itertuples()}
+    # doc 2 has a single token → no bigrams; doc boundaries never pair
+    assert got == {(1, "a", "b"): 2, (1, "b", "a"): 1}

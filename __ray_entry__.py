@@ -466,6 +466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_perplexity_documents": Q.q_bigram_perplexity_documents,
         "dominant_period_daily": Q.q_dominant_period_daily,
         "holiday_distance_daily": Q.q_holiday_distance_daily,
+        # TSB intermittent gate (14th estimator), Hurst R/S, peak stats
+        "tsb_gate_daily": Q.q_tsb_gate_daily,
+        "hurst_rs_daily": Q.q_hurst_rs_daily,
+        "peak_stats_daily": Q.q_peak_stats_daily,
     }
 
 
@@ -783,4 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_perplexity_documents": Q.SQL_BIGRAM_PERPLEXITY,
         "dominant_period_daily": Q.SQL_DOMINANT_PERIOD,
         "holiday_distance_daily": Q.SQL_HOLIDAY_DISTANCE,
+        "tsb_gate_daily": Q.SQL_TSB_GATE,
+        "hurst_rs_daily": Q.SQL_HURST_RS,
+        "peak_stats_daily": Q.SQL_PEAK_STATS,
     }

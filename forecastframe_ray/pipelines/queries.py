@@ -14524,3 +14524,215 @@ SQL_HOLIDAY_DISTANCE = f"""
                AS days_to_nearest
     FROM dist
 """
+
+
+# ---------------------------------------------------------------------------
+# TSB intermittent forecast gate / Hurst R/S exponent / peak-load stats
+# ---------------------------------------------------------------------------
+
+def q_tsb_gate_daily(sf_dir: str) -> pd.DataFrame:
+    """TSB (Teunter-Syntetos-Babai) forecast, oracle-GATED through the
+    α=1, β=½ closed form: with α=1 the size state is the last nonzero
+    demand, and the β=½ probability recursion over demand indicators has
+    the exact geometric-weight expansion
+    p̂ = ½ⁿ⁻¹·I₁ + Σᵢ₌₂ⁿ ½·½ⁿ⁻ⁱ·Iᵢ — which IS window-expressible. The
+    intermittent series is the same Mon/Thu/Sat mask the Croston gate
+    uses; general (α, β) is pytest-pinned against a direct recursion."""
+    from forecastframe_ray.pipelines.search import fit_tsb, score_tsb
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def mask(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        dow = b["d"].dt.dayofweek.to_numpy()
+        b["v"] = np.where(np.isin(dow, (0, 3, 5)),
+                          b["v"].to_numpy(np.float64), 0.0)
+        return b
+
+    masked = daily.map_batches(mask, batch_format="pandas").materialize()
+    state = fit_tsb(masked, ["event_type"], "d", "v", alpha=1.0, beta=0.5)
+    one = masked.map_batches(
+        lambda b: b.drop_duplicates("event_type")[["event_type", "d"]],
+        batch_format="pandas")
+    scored = score_tsb(one, state, ["event_type"], "d", "v",
+                       "tsb_forecast").to_pandas()
+    out = scored.drop_duplicates("event_type")[["event_type", "tsb_forecast"]]
+    out = _round(out, ["tsb_forecast"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_TSB_GATE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (
+        SELECT event_type, d,
+               CASE WHEN (isodow(d) - 1) IN (0, 3, 5) THEN v ELSE 0 END AS v
+        FROM daily
+    ),
+    r AS (
+        SELECT event_type, d, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM m
+    ),
+    p AS (
+        SELECT event_type,
+               sum(CASE WHEN v <> 0 THEN
+                     CASE WHEN rn = 1 THEN power(0.5, n - 1)
+                          ELSE 0.5 * power(0.5, n - rn) END
+                   ELSE 0 END) AS phat
+        FROM r GROUP BY 1
+    ),
+    z AS (SELECT event_type, arg_max(v, d) AS zhat
+          FROM m WHERE v <> 0 GROUP BY 1)
+    SELECT p.event_type,
+           round(COALESCE(p.phat * z.zhat, 0), 6) + 0.0 AS tsb_forecast
+    FROM p LEFT JOIN z USING (event_type) ORDER BY 1
+"""
+
+
+def q_hurst_rs_daily(sf_dir: str) -> pd.DataFrame:
+    """Two-scale rescaled-range (R/S) Hurst estimate per series (Hurst
+    1951; Mandelbrot & Wallis 1969): R/S of a segment = range of the
+    cumulative mean-adjusted sum / sample std; the exponent is
+    H = log2(RS_full / mean(RS of the two time-halves)) — >0.5 persistent,
+    <0.5 mean-reverting. Segments split at row n//2 like the F-test;
+    NULLF when any segment has < 2 points or zero dispersion."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def rs(seg: np.ndarray) -> float:
+        if len(seg) < 2:
+            return np.nan
+        sd = seg.std(ddof=1)
+        if sd <= 0:
+            return np.nan
+        c = np.cumsum(seg - seg.mean())
+        return (c.max() - c.min()) / sd
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n1 = len(v) // 2
+            rf, r1, r2 = rs(v), rs(v[:n1]), rs(v[n1:])
+            if np.isnan(rf) or np.isnan(r1) or np.isnan(r2):
+                rows.append((et, np.nan, np.nan, np.nan))
+                continue
+            half = (r1 + r2) / 2.0
+            rows.append((et, np.round(rf, 6) + 0.0,
+                         np.round(half, 6) + 0.0,
+                         np.round(np.log2(rf / half), 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "rs_full",
+                                           "rs_half_mean", "hurst"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = _fill(out, ["rs_full", "rs_half_mean", "hurst"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HURST_RS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    segs AS (
+        SELECT event_type, d, v, 0 AS seg FROM r
+        UNION ALL
+        SELECT event_type, d, v,
+               CASE WHEN rn <= n // 2 THEN 1 ELSE 2 END AS seg
+        FROM r
+    ),
+    mu AS (SELECT event_type, seg, avg(v) AS mu, stddev_samp(v) AS sd,
+                  count(*) AS cnt
+           FROM segs GROUP BY 1, 2),
+    c AS (
+        SELECT s.event_type, s.seg,
+               sum(s.v - mu.mu) OVER (PARTITION BY s.event_type, s.seg
+                                      ORDER BY s.d
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+        FROM segs s JOIN mu USING (event_type, seg)
+    ),
+    rng AS (SELECT event_type, seg, max(cum) - min(cum) AS rng
+            FROM c GROUP BY 1, 2),
+    rsv AS (
+        SELECT r.event_type, r.seg,
+               CASE WHEN mu.cnt >= 2 AND mu.sd > 0
+                    THEN r.rng / mu.sd END AS rs
+        FROM rng r JOIN mu USING (event_type, seg)
+    ),
+    piv AS (
+        SELECT event_type,
+               max(CASE WHEN seg = 0 THEN rs END) AS rf,
+               avg(CASE WHEN seg IN (1, 2) THEN rs END) AS rh,
+               bool_and(rs IS NOT NULL) AS ok
+        FROM rsv GROUP BY 1
+    )
+    SELECT event_type,
+           COALESCE(CASE WHEN ok THEN round(rf, 6) + 0.0 END, {NULLF})
+               AS rs_full,
+           COALESCE(CASE WHEN ok THEN round(rh, 6) + 0.0 END, {NULLF})
+               AS rs_half_mean,
+           COALESCE(CASE WHEN ok THEN round(log2(rf / rh), 6) + 0.0 END,
+                    {NULLF}) AS hurst
+    FROM piv ORDER BY 1
+"""
+
+
+def q_peak_stats_daily(sf_dir: str) -> pd.DataFrame:
+    """Peak/load profile per series: the peak day (earliest on ties), peak
+    value, mean, peak-to-mean ratio and load factor (mean/peak) — the
+    capacity-planning summary of a traffic series."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values(["v", "d"], ascending=[False, True])
+            peak_d, peak_v = g.iloc[0]["d"], float(g.iloc[0]["v"])
+            mean_v = float(g["v"].mean())
+            ptm = peak_v / mean_v if mean_v != 0 else np.nan
+            lf = mean_v / peak_v if peak_v != 0 else np.nan
+            rows.append((et, peak_d, np.round(peak_v, 6) + 0.0,
+                         np.round(mean_v, 6) + 0.0,
+                         np.round(ptm, 6) + 0.0 if np.isfinite(ptm)
+                         else np.nan,
+                         np.round(lf, 6) + 0.0 if np.isfinite(lf)
+                         else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "peak_day",
+                                           "peak_v", "mean_v",
+                                           "peak_to_mean", "load_factor"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = _fill(out, ["peak_to_mean", "load_factor"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PEAK_STATS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    s AS (
+        SELECT event_type, min(d) FILTER (WHERE is_peak) AS peak_day,
+               max(v) AS peak_v, avg(v) AS mean_v
+        FROM (SELECT event_type, d, v,
+                     v = max(v) OVER (PARTITION BY event_type) AS is_peak
+              FROM daily)
+        GROUP BY 1
+    )
+    SELECT event_type, peak_day,
+           round(peak_v, 6) + 0.0 AS peak_v,
+           round(mean_v, 6) + 0.0 AS mean_v,
+           COALESCE(CASE WHEN mean_v <> 0
+                         THEN round(peak_v / mean_v, 6) + 0.0 END, {NULLF})
+               AS peak_to_mean,
+           COALESCE(CASE WHEN peak_v <> 0
+                         THEN round(mean_v / peak_v, 6) + 0.0 END, {NULLF})
+               AS load_factor
+    FROM s ORDER BY 1
+"""

@@ -898,6 +898,71 @@ def score_holt_damped(ds, state: dict, keys: list[str], dtc: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def fit_tsb(train_ds, keys: list[str], dtc: str, target: str,
+            alpha: float = 0.1, beta: float = 0.1) -> dict:
+    """TSB — Teunter, Syntetos & Babai 2011 (public): the intermittent-
+    demand method that, unlike Croston, updates EVERY period so it tracks
+    obsolescence (demand probability decays through zero stretches):
+
+        p_t = β·1[y_t≠0] + (1−β)·p_{t−1}   (init p_1 = 1[y_1≠0])
+        z_t = α·y_t + (1−α)·z_{t−1}        (nonzero periods only;
+                                            init z = first nonzero size)
+
+    with the flat-ahead forecast p̂·ẑ. All-zero series forecast 0. Same
+    distributed shape as :func:`fit_croston` (key-co-located partition
+    kernel, one (p̂, ẑ) state row per series). The α=1, β=½ degenerate
+    (closed-form geometric weights over the demand indicators) is the SQL
+    oracle gate; general (α, β) is pytest-pinned against a direct numpy
+    recursion."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    alpha, beta = float(alpha), float(beta)
+
+    def fit_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part[target].notna()]
+        rows = []
+        for kv, g in part.groupby(keys, sort=False, observed=True):
+            y = g.sort_values(dtc)[target].to_numpy(dtype=np.float64)
+            ind = (y != 0.0).astype(np.float64)
+            p = ind[0]
+            for i in range(1, len(ind)):
+                p = beta * ind[i] + (1.0 - beta) * p
+            nz = np.flatnonzero(y != 0.0)
+            if len(nz) == 0:
+                z = 0.0
+            else:
+                z = y[nz[0]]
+                for i in nz[1:]:
+                    z = alpha * y[i] + (1.0 - alpha) * z
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, p, z))
+        return pd.DataFrame(rows, columns=keys + ["__prob", "__size"])
+
+    model = keyed_map_partitions(train_ds, keys, fit_part).to_pandas()
+    return {"alpha": alpha, "beta": beta, "model": model}
+
+
+def score_tsb(ds, state: dict, keys: list[str], dtc: str,
+              target: str, out_col: str):
+    """Flat-ahead TSB forecast: p̂·ẑ per series for every scored row
+    (0 for all-zero series; NaN for series unseen at fit time)."""
+    import ray
+
+    ref = ray.put(state["model"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b[keys].merge(ray.get(ref), how="left", on=keys)
+        p = m["__prob"].to_numpy(np.float64)
+        z = m["__size"].to_numpy(np.float64)
+        pred = p * z
+        pred = np.where(np.isnan(p), np.nan, pred)
+        b[out_col] = pred
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 #: name -> (fit, score, fit_param_names). ``fit_param_names`` declares which
 #: candidate params the FIT depends on (the rest only affect scoring), so
 #: the search driver can share one fitted state across candidates that
@@ -920,6 +985,7 @@ ESTIMATORS = {
     "seasonal_naive": (fit_seasonal_naive, score_seasonal_naive,
                        ("period",)),
     "drift": (fit_drift, score_drift, ()),
+    "tsb": (fit_tsb, score_tsb, ("alpha", "beta")),
 }
 
 

@@ -470,6 +470,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tsb_gate_daily": Q.q_tsb_gate_daily,
         "hurst_rs_daily": Q.q_hurst_rs_daily,
         "peak_stats_daily": Q.q_peak_stats_daily,
+        # flagship pages-path SQL oracle, strict 3-step funnel, circular hour
+        "host_tier_1d_pages": Q.q_host_tier_1d_pages,
+        "funnel3_strict_events": Q.q_funnel3_strict_events,
+        "circular_hour_events": Q.q_circular_hour_events,
     }
 
 
@@ -790,4 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "tsb_gate_daily": Q.SQL_TSB_GATE,
         "hurst_rs_daily": Q.SQL_HURST_RS,
         "peak_stats_daily": Q.SQL_PEAK_STATS,
+        "host_tier_1d_pages": Q.SQL_HOST_TIER_1D_PAGES,
+        "funnel3_strict_events": Q.SQL_FUNNEL3_STRICT,
+        "circular_hour_events": Q.SQL_CIRCULAR_HOUR,
     }

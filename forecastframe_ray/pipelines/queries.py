@@ -14736,3 +14736,179 @@ SQL_PEAK_STATS = f"""
                AS load_factor
     FROM s ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# flagship-path pages oracle / strict 3-step funnel / circular hour stats
+# ---------------------------------------------------------------------------
+
+#: entry()'s deterministic page-synthesis constants (__ray_entry__.py)
+_PAGE_EPOCH_US = 1_704_067_200_000_000
+_PAGE_STRIDE = 9_999_999_989
+_PAGE_SPAN_US = 28 * DAY_US
+
+
+def q_host_tier_1d_pages(sf_dir: str) -> pd.DataFrame:
+    """THE flagship path under a full SQL value-hash: documents →
+    deterministic Common-Crawl-style page synthesis (entry()'s exact
+    formulas) → html-binary text extraction (extract.py's tag-strip /
+    unescape / whitespace-collapse contract) → url host keys → salted 1d
+    retention tier over text_bytes. The oracle recomputes extraction
+    byte-length and the tier algebra in pure SQL — so the html→text→tier
+    chain is hash-pinned end to end, not just pytest byte-identity."""
+    import html as _html
+    import pyarrow as pa
+
+    from forecastframe_ray.pipelines import web
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def to_pages(b: pd.DataFrame) -> pa.Table:
+        urls, htmls, ts = [], [], []
+        for doc_id, text, source in zip(b["doc_id"], b["text"], b["source"]):
+            host = f"{source}.example.com".lower().replace(" ", "-")
+            urls.append(f"https://{host}/doc/{doc_id}")
+            htmls.append((
+                f"<html><head><title>doc {doc_id}</title></head>"
+                f"<body><p>{_html.escape(text)}</p></body></html>"
+            ).encode("utf-8"))
+            ts.append(_PAGE_EPOCH_US
+                      + (int(doc_id) * _PAGE_STRIDE) % _PAGE_SPAN_US)
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+        })
+
+    pages = docs.map_batches(to_pages, batch_format="pandas")
+    prepared = web.prepare_series(pages)
+    tier = web.build_tiers(prepared, series_keys=("host",),
+                           num_salts=4)["1d"]
+    df = tier.to_pandas()[["host", "bucket_us", "pages", "sum_val",
+                           "min_val", "max_val", "mean_val", "std_val"]]
+    df = _round(df, ["sum_val", "min_val", "max_val", "mean_val"], 6)
+    df["std_val"] = np.round(df["std_val"].to_numpy(np.float64), 6)
+    df = _fill(df, ["std_val"])
+    return df.sort_values(["host", "bucket_us"]).reset_index(drop=True)
+
+
+SQL_HOST_TIER_1D_PAGES = rf"""
+    WITH pages AS (
+        SELECT lower(replace(source, ' ', '-')) || '.example.com' AS host,
+               ({_PAGE_EPOCH_US} + (doc_id * {_PAGE_STRIDE})
+                % {_PAGE_SPAN_US}) AS ts_us,
+               octet_length(encode('doc ' || doc_id || ' ' ||
+                   trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   AS text_bytes
+        FROM documents
+    )
+    SELECT host, (ts_us // {DAY_US}) * {DAY_US} AS bucket_us,
+           CAST(count(*) AS DOUBLE) AS pages,
+           round(sum(text_bytes), 6) AS sum_val,
+           round(min(text_bytes), 6) AS min_val,
+           round(max(text_bytes), 6) AS max_val,
+           round(avg(text_bytes), 6) AS mean_val,
+           COALESCE(round(stddev_samp(text_bytes), 6), {NULLF}) AS std_val
+    FROM pages GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_funnel3_strict_events(sf_dir: str) -> pd.DataFrame:
+    """Strictly-ordered 3-step funnel (view → click → purchase, each step
+    strictly AFTER the previous one's first completion — the sequential-
+    pattern semantics a bare per-type min-ts funnel gets wrong when steps
+    interleave). Per-user chain mins compute inside one co-located
+    partition via vectorized merges; one count row leaves."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        v = part[part["event_type"] == "view"].groupby("user_id")["ts"] \
+            .min().rename("t1").reset_index()
+        c = part[part["event_type"] == "click"].merge(v, on="user_id")
+        c = c[c["ts"] > c["t1"]].groupby("user_id")["ts"] \
+            .min().rename("t2").reset_index()
+        p = part[part["event_type"] == "purchase"].merge(c, on="user_id")
+        p = p[p["ts"] > p["t2"]]
+        return pd.DataFrame({"s1": [len(v)], "s2": [len(c)],
+                             "s3": [p["user_id"].nunique()]})
+
+    parts = keyed_map_partitions(ev, ["user_id"], kernel,
+                                 num_partitions=_NP).to_pandas()
+    s1, s2, s3 = (int(parts["s1"].sum()), int(parts["s2"].sum()),
+                  int(parts["s3"].sum()))
+    return pd.DataFrame({
+        "n_view": [s1], "n_click_after": [s2], "n_purchase_after": [s3],
+        "rate_step2": [np.round(s2 / s1, 6) + 0.0 if s1 else NULLF],
+        "rate_step3": [np.round(s3 / s2, 6) + 0.0 if s2 else NULLF],
+    }).astype({"n_view": np.int64, "n_click_after": np.int64,
+               "n_purchase_after": np.int64})
+
+
+SQL_FUNNEL3_STRICT = f"""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT DISTINCT e.user_id
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase')
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after,
+           (SELECT count(*) FROM p) AS n_purchase_after,
+           round((SELECT count(*) FROM c) * 1.0
+                 / (SELECT count(*) FROM v), 6) + 0.0 AS rate_step2,
+           round((SELECT count(*) FROM p) * 1.0
+                 / (SELECT count(*) FROM c), 6) + 0.0 AS rate_step3
+"""
+
+
+def q_circular_hour_events(sf_dir: str) -> pd.DataFrame:
+    """Circular (directional) statistics of event time-of-day per type:
+    mean hour via atan2(Σsin θ, Σcos θ) with θ = 2π·(us-of-day)/86400e6,
+    and the resultant length R = |Σe^{iθ}|/n (1 = perfectly peaked, 0 =
+    uniform) — the correct way to average times that wrap at midnight.
+    Sin/cos sums pre-reduce per batch; one row per type crosses."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us_day = (b["ts"].astype("int64").to_numpy() % DAY_US) \
+            .astype(np.float64)
+        theta = 2.0 * np.pi * us_day / float(DAY_US)
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "s": np.sin(theta), "c": np.cos(theta),
+                             "n": 1.0})
+
+    agg = hash_aggregate(ev.map_batches(partial, batch_format="pandas"),
+                         ["event_type"],
+                         {"s": ("s", "sum"), "c": ("c", "sum"),
+                          "n": ("n", "sum")}, num_partitions=_NP).to_pandas()
+    s = agg["s"].to_numpy(np.float64)
+    c = agg["c"].to_numpy(np.float64)
+    n = agg["n"].to_numpy(np.float64)
+    mean_h = (np.arctan2(s, c) % (2.0 * np.pi)) * 24.0 / (2.0 * np.pi)
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_events": n.astype(np.int64),
+        "mean_hour": np.round(mean_h, 6) + 0.0,
+        "resultant_r": np.round(np.sqrt(s * s + c * c) / n, 6) + 0.0,
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_CIRCULAR_HOUR = f"""
+    WITH t AS (
+        SELECT event_type,
+               2 * pi() * (epoch_us(ts) % {DAY_US}) / {DAY_US} AS theta
+        FROM events
+    ),
+    a AS (SELECT event_type, sum(sin(theta)) AS s, sum(cos(theta)) AS c,
+                 count(*)::DOUBLE AS n
+          FROM t GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           round(fmod(atan2(s, c) + 2 * pi(), 2 * pi())
+                 * 24 / (2 * pi()), 6) + 0.0 AS mean_hour,
+           round(sqrt(s * s + c * c) / n, 6) + 0.0 AS resultant_r
+    FROM a ORDER BY 1
+"""

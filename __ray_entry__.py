@@ -474,6 +474,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_tier_1d_pages": Q.q_host_tier_1d_pages,
         "funnel3_strict_events": Q.q_funnel3_strict_events,
         "circular_hour_events": Q.q_circular_hour_events,
+        # matrix-profile motif, skyline frontier, last-touch attribution
+        "motif_daily_events": Q.q_motif_daily_events,
+        "pareto_frontier_orders": Q.q_pareto_frontier_orders,
+        "attribution_events": Q.q_attribution_events,
     }
 
 
@@ -797,4 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "host_tier_1d_pages": Q.SQL_HOST_TIER_1D_PAGES,
         "funnel3_strict_events": Q.SQL_FUNNEL3_STRICT,
         "circular_hour_events": Q.SQL_CIRCULAR_HOUR,
+        "motif_daily_events": Q.SQL_MOTIF_DAILY,
+        "pareto_frontier_orders": Q.SQL_PARETO_FRONTIER,
+        "attribution_events": Q.SQL_ATTRIBUTION,
     }

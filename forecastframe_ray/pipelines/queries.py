@@ -14912,3 +14912,201 @@ SQL_CIRCULAR_HOUR = f"""
            round(sqrt(s * s + c * c) / n, 6) + 0.0 AS resultant_r
     FROM a ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# matrix-profile top motif / Pareto-frontier skyline / last-touch attribution
+# ---------------------------------------------------------------------------
+
+def q_motif_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Top motif per daily series (the Matrix Profile primitive, Yeh et al.
+    2016): the pair of NON-OVERLAPPING 7-day windows minimizing
+    z-normalized squared Euclidean distance. Windows index by row number
+    in day order; argmin over d² ROUNDED to 6 with (a, b) tie-break so
+    both engines rank identical values. Zero-dispersion windows are
+    excluded (z undefined)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    M = 7
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            if len(v) < 2 * M:
+                rows.append((et, 0, 0, np.nan))
+                continue
+            X = np.lib.stride_tricks.sliding_window_view(v, M)
+            mu = X.mean(axis=1, keepdims=True)
+            sd = X.std(axis=1, ddof=1, keepdims=True)
+            ok = sd[:, 0] > 0
+            best = None
+            Z = np.where(sd > 0, (X - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+            nw = len(X)
+            for a in range(nw):
+                if not ok[a]:
+                    continue
+                for b in range(a + M, nw):
+                    if not ok[b]:
+                        continue
+                    d2 = np.round(((Z[a] - Z[b]) ** 2).sum(), 6) + 0.0
+                    if best is None or (d2, a, b) < best:
+                        best = (d2, a, b)
+            if best is None:
+                rows.append((et, 0, 0, np.nan))
+            else:
+                rows.append((et, best[1] + 1, best[2] + 1, best[0]))
+        return pd.DataFrame(rows, columns=["event_type", "a_start",
+                                           "b_start", "dist2"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["a_start", "b_start"]] = out[["a_start", "b_start"]] \
+        .astype(np.int64)
+    out = _fill(out, ["dist2"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_MOTIF_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    w AS (
+        SELECT event_type, rn AS a,
+               avg(v) OVER f AS mu, stddev_samp(v) OVER f AS sd,
+               count(*) OVER f AS cnt
+        FROM r
+        WINDOW f AS (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+    ),
+    z AS (
+        SELECT w.event_type, w.a, r.rn - w.a AS k, (r.v - w.mu) / w.sd AS z
+        FROM w JOIN r ON r.event_type = w.event_type
+                      AND r.rn BETWEEN w.a AND w.a + 6
+        WHERE w.cnt = 7 AND w.sd > 0
+    ),
+    d2 AS (
+        SELECT za.event_type, za.a, zb.a AS b,
+               round(sum((za.z - zb.z) * (za.z - zb.z)), 6) + 0.0 AS d2
+        FROM z za JOIN z zb ON za.event_type = zb.event_type
+                            AND za.k = zb.k AND zb.a >= za.a + 7
+        GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT event_type, a, b, d2,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d2, a, b) AS pos
+        FROM d2
+    )
+    SELECT r.event_type,
+           CAST(COALESCE(best.a, 0) AS BIGINT) AS a_start,
+           CAST(COALESCE(best.b, 0) AS BIGINT) AS b_start,
+           COALESCE(best.d2, {NULLF}) AS dist2
+    FROM (SELECT DISTINCT event_type FROM daily) r
+    LEFT JOIN best ON best.event_type = r.event_type AND best.pos = 1
+    ORDER BY 1
+"""
+
+
+def q_pareto_frontier_orders(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier) of orders on (totalprice ↑ better,
+    orderdate ↓ better): rows no other order STRICTLY beats on both axes.
+    Distributed via the sort-skyline identity — per-date maxima reduce
+    first (date-cardinality result), the running prior-date max broadcasts
+    back, and a row survives iff prevmax(date) ≤ price. Never all-pairs."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    dm = hash_aggregate(orders, ["o_orderdate"],
+                        {"mx": ("o_totalprice", "max")},
+                        num_partitions=4).to_pandas() \
+        .sort_values("o_orderdate").reset_index(drop=True)
+    prevmax = dm["mx"].cummax().shift(1)
+    pm_map = dict(zip(dm["o_orderdate"], prevmax))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        pm = b["o_orderdate"].map(pm_map).to_numpy(np.float64)
+        mask = np.isnan(pm) | (pm <= b["o_totalprice"].to_numpy(np.float64))
+        return b[mask]
+
+    out = orders.map_batches(keep, batch_format="pandas").to_pandas()
+    out = out.astype({"o_orderkey": np.int64})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_PARETO_FRONTIER = """
+    WITH dm AS (SELECT o_orderdate AS dd, max(o_totalprice) AS mx
+                FROM orders GROUP BY 1),
+    rm AS (SELECT dd, max(mx) OVER (ORDER BY dd
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prevmax
+           FROM dm)
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o JOIN rm ON o.o_orderdate = rm.dd
+    WHERE rm.prevmax IS NULL OR rm.prevmax <= o.o_totalprice
+    ORDER BY 1
+"""
+
+
+def q_attribution_events(sf_dir: str) -> pd.DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent STRICTLY-earlier non-purchase event (ties at equal ts broken by
+    highest event_id — deterministic on both engines). Per-user chains
+    resolve inside one co-located partition via a single searchsorted pass
+    over the (ts, event_id)-sorted stream; attributed counts + shares are
+    the only rows out."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, g in part.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            np_mask = (g["event_type"] != "purchase").to_numpy()
+            cand_ts = g["ts"].astype("int64").to_numpy()[np_mask]
+            cand_type = g["event_type"].to_numpy()[np_mask]
+            p_ts = g["ts"].astype("int64").to_numpy()[~np_mask]
+            if len(p_ts) == 0 or len(cand_ts) == 0:
+                continue
+            pos = np.searchsorted(cand_ts, p_ts, side="left") - 1
+            valid = pos >= 0
+            outs.append(pd.Series(cand_type[pos[valid]]))
+        if not outs:
+            return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        vc = pd.concat(outs, ignore_index=True).value_counts()
+        return pd.DataFrame({"event_type": vc.index.astype(str),
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = keyed_map_partitions(ev, ["user_id"], kernel,
+                                 num_partitions=_NP)
+    agg = hash_aggregate(parts, ["event_type"], {"n_attributed": ("n", "sum")},
+                         num_partitions=4).to_pandas()
+    total = float(agg["n_attributed"].sum())
+    agg["share"] = np.round(agg["n_attributed"].to_numpy(np.float64)
+                            / total, 6) + 0.0
+    agg["n_attributed"] = agg["n_attributed"].astype(np.int64)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_ATTRIBUTION = """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    att AS (
+        SELECT (SELECT e.event_type FROM events e
+                WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+                  AND e.ts < p.ts
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS event_type
+        FROM p
+    ),
+    c AS (SELECT event_type, count(*) AS n_attributed FROM att
+          WHERE event_type IS NOT NULL GROUP BY 1)
+    SELECT event_type, CAST(n_attributed AS BIGINT) AS n_attributed,
+           round(n_attributed * 1.0 / (SELECT sum(n_attributed) FROM c), 6)
+               + 0.0 AS share
+    FROM c ORDER BY 1
+"""

@@ -478,6 +478,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motif_daily_events": Q.q_motif_daily_events,
         "pareto_frontier_orders": Q.q_pareto_frontier_orders,
         "attribution_events": Q.q_attribution_events,
+        # top-down reconciliation, JL projection gate, sentence stats
+        "topdown_forecast_daily": Q.q_topdown_forecast_daily,
+        "jl_projection_gate_embeddings": Q.q_jl_projection_gate_embeddings,
+        "sentence_stats_documents": Q.q_sentence_stats_documents,
+        # running-peak age, Page-Hinkley drift, Hill tail index
+        "days_since_peak_daily": Q.q_days_since_peak_daily,
+        "page_hinkley_daily": Q.q_page_hinkley_daily,
+        "hill_tail_events": Q.q_hill_tail_events,
+        # order cadence, hourly envelope, negative-binomial activity fit
+        "customer_order_gaps": Q.q_customer_order_gaps,
+        "hourly_envelope_events": Q.q_hourly_envelope_events,
+        "nb_fit_users_events": Q.q_nb_fit_users_events,
     }
 
 
@@ -804,4 +816,13 @@ def oracle_sql() -> dict[str, str]:
         "motif_daily_events": Q.SQL_MOTIF_DAILY,
         "pareto_frontier_orders": Q.SQL_PARETO_FRONTIER,
         "attribution_events": Q.SQL_ATTRIBUTION,
+        "topdown_forecast_daily": Q.SQL_TOPDOWN_FORECAST,
+        "jl_projection_gate_embeddings": Q.SQL_JL_PROJECTION_GATE,
+        "sentence_stats_documents": Q.SQL_SENTENCE_STATS,
+        "days_since_peak_daily": Q.SQL_DAYS_SINCE_PEAK,
+        "page_hinkley_daily": Q.SQL_PAGE_HINKLEY,
+        "hill_tail_events": Q.SQL_HILL_TAIL,
+        "customer_order_gaps": Q.SQL_CUSTOMER_ORDER_GAPS,
+        "hourly_envelope_events": Q.SQL_HOURLY_ENVELOPE,
+        "nb_fit_users_events": Q.SQL_NB_FIT_USERS,
     }

@@ -15110,3 +15110,470 @@ SQL_ATTRIBUTION = """
                + 0.0 AS share
     FROM c ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# top-down forecast reconciliation / JL projection gate / sentence stats
+# ---------------------------------------------------------------------------
+
+def q_topdown_forecast_daily(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical forecast reconciliation, top-down with historical
+    proportions (Hyndman FPP3 §11): the TOTAL series gets the h=1 drift
+    forecast T̂ = T_n + (T_n − T_1)/(n−1), then disaggregates by each
+    series' share of the historical total — so the bottom forecasts sum
+    to the top by construction (the reconciliation identity the rollup
+    engine's hierarchy consumers rely on). Day totals and shares are two
+    coarse aggregates; only k+n_days rows leave the cluster."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    tot = hash_aggregate(daily, ["d"], {"T": ("v", "sum")},
+                         num_partitions=4).to_pandas().sort_values("d")
+    T = tot["T"].to_numpy(np.float64)
+    f_total = T[-1] + (T[-1] - T[0]) / (len(T) - 1.0)
+
+    shares = hash_aggregate(daily, ["event_type"], {"sv": ("v", "sum")},
+                            num_partitions=4).to_pandas()
+    stot = float(shares["sv"].sum())
+    sh = shares["sv"].to_numpy(np.float64) / stot
+    return pd.DataFrame({
+        "event_type": shares["event_type"],
+        "share": np.round(sh, 6) + 0.0,
+        "topdown_forecast": np.round(f_total * sh, 6) + 0.0,
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_TOPDOWN_FORECAST = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tot AS (SELECT d, sum(v) AS T FROM daily GROUP BY 1),
+    drift AS (
+        SELECT arg_max(T, d) + (arg_max(T, d) - arg_min(T, d))
+               / (count(*) - 1.0) AS f
+        FROM tot
+    ),
+    s AS (SELECT event_type, sum(v) AS sv FROM daily GROUP BY 1),
+    st AS (SELECT sum(sv) AS stot FROM s)
+    SELECT s.event_type,
+           round(s.sv / st.stot, 6) + 0.0 AS share,
+           round(drift.f * s.sv / st.stot, 6) + 0.0 AS topdown_forecast
+    FROM s CROSS JOIN st CROSS JOIN drift ORDER BY 1
+"""
+
+
+def q_jl_projection_gate_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Johnson-Lindenstrauss distortion gate: a deterministic ±1/√16
+    sign-projection (splitmix64 of the flat matrix index) maps 64-d
+    embeddings to 16-d; for the 100 fixed probe pairs (vec_id 2i, 2i+1,
+    i < 100) the squared-distance ratio must land in [0.1, 3.0] (E=1,
+    chi²₁₆/16 tails ≪ 1e-4 per pair — and the projection is deterministic,
+    so the gate is a fixed fact, not a flake). ``d_exact`` is value-oracled
+    against DuckDB's list_distance."""
+    from forecastframe_ray.stages.sketch import _mix64
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sub = emb.filter(lambda r: r["vec_id"] < 200).to_pandas()
+    sub = sub.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+    dim, k = X.shape[1], 16
+    idx = np.arange(dim * k, dtype=np.uint64)
+    R = (np.where(_mix64(idx) >> np.uint64(63), 1.0, -1.0)
+         .reshape(dim, k) / np.sqrt(k))
+    P = X @ R
+    ids = sub["vec_id"].to_numpy(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for i in range(100):
+        a, b = 2 * i, 2 * i + 1
+        if a not in pos or b not in pos:
+            continue
+        dx = X[pos[a]] - X[pos[b]]
+        dp = P[pos[a]] - P[pos[b]]
+        d2, p2 = float((dx ** 2).sum()), float((dp ** 2).sum())
+        ok = True if d2 == 0 else 0.1 <= p2 / d2 <= 3.0
+        rows.append((a, b, np.round(np.sqrt(d2), 6) + 0.0, ok))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "d_exact",
+                                       "ratio_ok"]) \
+        .astype({"id_a": np.int64, "id_b": np.int64})
+
+
+SQL_JL_PROJECTION_GATE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 200),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_distance(a.v, b.v), 6) + 0.0 AS d_exact
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0
+    )
+    SELECT id_a, id_b, d_exact, true AS ratio_ok FROM p ORDER BY id_a
+"""
+
+
+def q_sentence_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-doc sentence segmentation stats (split on [.!?]+ runs, blank
+    segments dropped): sentence count, mean and max whitespace-token
+    length — the Gopher-family readability signals at sentence grain.
+    Fully per-row parallel."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[["doc_id"]].copy()
+        ex["sent"] = b["text"].str.split(r"[.!?]+", regex=True)
+        ex = ex.explode("sent")
+        ex["sent"] = ex["sent"].str.strip()
+        ex = ex[ex["sent"].notna() & (ex["sent"] != "")]
+        ex["nw"] = ex["sent"].str.split().str.len()
+        g = ex.groupby("doc_id", sort=False)["nw"]
+        agg = pd.DataFrame({"ns": g.size(), "mw": g.mean(),
+                            "mx": g.max()}).reset_index()
+        out = b[["doc_id"]].merge(agg, on="doc_id", how="left")
+        return pd.DataFrame({
+            "doc_id": out["doc_id"],
+            "n_sentences": out["ns"].fillna(0).astype(np.int64),
+            "mean_words": np.where(out["ns"].notna(),
+                                   np.round(out["mw"].to_numpy(np.float64),
+                                            6) + 0.0, NULLF),
+            "max_words": out["mx"].fillna(0).astype(np.int64),
+        })
+
+    out = docs.map_batches(kernel, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SENTENCE_STATS = rf"""
+    WITH s AS (
+        SELECT doc_id, trim(x) AS sent
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(text, '[.!?]+')) AS x
+              FROM documents)
+        WHERE trim(x) <> ''
+    ),
+    w AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(sent, '\s+'),
+                               y -> y <> '')) AS nw
+        FROM s
+    ),
+    a AS (SELECT doc_id, count(*) AS ns, avg(nw) AS mw, max(nw) AS mx
+          FROM w GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.ns, 0) AS BIGINT) AS n_sentences,
+           COALESCE(round(a.mw, 6) + 0.0, {NULLF}) AS mean_words,
+           CAST(COALESCE(a.mx, 0) AS BIGINT) AS max_words
+    FROM documents d LEFT JOIN a USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# days since running peak / Page-Hinkley drift / Hill tail index
+# ---------------------------------------------------------------------------
+
+def q_days_since_peak_daily(sf_dir: str) -> pd.DataFrame:
+    """Age of the running maximum per series row: days since the EARLIEST
+    day that achieved the current expanding max (record days reset the
+    clock; ties keep the older record — the drawdown-duration twin of the
+    record-streak op). One co-located vectorized pass; the oracle uses the
+    record-day identity peak_day = max(record day ≤ t)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            v = g["v"].to_numpy(np.float64)
+            prev_max = np.concatenate(([-np.inf],
+                                       np.maximum.accumulate(v)[:-1]))
+            is_record = v > prev_max
+            idx = np.where(is_record, np.arange(len(v)), 0)
+            peak_idx = np.maximum.accumulate(idx)
+            dus = g["d"].astype("datetime64[us]").astype("int64").to_numpy()
+            g["days_since_peak"] = (dus - dus[peak_idx]) // DAY_US
+            g["is_record"] = is_record
+            outs.append(g[["event_type", "d", "v", "is_record",
+                           "days_since_peak"]])
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "is_record",
+                                  "days_since_peak"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["days_since_peak"] = out["days_since_peak"].astype(np.int64)
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_DAYS_SINCE_PEAK = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               v > COALESCE(max(v) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1e308) AS is_record
+        FROM daily
+    )
+    SELECT event_type, d, v, is_record,
+           datediff('day',
+                    CAST(max(CASE WHEN is_record THEN d END)
+                         OVER (PARTITION BY event_type ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS DATE),
+                    CAST(d AS DATE)) AS days_since_peak
+    FROM r
+"""
+
+
+def q_page_hinkley_daily(sf_dir: str) -> pd.DataFrame:
+    """Page-Hinkley upward-drift statistic per series (Page 1954; Hinkley
+    1971, δ=0 form): deviations from the RUNNING mean cumulate into
+    m_t = Σᵢ≤t (vᵢ − v̄ᵢ), and the alarm statistic is
+    PH = max_T (m_T − min_{t≤T} m_t). Pure prefix algebra — one co-located
+    pass engine-side, three nested window sums in the oracle."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            mu = np.cumsum(v) / np.arange(1, len(v) + 1)
+            m = np.cumsum(v - mu)
+            ph = (m - np.minimum.accumulate(m)).max()
+            rows.append((et, len(v), np.round(ph, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "ph_stat"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PAGE_HINKLEY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    a AS (
+        SELECT event_type, d, v,
+               sum(v) OVER w / ROW_NUMBER() OVER w2 AS mu
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS UNBOUNDED PRECEDING),
+               w2 AS (PARTITION BY event_type ORDER BY d)
+    ),
+    m AS (
+        SELECT event_type, d,
+               sum(v - mu) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS m
+        FROM a
+    ),
+    ph AS (
+        SELECT event_type, d,
+               m - min(m) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS excess
+        FROM m
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(max(excess), 6) + 0.0 AS ph_stat
+    FROM ph GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_hill_tail_events(sf_dir: str) -> pd.DataFrame:
+    """Hill tail-index estimator over each type's positive values (Hill
+    1975, k=50): ξ = (1/k)Σᵢ₌₁ᵏ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the descending order
+    statistics, α = 1/ξ — the heavy-tail diagnosis that decides whether
+    mean-based aggregates are even meaningful. Only the top k+1 per type
+    cross the exchange (grouped top-k shape)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    K_TAIL = 50
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        # map-side combiner: only each batch's per-type top k+1 positive
+        # values can be in the global top k+1 — the rest never shuffle
+        b = b[b["value"] > 0]
+        return (b.sort_values("value", ascending=False)
+                 .groupby("event_type", sort=False).head(K_TAIL + 1))
+
+    ev = ev.map_batches(prune, batch_format="pandas")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            x = g["value"].to_numpy(np.float64)
+            x = np.sort(x[x > 0])[::-1]
+            if len(x) < K_TAIL + 1:
+                rows.append((et, 0, np.nan, np.nan))
+                continue
+            xi = float(np.mean(np.log(x[:K_TAIL] / x[K_TAIL])))
+            rows.append((et, K_TAIL, np.round(xi, 6) + 0.0,
+                         np.round(1.0 / xi, 6) + 0.0 if xi > 0 else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n_tail",
+                                           "hill_xi", "alpha"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_tail"] = out["n_tail"].astype(np.int64)
+    out = _fill(out, ["hill_xi", "alpha"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HILL_TAIL = f"""
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value > 0
+    ),
+    thr AS (SELECT event_type, value AS x51 FROM r WHERE rn = 51),
+    hill AS (
+        SELECT r.event_type, avg(ln(r.value / thr.x51)) AS xi
+        FROM r JOIN thr USING (event_type)
+        WHERE r.rn <= 50
+        GROUP BY 1
+    ),
+    base AS (SELECT DISTINCT event_type FROM events)
+    SELECT b.event_type,
+           CAST(CASE WHEN h.xi IS NOT NULL THEN 50 ELSE 0 END AS BIGINT)
+               AS n_tail,
+           COALESCE(round(h.xi, 6) + 0.0, {NULLF}) AS hill_xi,
+           COALESCE(CASE WHEN h.xi > 0
+                         THEN round(1.0 / h.xi, 6) + 0.0 END, {NULLF})
+               AS alpha
+    FROM base b LEFT JOIN hill h USING (event_type)
+    ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer order gaps / hourly typical-day envelope / negative-binomial fit
+# ---------------------------------------------------------------------------
+
+def q_customer_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """Repeat-purchase cadence per customer: calendar-day gaps between
+    consecutive orders (date order, orderkey tie-break), median
+    (quantile_cont interpolation) and mean gap — the replenishment-cycle
+    input to demand models. Customers with one order are excluded."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ck, g in part.groupby("o_custkey", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(["o_orderdate", "o_orderkey"])
+            days = (g["o_orderdate"].astype("datetime64[us]")
+                    .astype("int64").to_numpy() // DAY_US)
+            gaps = np.diff(days).astype(np.float64)
+            rows.append((ck, len(g),
+                         np.round(np.quantile(gaps, 0.5), 6) + 0.0,
+                         np.round(gaps.mean(), 6) + 0.0))
+        return pd.DataFrame(rows, columns=["o_custkey", "n_orders",
+                                           "median_gap_days",
+                                           "mean_gap_days"])
+
+    out = keyed_map_partitions(orders, ["o_custkey"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["o_custkey", "n_orders"]] = out[["o_custkey", "n_orders"]] \
+        .astype(np.int64)
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMER_ORDER_GAPS = """
+    WITH g AS (
+        SELECT o_custkey,
+               datediff('day',
+                        CAST(LAG(o_orderdate) OVER w AS DATE),
+                        CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(gap, 0.5), 6) + 0.0 AS median_gap_days,
+           round(avg(gap), 6) + 0.0 AS mean_gap_days
+    FROM g GROUP BY 1 HAVING count(gap) >= 1 ORDER BY 1
+"""
+
+
+def q_hourly_envelope_events(sf_dir: str) -> pd.DataFrame:
+    """Typical-day envelope per series: p10/p50/p90 of the hourly-bucket
+    values grouped by hour-of-day (the seasonal band an ops dashboard
+    draws around 'today'). Exact quantile_cont interpolation on both
+    sides."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    hourly = _bucket_series(sf_dir, HOUR_US, "h")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        us = part["h"].astype("datetime64[us]").astype("int64")
+        part["hod"] = (us % DAY_US) // HOUR_US
+        g = part.groupby(["event_type", "hod"], sort=False)["v"]
+        out = pd.DataFrame({
+            "n": g.size(),
+            "p10": g.quantile(0.1), "p50": g.quantile(0.5),
+            "p90": g.quantile(0.9)}).reset_index()
+        for c in ("p10", "p50", "p90"):
+            out[c] = np.round(out[c].to_numpy(np.float64), 6) + 0.0
+        return out
+
+    out = keyed_map_partitions(hourly, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["hod", "n"]] = out[["hod", "n"]].astype(np.int64)
+    return out.sort_values(["event_type", "hod"]).reset_index(drop=True)
+
+
+SQL_HOURLY_ENVELOPE = f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    e AS (SELECT event_type,
+                 (epoch_us(h) % {DAY_US}) // {HOUR_US} AS hod, v
+          FROM hourly)
+    SELECT event_type, CAST(hod AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(v, 0.1), 6) + 0.0 AS p10,
+           round(quantile_cont(v, 0.5), 6) + 0.0 AS p50,
+           round(quantile_cont(v, 0.9), 6) + 0.0 AS p90
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_nb_fit_users_events(sf_dir: str) -> pd.DataFrame:
+    """Negative-binomial method-of-moments fit of per-user event counts
+    (the overdispersed count model behind user-activity simulation):
+    p = m/s², r = m²/(s²−m) from the across-user mean and ddof=1 variance.
+    NULLF when s² ≤ m (no overdispersion → NB degenerates to Poisson).
+    Per-user counts pre-reduce map-side; one moment row leaves."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    counts = hash_count(ev, ["user_id"], out_col="n",
+                        num_partitions=_NP).to_pandas()
+    n = counts["n"].to_numpy(np.float64)
+    m, s2 = n.mean(), n.var(ddof=1)
+    over = s2 > m
+    return pd.DataFrame({
+        "n_users": [np.int64(len(n))],
+        "mean_events": [np.round(m, 6) + 0.0],
+        "var_events": [np.round(s2, 6) + 0.0],
+        "nb_r": [np.round(m * m / (s2 - m), 6) + 0.0 if over else NULLF],
+        "nb_p": [np.round(m / s2, 6) + 0.0 if over else NULLF],
+    })
+
+
+SQL_NB_FIT_USERS = f"""
+    WITH c AS (SELECT user_id, count(*)::DOUBLE AS n
+               FROM events GROUP BY 1),
+    m AS (SELECT count(*) AS n_users, avg(n) AS m, var_samp(n) AS s2 FROM c)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           round(m, 6) + 0.0 AS mean_events,
+           round(s2, 6) + 0.0 AS var_events,
+           COALESCE(CASE WHEN s2 > m
+                         THEN round(m * m / (s2 - m), 6) + 0.0 END,
+                    {NULLF}) AS nb_r,
+           COALESCE(CASE WHEN s2 > m
+                         THEN round(m / s2, 6) + 0.0 END, {NULLF}) AS nb_p
+    FROM m
+"""

@@ -490,6 +490,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_gaps": Q.q_customer_order_gaps,
         "hourly_envelope_events": Q.q_hourly_envelope_events,
         "nb_fit_users_events": Q.q_nb_fit_users_events,
+        # co-purchase degrees, horizon backtest profile, p-chart
+        "copurchase_degree_lineitem": Q.q_copurchase_degree_lineitem,
+        "horizon_error_profile_daily": Q.q_horizon_error_profile_daily,
+        "p_chart_hourly_events": Q.q_p_chart_hourly_events,
     }
 
 
@@ -825,4 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_gaps": Q.SQL_CUSTOMER_ORDER_GAPS,
         "hourly_envelope_events": Q.SQL_HOURLY_ENVELOPE,
         "nb_fit_users_events": Q.SQL_NB_FIT_USERS,
+        "copurchase_degree_lineitem": Q.SQL_COPURCHASE_DEGREE,
+        "horizon_error_profile_daily": Q.SQL_HORIZON_ERROR_PROFILE,
+        "p_chart_hourly_events": Q.SQL_P_CHART_HOURLY,
     }

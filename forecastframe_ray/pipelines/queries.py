@@ -15577,3 +15577,169 @@ SQL_NB_FIT_USERS = f"""
                          THEN round(m / s2, 6) + 0.0 END, {NULLF}) AS nb_p
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# co-purchase degree distribution / horizon error profile / p-chart
+# ---------------------------------------------------------------------------
+
+def q_copurchase_degree_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Co-purchase graph degree distribution: parts are nodes, an edge is
+    'appeared in the same order'; the output is the histogram of distinct-
+    partner counts (the degree spectrum recommender blueprints start
+    from). Pair emission is per-order co-located, dedup + degree + the
+    histogram are three chained integer count-aggregates."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for ok, g in part.groupby("l_orderkey", sort=False):
+            p = np.unique(g["l_partkey"].to_numpy(np.int64))
+            if len(p) < 2:
+                continue
+            a, b = np.meshgrid(p, p)
+            mask = a != b
+            outs.append(pd.DataFrame({"pa": a[mask], "pb": b[mask]}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"pa": pd.Series([], dtype="int64"),
+                          "pb": pd.Series([], dtype="int64")})
+
+    edges = keyed_map_partitions(li, ["l_orderkey"], pairs,
+                                 num_partitions=_NP)
+    dedup = hash_aggregate(
+        edges.map_batches(lambda b: b.assign(one=1), batch_format="pandas"),
+        ["pa", "pb"], {"c": ("one", "sum")}, num_partitions=_NP)
+    deg = hash_count(dedup, ["pa"], out_col="deg", num_partitions=_NP)
+    hist = hash_count(deg, ["deg"], out_col="n_parts",
+                      num_partitions=4).to_pandas()
+    hist = hist.astype({"deg": np.int64, "n_parts": np.int64})
+    return hist.sort_values("deg").reset_index(drop=True)
+
+
+SQL_COPURCHASE_DEGREE = """
+    WITH p AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    d AS (SELECT pa, count(*) AS deg FROM p GROUP BY 1)
+    SELECT CAST(deg AS BIGINT) AS deg,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_horizon_error_profile_daily(sf_dir: str) -> pd.DataFrame:
+    """Backtest error curve of the naive-h forecast (v̂_t = v_{t−h}) for
+    horizons 1..7, pooled across series: MAE and RMSE per horizon — the
+    horizon-degradation profile every forecast evaluation plots. Per-
+    series error moments pre-reduce in the co-located kernel; 7 rows per
+    partition cross."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            for h in range(1, 8):
+                if len(v) <= h:
+                    continue
+                e = v[h:] - v[:-h]
+                rows.append((h, len(e), np.abs(e).sum(), (e * e).sum()))
+        return pd.DataFrame(rows, columns=["horizon", "n", "sae", "sse"])
+
+    parts = keyed_map_partitions(daily, ["event_type"], kernel,
+                                 num_partitions=_NP)
+    agg = hash_aggregate(parts, ["horizon"],
+                         {"n": ("n", "sum"), "sae": ("sae", "sum"),
+                          "sse": ("sse", "sum")},
+                         num_partitions=4).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "horizon": agg["horizon"].astype(np.int64),
+        "n": agg["n"].astype(np.int64),
+        "mae": np.round(agg["sae"].to_numpy(np.float64) / n, 6) + 0.0,
+        "rmse": np.round(np.sqrt(agg["sse"].to_numpy(np.float64) / n),
+                         6) + 0.0,
+    }).sort_values("horizon").reset_index(drop=True)
+
+
+SQL_HORIZON_ERROR_PROFILE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    ks AS (SELECT unnest(range(1, 8)) AS h),
+    e AS (
+        SELECT ks.h, a.v - b.v AS err
+        FROM ks, r a
+        JOIN r b ON a.event_type = b.event_type AND a.rn = b.rn + ks.h
+    )
+    SELECT CAST(h AS BIGINT) AS horizon, CAST(count(*) AS BIGINT) AS n,
+           round(avg(abs(err)), 6) + 0.0 AS mae,
+           round(sqrt(avg(err * err)), 6) + 0.0 AS rmse
+    FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_p_chart_hourly_events(sf_dir: str) -> pd.DataFrame:
+    """Attribute control chart (p-chart, Shewhart): per hourly bucket the
+    ERROR-event share p̂ against binomial 3σ limits around the pooled
+    p̄ = total errors / total events, with per-bucket limits widening as
+    1/√n. Flags compare ROUNDED p̂ to ROUNDED limits so both engines flag
+    identically. Two integer sums per hour cross the exchange."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame({
+            "h": pd.to_datetime((us // HOUR_US) * HOUR_US, unit="us"),
+            "n": 1,
+            "err": (b["event_type"] == "error").astype(np.int64)})
+
+    agg = hash_aggregate(ev.map_batches(partial, batch_format="pandas"),
+                         ["h"], {"n": ("n", "sum"), "err": ("err", "sum")},
+                         num_partitions=_NP).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    err = agg["err"].to_numpy(np.float64)
+    pbar = err.sum() / n.sum()
+    sig = np.sqrt(pbar * (1.0 - pbar) / n)
+    phat = np.round(err / n, 6) + 0.0
+    ucl = np.round(np.minimum(pbar + 3.0 * sig, 1.0), 6) + 0.0
+    lcl = np.round(np.maximum(pbar - 3.0 * sig, 0.0), 6) + 0.0
+    return pd.DataFrame({
+        "h": agg["h"], "n": agg["n"].astype(np.int64),
+        "n_err": agg["err"].astype(np.int64),
+        "phat": phat, "ucl": ucl, "lcl": lcl,
+        "out_of_control": (phat > ucl) | (phat < lcl),
+    }).sort_values("h").reset_index(drop=True)
+
+
+SQL_P_CHART_HOURLY = """
+    WITH b AS (
+        SELECT date_trunc('hour', ts) AS h, count(*)::DOUBLE AS n,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+                   AS err
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(err) / sum(n) AS pbar FROM b),
+    c AS (
+        SELECT b.h, b.n, b.err,
+               round(b.err / b.n, 6) + 0.0 AS phat,
+               round(least(t.pbar + 3 * sqrt(t.pbar * (1 - t.pbar) / b.n),
+                           1.0), 6) + 0.0 AS ucl,
+               round(greatest(t.pbar - 3 * sqrt(t.pbar * (1 - t.pbar) / b.n),
+                              0.0), 6) + 0.0 AS lcl
+        FROM b CROSS JOIN t
+    )
+    SELECT h, CAST(n AS BIGINT) AS n, CAST(err AS BIGINT) AS n_err,
+           phat, ucl, lcl,
+           (phat > ucl OR phat < lcl) AS out_of_control
+    FROM c ORDER BY h
+"""

@@ -494,6 +494,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_degree_lineitem": Q.q_copurchase_degree_lineitem,
         "horizon_error_profile_daily": Q.q_horizon_error_profile_daily,
         "p_chart_hourly_events": Q.q_p_chart_hourly_events,
+        # SRM audit, dup-size/quality correlation, 2x2 odds ratio
+        "srm_check_orders": Q.q_srm_check_orders,
+        "dupsize_quality_corr_documents": Q.q_dupsize_quality_corr_documents,
+        "conversion_odds_users": Q.q_conversion_odds_users,
     }
 
 
@@ -832,4 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_degree_lineitem": Q.SQL_COPURCHASE_DEGREE,
         "horizon_error_profile_daily": Q.SQL_HORIZON_ERROR_PROFILE,
         "p_chart_hourly_events": Q.SQL_P_CHART_HOURLY,
+        "srm_check_orders": Q.SQL_SRM_CHECK,
+        "dupsize_quality_corr_documents": Q.SQL_DUPSIZE_QUALITY_CORR,
+        "conversion_odds_users": Q.SQL_CONVERSION_ODDS,
     }

@@ -15743,3 +15743,213 @@ SQL_P_CHART_HOURLY = """
            (phat > ucl OR phat < lcl) AS out_of_control
     FROM c ORDER BY h
 """
+
+
+# ---------------------------------------------------------------------------
+# sample-ratio-mismatch check / dup-size vs quality corr / odds ratio
+# ---------------------------------------------------------------------------
+
+def q_srm_check_orders(sf_dir: str) -> pd.DataFrame:
+    """Sample-ratio-mismatch audit of the 80/10/10 md5 hash split (the
+    experiment-platform guardrail): chi-square goodness of fit of observed
+    split counts against the declared shares, with the df=2 α=0.05
+    critical value 5.991. A deterministic hash split should never trip it
+    — the gate pins that the split logic is actually unbiased."""
+    from forecastframe_ray.stages.sample import hash_split
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    tagged = hash_split(orders, "o_orderkey",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = hash_count(tagged, ["split"], out_col="n",
+                        num_partitions=4).to_pandas() \
+        .set_index("split")["n"]
+    total = float(counts.sum())
+    shares = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = []
+    chi2 = 0.0
+    for s in ("test", "train", "val"):
+        obs = float(counts.get(s, 0))
+        exp = shares[s] * total
+        chi2 += (obs - exp) ** 2 / exp
+    for s in ("test", "train", "val"):
+        rows.append((s, int(counts.get(s, 0)),
+                     np.round(shares[s] * total, 6) + 0.0))
+    out = pd.DataFrame(rows, columns=["split", "n_obs", "n_exp"])
+    out["chi2"] = np.round(chi2, 6) + 0.0
+    out["srm_ok"] = np.round(chi2, 6) < 5.991
+    return out.astype({"n_obs": np.int64})
+
+
+SQL_SRM_CHECK = """
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS b
+        FROM orders
+    ),
+    tagged AS (
+        SELECT CASE WHEN b < CAST(floor(0.8 * 4294967296) AS BIGINT)
+                        THEN 'train'
+                    WHEN b < CAST(floor(0.9 * 4294967296) AS BIGINT)
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    ),
+    c AS (SELECT split, count(*)::DOUBLE AS n FROM tagged GROUP BY 1),
+    g AS (
+        SELECT c.split, c.n,
+               CASE c.split WHEN 'train' THEN 0.8
+                            WHEN 'val' THEN 0.1 ELSE 0.1 END
+               * (SELECT sum(n) FROM c) AS exp
+        FROM c
+    ),
+    chi AS (SELECT sum((n - exp) * (n - exp) / exp) AS chi2 FROM g)
+    SELECT g.split, CAST(g.n AS BIGINT) AS n_obs,
+           round(g.exp, 6) + 0.0 AS n_exp,
+           round(chi.chi2, 6) + 0.0 AS chi2,
+           round(chi.chi2, 6) < 5.991 AS srm_ok
+    FROM g CROSS JOIN chi ORDER BY g.split
+"""
+
+
+def q_dupsize_quality_corr_documents(sf_dir: str) -> pd.DataFrame:
+    """Curation diagnostic joining two pipeline stages: Pearson correlation
+    between each doc's EXACT-dup class size (md5-digest groups) and its
+    whitespace token count — 'are duplicated docs systematically shorter?'
+    The class-size table joins back broadcast; one moment row leaves."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def digest(b: pd.DataFrame) -> pd.DataFrame:
+        dg = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in b["text"]]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"], "dg": dg,
+            "ntok": b["text"].str.split().str.len().fillna(0)
+            .astype(np.int64)})
+
+    tagged = docs.map_batches(digest, batch_format="pandas").materialize()
+    sizes = hash_count(tagged, ["dg"], out_col="csize",
+                       num_partitions=_NP).to_pandas()
+    smap = dict(zip(sizes["dg"], sizes["csize"]))
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["dg"].map(smap).to_numpy(np.float64)
+        y = b["ntok"].to_numpy(np.float64)
+        return pd.DataFrame({"n": [float(len(b))], "sx": [x.sum()],
+                             "sy": [y.sum()], "sxx": [(x * x).sum()],
+                             "syy": [(y * y).sum()], "sxy": [(x * y).sum()]})
+
+    m = tagged.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    n = m["n"]
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    r = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
+    return pd.DataFrame({
+        "n_docs": [np.int64(n)],
+        "mean_class_size": [np.round(m["sx"] / n, 6) + 0.0],
+        "corr_size_tokens": [np.round(r, 6) + 0.0 if np.isfinite(r)
+                             else NULLF],
+    })
+
+
+SQL_DUPSIZE_QUALITY_CORR = rf"""
+    WITH t AS (
+        SELECT doc_id, md5(text) AS dg,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS ntok
+        FROM documents
+    ),
+    s AS (SELECT dg, count(*) AS csize FROM t GROUP BY 1),
+    j AS (SELECT t.doc_id, s.csize::DOUBLE AS x, t.ntok::DOUBLE AS y
+          FROM t JOIN s USING (dg))
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(x), 6) + 0.0 AS mean_class_size,
+           COALESCE(round(corr(y, x), 6) + 0.0, {NULLF})
+               AS corr_size_tokens
+    FROM j
+"""
+
+
+def q_conversion_odds_users(sf_dir: str) -> pd.DataFrame:
+    """2×2 odds-ratio analysis: does having a signup event associate with
+    having a purchase event, across users? Cells, odds ratio, log-OR with
+    its Woolf standard error and the 95% CI — the classic epidemiological
+    contingency summary. Per-user flags pre-reduce map-side; four cell
+    counts leave."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", sort=False)["event_type"]
+        return pd.DataFrame({
+            "user_id": g.size().index,
+            "s": g.apply(lambda x: int((x == "signup").any())),
+            "p": g.apply(lambda x: int((x == "purchase").any()))})
+
+    # per-batch flags may double-count a user split across batches —
+    # re-reduce by max (idempotent OR)
+    per_user = hash_aggregate(
+        ev.map_batches(flags, batch_format="pandas"), ["user_id"],
+        {"s": ("s", "max"), "p": ("p", "max")},
+        num_partitions=_NP).to_pandas()
+    s = per_user["s"].to_numpy(np.int64)
+    p = per_user["p"].to_numpy(np.int64)
+    a = int(((s == 1) & (p == 1)).sum())
+    b_ = int(((s == 1) & (p == 0)).sum())
+    c = int(((s == 0) & (p == 1)).sum())
+    d = int(((s == 0) & (p == 0)).sum())
+    if min(a, b_, c, d) > 0:
+        orr = (a * d) / (b_ * c)
+        se = np.sqrt(1 / a + 1 / b_ + 1 / c + 1 / d)
+        lo = np.log(orr)
+        vals = [np.round(orr, 6) + 0.0, np.round(lo, 6) + 0.0,
+                np.round(se, 6) + 0.0, np.round(lo - 1.96 * se, 6) + 0.0,
+                np.round(lo + 1.96 * se, 6) + 0.0]
+    else:
+        vals = [NULLF] * 5
+    return pd.DataFrame({
+        "n_both": [a], "n_signup_only": [b_], "n_purchase_only": [c],
+        "n_neither": [d], "odds_ratio": [vals[0]], "log_or": [vals[1]],
+        "se": [vals[2]], "ci_lo": [vals[3]], "ci_hi": [vals[4]],
+    }).astype({"n_both": np.int64, "n_signup_only": np.int64,
+               "n_purchase_only": np.int64, "n_neither": np.int64})
+
+
+SQL_CONVERSION_ODDS = f"""
+    WITH u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT sum(CASE WHEN s = 1 AND p = 1 THEN 1 ELSE 0 END)::DOUBLE AS a,
+               sum(CASE WHEN s = 1 AND p = 0 THEN 1 ELSE 0 END)::DOUBLE AS b,
+               sum(CASE WHEN s = 0 AND p = 1 THEN 1 ELSE 0 END)::DOUBLE AS cc,
+               sum(CASE WHEN s = 0 AND p = 0 THEN 1 ELSE 0 END)::DOUBLE AS d
+        FROM u
+    )
+    SELECT CAST(a AS BIGINT) AS n_both,
+           CAST(b AS BIGINT) AS n_signup_only,
+           CAST(cc AS BIGINT) AS n_purchase_only,
+           CAST(d AS BIGINT) AS n_neither,
+           COALESCE(CASE WHEN least(a, b, cc, d) > 0
+                         THEN round(a * d / (b * cc), 6) + 0.0 END, {NULLF})
+               AS odds_ratio,
+           COALESCE(CASE WHEN least(a, b, cc, d) > 0
+                         THEN round(ln(a * d / (b * cc)), 6) + 0.0 END,
+                    {NULLF}) AS log_or,
+           COALESCE(CASE WHEN least(a, b, cc, d) > 0
+                         THEN round(sqrt(1/a + 1/b + 1/cc + 1/d), 6) + 0.0
+                    END, {NULLF}) AS se,
+           COALESCE(CASE WHEN least(a, b, cc, d) > 0
+                         THEN round(ln(a * d / (b * cc))
+                              - 1.96 * sqrt(1/a + 1/b + 1/cc + 1/d), 6)
+                              + 0.0 END, {NULLF}) AS ci_lo,
+           COALESCE(CASE WHEN least(a, b, cc, d) > 0
+                         THEN round(ln(a * d / (b * cc))
+                              + 1.96 * sqrt(1/a + 1/b + 1/cc + 1/d), 6)
+                              + 0.0 END, {NULLF}) AS ci_hi
+    FROM c
+"""

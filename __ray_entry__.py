@@ -498,6 +498,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srm_check_orders": Q.q_srm_check_orders,
         "dupsize_quality_corr_documents": Q.q_dupsize_quality_corr_documents,
         "conversion_odds_users": Q.q_conversion_odds_users,
+        # triangle counting, Haar wavelet energies, SAX words
+        "triangle_count_copurchase": Q.q_triangle_count_copurchase,
+        "haar_energy_daily": Q.q_haar_energy_daily,
+        "sax_words_daily": Q.q_sax_words_daily,
     }
 
 
@@ -839,4 +843,7 @@ def oracle_sql() -> dict[str, str]:
         "srm_check_orders": Q.SQL_SRM_CHECK,
         "dupsize_quality_corr_documents": Q.SQL_DUPSIZE_QUALITY_CORR,
         "conversion_odds_users": Q.SQL_CONVERSION_ODDS,
+        "triangle_count_copurchase": Q.SQL_TRIANGLE_COUNT,
+        "haar_energy_daily": Q.SQL_HAAR_ENERGY,
+        "sax_words_daily": Q.SQL_SAX_WORDS,
     }

@@ -15953,3 +15953,240 @@ SQL_CONVERSION_ODDS = f"""
                               + 0.0 END, {NULLF}) AS ci_hi
     FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / Haar wavelet energies / SAX symbolization
+# ---------------------------------------------------------------------------
+
+def q_triangle_count_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Global clustering of the co-purchase graph via distributed triangle
+    counting (the canonical two-join plan: oriented edges a<b, wedge join
+    on the middle vertex, closing-edge semi-join — each side materialized
+    between joins per the aggregator-pool rule). Reports nodes, edges,
+    wedges, triangles and the global clustering coefficient 3T/W."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+    from forecastframe_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("l_orderkey", sort=False):
+            p = np.unique(g["l_partkey"].to_numpy(np.int64))
+            if len(p) < 2:
+                continue
+            a, b = np.triu_indices(len(p), k=1)
+            outs.append(pd.DataFrame({"a": p[a], "b": p[b]}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
+
+    raw = keyed_map_partitions(li, ["l_orderkey"], pairs,
+                               num_partitions=_NP)
+    edges = hash_aggregate(
+        raw.map_batches(lambda b: b.assign(one=1), batch_format="pandas"),
+        ["a", "b"], {"c": ("one", "sum")},
+        num_partitions=_NP).select_columns(["a", "b"]) \
+        .repartition(8).materialize()
+    n_edges = edges.count()
+    nodes = hash_count(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"v": np.concatenate(
+                [b["a"].to_numpy(), b["b"].to_numpy()])}),
+            batch_format="pandas"),
+        ["v"], out_col="deg", num_partitions=_NP)
+    n_nodes = nodes.count()
+    deg_df = nodes.to_pandas()
+    d = deg_df["deg"].to_numpy(np.float64)
+    n_wedges = int((d * (d - 1) / 2).sum())
+    # wedges (a<b<c) around middle vertex b: edge(a,b) x edge(b,c)
+    right = edges.map_batches(
+        lambda b: b.rename(columns={"a": "b", "b": "c"}),
+        batch_format="pandas").repartition(8).materialize()
+    wedges = hash_join(edges, right, on=["b"],
+                       num_partitions=_NP).materialize()
+    closing = wedges.map_batches(
+        lambda w: w[["a", "c"]].rename(columns={"c": "b"}),
+        batch_format="pandas")
+    tri = hash_join(closing,
+                    edges.map_batches(lambda b: b.assign(is_edge=1),
+                                      batch_format="pandas")
+                    .repartition(8).materialize(),
+                    on=["a", "b"], num_partitions=_NP)
+    n_tri = tri.count()
+    cc = 3.0 * n_tri / n_wedges if n_wedges else np.nan
+    return pd.DataFrame({
+        "n_nodes": [np.int64(n_nodes)], "n_edges": [np.int64(n_edges)],
+        "n_wedges": [np.int64(n_wedges)],
+        "n_triangles": [np.int64(n_tri)],
+        "clustering_coeff": [np.round(cc, 6) + 0.0 if np.isfinite(cc)
+                             else NULLF],
+    })
+
+
+SQL_TRIANGLE_COUNT = f"""
+    WITH e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+               greatest(a.l_partkey, b.l_partkey) AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes AS (SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1),
+    w AS (SELECT sum(deg * (deg - 1) // 2) AS n_wedges FROM nodes),
+    tri AS (
+        SELECT count(*) AS t
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           COALESCE(CASE WHEN w.n_wedges > 0
+                         THEN round(3.0 * tri.t / w.n_wedges, 6) + 0.0 END,
+                    {NULLF}) AS clustering_coeff
+    FROM w CROSS JOIN tri
+"""
+
+
+def q_haar_energy_daily(sf_dir: str) -> pd.DataFrame:
+    """Two-level Haar wavelet energy decomposition of each series' first
+    16 days: detail energies at scales 1 and 2 plus the level-2 smooth —
+    the multiresolution variance split (E_total = E_d1 + E_d2 + E_s2 is
+    an exact orthogonality identity both engines must reproduce)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)[:16]
+            if len(v) < 16:
+                rows.append((et, np.nan, np.nan, np.nan, np.nan))
+                continue
+            d1 = (v[0::2] - v[1::2]) / np.sqrt(2.0)
+            s1 = (v[0::2] + v[1::2]) / np.sqrt(2.0)
+            d2 = (s1[0::2] - s1[1::2]) / np.sqrt(2.0)
+            s2 = (s1[0::2] + s1[1::2]) / np.sqrt(2.0)
+            rows.append((et, np.round((v * v).sum(), 6) + 0.0,
+                         np.round((d1 * d1).sum(), 6) + 0.0,
+                         np.round((d2 * d2).sum(), 6) + 0.0,
+                         np.round((s2 * s2).sum(), 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "e_total",
+                                           "e_d1", "e_d2", "e_s2"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = _fill(out, ["e_total", "e_d1", "e_d2", "e_s2"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HAAR_ENERGY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily QUALIFY rn <= 16
+    ),
+    cnt AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+    l1 AS (
+        SELECT a.event_type, (a.rn + 1) // 2 AS i,
+               (a.v - b.v) / sqrt(2) AS d, (a.v + b.v) / sqrt(2) AS s
+        FROM r a JOIN r b ON a.event_type = b.event_type
+                          AND b.rn = a.rn + 1
+        WHERE a.rn % 2 = 1
+    ),
+    l2 AS (
+        SELECT a.event_type, (a.i + 1) // 2 AS j,
+               (a.s - b.s) / sqrt(2) AS d, (a.s + b.s) / sqrt(2) AS s
+        FROM l1 a JOIN l1 b ON a.event_type = b.event_type
+                            AND b.i = a.i + 1
+        WHERE a.i % 2 = 1
+    ),
+    et AS (SELECT event_type, sum(v * v) AS e FROM r GROUP BY 1),
+    e1 AS (SELECT event_type, sum(d * d) AS e FROM l1 GROUP BY 1),
+    e2 AS (SELECT event_type, sum(d * d) AS ed, sum(s * s) AS es
+           FROM l2 GROUP BY 1)
+    SELECT cnt.event_type,
+           COALESCE(CASE WHEN cnt.n = 16
+                         THEN round(et.e, 6) + 0.0 END, {NULLF}) AS e_total,
+           COALESCE(CASE WHEN cnt.n = 16
+                         THEN round(e1.e, 6) + 0.0 END, {NULLF}) AS e_d1,
+           COALESCE(CASE WHEN cnt.n = 16
+                         THEN round(e2.ed, 6) + 0.0 END, {NULLF}) AS e_d2,
+           COALESCE(CASE WHEN cnt.n = 16
+                         THEN round(e2.es, 6) + 0.0 END, {NULLF}) AS e_s2
+    FROM cnt
+    LEFT JOIN et USING (event_type) LEFT JOIN e1 USING (event_type)
+    LEFT JOIN e2 USING (event_type)
+    ORDER BY 1
+"""
+
+
+def q_sax_words_daily(sf_dir: str) -> pd.DataFrame:
+    """SAX symbolization (Lin, Keogh et al. 2003): z-score each series,
+    PAA over the first 28 days in four 7-day segments, map each segment
+    mean to {a,b,c,d} at the N(0,1) quartile breakpoints ±0.6745 and 0.
+    Segment means are ROUNDED to 6 before classification so both engines
+    assign identical letters at boundaries."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    BP = (-0.6745, 0.0, 0.6745)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            if len(v) < 28 or v.std(ddof=1) == 0:
+                rows.append((et, ""))
+                continue
+            z = (v - v.mean()) / v.std(ddof=1)
+            word = []
+            for i in range(4):
+                m = np.round(z[7 * i:7 * (i + 1)].mean(), 6) + 0.0
+                word.append("abcd"[int(np.searchsorted(BP, m,
+                                                       side="right"))])
+            rows.append((et, "".join(word)))
+        return pd.DataFrame(rows, columns=["event_type", "sax_word"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SAX_WORDS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd,
+                 count(*) AS n
+          FROM daily GROUP BY 1),
+    r AS (
+        SELECT d.event_type, (d.v - m.mu) / m.sd AS z,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d) AS rn,
+               m.n, m.sd
+        FROM daily d JOIN m USING (event_type)
+    ),
+    seg AS (
+        SELECT event_type, (rn - 1) // 7 AS i,
+               round(avg(z), 6) + 0.0 AS mz
+        FROM r WHERE rn <= 28 AND n >= 28 AND sd > 0
+        GROUP BY 1, 2
+    ),
+    lt AS (
+        SELECT event_type, i,
+               CASE WHEN mz < -0.6745 THEN 'a'
+                    WHEN mz < 0.0 THEN 'b'
+                    WHEN mz < 0.6745 THEN 'c' ELSE 'd' END AS letter
+        FROM seg
+    ),
+    w AS (SELECT event_type, string_agg(letter, '' ORDER BY i) AS sax_word
+          FROM lt GROUP BY 1)
+    SELECT b.event_type, COALESCE(w.sax_word, '') AS sax_word
+    FROM (SELECT DISTINCT event_type FROM daily) b
+    LEFT JOIN w USING (event_type)
+    ORDER BY 1
+"""

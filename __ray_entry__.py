@@ -502,6 +502,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_copurchase": Q.q_triangle_count_copurchase,
         "haar_energy_daily": Q.q_haar_energy_daily,
         "sax_words_daily": Q.q_sax_words_daily,
+        # banded DTW envelope gate, newsvendor policy, POT-GPD tail fit
+        "dtw_band_pairs_daily": Q.q_dtw_band_pairs_daily,
+        "newsvendor_daily": Q.q_newsvendor_daily,
+        "pot_gpd_events": Q.q_pot_gpd_events,
     }
 
 
@@ -846,4 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_copurchase": Q.SQL_TRIANGLE_COUNT,
         "haar_energy_daily": Q.SQL_HAAR_ENERGY,
         "sax_words_daily": Q.SQL_SAX_WORDS,
+        "dtw_band_pairs_daily": Q.SQL_DTW_BAND_PAIRS,
+        "newsvendor_daily": Q.SQL_NEWSVENDOR,
+        "pot_gpd_events": Q.SQL_POT_GPD,
     }

@@ -16190,3 +16190,172 @@ SQL_SAX_WORDS = f"""
     LEFT JOIN w USING (event_type)
     ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# banded DTW pair distances / newsvendor policy / POT-GPD tail fit
+# ---------------------------------------------------------------------------
+
+def _dtw_band(x: np.ndarray, y: np.ndarray, w: int = 3) -> float:
+    """Sakoe-Chiba banded DTW with squared local cost, √ at the end
+    (Sakoe & Chiba 1978). Vectorized over the band diagonal per row."""
+    n, m = len(x), len(y)
+    w = max(w, abs(n - m))
+    INF = np.inf
+    prev = np.full(m + 1, INF)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = np.full(m + 1, INF)
+        lo, hi = max(1, i - w), min(m, i + w)
+        for j in range(lo, hi + 1):
+            c = (x[i - 1] - y[j - 1]) ** 2
+            cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return float(np.sqrt(prev[m]))
+
+
+def q_dtw_band_pairs_daily(sf_dir: str) -> pd.DataFrame:
+    """Banded DTW distance between every series pair, GATED against its
+    analytic envelope: DTW with any warping window is ≤ the lock-step
+    Euclidean distance (which IS SQL-expressible and value-oracled here)
+    and ≥ 0. Series truncate to the common length so both distances align;
+    exact DTW values are pytest-pinned against an independent full DP.
+    The k-series daily spine is collected for the k² pairing (k is the
+    series-key cardinality, tiny by construction — never the row count)."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    wide = daily.to_pandas().sort_values(["event_type", "d"])
+    series = {et: g["v"].to_numpy(np.float64)
+              for et, g in wide.groupby("event_type")}
+    ets = sorted(series)
+    rows = []
+    for i, a in enumerate(ets):
+        for b in ets[i + 1:]:
+            n = min(len(series[a]), len(series[b]))
+            x, y = series[a][:n], series[b][:n]
+            eu = np.round(float(np.sqrt(((x - y) ** 2).sum())), 6) + 0.0
+            dtw = _dtw_band(x, y, w=3)
+            rows.append((a, b, eu, bool(0.0 <= dtw <= eu + 1e-9)))
+    return pd.DataFrame(rows, columns=["et_a", "et_b", "euclid",
+                                       "dtw_within_envelope"])
+
+
+SQL_DTW_BAND_PAIRS = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    p AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b,
+               sum((a.v - b.v) * (a.v - b.v)) AS ss
+        FROM r a JOIN r b
+          ON a.rn = b.rn AND a.event_type < b.event_type
+             AND a.rn <= least(a.n, b.n)
+        GROUP BY 1, 2
+    )
+    SELECT et_a, et_b, round(sqrt(ss), 6) + 0.0 AS euclid,
+           true AS dtw_within_envelope
+    FROM p ORDER BY 1, 2
+"""
+
+
+def q_newsvendor_daily(sf_dir: str) -> pd.DataFrame:
+    """Newsvendor stocking policy per series (underage cost 3, overage 1
+    → critical ratio 0.75): q* = the 0.75 demand quantile (quantile_cont),
+    plus the empirical expected cost at q* — q* is ROUNDED before costing
+    so both engines price the same policy."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["v"].to_numpy(np.float64)
+            q = np.round(np.quantile(v, 0.75), 6) + 0.0
+            cost = (3.0 * np.maximum(v - q, 0.0)
+                    + np.maximum(q - v, 0.0)).mean()
+            rows.append((et, len(v), q, np.round(cost, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "q_star", "exp_cost"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_NEWSVENDOR = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    q AS (SELECT event_type, count(*) AS n,
+                 round(quantile_cont(v, 0.75), 6) + 0.0 AS q_star
+          FROM daily GROUP BY 1)
+    SELECT q.event_type, CAST(q.n AS BIGINT) AS n_days, q.q_star,
+           round(avg(3 * greatest(d.v - q.q_star, 0)
+                     + greatest(q.q_star - d.v, 0)), 6) + 0.0 AS exp_cost
+    FROM daily d JOIN q USING (event_type)
+    GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+def q_pot_gpd_events(sf_dir: str) -> pd.DataFrame:
+    """Peaks-over-threshold extreme-value fit per type: exceedances over
+    the (rounded) p90 of event values, Generalized Pareto by method of
+    moments — ξ = ½(1 − m²/s²), σ = ½m(m²/s² + 1) (Hosking & Wallis
+    1987). The EVT companion to the Hill estimator. NULLF below 2
+    exceedances or zero dispersion."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            u = np.round(np.quantile(v, 0.9), 6) + 0.0
+            y = v[v > u] - u
+            if len(y) < 2 or y.var(ddof=1) <= 0:
+                rows.append((et, u, len(y), np.nan, np.nan))
+                continue
+            m, s2 = y.mean(), y.var(ddof=1)
+            ratio = m * m / s2
+            rows.append((et, u, len(y),
+                         np.round(0.5 * (1.0 - ratio), 6) + 0.0,
+                         np.round(0.5 * m * (ratio + 1.0), 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "threshold",
+                                           "n_exc", "gpd_xi", "gpd_sigma"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_exc"] = out["n_exc"].astype(np.int64)
+    out = _fill(out, ["gpd_xi", "gpd_sigma"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_POT_GPD = f"""
+    WITH u AS (SELECT event_type,
+                      round(quantile_cont(value, 0.9), 6) + 0.0 AS thr
+               FROM events GROUP BY 1),
+    exc AS (
+        SELECT e.event_type, u.thr, e.value - u.thr AS y
+        FROM events e JOIN u USING (event_type)
+        WHERE e.value > u.thr
+    ),
+    m AS (SELECT event_type, any_value(thr) AS thr, count(*) AS n,
+                 avg(y) AS m, var_samp(y) AS s2
+          FROM exc GROUP BY 1)
+    SELECT event_type, thr AS threshold, CAST(n AS BIGINT) AS n_exc,
+           COALESCE(CASE WHEN n >= 2 AND s2 > 0
+                         THEN round(0.5 * (1 - m * m / s2), 6) + 0.0 END,
+                    {NULLF}) AS gpd_xi,
+           COALESCE(CASE WHEN n >= 2 AND s2 > 0
+                         THEN round(0.5 * m * (m * m / s2 + 1), 6) + 0.0
+                    END, {NULLF}) AS gpd_sigma
+    FROM m ORDER BY 1
+"""

@@ -506,6 +506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dtw_band_pairs_daily": Q.q_dtw_band_pairs_daily,
         "newsvendor_daily": Q.q_newsvendor_daily,
         "pot_gpd_events": Q.q_pot_gpd_events,
+        # arg-min supplier join, source LM KL drift, Markov top-1 accuracy
+        "mincost_supplier_parts": Q.q_mincost_supplier_parts,
+        "kl_token_sources": Q.q_kl_token_sources,
+        "markov_top1_accuracy_events": Q.q_markov_top1_accuracy_events,
     }
 
 
@@ -853,4 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "dtw_band_pairs_daily": Q.SQL_DTW_BAND_PAIRS,
         "newsvendor_daily": Q.SQL_NEWSVENDOR,
         "pot_gpd_events": Q.SQL_POT_GPD,
+        "mincost_supplier_parts": Q.SQL_MINCOST_SUPPLIER,
+        "kl_token_sources": Q.SQL_KL_TOKEN_SOURCES,
+        "markov_top1_accuracy_events": Q.SQL_MARKOV_TOP1_ACCURACY,
     }

@@ -16359,3 +16359,199 @@ SQL_POT_GPD = f"""
                     END, {NULLF}) AS gpd_sigma
     FROM m ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# min-cost supplier arg-min join / KL between source LMs / Markov accuracy
+# ---------------------------------------------------------------------------
+
+def q_mincost_supplier_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2's core shape — the correlated arg-min: for every part, the
+    supplier offering the minimum extended price (price then suppkey
+    tie-break). One co-located sort + group-head per partition; no
+    all-pairs, no second pass."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.sort_values(["l_extendedprice", "l_suppkey"])
+                    .groupby("l_partkey", sort=False).head(1))
+
+    out = keyed_map_partitions(li, ["l_partkey"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = out.astype({"l_partkey": np.int64, "l_suppkey": np.int64})
+    out = out.rename(columns={"l_extendedprice": "min_price"})
+    return out[["l_partkey", "l_suppkey", "min_price"]] \
+        .sort_values("l_partkey").reset_index(drop=True)
+
+
+SQL_MINCOST_SUPPLIER = """
+    SELECT l_partkey, l_suppkey, min_price FROM (
+        SELECT l_partkey, l_suppkey, l_extendedprice AS min_price,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY l_extendedprice, l_suppkey)
+                   AS rn
+        FROM lineitem
+    ) WHERE rn = 1 ORDER BY l_partkey
+"""
+
+
+#: the four sources compared pairwise by the KL query
+_KL_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q_kl_token_sources(sf_dir: str) -> pd.DataFrame:
+    """Add-one-smoothed KL divergence between the unigram LMs of source
+    pairs (the corpus-drift measure between crawl slices): with V = the
+    WHOLE-corpus vocabulary, Pₓ(t) = (cₓ(t)+1)/(Nₓ+V), and
+    KL(Pa‖Pb) = Σ_V Pa·ln(Pa/Pb) — tokens absent from BOTH sources
+    contribute the closed-form residual (V−|vocab_a ∪ vocab_b|)·p0a·ln(p0a/p0b)
+    instead of an explosion over the full vocabulary. Counts build
+    combiner-first; only the 4 compared sources' vocab reaches the driver
+    (bounded by design, documented)."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[["source"]].copy()
+        ex["tok"] = b["text"].str.split()
+        ex = ex.explode("tok").dropna(subset=["tok"])
+        vc = ex.groupby(["source", "tok"], sort=False).size()
+        out = vc.rename("cnt").reset_index()
+        return out.rename(columns={"tok": "token"})
+
+    tc_all = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                            ["source", "token"], {"c": ("cnt", "sum")},
+                            num_partitions=_NP).materialize()
+    V = float(hash_count(tc_all, ["token"], out_col="x",
+                         num_partitions=_NP).count())
+    tc = tc_all.filter(
+        lambda r: r["source"] in _KL_SOURCES).to_pandas()
+    counts = {s: dict(zip(g["token"], g["c"].astype(np.int64)))
+              for s, g in tc.groupby("source")}
+    totals = {s: float(sum(counts.get(s, {}).values()))
+              for s in _KL_SOURCES}
+    rows = []
+    for i, a in enumerate(_KL_SOURCES):
+        for b in _KL_SOURCES[i + 1:]:
+            ca, cb = counts.get(a, {}), counts.get(b, {})
+            da, db = totals[a] + V, totals[b] + V
+            union = set(ca) | set(cb)
+            kl = 0.0
+            for t in union:
+                pa = (ca.get(t, 0) + 1.0) / da
+                pb = (cb.get(t, 0) + 1.0) / db
+                kl += pa * np.log(pa / pb)
+            p0a, p0b = 1.0 / da, 1.0 / db
+            kl += (V - len(union)) * p0a * np.log(p0a / p0b)
+            rows.append((a, b, np.round(kl, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "kl_ab"])
+
+
+SQL_KL_TOKEN_SOURCES = rf"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    vv AS (SELECT count(DISTINCT token)::DOUBLE AS V FROM tok),
+    tc AS (SELECT source, token, count(*)::DOUBLE AS c FROM tok
+           WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1, 2),
+    n AS (SELECT source, sum(c) AS N FROM tc GROUP BY 1),
+    srcs AS (SELECT unnest(['src0', 'src1', 'src2', 'src3']) AS s),
+    pairs AS (SELECT a.s AS sa, b.s AS sb
+              FROM srcs a, srcs b WHERE a.s < b.s),
+    ut AS (
+        SELECT p.sa, p.sb, t.token,
+               max(CASE WHEN t.source = p.sa THEN t.c END) AS ca,
+               max(CASE WHEN t.source = p.sb THEN t.c END) AS cb
+        FROM pairs p JOIN tc t ON t.source IN (p.sa, p.sb)
+        GROUP BY 1, 2, 3
+    ),
+    dens AS (
+        SELECT p.sa, p.sb, na.N + vv.V AS da, nb.N + vv.V AS db, vv.V AS V
+        FROM pairs p
+        JOIN n na ON na.source = p.sa
+        JOIN n nb ON nb.source = p.sb
+        CROSS JOIN vv
+    ),
+    main AS (
+        SELECT u.sa, u.sb,
+               sum(((COALESCE(u.ca, 0) + 1) / d.da)
+                   * ln(((COALESCE(u.ca, 0) + 1) / d.da)
+                        / ((COALESCE(u.cb, 0) + 1) / d.db))) AS kl_main,
+               count(*) AS n_union
+        FROM ut u JOIN dens d ON d.sa = u.sa AND d.sb = u.sb
+        GROUP BY 1, 2
+    )
+    SELECT m.sa AS src_a, m.sb AS src_b,
+           round(m.kl_main + (d.V - m.n_union) * (1 / d.da)
+                 * ln((1 / d.da) / (1 / d.db)), 6) + 0.0 AS kl_ab
+    FROM main m JOIN dens d ON d.sa = m.sa AND d.sb = m.sb
+    ORDER BY 1, 2
+"""
+
+
+def q_markov_top1_accuracy_events(sf_dir: str) -> pd.DataFrame:
+    """Backtest of the first-order Markov next-event predictor: per current
+    type, the modal next type (count desc, name asc tie-break) and its
+    top-1 accuracy over all observed transitions — the eval step on top of
+    the transition-count op. Per-user pairs form co-located; the 25-cell
+    transition table is the only thing that leaves."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("user_id", sort=False):
+            t = g.sort_values(["ts", "event_id"])["event_type"].to_numpy()
+            if len(t) < 2:
+                continue
+            outs.append(pd.DataFrame({"cur": t[:-1], "nxt": t[1:]}))
+        if not outs:
+            return pd.DataFrame({"cur": pd.Series([], dtype="object"),
+                                 "nxt": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.concat(outs, ignore_index=True)
+        vc = df.groupby(["cur", "nxt"], sort=False).size()
+        return vc.rename("n").reset_index()
+
+    trans = hash_aggregate(
+        keyed_map_partitions(ev, ["user_id"], pairs, num_partitions=_NP),
+        ["cur", "nxt"], {"n": ("n", "sum")}, num_partitions=4).to_pandas()
+    rows = []
+    for cur, g in trans.groupby("cur"):
+        g = g.sort_values(["n", "nxt"], ascending=[False, True])
+        total = int(g["n"].sum())
+        rows.append((cur, total, g.iloc[0]["nxt"],
+                     np.round(int(g.iloc[0]["n"]) / total, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["cur", "n_transitions",
+                                       "predicted", "accuracy"]) \
+        .astype({"n_transitions": np.int64}) \
+        .sort_values("cur").reset_index(drop=True)
+
+
+SQL_MARKOV_TOP1_ACCURACY = """
+    WITH s AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    t AS (SELECT event_type AS cur, nxt, count(*) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    best AS (
+        SELECT cur, nxt, n,
+               ROW_NUMBER() OVER (PARTITION BY cur
+                                  ORDER BY n DESC, nxt) AS rk,
+               sum(n) OVER (PARTITION BY cur) AS total
+        FROM t
+    )
+    SELECT cur, CAST(total AS BIGINT) AS n_transitions,
+           nxt AS predicted,
+           round(n * 1.0 / total, 6) + 0.0 AS accuracy
+    FROM best WHERE rk = 1 ORDER BY cur
+"""

@@ -510,6 +510,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mincost_supplier_parts": Q.q_mincost_supplier_parts,
         "kl_token_sources": Q.q_kl_token_sources,
         "markov_top1_accuracy_events": Q.q_markov_top1_accuracy_events,
+        # GEV block-maxima PWM, sample entropy, von Neumann ratio
+        "gev_pwm_daily_max_events": Q.q_gev_pwm_daily_max_events,
+        "sample_entropy_daily": Q.q_sample_entropy_daily,
+        "von_neumann_daily": Q.q_von_neumann_daily,
     }
 
 
@@ -860,4 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "mincost_supplier_parts": Q.SQL_MINCOST_SUPPLIER,
         "kl_token_sources": Q.SQL_KL_TOKEN_SOURCES,
         "markov_top1_accuracy_events": Q.SQL_MARKOV_TOP1_ACCURACY,
+        "gev_pwm_daily_max_events": Q.SQL_GEV_PWM,
+        "sample_entropy_daily": Q.SQL_SAMPLE_ENTROPY,
+        "von_neumann_daily": Q.SQL_VON_NEUMANN,
     }

@@ -16555,3 +16555,240 @@ SQL_MARKOV_TOP1_ACCURACY = """
            round(n * 1.0 / total, 6) + 0.0 AS accuracy
     FROM best WHERE rk = 1 ORDER BY cur
 """
+
+
+# ---------------------------------------------------------------------------
+# GEV block-maxima PWM fit / sample entropy / von Neumann ratio
+# ---------------------------------------------------------------------------
+
+def q_gev_pwm_daily_max_events(sf_dir: str) -> pd.DataFrame:
+    """GEV fit to daily BLOCK MAXIMA of the hourly series via probability-
+    weighted moments (Hosking, Wallis & Wood 1985 — the closed-form EVT
+    companion to the POT-GPD fit): b₀,b₁,b₂ from the sorted sample,
+    c = (2b₁−b₀)/(3b₂−b₀) − ln2/ln3, k = 7.8590c + 2.9554c²,
+    σ = (2b₁−b₀)k / (Γ(1+k)(1−2⁻ᵏ)), μ = b₀ + σ(Γ(1+k)−1)/k."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    hourly = _bucket_series(sf_dir, HOUR_US, "h")
+
+    def daymax(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        us = b["h"].astype("datetime64[us]").astype("int64")
+        b["d"] = pd.to_datetime((us // DAY_US) * DAY_US, unit="us")
+        return b[["event_type", "d", "v"]]
+
+    dm = hash_aggregate(hourly.map_batches(daymax, batch_format="pandas"),
+                        ["event_type", "d"], {"mx": ("v", "max")},
+                        num_partitions=_NP)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            x = np.sort(g["mx"].to_numpy(np.float64))
+            n = len(x)
+            if n < 3:
+                rows.append((et, n, np.nan, np.nan, np.nan))
+                continue
+            j = np.arange(1, n + 1, dtype=np.float64)
+            b0 = x.mean()
+            b1 = ((j - 1) / (n - 1.0) * x).sum() / n
+            b2 = ((j - 1) * (j - 2) / ((n - 1.0) * (n - 2.0)) * x).sum() / n
+            c = (2 * b1 - b0) / (3 * b2 - b0) - np.log(2) / np.log(3)
+            k = 7.8590 * c + 2.9554 * c * c
+            if abs(k) < 1e-9:
+                rows.append((et, n, np.round(k, 6) + 0.0, np.nan, np.nan))
+                continue
+            from math import gamma
+            sig = (2 * b1 - b0) * k / (gamma(1 + k) * (1 - 2.0 ** -k))
+            mu = b0 + sig * (gamma(1 + k) - 1) / k
+            rows.append((et, n, np.round(k, 6) + 0.0,
+                         np.round(sig, 6) + 0.0, np.round(mu, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_blocks",
+                                           "gev_k", "gev_sigma", "gev_mu"])
+
+    out = keyed_map_partitions(dm, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_blocks"] = out["n_blocks"].astype(np.int64)
+    out = _fill(out, ["gev_k", "gev_sigma", "gev_mu"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_GEV_PWM = f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    dm AS (
+        SELECT event_type, date_trunc('day', h) AS d, max(v) AS mx
+        FROM hourly GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, mx,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mx) AS j,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dm
+    ),
+    b AS (
+        SELECT event_type, any_value(n) AS n, avg(mx) AS b0,
+               sum((j - 1) / (n - 1.0) * mx) / any_value(n) AS b1,
+               sum((j - 1) * (j - 2)
+                   / ((n - 1.0) * (n - 2.0)) * mx) / any_value(n) AS b2
+        FROM r WHERE n >= 3 GROUP BY 1
+    ),
+    kfit AS (
+        SELECT event_type, n, b0, b1, b2,
+               7.8590 * ((2 * b1 - b0) / (3 * b2 - b0) - ln(2) / ln(3))
+               + 2.9554 * pow((2 * b1 - b0) / (3 * b2 - b0)
+                              - ln(2) / ln(3), 2) AS k
+        FROM b
+    ),
+    fit AS (
+        SELECT event_type, n, k,
+               CASE WHEN abs(k) >= 1e-9
+                    THEN (2 * b1 - b0) * k
+                         / (gamma(1 + k) * (1 - pow(2, -k))) END AS sig,
+               b0 AS b0
+        FROM kfit
+    ),
+    base AS (SELECT DISTINCT event_type FROM dm)
+    SELECT base.event_type,
+           CAST(COALESCE(fit.n, (SELECT count(*) FROM dm d2
+                                 WHERE d2.event_type = base.event_type))
+                AS BIGINT) AS n_blocks,
+           COALESCE(round(fit.k, 6) + 0.0, {NULLF}) AS gev_k,
+           COALESCE(round(fit.sig, 6) + 0.0, {NULLF}) AS gev_sigma,
+           COALESCE(CASE WHEN abs(fit.k) >= 1e-9
+                         THEN round(fit.b0 + fit.sig * (gamma(1 + fit.k) - 1)
+                                    / fit.k, 6) + 0.0 END, {NULLF})
+               AS gev_mu
+    FROM base LEFT JOIN fit USING (event_type)
+    ORDER BY 1
+"""
+
+
+def q_sample_entropy_daily(sf_dir: str) -> pd.DataFrame:
+    """Sample entropy per series (Richman & Moorman 2000; m=2,
+    r = 0.2·σ rounded to 6 so both engines use the same tolerance):
+    SampEn = −ln(A/B) with B = ordered template pairs (i<j) matching at
+    length 2 under Chebyshev ≤ r, A = the same at length 3 — the
+    regularity measure separating structured from noisy series."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < 4 or v.std(ddof=1) == 0:
+                rows.append((et, n, np.nan, 0, 0))
+                continue
+            r = np.round(0.2 * v.std(ddof=1), 6) + 0.0
+            W2 = np.lib.stride_tricks.sliding_window_view(v, 2)
+            W3 = np.lib.stride_tricks.sliding_window_view(v, 3)
+
+            def count_pairs(W):
+                D = np.abs(W[:, None, :] - W[None, :, :]).max(axis=2)
+                iu = np.triu_indices(len(W), k=1)
+                return int((D[iu] <= r).sum())
+
+            B, A = count_pairs(W2), count_pairs(W3)
+            se = (np.round(-np.log(A / B), 6) + 0.0
+                  if A > 0 and B > 0 else np.nan)
+            rows.append((et, n, se, A, B))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "sampen", "n_a", "n_b"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["n_days", "n_a", "n_b"]] = out[["n_days", "n_a", "n_b"]] \
+        .astype(np.int64)
+    out = _fill(out, ["sampen"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SAMPLE_ENTROPY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               LEAD(v, 1) OVER w AS v1, LEAD(v, 2) OVER w AS v2,
+               ROW_NUMBER() OVER w AS rn
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    tol AS (SELECT event_type, count(*) AS n,
+                   round(0.2 * stddev_samp(v), 6) + 0.0 AS tol
+            FROM daily GROUP BY 1),
+    b2 AS (
+        SELECT a.event_type, count(*) AS b
+        FROM r a JOIN r b ON a.event_type = b.event_type AND a.rn < b.rn
+        JOIN tol ON tol.event_type = a.event_type
+        WHERE a.v1 IS NOT NULL AND b.v1 IS NOT NULL
+          AND greatest(abs(a.v - b.v), abs(a.v1 - b.v1)) <= tol.tol
+        GROUP BY 1
+    ),
+    a3 AS (
+        SELECT a.event_type, count(*) AS a
+        FROM r a JOIN r b ON a.event_type = b.event_type AND a.rn < b.rn
+        JOIN tol ON tol.event_type = a.event_type
+        WHERE a.v2 IS NOT NULL AND b.v2 IS NOT NULL
+          AND greatest(abs(a.v - b.v), abs(a.v1 - b.v1),
+                       abs(a.v2 - b.v2)) <= tol.tol
+        GROUP BY 1
+    )
+    SELECT t.event_type, CAST(t.n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN t.n >= 4 AND t.tol > 0
+                          AND COALESCE(a3.a, 0) > 0
+                          AND COALESCE(b2.b, 0) > 0
+                         THEN round(-ln(a3.a * 1.0 / b2.b), 6) + 0.0 END,
+                    {NULLF}) AS sampen,
+           CAST(CASE WHEN t.n >= 4 AND t.tol > 0
+                     THEN COALESCE(a3.a, 0) ELSE 0 END AS BIGINT) AS n_a,
+           CAST(CASE WHEN t.n >= 4 AND t.tol > 0
+                     THEN COALESCE(b2.b, 0) ELSE 0 END AS BIGINT) AS n_b
+    FROM tol t
+    LEFT JOIN b2 USING (event_type) LEFT JOIN a3 USING (event_type)
+    ORDER BY 1
+"""
+
+
+def q_von_neumann_daily(sf_dir: str) -> pd.DataFrame:
+    """Von Neumann ratio per series (1941 successive-difference test):
+    η = Σ(vₜ₊₁−vₜ)² / Σ(v−v̄)² — ≈2 under independence, <2 under positive
+    autocorrelation, >2 under alternation. Pure moment algebra."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            den = ((v - v.mean()) ** 2).sum()
+            if len(v) < 2 or den <= 0:
+                rows.append((et, len(v), np.nan))
+                continue
+            eta = (np.diff(v) ** 2).sum() / den
+            rows.append((et, len(v), np.round(eta, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days", "vn_eta"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["vn_eta"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VON_NEUMANN = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    d AS (
+        SELECT event_type, v,
+               v - LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS dv,
+               avg(v) OVER (PARTITION BY event_type) AS mu
+        FROM daily
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN count(*) >= 2
+                          AND sum((v - mu) * (v - mu)) > 0
+                         THEN round(sum(dv * dv)
+                                    / sum((v - mu) * (v - mu)), 6) + 0.0
+                    END, {NULLF}) AS vn_eta
+    FROM d GROUP BY 1 ORDER BY 1
+"""

@@ -514,6 +514,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gev_pwm_daily_max_events": Q.q_gev_pwm_daily_max_events,
         "sample_entropy_daily": Q.q_sample_entropy_daily,
         "von_neumann_daily": Q.q_von_neumann_daily,
+        # turning points, ACF whiteness, Bonferroni pairwise contrasts
+        "turning_points_daily": Q.q_turning_points_daily,
+        "acf_whiteness_daily": Q.q_acf_whiteness_daily,
+        "pairwise_mean_diff_events": Q.q_pairwise_mean_diff_events,
     }
 
 
@@ -867,4 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "gev_pwm_daily_max_events": Q.SQL_GEV_PWM,
         "sample_entropy_daily": Q.SQL_SAMPLE_ENTROPY,
         "von_neumann_daily": Q.SQL_VON_NEUMANN,
+        "turning_points_daily": Q.SQL_TURNING_POINTS,
+        "acf_whiteness_daily": Q.SQL_ACF_WHITENESS,
+        "pairwise_mean_diff_events": Q.SQL_PAIRWISE_MEAN_DIFF,
     }

@@ -16792,3 +16792,208 @@ SQL_VON_NEUMANN = f"""
                     END, {NULLF}) AS vn_eta
     FROM d GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# turning points test / ACF whiteness audit / pairwise mean contrasts
+# ---------------------------------------------------------------------------
+
+def q_turning_points_daily(sf_dir: str) -> pd.DataFrame:
+    """Kendall turning-points randomness test per series: count interior
+    local extrema (vₜ₋₁<vₜ>vₜ₊₁ or vₜ₋₁>vₜ<vₜ₊₁), compare to the i.i.d.
+    expectation 2(n−2)/3 with variance (16n−29)/90 → z-score. Strict
+    inequalities; plateau points are not turning points."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < 3:
+                rows.append((et, n, 0, np.nan, np.nan))
+                continue
+            a, b, c = v[:-2], v[1:-1], v[2:]
+            tp = int((((b > a) & (b > c)) | ((b < a) & (b < c))).sum())
+            exp = 2.0 * (n - 2) / 3.0
+            var = (16.0 * n - 29.0) / 90.0
+            z = (tp - exp) / np.sqrt(var)
+            rows.append((et, n, tp, np.round(exp, 6) + 0.0,
+                         np.round(z, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "n_turning", "expected", "z"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["n_days", "n_turning"]] = out[["n_days", "n_turning"]] \
+        .astype(np.int64)
+    out = _fill(out, ["expected", "z"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_TURNING_POINTS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    w AS (
+        SELECT event_type, v,
+               LAG(v) OVER s AS pv, LEAD(v) OVER s AS nv,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily WINDOW s AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                          AND ((v > pv AND v > nv) OR (v < pv AND v < nv))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_turning,
+           COALESCE(CASE WHEN any_value(n) >= 3
+                         THEN round(2.0 * (any_value(n) - 2) / 3.0, 6) + 0.0
+                    END, {NULLF}) AS expected,
+           COALESCE(CASE WHEN any_value(n) >= 3
+                         THEN round((sum(CASE WHEN pv IS NOT NULL
+                                           AND nv IS NOT NULL
+                                           AND ((v > pv AND v > nv)
+                                                OR (v < pv AND v < nv))
+                                          THEN 1 ELSE 0 END)
+                                     - 2.0 * (any_value(n) - 2) / 3.0)
+                                    / sqrt((16.0 * any_value(n) - 29.0)
+                                           / 90.0), 6) + 0.0 END, {NULLF})
+               AS z
+    FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_acf_whiteness_daily(sf_dir: str) -> pd.DataFrame:
+    """Correlogram whiteness audit per series: how many of the first 10
+    sample autocorrelations breach the Bartlett ±1.96/√n band (the visual
+    'is this residual white?' check, quantified). ACF values round to 6
+    before the breach comparison so both engines flag identically."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n = len(v)
+            dv = v - v.mean()
+            den = (dv ** 2).sum()
+            if n < 11 or den <= 0:
+                rows.append((et, n, 0, np.nan))
+                continue
+            bound = np.round(1.96 / np.sqrt(n), 6) + 0.0
+            breaches = 0
+            worst = 0.0
+            for k in range(1, 11):
+                rk = np.round((dv[k:] * dv[:-k]).sum() / den, 6) + 0.0
+                breaches += int(abs(rk) > bound)
+                worst = max(worst, abs(rk))
+            rows.append((et, n, breaches, np.round(worst, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "n_breaches", "max_abs_acf"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["n_days", "n_breaches"]] = out[["n_days", "n_breaches"]] \
+        .astype(np.int64)
+    out = _fill(out, ["max_abs_acf"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_ACF_WHITENESS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, count(*) AS n
+          FROM daily GROUP BY 1),
+    r AS (
+        SELECT d.event_type, d.v, m.mu, m.n,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d) AS rn
+        FROM daily d JOIN m USING (event_type)
+    ),
+    den AS (SELECT event_type, sum((v - mu) * (v - mu)) AS den
+            FROM r GROUP BY 1),
+    ks AS (SELECT unnest(range(1, 11)) AS k),
+    acf AS (
+        SELECT a.event_type, ks.k,
+               round(sum((a.v - a.mu) * (b.v - b.mu))
+                     / any_value(den.den), 6) + 0.0 AS rk,
+               any_value(a.n) AS n
+        FROM ks, r a
+        JOIN r b ON a.event_type = b.event_type AND a.rn = b.rn + ks.k
+        JOIN den ON den.event_type = a.event_type
+        WHERE den.den > 0 AND a.n >= 11
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type, any_value(n) AS n,
+               sum(CASE WHEN abs(rk) > round(1.96 / sqrt(n), 6) + 0.0
+                        THEN 1 ELSE 0 END) AS breaches,
+               max(abs(rk)) AS worst
+        FROM acf GROUP BY 1
+    ),
+    base AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1)
+    SELECT base.event_type, CAST(base.n AS BIGINT) AS n_days,
+           CAST(COALESCE(agg.breaches, 0) AS BIGINT) AS n_breaches,
+           COALESCE(round(agg.worst, 6) + 0.0, {NULLF}) AS max_abs_acf
+    FROM base LEFT JOIN agg USING (event_type)
+    ORDER BY 1
+"""
+
+
+def q_pairwise_mean_diff_events(sf_dir: str) -> pd.DataFrame:
+    """Post-hoc pairwise contrasts after the day-of-week ANOVA family:
+    for every event-type pair, the mean-value difference with the pooled-
+    variance standard error and Bonferroni-adjusted 95% CI (10 pairs →
+    z = 2.807, the Šidák-free classic). One moment row per type crosses;
+    pairing is driver-side over k rows."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["v2"] = b["value"].to_numpy(np.float64) ** 2
+        b["one"] = 1.0
+        return b[["event_type", "one", "value", "v2"]]
+
+    g = hash_aggregate(ev.map_batches(moments, batch_format="pandas"),
+                       ["event_type"],
+                       {"n": ("one", "sum"), "s": ("value", "sum"),
+                        "ss": ("v2", "sum")},
+                       num_partitions=_NP).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    m = g["s"].to_numpy(np.float64) / n
+    sse = g["ss"].to_numpy(np.float64) - n * m * m
+    s2p = sse.sum() / (n.sum() - len(n))  # pooled within variance
+    Z = 2.807  # Bonferroni 0.05/10 two-sided normal quantile
+    rows = []
+    for i in range(len(g)):
+        for j in range(i + 1, len(g)):
+            diff = m[i] - m[j]
+            se = np.sqrt(s2p * (1.0 / n[i] + 1.0 / n[j]))
+            rows.append((g["event_type"][i], g["event_type"][j],
+                         np.round(diff, 6) + 0.0, np.round(se, 6) + 0.0,
+                         np.round(diff - Z * se, 6) + 0.0,
+                         np.round(diff + Z * se, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["et_a", "et_b", "mean_diff",
+                                       "se", "ci_lo", "ci_hi"])
+
+
+SQL_PAIRWISE_MEAN_DIFF = """
+    WITH g AS (
+        SELECT event_type, count(*)::DOUBLE AS n, avg(value) AS m,
+               sum(value * value) - count(*) * avg(value) * avg(value)
+                   AS sse
+        FROM events GROUP BY 1
+    ),
+    pool AS (SELECT sum(sse) / (sum(n) - count(*)) AS s2p FROM g)
+    SELECT a.event_type AS et_a, b.event_type AS et_b,
+           round(a.m - b.m, 6) + 0.0 AS mean_diff,
+           round(sqrt(pool.s2p * (1 / a.n + 1 / b.n)), 6) + 0.0 AS se,
+           round(a.m - b.m - 2.807 * sqrt(pool.s2p * (1 / a.n + 1 / b.n)),
+                 6) + 0.0 AS ci_lo,
+           round(a.m - b.m + 2.807 * sqrt(pool.s2p * (1 / a.n + 1 / b.n)),
+                 6) + 0.0 AS ci_hi
+    FROM g a JOIN g b ON a.event_type < b.event_type
+    CROSS JOIN pool
+    ORDER BY 1, 2
+"""

@@ -518,6 +518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turning_points_daily": Q.q_turning_points_daily,
         "acf_whiteness_daily": Q.q_acf_whiteness_daily,
         "pairwise_mean_diff_events": Q.q_pairwise_mean_diff_events,
+        # DAU half-life, weekend effect, Chapman capture-recapture
+        "dau_halflife_events": Q.q_dau_halflife_events,
+        "weekend_effect_daily": Q.q_weekend_effect_daily,
+        "chapman_estimate_users": Q.q_chapman_estimate_users,
     }
 
 
@@ -874,4 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "turning_points_daily": Q.SQL_TURNING_POINTS,
         "acf_whiteness_daily": Q.SQL_ACF_WHITENESS,
         "pairwise_mean_diff_events": Q.SQL_PAIRWISE_MEAN_DIFF,
+        "dau_halflife_events": Q.SQL_DAU_HALFLIFE,
+        "weekend_effect_daily": Q.SQL_WEEKEND_EFFECT,
+        "chapman_estimate_users": Q.SQL_CHAPMAN_ESTIMATE,
     }

@@ -16997,3 +16997,174 @@ SQL_PAIRWISE_MEAN_DIFF = """
     CROSS JOIN pool
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# DAU half-life / weekend effect / Chapman capture-recapture
+# ---------------------------------------------------------------------------
+
+def q_dau_halflife_events(sf_dir: str) -> pd.DataFrame:
+    """Audience-decay half-life: OLS of ln(DAU) on the day index; when the
+    slope is negative, half-life = ln2/(−slope) days (NULLF for flat or
+    growing audiences — no decay to halve). The log-linear survival read
+    of the engine's distinct-count spine."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["d"] = b["ts"].dt.floor("D")
+        return b[["d", "user_id"]]
+
+    dau = hash_aggregate(
+        ev.map_batches(day_fn, batch_format="pandas"), ["d", "user_id"],
+        {"one": ("user_id", "size")}, num_partitions=_NP)
+    daily = hash_count(dau, ["d"], out_col="dau",
+                       num_partitions=4).to_pandas().sort_values("d")
+    y = np.log(daily["dau"].to_numpy(np.float64))
+    t = np.arange(len(y), dtype=np.float64)
+    tm, ym = t.mean(), y.mean()
+    slope = ((t - tm) * (y - ym)).sum() / ((t - tm) ** 2).sum()
+    hl = np.log(2.0) / -slope if slope < 0 else np.nan
+    return pd.DataFrame({
+        "n_days": [np.int64(len(y))],
+        "slope": [np.round(slope, 6) + 0.0],
+        "halflife_days": [np.round(hl, 6) + 0.0 if np.isfinite(hl)
+                          else NULLF],
+    })
+
+
+SQL_DAU_HALFLIFE = f"""
+    WITH dau AS (
+        SELECT date_trunc('day', ts) AS d,
+               count(DISTINCT user_id)::DOUBLE AS dau
+        FROM events GROUP BY 1
+    ),
+    r AS (SELECT ln(dau) AS y,
+                 ROW_NUMBER() OVER (ORDER BY d) - 1.0 AS t
+          FROM dau),
+    fit AS (SELECT count(*) AS n, regr_slope(y, t) AS slope FROM r)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(slope, 6) + 0.0 AS slope,
+           COALESCE(CASE WHEN slope < 0
+                         THEN round(ln(2) / -slope, 6) + 0.0 END, {NULLF})
+               AS halflife_days
+    FROM fit
+"""
+
+
+def q_weekend_effect_daily(sf_dir: str) -> pd.DataFrame:
+    """Weekend effect per series: Welch t statistic between weekend and
+    weekday daily values (the calendar-feature significance screen before
+    adding dow terms to a model). NULLF when either side has < 2 days."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            we = g["d"].dt.dayofweek.to_numpy() >= 5
+            a = g["v"].to_numpy(np.float64)[we]
+            b = g["v"].to_numpy(np.float64)[~we]
+            if len(a) < 2 or len(b) < 2:
+                rows.append((et, len(a), len(b), np.nan, np.nan))
+                continue
+            diff = a.mean() - b.mean()
+            se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+            t = diff / se if se > 0 else np.nan
+            rows.append((et, len(a), len(b), np.round(diff, 6) + 0.0,
+                         np.round(t, 6) + 0.0 if np.isfinite(t)
+                         else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n_weekend",
+                                           "n_weekday", "mean_diff",
+                                           "welch_t"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["n_weekend", "n_weekday"]] = out[["n_weekend", "n_weekday"]] \
+        .astype(np.int64)
+    out = _fill(out, ["mean_diff", "welch_t"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_WEEKEND_EFFECT = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    t AS (SELECT event_type, v, isodow(d) >= 6 AS we FROM daily),
+    a AS (SELECT event_type,
+                 count(*) FILTER (we) AS na,
+                 count(*) FILTER (NOT we) AS nb,
+                 avg(v) FILTER (we) AS ma,
+                 avg(v) FILTER (NOT we) AS mb,
+                 var_samp(v) FILTER (we) AS va,
+                 var_samp(v) FILTER (NOT we) AS vb
+          FROM t GROUP BY 1)
+    SELECT event_type, CAST(na AS BIGINT) AS n_weekend,
+           CAST(nb AS BIGINT) AS n_weekday,
+           COALESCE(CASE WHEN na >= 2 AND nb >= 2
+                         THEN round(ma - mb, 6) + 0.0 END, {NULLF})
+               AS mean_diff,
+           COALESCE(CASE WHEN na >= 2 AND nb >= 2
+                          AND va / na + vb / nb > 0
+                         THEN round((ma - mb) / sqrt(va / na + vb / nb),
+                                    6) + 0.0 END, {NULLF}) AS welch_t
+    FROM a ORDER BY 1
+"""
+
+
+def q_chapman_estimate_users(sf_dir: str) -> pd.DataFrame:
+    """Chapman capture-recapture estimate of the total user population
+    from two 'capture' windows (first vs second half of the event span):
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with m = users seen in both — the
+    ecology estimator data teams reuse to size unseen populations.
+    Per-user window flags reduce map-side; three counts leave."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    bounds = ev.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["ts"].astype("int64").min()],
+                                "hi": [b["ts"].astype("int64").max()]}),
+        batch_format="pandas").to_pandas()
+    mid = (int(bounds["lo"].min()) + int(bounds["hi"].max())) // 2
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64").to_numpy()
+        first = us <= mid
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "w1": first.astype(np.int64),
+                             "w2": (~first).astype(np.int64)})
+
+    per_user = hash_aggregate(
+        ev.map_batches(flags, batch_format="pandas"), ["user_id"],
+        {"w1": ("w1", "max"), "w2": ("w2", "max")},
+        num_partitions=_NP).to_pandas()
+    n1 = int(per_user["w1"].sum())
+    n2 = int(per_user["w2"].sum())
+    m = int(((per_user["w1"] == 1) & (per_user["w2"] == 1)).sum())
+    true_n = len(per_user)
+    est = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    return pd.DataFrame({
+        "n_window1": [np.int64(n1)], "n_window2": [np.int64(n2)],
+        "n_both": [np.int64(m)], "n_true": [np.int64(true_n)],
+        "chapman_estimate": [np.round(est, 6) + 0.0],
+    })
+
+
+SQL_CHAPMAN_ESTIMATE = """
+    WITH mid AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               max(CASE WHEN epoch_us(ts) <= mid.m THEN 1 ELSE 0 END) AS w1,
+               max(CASE WHEN epoch_us(ts) > mid.m THEN 1 ELSE 0 END) AS w2
+        FROM events CROSS JOIN mid GROUP BY 1
+    )
+    SELECT CAST(sum(w1) AS BIGINT) AS n_window1,
+           CAST(sum(w2) AS BIGINT) AS n_window2,
+           CAST(sum(CASE WHEN w1 = 1 AND w2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           CAST(count(*) AS BIGINT) AS n_true,
+           round((sum(w1) + 1.0) * (sum(w2) + 1.0)
+                 / (sum(CASE WHEN w1 = 1 AND w2 = 1 THEN 1 ELSE 0 END)
+                    + 1.0) - 1.0, 6) + 0.0 AS chapman_estimate
+    FROM u
+"""

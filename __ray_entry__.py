@@ -522,6 +522,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_halflife_events": Q.q_dau_halflife_events,
         "weekend_effect_daily": Q.q_weekend_effect_daily,
         "chapman_estimate_users": Q.q_chapman_estimate_users,
+        # Burrows' Delta stylometry, ABC classes, calibration table
+        "burrows_delta_sources": Q.q_burrows_delta_sources,
+        "abc_classification_parts": Q.q_abc_classification_parts,
+        "calibration_users": Q.q_calibration_users,
     }
 
 
@@ -881,4 +885,7 @@ def oracle_sql() -> dict[str, str]:
         "dau_halflife_events": Q.SQL_DAU_HALFLIFE,
         "weekend_effect_daily": Q.SQL_WEEKEND_EFFECT,
         "chapman_estimate_users": Q.SQL_CHAPMAN_ESTIMATE,
+        "burrows_delta_sources": Q.SQL_BURROWS_DELTA,
+        "abc_classification_parts": Q.SQL_ABC_CLASSIFICATION,
+        "calibration_users": Q.SQL_CALIBRATION_USERS,
     }

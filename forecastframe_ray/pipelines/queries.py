@@ -17168,3 +17168,226 @@ SQL_CHAPMAN_ESTIMATE = """
                     + 1.0) - 1.0, 6) + 0.0 AS chapman_estimate
     FROM u
 """
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometry / ABC classification / calibration table
+# ---------------------------------------------------------------------------
+
+def q_burrows_delta_sources(sf_dir: str) -> pd.DataFrame:
+    """Burrows' Delta stylometric distance (Burrows 2002) between the
+    first four sources: over the corpus's top-50 tokens (count desc, token
+    asc), each source's relative frequency z-scores against the across-
+    ALL-sources distribution (ddof=1), Delta(a,b) = mean |z_a − z_b|.
+    Counts build combiner-first; only the 20×50 frequency matrix reaches
+    the driver (bounded by design)."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[["source"]].copy()
+        ex["tok"] = b["text"].str.split()
+        ex = ex.explode("tok").dropna(subset=["tok"])
+        vc = ex.groupby(["source", "tok"], sort=False).size()
+        return vc.rename("cnt").reset_index() \
+            .rename(columns={"tok": "token"})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["source", "token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP).materialize()
+    corpus = hash_aggregate(tc, ["token"], {"n": ("c", "sum")},
+                            num_partitions=_NP).to_pandas()
+    top = corpus.sort_values(["n", "token"],
+                             ascending=[False, True]).head(50)["token"]
+    top = list(top)
+    sub = tc.filter(lambda r: r["token"] in set(top)).to_pandas()
+    totals = hash_aggregate(tc, ["source"], {"N": ("c", "sum")},
+                            num_partitions=_NP).to_pandas() \
+        .set_index("source")["N"].astype(float)
+    # relative-frequency matrix source × top-term (absent term → 0)
+    mat = sub.pivot_table(index="source", columns="token", values="c",
+                          aggfunc="sum", fill_value=0.0)
+    mat = mat.reindex(index=totals.index, columns=top, fill_value=0.0)
+    F = mat.to_numpy(np.float64) / totals.to_numpy(np.float64)[:, None]
+    mu = F.mean(axis=0)
+    sd = F.std(axis=0, ddof=1)
+    Z = (F - mu) / np.where(sd > 0, sd, 1.0)
+    Z[:, sd <= 0] = 0.0
+    srcs = list(totals.index)
+    zmap = {s: Z[i] for i, s in enumerate(srcs)}
+    rows = []
+    for i, a in enumerate(_KL_SOURCES):
+        for b in _KL_SOURCES[i + 1:]:
+            delta = float(np.abs(zmap[a] - zmap[b]).mean())
+            rows.append((a, b, np.round(delta, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "delta"])
+
+
+SQL_BURROWS_DELTA = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT source, token, count(*)::DOUBLE AS c
+           FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT token, sum(c) AS n FROM tc GROUP BY 1),
+    top AS (SELECT token FROM corpus
+            ORDER BY n DESC, token LIMIT 50),
+    totals AS (SELECT source, sum(c) AS N FROM tc GROUP BY 1),
+    grid AS (SELECT t.source, top.token, t.N
+             FROM totals t CROSS JOIN top),
+    f AS (
+        SELECT g.source, g.token,
+               COALESCE(tc.c, 0) / g.N AS f
+        FROM grid g LEFT JOIN tc
+          ON tc.source = g.source AND tc.token = g.token
+    ),
+    stats AS (SELECT token, avg(f) AS mu, stddev_samp(f) AS sd
+              FROM f GROUP BY 1),
+    z AS (
+        SELECT f.source, f.token,
+               CASE WHEN s.sd > 0 THEN (f.f - s.mu) / s.sd ELSE 0 END AS z
+        FROM f JOIN stats s USING (token)
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.token,
+               abs(a.z - b.z) AS az
+        FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+        WHERE a.source IN ('src0', 'src1', 'src2', 'src3')
+          AND b.source IN ('src0', 'src1', 'src2', 'src3')
+    )
+    SELECT src_a, src_b, round(avg(az), 6) + 0.0 AS delta
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_abc_classification_parts(sf_dir: str) -> pd.DataFrame:
+    """ABC revenue classification of parts (the Pareto inventory policy):
+    parts ranked by revenue (desc, partkey asc), class A while the
+    cumulative share ≤ 80%, B while ≤ 95%, else C — classes cut on the
+    ROUNDED cumulative share so both engines draw identical boundaries.
+    Output: per-class part counts and revenue share."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["r"] = (b["l_extendedprice"].to_numpy(np.float64)
+                  * (1.0 - b["l_discount"].to_numpy(np.float64)))
+        return b[["l_partkey", "r"]]
+
+    per_part = hash_aggregate(li.map_batches(rev, batch_format="pandas"),
+                              ["l_partkey"], {"rev": ("r", "sum")},
+                              num_partitions=_NP).to_pandas()
+    per_part = per_part.sort_values(["rev", "l_partkey"],
+                                    ascending=[False, True])
+    r = per_part["rev"].to_numpy(np.float64)
+    cum = np.round(np.cumsum(r) / r.sum(), 6) + 0.0
+    cls = np.where(cum <= 0.80, "A", np.where(cum <= 0.95, "B", "C"))
+    per_part["cls"] = cls
+    g = per_part.groupby("cls")["rev"]
+    out = pd.DataFrame({"abc_class": g.size().index,
+                        "n_parts": g.size().to_numpy(np.int64),
+                        "revenue_share": np.round(
+                            g.sum().to_numpy(np.float64) / r.sum(), 6)
+                        + 0.0})
+    return out.sort_values("abc_class").reset_index(drop=True)
+
+
+SQL_ABC_CLASSIFICATION = """
+    WITH pp AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT l_partkey, rev,
+               round(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING)
+                     / (SELECT sum(rev) FROM pp), 6) + 0.0 AS cum
+        FROM pp
+    ),
+    t AS (SELECT CASE WHEN cum <= 0.80 THEN 'A'
+                      WHEN cum <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+                 rev
+          FROM c)
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev) / (SELECT sum(rev) FROM pp), 6) + 0.0
+               AS revenue_share
+    FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_calibration_users(sf_dir: str) -> pd.DataFrame:
+    """Reliability (calibration) table of a naive behavioral predictor:
+    each user's FIRST-half purchase share predicts whether they purchase
+    in the second half; predictions bucket into deciles (on the ROUNDED
+    share) and each bucket reports mean predicted vs observed rate — the
+    calibration-curve primitive under every probabilistic model eval."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    bounds = ev.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["ts"].astype("int64").min()],
+                                "hi": [b["ts"].astype("int64").max()]}),
+        batch_format="pandas").to_pandas()
+    mid = (int(bounds["lo"].min()) + int(bounds["hi"].max())) // 2
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64").to_numpy()
+        first = us <= mid
+        isp = (b["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "n1": first.astype(np.int64),
+            "p1": (first & isp).astype(np.int64),
+            "p2": (~first & isp).astype(np.int64)})
+
+    per_user = hash_aggregate(
+        ev.map_batches(flags, batch_format="pandas"), ["user_id"],
+        {"n1": ("n1", "sum"), "p1": ("p1", "sum"), "p2": ("p2", "max")},
+        num_partitions=_NP).to_pandas()
+    per_user = per_user[per_user["n1"] > 0]
+    pred = np.round(per_user["p1"].to_numpy(np.float64)
+                    / per_user["n1"].to_numpy(np.float64), 6) + 0.0
+    dec = np.minimum((pred * 10).astype(np.int64), 9)
+    obs = per_user["p2"].to_numpy(np.float64)
+    df = pd.DataFrame({"decile": dec, "pred": pred, "obs": obs})
+    g = df.groupby("decile")
+    out = pd.DataFrame({
+        "decile": g.size().index.astype(np.int64),
+        "n_users": g.size().to_numpy(np.int64),
+        "mean_pred": np.round(g["pred"].mean().to_numpy(np.float64),
+                              6) + 0.0,
+        "obs_rate": np.round(g["obs"].mean().to_numpy(np.float64),
+                             6) + 0.0})
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+SQL_CALIBRATION_USERS = """
+    WITH mid AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               sum(CASE WHEN epoch_us(ts) <= mid.m THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN epoch_us(ts) <= mid.m
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p1,
+               max(CASE WHEN epoch_us(ts) > mid.m
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p2
+        FROM events CROSS JOIN mid GROUP BY 1
+    ),
+    t AS (
+        SELECT least(CAST(floor((round(p1 * 1.0 / n1, 6) + 0.0) * 10)
+                          AS BIGINT), 9) AS decile,
+               round(p1 * 1.0 / n1, 6) + 0.0 AS pred,
+               p2::DOUBLE AS obs
+        FROM u WHERE n1 > 0
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(pred), 6) + 0.0 AS mean_pred,
+           round(avg(obs), 6) + 0.0 AS obs_rate
+    FROM t GROUP BY 1 ORDER BY 1
+"""

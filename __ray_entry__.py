@@ -526,6 +526,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burrows_delta_sources": Q.q_burrows_delta_sources,
         "abc_classification_parts": Q.q_abc_classification_parts,
         "calibration_users": Q.q_calibration_users,
+        # Brier decomposition, crawl politeness gaps, partial correlation
+        "brier_decomposition_users": Q.q_brier_decomposition_users,
+        "crawl_gaps_pages": Q.q_crawl_gaps_pages,
+        "partial_corr_daily": Q.q_partial_corr_daily,
     }
 
 
@@ -888,4 +892,7 @@ def oracle_sql() -> dict[str, str]:
         "burrows_delta_sources": Q.SQL_BURROWS_DELTA,
         "abc_classification_parts": Q.SQL_ABC_CLASSIFICATION,
         "calibration_users": Q.SQL_CALIBRATION_USERS,
+        "brier_decomposition_users": Q.SQL_BRIER_DECOMPOSITION,
+        "crawl_gaps_pages": Q.SQL_CRAWL_GAPS,
+        "partial_corr_daily": Q.SQL_PARTIAL_CORR,
     }

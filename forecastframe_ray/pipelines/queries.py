@@ -17391,3 +17391,221 @@ SQL_CALIBRATION_USERS = """
            round(avg(obs), 6) + 0.0 AS obs_rate
     FROM t GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition / crawl politeness gaps / partial correlation
+# ---------------------------------------------------------------------------
+
+def q_brier_decomposition_users(sf_dir: str) -> pd.DataFrame:
+    """Brier score of the first-half→second-half purchase predictor plus
+    its Murphy (1973) decile decomposition: reliability
+    Σnₖ(p̄ₖ−ōₖ)²/N, resolution Σnₖ(ōₖ−ō)²/N and uncertainty ō(1−ō) —
+    the standard probabilistic-forecast quality split (identity exact only
+    for bin-constant forecasts, so all four report independently)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    bounds = ev.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["ts"].astype("int64").min()],
+                                "hi": [b["ts"].astype("int64").max()]}),
+        batch_format="pandas").to_pandas()
+    mid = (int(bounds["lo"].min()) + int(bounds["hi"].max())) // 2
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64").to_numpy()
+        first = us <= mid
+        isp = (b["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "n1": first.astype(np.int64),
+            "p1": (first & isp).astype(np.int64),
+            "p2": (~first & isp).astype(np.int64)})
+
+    per_user = hash_aggregate(
+        ev.map_batches(flags, batch_format="pandas"), ["user_id"],
+        {"n1": ("n1", "sum"), "p1": ("p1", "sum"), "p2": ("p2", "max")},
+        num_partitions=_NP).to_pandas()
+    per_user = per_user[per_user["n1"] > 0]
+    pred = np.round(per_user["p1"].to_numpy(np.float64)
+                    / per_user["n1"].to_numpy(np.float64), 6) + 0.0
+    obs = per_user["p2"].to_numpy(np.float64)
+    N = float(len(pred))
+    brier = ((pred - obs) ** 2).mean()
+    dec = np.minimum((pred * 10).astype(np.int64), 9)
+    df = pd.DataFrame({"k": dec, "p": pred, "o": obs})
+    g = df.groupby("k")
+    nk = g.size().to_numpy(np.float64)
+    pk = g["p"].mean().to_numpy(np.float64)
+    ok = g["o"].mean().to_numpy(np.float64)
+    obar = obs.mean()
+    rel = (nk * (pk - ok) ** 2).sum() / N
+    res = (nk * (ok - obar) ** 2).sum() / N
+    unc = obar * (1.0 - obar)
+    return pd.DataFrame({
+        "n_users": [np.int64(N)],
+        "brier": [np.round(brier, 6) + 0.0],
+        "reliability": [np.round(rel, 6) + 0.0],
+        "resolution": [np.round(res, 6) + 0.0],
+        "uncertainty": [np.round(unc, 6) + 0.0],
+    })
+
+
+SQL_BRIER_DECOMPOSITION = """
+    WITH mid AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               sum(CASE WHEN epoch_us(ts) <= mid.m THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN epoch_us(ts) <= mid.m
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p1,
+               max(CASE WHEN epoch_us(ts) > mid.m
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p2
+        FROM events CROSS JOIN mid GROUP BY 1
+    ),
+    t AS (
+        SELECT round(p1 * 1.0 / n1, 6) + 0.0 AS pred, p2::DOUBLE AS obs,
+               least(CAST(floor((round(p1 * 1.0 / n1, 6) + 0.0) * 10)
+                          AS BIGINT), 9) AS k
+        FROM u WHERE n1 > 0
+    ),
+    tot AS (SELECT count(*)::DOUBLE AS N, avg(obs) AS obar,
+                   avg((pred - obs) * (pred - obs)) AS brier
+            FROM t),
+    bins AS (SELECT k, count(*)::DOUBLE AS nk, avg(pred) AS pk,
+                    avg(obs) AS ok
+             FROM t GROUP BY 1)
+    SELECT CAST(tot.N AS BIGINT) AS n_users,
+           round(tot.brier, 6) + 0.0 AS brier,
+           round(sum(bins.nk * (bins.pk - bins.ok) * (bins.pk - bins.ok))
+                 / tot.N, 6) + 0.0 AS reliability,
+           round(sum(bins.nk * (bins.ok - tot.obar) * (bins.ok - tot.obar))
+                 / tot.N, 6) + 0.0 AS resolution,
+           round(tot.obar * (1 - tot.obar), 6) + 0.0 AS uncertainty
+    FROM bins CROSS JOIN tot
+    GROUP BY tot.N, tot.brier, tot.obar
+"""
+
+
+def q_crawl_gaps_pages(sf_dir: str) -> pd.DataFrame:
+    """Crawl-politeness profile of the synthesized Common-Crawl pages
+    (entry()'s formulas): per host, the inter-crawl gaps of sorted
+    warc_ts — page count, min and median gap in seconds. The politeness
+    audit a crawl scheduler runs per domain; the oracle recomputes the
+    synthesis arithmetic in SQL."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def to_ts(b: pd.DataFrame) -> pd.DataFrame:
+        host = (b["source"].str.lower().str.replace(" ", "-")
+                + ".example.com")
+        ts = (_PAGE_EPOCH_US
+              + (b["doc_id"].astype(np.int64) * _PAGE_STRIDE)
+              % _PAGE_SPAN_US)
+        return pd.DataFrame({"host": host, "ts_us": ts})
+
+    pages = docs.map_batches(to_ts, batch_format="pandas")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for h, g in part.groupby("host", sort=False):
+            ts = np.sort(g["ts_us"].to_numpy(np.int64))
+            if len(ts) < 2:
+                rows.append((h, len(ts), np.nan, np.nan))
+                continue
+            gaps = np.diff(ts) / 1e6
+            rows.append((h, len(ts),
+                         np.round(gaps.min(), 6) + 0.0,
+                         np.round(np.quantile(gaps, 0.5), 6) + 0.0))
+        return pd.DataFrame(rows, columns=["host", "n_pages",
+                                           "min_gap_s", "median_gap_s"])
+
+    out = keyed_map_partitions(pages, ["host"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_pages"] = out["n_pages"].astype(np.int64)
+    out = _fill(out, ["min_gap_s", "median_gap_s"])
+    return out.sort_values("host").reset_index(drop=True)
+
+
+SQL_CRAWL_GAPS = f"""
+    WITH pages AS (
+        SELECT lower(replace(source, ' ', '-')) || '.example.com' AS host,
+               ({_PAGE_EPOCH_US} + (doc_id * {_PAGE_STRIDE})
+                % {_PAGE_SPAN_US}) AS ts_us
+        FROM documents
+    ),
+    g AS (
+        SELECT host,
+               (ts_us - LAG(ts_us) OVER (PARTITION BY host
+                                         ORDER BY ts_us)) / 1e6 AS gap
+        FROM pages
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+           COALESCE(round(min(gap), 6) + 0.0, {NULLF}) AS min_gap_s,
+           COALESCE(round(quantile_cont(gap, 0.5), 6) + 0.0, {NULLF})
+               AS median_gap_s
+    FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_partial_corr_daily(sf_dir: str) -> pd.DataFrame:
+    """Partial correlation between every series pair controlling for the
+    MARKET (the all-types daily total): r_ab·z = (r_ab − r_az·r_bz) /
+    √((1−r_az²)(1−r_bz²)) — separates genuine co-movement from shared
+    market exposure. The k-series spine is collected for the k² pairing
+    (k tiny by construction)."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    wide = daily.to_pandas().pivot_table(index="d", columns="event_type",
+                                         values="v", aggfunc="sum")
+    market = wide.sum(axis=1)
+    ets = sorted(wide.columns)
+
+    def corr(x, y):
+        m = x.notna() & y.notna()
+        xv, yv = x[m].to_numpy(np.float64), y[m].to_numpy(np.float64)
+        xv, yv = xv - xv.mean(), yv - yv.mean()
+        den = np.sqrt((xv ** 2).sum() * (yv ** 2).sum())
+        return float((xv * yv).sum() / den) if den > 0 else np.nan
+
+    rows = []
+    for i, a in enumerate(ets):
+        for b in ets[i + 1:]:
+            rab = corr(wide[a], wide[b])
+            raz = corr(wide[a], market)
+            rbz = corr(wide[b], market)
+            den = np.sqrt((1 - raz ** 2) * (1 - rbz ** 2))
+            pc = (rab - raz * rbz) / den if den > 0 else np.nan
+            rows.append((a, b, np.round(rab, 6) + 0.0,
+                         np.round(pc, 6) + 0.0 if np.isfinite(pc)
+                         else NULLF))
+    return pd.DataFrame(rows, columns=["et_a", "et_b", "corr_raw",
+                                       "corr_partial"])
+
+
+SQL_PARTIAL_CORR = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    mkt AS (SELECT d, sum(v) AS z FROM daily GROUP BY 1),
+    j AS (SELECT d1.event_type AS et, d1.v, mkt.z
+          FROM daily d1 JOIN mkt USING (d)),
+    rz AS (SELECT et, corr(v, z) AS r FROM j GROUP BY 1),
+    pair AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b,
+               corr(a.v, b.v) AS rab
+        FROM daily a JOIN daily b
+          ON a.d = b.d AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.et_a, p.et_b, round(p.rab, 6) + 0.0 AS corr_raw,
+           COALESCE(CASE WHEN (1 - ra.r * ra.r) * (1 - rb.r * rb.r) > 0
+                         THEN round((p.rab - ra.r * rb.r)
+                                    / sqrt((1 - ra.r * ra.r)
+                                           * (1 - rb.r * rb.r)), 6) + 0.0
+                    END, {NULLF}) AS corr_partial
+    FROM pair p
+    JOIN rz ra ON ra.et = p.et_a
+    JOIN rz rb ON rb.et = p.et_b
+    ORDER BY 1, 2
+"""

@@ -530,6 +530,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brier_decomposition_users": Q.q_brier_decomposition_users,
         "crawl_gaps_pages": Q.q_crawl_gaps_pages,
         "partial_corr_daily": Q.q_partial_corr_daily,
+        # Dunning keyness, vocabulary coverage, Wilcoxon signed-rank
+        "keyness_g2_src0": Q.q_keyness_g2_src0,
+        "vocab_coverage_documents": Q.q_vocab_coverage_documents,
+        "wilcoxon_paired_daily": Q.q_wilcoxon_paired_daily,
     }
 
 
@@ -895,4 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "brier_decomposition_users": Q.SQL_BRIER_DECOMPOSITION,
         "crawl_gaps_pages": Q.SQL_CRAWL_GAPS,
         "partial_corr_daily": Q.SQL_PARTIAL_CORR,
+        "keyness_g2_src0": Q.SQL_KEYNESS_G2,
+        "vocab_coverage_documents": Q.SQL_VOCAB_COVERAGE,
+        "wilcoxon_paired_daily": Q.SQL_WILCOXON_PAIRED,
     }

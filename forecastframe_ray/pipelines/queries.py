@@ -17609,3 +17609,221 @@ SQL_PARTIAL_CORR = f"""
     JOIN rz rb ON rb.et = p.et_b
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Dunning G² keyness / vocabulary coverage / Wilcoxon signed-rank
+# ---------------------------------------------------------------------------
+
+def q_keyness_g2_src0(sf_dir: str) -> pd.DataFrame:
+    """Dunning (1993) log-likelihood keyness: the 20 tokens most
+    distinctive of src0 vs the REST of the corpus by
+    G² = 2·Σ O·ln(O/E) over each token's 2×2 table (zero cells contribute
+    0), ranked on the ROUNDED statistic (tie → token asc). The corpus-
+    comparison keyword extractor; counts build combiner-first."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame({
+            "grp": np.where(b["source"].to_numpy() == "src0", "a", "b"),
+            "tok": b["text"].str.split().to_numpy()})
+        ex = ex.explode("tok").dropna(subset=["tok"])
+        vc = ex.groupby(["grp", "tok"], sort=False).size()
+        return vc.rename("cnt").reset_index() \
+            .rename(columns={"tok": "token"})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["grp", "token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP).to_pandas()
+    piv = tc.pivot_table(index="token", columns="grp", values="c",
+                         aggfunc="sum", fill_value=0.0)
+    a = piv.get("a", pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    b = piv.get("b", pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    NA, NB = a.sum(), b.sum()
+
+    def term(o, e):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = o * np.log(np.where(o > 0, o / e, 1.0))
+        return np.where(o > 0, t, 0.0)
+
+    ea = (a + b) * NA / (NA + NB)
+    eb = (a + b) * NB / (NA + NB)
+    g2 = np.round(2.0 * (term(a, ea) + term(b, eb)), 6) + 0.0
+    out = pd.DataFrame({"token": piv.index, "n_src0": a.astype(np.int64),
+                        "n_rest": b.astype(np.int64), "g2": g2,
+                        "overused": a / NA > b / NB})
+    out = out.sort_values(["g2", "token"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+SQL_KEYNESS_G2 = r"""
+    WITH tok AS (
+      SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS grp,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT token,
+                  sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)::DOUBLE AS a,
+                  sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)::DOUBLE AS b
+           FROM tok GROUP BY 1),
+    n AS (SELECT sum(a) AS na, sum(b) AS nb FROM tc),
+    g AS (
+        SELECT tc.token, tc.a, tc.b,
+               round(2 * (
+                   CASE WHEN tc.a > 0 THEN tc.a * ln(tc.a /
+                       ((tc.a + tc.b) * n.na / (n.na + n.nb))) ELSE 0 END
+                 + CASE WHEN tc.b > 0 THEN tc.b * ln(tc.b /
+                       ((tc.a + tc.b) * n.nb / (n.na + n.nb))) ELSE 0 END
+               ), 6) + 0.0 AS g2,
+               tc.a / n.na > tc.b / n.nb AS overused
+        FROM tc CROSS JOIN n
+    )
+    SELECT token, CAST(a AS BIGINT) AS n_src0, CAST(b AS BIGINT) AS n_rest,
+           g2, overused
+    FROM g ORDER BY g2 DESC, token LIMIT 20
+"""
+
+
+def q_vocab_coverage_documents(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary coverage curve (the tokenizer-budget question): the
+    share of the corpus token STREAM covered by the top-k types for
+    k ∈ {100, 1000, 5000} (count desc, token asc rank). Three rows out
+    of one ranked aggregate."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP).to_pandas()
+    tc = tc.sort_values(["c", "token"], ascending=[False, True])
+    c = tc["c"].to_numpy(np.float64)
+    total = c.sum()
+    cum = np.cumsum(c)
+    rows = []
+    for k in (100, 1000, 5000):
+        kk = min(k, len(c))
+        rows.append((k, np.int64(kk),
+                     np.round(cum[kk - 1] / total, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["k", "vocab_used", "coverage"]) \
+        .astype({"k": np.int64})
+
+
+SQL_VOCAB_COVERAGE = r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY 1),
+    r AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rk,
+               sum(c) OVER (ORDER BY c DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT sum(c) FROM tc) AS total,
+               (SELECT count(*) FROM tc) AS v
+        FROM tc
+    ),
+    ks AS (SELECT unnest([100, 1000, 5000]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(least(ks.k, r.v) AS BIGINT) AS vocab_used,
+           round(r.cum / r.total, 6) + 0.0 AS coverage
+    FROM ks JOIN r ON r.rk = least(ks.k, r.v)
+    ORDER BY ks.k
+"""
+
+
+def q_wilcoxon_paired_daily(sf_dir: str) -> pd.DataFrame:
+    """Wilcoxon signed-rank test pairing each series' day t with day
+    t + n//2 (first half vs second half, matched by position): ranks of
+    |d| (average ranks on ties, zero diffs dropped), W⁺ = Σ ranks of
+    positive diffs, z against the normal approximation. Diffs are ROUNDED
+    to 6 before ranking so tie groups match across engines."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            h = len(v) // 2
+            d = np.round(v[h:2 * h] - v[:h], 6) + 0.0
+            d = d[d != 0]
+            n = len(d)
+            if n < 2:
+                rows.append((et, n, np.nan, np.nan))
+                continue
+            ad = np.abs(d)
+            order = np.argsort(ad, kind="mergesort")
+            ranks = np.empty(n, dtype=np.float64)
+            sorted_ad = ad[order]
+            i = 0
+            while i < n:
+                j = i
+                while j + 1 < n and sorted_ad[j + 1] == sorted_ad[i]:
+                    j += 1
+                ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+                i = j + 1
+            wplus = ranks[d > 0].sum()
+            mu = n * (n + 1) / 4.0
+            sig = np.sqrt(n * (n + 1) * (2 * n + 1) / 24.0)
+            rows.append((et, n, np.round(wplus, 6) + 0.0,
+                         np.round((wplus - mu) / sig, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_pairs",
+                                           "w_plus", "z"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out = _fill(out, ["w_plus", "z"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_WILCOXON_PAIRED = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               round(b.v - a.v, 6) + 0.0 AS diff
+        FROM r a JOIN r b ON a.event_type = b.event_type
+                          AND b.rn = a.rn + a.n // 2
+        WHERE a.rn <= a.n // 2
+    ),
+    nz AS (SELECT event_type, diff, abs(diff) AS ad
+           FROM pairs WHERE diff <> 0),
+    rk AS (
+        SELECT event_type, diff,
+               (rank() OVER w + (count(*) OVER (PARTITION BY event_type, ad)
+                                 - 1) / 2.0) AS arank
+        FROM nz WINDOW w AS (PARTITION BY event_type ORDER BY ad)
+    ),
+    agg AS (
+        SELECT event_type, count(*)::DOUBLE AS n,
+               sum(CASE WHEN diff > 0 THEN arank ELSE 0 END) AS wplus
+        FROM rk GROUP BY 1
+    ),
+    base AS (SELECT DISTINCT event_type FROM daily)
+    SELECT base.event_type,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_pairs,
+           COALESCE(CASE WHEN agg.n >= 2
+                         THEN round(agg.wplus, 6) + 0.0 END, {NULLF})
+               AS w_plus,
+           COALESCE(CASE WHEN agg.n >= 2
+                         THEN round((agg.wplus - agg.n * (agg.n + 1) / 4.0)
+                              / sqrt(agg.n * (agg.n + 1)
+                                     * (2 * agg.n + 1) / 24.0), 6) + 0.0
+                    END, {NULLF}) AS z
+    FROM base LEFT JOIN agg USING (event_type)
+    ORDER BY 1
+"""

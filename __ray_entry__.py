@@ -534,6 +534,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyness_g2_src0": Q.q_keyness_g2_src0,
         "vocab_coverage_documents": Q.q_vocab_coverage_documents,
         "wilcoxon_paired_daily": Q.q_wilcoxon_paired_daily,
+        # piecewise hinge trend, activity streaks, daily mix entropy
+        "piecewise_trend_daily": Q.q_piecewise_trend_daily,
+        "activity_streaks_users": Q.q_activity_streaks_users,
+        "mix_entropy_daily": Q.q_mix_entropy_daily,
     }
 
 
@@ -902,4 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "keyness_g2_src0": Q.SQL_KEYNESS_G2,
         "vocab_coverage_documents": Q.SQL_VOCAB_COVERAGE,
         "wilcoxon_paired_daily": Q.SQL_WILCOXON_PAIRED,
+        "piecewise_trend_daily": Q.SQL_PIECEWISE_TREND,
+        "activity_streaks_users": Q.SQL_ACTIVITY_STREAKS,
+        "mix_entropy_daily": Q.SQL_MIX_ENTROPY,
     }

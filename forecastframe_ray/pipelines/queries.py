@@ -17827,3 +17827,198 @@ SQL_WILCOXON_PAIRED = f"""
     FROM base LEFT JOIN agg USING (event_type)
     ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# piecewise hinge trend / activity streak histogram / daily mix entropy
+# ---------------------------------------------------------------------------
+
+def q_piecewise_trend_daily(sf_dir: str) -> pd.DataFrame:
+    """Prophet-style piecewise-linear trend with ONE fixed changepoint at
+    t=15 (days since series start): exact OLS of v on [1, t, max(0,t−15)]
+    via Cramer's rule on the 3×3 normal equations — the slope-change
+    coefficient IS the changepoint magnitude Prophet regularizes. Moments
+    pre-reduce per partition; one coefficient row per series crosses."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    KNOT = 15.0
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            us = g["d"].astype("datetime64[us]").astype("int64").to_numpy()
+            t = ((us - us.min()) // DAY_US).astype(np.float64)
+            h = np.maximum(t - KNOT, 0.0)
+            y = g["v"].to_numpy(np.float64)
+            X = np.stack([np.ones_like(t), t, h], axis=1)
+            A = X.T @ X
+            bvec = X.T @ y
+            det = np.linalg.det(A)
+            if abs(det) < 1e-9:
+                rows.append((et, len(y), np.nan, np.nan, np.nan))
+                continue
+            coef = []
+            for c in range(3):
+                M = A.copy()
+                M[:, c] = bvec
+                coef.append(np.linalg.det(M) / det)
+            rows.append((et, len(y), np.round(coef[0], 6) + 0.0,
+                         np.round(coef[1], 6) + 0.0,
+                         np.round(coef[2], 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "intercept", "slope",
+                                           "slope_change"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["intercept", "slope", "slope_change"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PIECEWISE_TREND = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tt AS (
+        SELECT event_type, v,
+               CAST(datediff('day',
+                    min(d) OVER (PARTITION BY event_type), d) AS DOUBLE)
+                   AS t
+        FROM daily
+    ),
+    x AS (SELECT event_type, v, t, greatest(t - 15.0, 0.0) AS h FROM tt),
+    m AS (
+        SELECT event_type, count(*)::DOUBLE AS n, sum(t) AS st,
+               sum(h) AS sh, sum(t*t) AS stt, sum(t*h) AS sth,
+               sum(h*h) AS shh, sum(v) AS sy, sum(v*t) AS syt,
+               sum(v*h) AS syh
+        FROM x GROUP BY 1
+    ),
+    dets AS (
+        SELECT event_type, n,
+               n*(stt*shh - sth*sth) - st*(st*shh - sth*sh)
+                   + sh*(st*sth - stt*sh) AS det,
+               sy*(stt*shh - sth*sth) - st*(syt*shh - sth*syh)
+                   + sh*(syt*sth - stt*syh) AS det_a,
+               n*(syt*shh - syh*sth) - sy*(st*shh - sth*sh)
+                   + sh*(st*syh - syt*sh) AS det_b,
+               n*(stt*syh - sth*syt) - st*(st*syh - syt*sh)
+                   + sy*(st*sth - stt*sh) AS det_c
+        FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN abs(det) >= 1e-9
+                         THEN round(det_a / det, 6) + 0.0 END, {NULLF})
+               AS intercept,
+           COALESCE(CASE WHEN abs(det) >= 1e-9
+                         THEN round(det_b / det, 6) + 0.0 END, {NULLF})
+               AS slope,
+           COALESCE(CASE WHEN abs(det) >= 1e-9
+                         THEN round(det_c / det, 6) + 0.0 END, {NULLF})
+               AS slope_change
+    FROM dets ORDER BY 1
+"""
+
+
+def q_activity_streaks_users(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-active-day streak per user (the gaps-and-
+    islands pattern at user grain), reported as a histogram: streak
+    length → user count. Per-user islands resolve inside one co-located
+    pass; the bounded histogram is all that leaves."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["day"] = b["ts"].astype("int64") // DAY_US
+        return b[["user_id", "day"]].drop_duplicates()
+
+    ud = hash_aggregate(ev.map_batches(days, batch_format="pandas"),
+                        ["user_id", "day"], {"one": ("day", "size")},
+                        num_partitions=_NP)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in part.groupby("user_id", sort=False):
+            d = np.sort(g["day"].to_numpy(np.int64))
+            breaks = np.flatnonzero(np.diff(d) != 1)
+            lengths = np.diff(np.concatenate(([-1], breaks, [len(d) - 1])))
+            rows.append((uid, int(lengths.max())))
+        return pd.DataFrame(rows, columns=["user_id", "streak"])
+
+    streaks = keyed_map_partitions(ud, ["user_id"], kernel,
+                                   num_partitions=_NP)
+    hist = hash_count(streaks, ["streak"], out_col="n_users",
+                      num_partitions=4).to_pandas()
+    hist = hist.astype({"streak": np.int64, "n_users": np.int64})
+    return hist.sort_values("streak").reset_index(drop=True)
+
+
+SQL_ACTIVITY_STREAKS = f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS grp
+        FROM ud
+    ),
+    runs AS (SELECT user_id, count(*) AS len
+             FROM isl GROUP BY user_id, grp),
+    mx AS (SELECT user_id, max(len) AS streak FROM runs GROUP BY 1)
+    SELECT CAST(streak AS BIGINT) AS streak,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM mx GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_mix_entropy_daily(sf_dir: str) -> pd.DataFrame:
+    """Composition entropy of each day's event-type mix: Shannon H over
+    the within-day value shares (zero/negative shares excluded) and the
+    effective number of types e^H — the diversity read on the
+    daily_share decomposition."""
+    daily = _bucket_series(sf_dir, DAY_US, "d").materialize()
+    tot = hash_aggregate(daily, ["d"], {"T": ("v", "sum")},
+                         num_partitions=4).to_pandas()
+    tmap = dict(zip(tot["d"], tot["T"]))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["d"].map(tmap).to_numpy(np.float64)
+        v = b["v"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = np.where((t > 0) & (v > 0), v / t, np.nan)
+            term = np.where(np.isnan(p), 0.0, -p * np.log(p))
+        return pd.DataFrame({"d": b["d"], "h": term,
+                             "k": (~np.isnan(p)).astype(np.int64)})
+
+    agg = hash_aggregate(daily.map_batches(partial, batch_format="pandas"),
+                         ["d"], {"H": ("h", "sum"), "k": ("k", "sum")},
+                         num_partitions=4).to_pandas()
+    H = agg["H"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "d": agg["d"], "n_types": agg["k"].astype(np.int64),
+        "entropy": np.round(H, 6) + 0.0,
+        "effective_types": np.round(np.exp(H), 6) + 0.0,
+    }).sort_values("d").reset_index(drop=True)
+
+
+SQL_MIX_ENTROPY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tot AS (SELECT d, sum(v) AS T FROM daily GROUP BY 1),
+    p AS (
+        SELECT daily.d,
+               CASE WHEN tot.T > 0 AND daily.v > 0
+                    THEN daily.v / tot.T END AS p
+        FROM daily JOIN tot USING (d)
+    )
+    SELECT d,
+           CAST(count(p) AS BIGINT) AS n_types,
+           round(COALESCE(sum(-p * ln(p)), 0), 6) + 0.0 AS entropy,
+           round(exp(COALESCE(sum(-p * ln(p)), 0)), 6) + 0.0
+               AS effective_types
+    FROM p GROUP BY 1 ORDER BY 1
+"""

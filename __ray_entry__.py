@@ -538,6 +538,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "piecewise_trend_daily": Q.q_piecewise_trend_daily,
         "activity_streaks_users": Q.q_activity_streaks_users,
         "mix_entropy_daily": Q.q_mix_entropy_daily,
+        # Kendall's W, discount response curve, rank-biased overlap
+        "kendall_w_daily": Q.q_kendall_w_daily,
+        "discount_response_lineitem": Q.q_discount_response_lineitem,
+        "rbo_top_users": Q.q_rbo_top_users,
     }
 
 
@@ -909,4 +913,7 @@ def oracle_sql() -> dict[str, str]:
         "piecewise_trend_daily": Q.SQL_PIECEWISE_TREND,
         "activity_streaks_users": Q.SQL_ACTIVITY_STREAKS,
         "mix_entropy_daily": Q.SQL_MIX_ENTROPY,
+        "kendall_w_daily": Q.SQL_KENDALL_W,
+        "discount_response_lineitem": Q.SQL_DISCOUNT_RESPONSE,
+        "rbo_top_users": Q.SQL_RBO_TOP_USERS,
     }

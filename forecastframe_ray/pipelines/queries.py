@@ -18022,3 +18022,175 @@ SQL_MIX_ENTROPY = f"""
                AS effective_types
     FROM p GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W concordance / discount response curve / rank-biased overlap
+# ---------------------------------------------------------------------------
+
+def q_kendall_w_daily(sf_dir: str) -> pd.DataFrame:
+    """Kendall's coefficient of concordance W across days: each day ranks
+    the event types by value (desc, type asc on ties); W measures how
+    stable that ranking is over the month — 1 = identical order every
+    day, 0 = random. W = 12·Σ(Rᵢ−m(k+1)/2)² / (m²k(k²−1)) over rank sums
+    Rᵢ (days m where all k types present)."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    wide = daily.to_pandas()
+    k = wide["event_type"].nunique()
+    full_days = wide.groupby("d")["event_type"].nunique()
+    days = full_days[full_days == k].index
+    sub = wide[wide["d"].isin(days)].copy()
+    sub = sub.sort_values(["d", "v", "event_type"],
+                          ascending=[True, False, True])
+    sub["rank"] = sub.groupby("d").cumcount() + 1
+    R = sub.groupby("event_type")["rank"].sum()
+    m = len(days)
+    dev = ((R - m * (k + 1) / 2.0) ** 2).sum()
+    W = 12.0 * dev / (m * m * k * (k * k - 1.0))
+    return pd.DataFrame({
+        "n_days": [np.int64(m)], "n_types": [np.int64(k)],
+        "kendall_w": [np.round(W, 6) + 0.0],
+    })
+
+
+SQL_KENDALL_W = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    k AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+    full_days AS (
+        SELECT d FROM daily GROUP BY d
+        HAVING count(DISTINCT event_type) = (SELECT k FROM k)
+    ),
+    r AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY d
+                                  ORDER BY v DESC, event_type) AS rk
+        FROM daily WHERE d IN (SELECT d FROM full_days)
+    ),
+    sums AS (SELECT event_type, sum(rk)::DOUBLE AS R FROM r GROUP BY 1),
+    mm AS (SELECT count(*)::DOUBLE AS m FROM full_days)
+    SELECT CAST(mm.m AS BIGINT) AS n_days,
+           CAST(k.k AS BIGINT) AS n_types,
+           round(12.0 * sum((sums.R - mm.m * (k.k + 1) / 2.0)
+                            * (sums.R - mm.m * (k.k + 1) / 2.0))
+                 / (mm.m * mm.m * k.k * (k.k * k.k - 1.0)), 6) + 0.0
+               AS kendall_w
+    FROM sums CROSS JOIN mm CROSS JOIN k
+    GROUP BY mm.m, k.k
+"""
+
+
+def q_discount_response_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Discount response curve: per discount level (rounded to 2), order-
+    line count, average quantity and average net revenue — the grouped
+    dose-response read behind promotion planning."""
+    li = _read(sf_dir, "lineitem",
+               ["l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["disc"] = np.round(b["l_discount"].to_numpy(np.float64), 2) + 0.0
+        b["rev"] = (b["l_extendedprice"].to_numpy(np.float64)
+                    * (1.0 - b["l_discount"].to_numpy(np.float64)))
+        b["one"] = 1.0
+        return b[["disc", "one", "l_quantity", "rev"]]
+
+    agg = hash_aggregate(li.map_batches(partial, batch_format="pandas"),
+                         ["disc"],
+                         {"n": ("one", "sum"), "sq": ("l_quantity", "sum"),
+                          "sr": ("rev", "sum")},
+                         num_partitions=4).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "disc": agg["disc"],
+        "n_lines": agg["n"].astype(np.int64),
+        "avg_qty": np.round(agg["sq"].to_numpy(np.float64) / n, 6) + 0.0,
+        "avg_revenue": np.round(agg["sr"].to_numpy(np.float64) / n,
+                                6) + 0.0,
+    }).sort_values("disc").reset_index(drop=True)
+
+
+SQL_DISCOUNT_RESPONSE = """
+    SELECT round(l_discount, 2) + 0.0 AS disc,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(l_quantity), 6) + 0.0 AS avg_qty,
+           round(avg(l_extendedprice * (1 - l_discount)), 6) + 0.0
+               AS avg_revenue
+    FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rbo_top_users(sf_dir: str) -> pd.DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010; p=0.9, depth 10)
+    between the top-user leaderboards of the two event-span halves — the
+    leaderboard-stability metric. Ranks break ties by (count desc,
+    user_id asc); prefix overlaps accumulate the truncated
+    RBO = (1−p)·Σ p^{d−1}·|A_d∩B_d|/d."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    bounds = ev.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["ts"].astype("int64").min()],
+                                "hi": [b["ts"].astype("int64").max()]}),
+        batch_format="pandas").to_pandas()
+    mid = (int(bounds["lo"].min()) + int(bounds["hi"].max())) // 2
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        first = b["ts"].astype("int64").to_numpy() <= mid
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "c1": first.astype(np.int64),
+                             "c2": (~first).astype(np.int64)})
+
+    per_user = hash_aggregate(
+        ev.map_batches(flags, batch_format="pandas"), ["user_id"],
+        {"c1": ("c1", "sum"), "c2": ("c2", "sum")},
+        num_partitions=_NP).to_pandas()
+
+    def top10(col):
+        s = per_user.sort_values([col, "user_id"],
+                                 ascending=[False, True]).head(10)
+        return list(s["user_id"])
+
+    A, B = top10("c1"), top10("c2")
+    P = 0.9
+    rbo = 0.0
+    for d in range(1, 11):
+        ov = len(set(A[:d]) & set(B[:d]))
+        rbo += (P ** (d - 1)) * ov / d
+    rbo *= (1 - P)
+    return pd.DataFrame({
+        "depth": [np.int64(10)],
+        "overlap_at_10": [np.int64(len(set(A) & set(B)))],
+        "rbo": [np.round(rbo, 6) + 0.0],
+    })
+
+
+SQL_RBO_TOP_USERS = """
+    WITH mid AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               sum(CASE WHEN epoch_us(ts) <= mid.m THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN epoch_us(ts) > mid.m THEN 1 ELSE 0 END) AS c2
+        FROM events CROSS JOIN mid GROUP BY 1
+    ),
+    ra AS (SELECT user_id, ROW_NUMBER() OVER (ORDER BY c1 DESC, user_id)
+               AS r FROM u),
+    rb AS (SELECT user_id, ROW_NUMBER() OVER (ORDER BY c2 DESC, user_id)
+               AS r FROM u),
+    inboth AS (
+        SELECT ra.r AS r1, rb.r AS r2
+        FROM ra JOIN rb USING (user_id)
+        WHERE ra.r <= 10 AND rb.r <= 10
+    ),
+    ds AS (SELECT unnest(range(1, 11)) AS d),
+    ov AS (
+        SELECT ds.d,
+               (SELECT count(*) FROM inboth
+                WHERE r1 <= ds.d AND r2 <= ds.d)::DOUBLE AS o
+        FROM ds
+    )
+    SELECT CAST(10 AS BIGINT) AS depth,
+           (SELECT CAST(count(*) AS BIGINT) FROM inboth) AS overlap_at_10,
+           round(0.1 * sum(pow(0.9, d - 1) * o / d), 6) + 0.0 AS rbo
+    FROM ov
+"""

@@ -542,6 +542,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_w_daily": Q.q_kendall_w_daily,
         "discount_response_lineitem": Q.q_discount_response_lineitem,
         "rbo_top_users": Q.q_rbo_top_users,
+        # degree assortativity, basket dispersion, Jarque-Bera
+        "degree_assortativity_copurchase":
+            Q.q_degree_assortativity_copurchase,
+        "basket_dispersion_orders": Q.q_basket_dispersion_orders,
+        "jarque_bera_daily": Q.q_jarque_bera_daily,
     }
 
 
@@ -916,4 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_w_daily": Q.SQL_KENDALL_W,
         "discount_response_lineitem": Q.SQL_DISCOUNT_RESPONSE,
         "rbo_top_users": Q.SQL_RBO_TOP_USERS,
+        "degree_assortativity_copurchase": Q.SQL_DEGREE_ASSORTATIVITY,
+        "basket_dispersion_orders": Q.SQL_BASKET_DISPERSION,
+        "jarque_bera_daily": Q.SQL_JARQUE_BERA,
     }

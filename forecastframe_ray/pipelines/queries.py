@@ -18194,3 +18194,187 @@ SQL_RBO_TOP_USERS = """
            round(0.1 * sum(pow(0.9, d - 1) * o / d), 6) + 0.0 AS rbo
     FROM ov
 """
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity / basket dispersion / Jarque-Bera normality
+# ---------------------------------------------------------------------------
+
+def q_degree_assortativity_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over both orientations of
+    every distinct edge — do popular parts co-purchase with popular
+    parts? Composes the edge/degree stages; the moment row is all that
+    leaves."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("l_orderkey", sort=False):
+            p = np.unique(g["l_partkey"].to_numpy(np.int64))
+            if len(p) < 2:
+                continue
+            a, b = np.triu_indices(len(p), k=1)
+            outs.append(pd.DataFrame({"a": p[a], "b": p[b]}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
+
+    edges = hash_aggregate(
+        keyed_map_partitions(li, ["l_orderkey"], pairs,
+                             num_partitions=_NP).map_batches(
+            lambda b: b.assign(one=1), batch_format="pandas"),
+        ["a", "b"], {"c": ("one", "sum")},
+        num_partitions=_NP).select_columns(["a", "b"]).materialize()
+    deg = hash_count(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"v": np.concatenate(
+                [b["a"].to_numpy(), b["b"].to_numpy()])}),
+            batch_format="pandas"),
+        ["v"], out_col="deg", num_partitions=_NP).to_pandas()
+    dmap = dict(zip(deg["v"].astype(np.int64), deg["deg"].astype(float)))
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        da = b["a"].map(dmap).to_numpy(np.float64)
+        db = b["b"].map(dmap).to_numpy(np.float64)
+        x = np.concatenate([da, db])  # both orientations
+        y = np.concatenate([db, da])
+        return pd.DataFrame({"n": [float(len(x))], "sx": [x.sum()],
+                             "sxx": [(x * x).sum()],
+                             "sxy": [(x * y).sum()]})
+
+    m = edges.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    n = m["n"]
+    # symmetric orientation: mean/var identical for x and y
+    cov = m["sxy"] - m["sx"] ** 2 / n
+    var = m["sxx"] - m["sx"] ** 2 / n
+    r = cov / var if var > 0 else np.nan
+    return pd.DataFrame({
+        "n_edges": [np.int64(n // 2)],
+        "assortativity": [np.round(r, 6) + 0.0 if np.isfinite(r)
+                          else NULLF],
+    })
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+    WITH e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+               greatest(a.l_partkey, b.l_partkey) AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (SELECT v, count(*)::DOUBLE AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1),
+    sym AS (
+        SELECT da.deg AS x, db.deg AS y
+        FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+        UNION ALL
+        SELECT db.deg AS x, da.deg AS y
+        FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           COALESCE(round(corr(x, y), 6) + 0.0, {NULLF}) AS assortativity
+    FROM sym
+"""
+
+
+def q_basket_dispersion_orders(sf_dir: str) -> pd.DataFrame:
+    """Basket-size dispersion: lineitems per order, mean/variance, the
+    index of dispersion D = s²/m and the normal-approximation z of the
+    Poisson dispersion test ((n−1)D vs χ²ₙ₋₁, z = ((n−1)D−(n−1))/√(2(n−1)))
+    — is basket size Poisson or clumped?"""
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    counts = hash_count(li, ["l_orderkey"], out_col="k",
+                        num_partitions=_NP).to_pandas()
+    k = counts["k"].to_numpy(np.float64)
+    n = float(len(k))
+    m, s2 = k.mean(), k.var(ddof=1)
+    D = s2 / m
+    z = ((n - 1) * D - (n - 1)) / np.sqrt(2.0 * (n - 1))
+    return pd.DataFrame({
+        "n_orders": [np.int64(n)],
+        "mean_size": [np.round(m, 6) + 0.0],
+        "var_size": [np.round(s2, 6) + 0.0],
+        "dispersion": [np.round(D, 6) + 0.0],
+        "poisson_z": [np.round(z, 6) + 0.0],
+    })
+
+
+SQL_BASKET_DISPERSION = """
+    WITH c AS (SELECT l_orderkey, count(*)::DOUBLE AS k
+               FROM lineitem GROUP BY 1),
+    m AS (SELECT count(*)::DOUBLE AS n, avg(k) AS m, var_samp(k) AS s2
+          FROM c)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(m, 6) + 0.0 AS mean_size,
+           round(s2, 6) + 0.0 AS var_size,
+           round(s2 / m, 6) + 0.0 AS dispersion,
+           round(((n - 1) * s2 / m - (n - 1)) / sqrt(2 * (n - 1)), 6) + 0.0
+               AS poisson_z
+    FROM m
+"""
+
+
+def q_jarque_bera_daily(sf_dir: str) -> pd.DataFrame:
+    """Jarque-Bera normality test per series from the simple moment
+    estimators: skewness g₁ = m₃/m₂^1.5, excess kurtosis g₂ = m₄/m₂²−3,
+    JB = n/6·(g₁² + g₂²/4) — the residual-normality gate before any
+    Gaussian interval claim."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            d = v - v.mean()
+            m2 = (d ** 2).mean()
+            if n < 4 or m2 <= 0:
+                rows.append((et, n, np.nan, np.nan, np.nan))
+                continue
+            g1 = (d ** 3).mean() / m2 ** 1.5
+            g2 = (d ** 4).mean() / m2 ** 2 - 3.0
+            jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+            rows.append((et, n, np.round(g1, 6) + 0.0,
+                         np.round(g2, 6) + 0.0, np.round(jb, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "skew_g1", "kurt_g2", "jb"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["skew_g1", "kurt_g2", "jb"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_JARQUE_BERA = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (
+        SELECT event_type, count(*)::DOUBLE AS n, avg(v) AS mu
+        FROM daily GROUP BY 1
+    ),
+    c AS (
+        SELECT d.event_type, any_value(m.n) AS n,
+               avg((d.v - m.mu) * (d.v - m.mu)) AS m2,
+               avg(pow(d.v - m.mu, 3)) AS m3,
+               avg(pow(d.v - m.mu, 4)) AS m4
+        FROM daily d JOIN m USING (event_type)
+        GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN n >= 4 AND m2 > 0
+                         THEN round(m3 / pow(m2, 1.5), 6) + 0.0 END,
+                    {NULLF}) AS skew_g1,
+           COALESCE(CASE WHEN n >= 4 AND m2 > 0
+                         THEN round(m4 / (m2 * m2) - 3, 6) + 0.0 END,
+                    {NULLF}) AS kurt_g2,
+           COALESCE(CASE WHEN n >= 4 AND m2 > 0
+                         THEN round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                              + pow(m4 / (m2 * m2) - 3, 2) / 4.0), 6)
+                              + 0.0 END, {NULLF}) AS jb
+    FROM c ORDER BY 1
+"""

@@ -547,6 +547,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.q_degree_assortativity_copurchase,
         "basket_dispersion_orders": Q.q_basket_dispersion_orders,
         "jarque_bera_daily": Q.q_jarque_bera_daily,
+        # adstock carryover, cohort LTV curve, EWMA control chart
+        "adstock_daily": Q.q_adstock_daily,
+        "cohort_value_curve": Q.q_cohort_value_curve,
+        "ewma_chart_daily": Q.q_ewma_chart_daily,
     }
 
 
@@ -924,4 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity_copurchase": Q.SQL_DEGREE_ASSORTATIVITY,
         "basket_dispersion_orders": Q.SQL_BASKET_DISPERSION,
         "jarque_bera_daily": Q.SQL_JARQUE_BERA,
+        "adstock_daily": Q.SQL_ADSTOCK,
+        "cohort_value_curve": Q.SQL_COHORT_VALUE_CURVE,
+        "ewma_chart_daily": Q.SQL_EWMA_CHART,
     }

@@ -18378,3 +18378,211 @@ SQL_JARQUE_BERA = f"""
                               + 0.0 END, {NULLF}) AS jb
     FROM c ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# geometric adstock / cohort value curve / EWMA control chart
+# ---------------------------------------------------------------------------
+
+def q_adstock_daily(sf_dir: str) -> pd.DataFrame:
+    """Geometric adstock transform (the marketing-mix carryover feature):
+    A_t = v_t + λ·A_{t−1} with λ=0.6 (non-dyadic, so rounded values
+    never sit exactly on half-even/half-away midpoints) — the recursion's
+    closed form
+    Σ λᵏ·v_{t−k} is window-expressible, so the sequential engine kernel
+    oracles exactly."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    LAM = 0.6
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            v = g["v"].to_numpy(np.float64)
+            a = np.empty_like(v)
+            acc = 0.0
+            for i, x in enumerate(v):
+                acc = x + LAM * acc
+                a[i] = acc
+            g["adstock"] = np.round(a, 6) + 0.0
+            outs.append(g[["event_type", "d", "v", "adstock"]])
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "adstock"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_ADSTOCK = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    )
+    SELECT a.event_type, a.d, a.v,
+           round(sum(b.v * pow(0.6, a.rn - b.rn)), 6) + 0.0 AS adstock
+    FROM r a JOIN r b ON a.event_type = b.event_type AND b.rn <= a.rn
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_cohort_value_curve(sf_dir: str) -> pd.DataFrame:
+    """Cohort LTV curve: users cohort by first-seen day; for each age
+    offset 0..29, the average CUMULATIVE event value per user across all
+    cohorts old enough to reach that age — the lifetime-value primitive
+    under every payback analysis. Per-user daily values reduce first;
+    the cohort×age matrix is the only small table out."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def day_val(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["day"] = b["ts"].astype("int64") // DAY_US
+        return b[["user_id", "day", "value"]]
+
+    uv = hash_aggregate(ev.map_batches(day_val, batch_format="pandas"),
+                        ["user_id", "day"], {"v": ("value", "sum")},
+                        num_partitions=_NP).materialize()
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        # reduce user-day rows to the bounded (cohort, age) matrix plus
+        # age = -1 sentinel rows carrying per-partition cohort user
+        # counts — at most n_days² + n_days rows leave regardless of
+        # user count (users are co-located, so each counts once)
+        part = part.copy()
+        first = part.groupby("user_id")["day"].transform("min")
+        part["cohort"] = first
+        part["age"] = (part["day"] - first).astype(np.int64)
+        cells = part.groupby(["cohort", "age"], sort=False)["v"] \
+            .sum().rename("v").reset_index()
+        nu = part.drop_duplicates("user_id") \
+            .groupby("cohort", sort=False).size()
+        sent = pd.DataFrame({"cohort": nu.index,
+                             "age": -1, "v": nu.to_numpy(np.float64)})
+        return pd.concat([cells, sent], ignore_index=True)
+
+    mat = keyed_map_partitions(uv, ["user_id"], per_user,
+                               num_partitions=_NP).to_pandas()
+    cells = mat[mat["age"] >= 0].groupby(["cohort", "age"])["v"] \
+        .sum().reset_index()
+    sizes = mat[mat["age"] == -1].groupby("cohort")["v"].sum()
+    max_day = int((cells["cohort"] + cells["age"]).max())
+    rows = []
+    for age in range(30):
+        elig = sizes[sizes.index + age <= max_day]
+        n_users = int(elig.sum())
+        if n_users == 0:
+            continue
+        mask = (cells["age"] <= age) & (cells["cohort"] + age <= max_day)
+        cum = float(cells.loc[mask, "v"].sum())
+        rows.append((age, n_users, np.round(cum / n_users, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["age", "n_users",
+                                       "cum_value_per_user"]) \
+        .astype({"age": np.int64, "n_users": np.int64})
+
+
+SQL_COHORT_VALUE_CURVE = f"""
+    WITH uv AS (
+        SELECT user_id, epoch_us(ts) // {DAY_US} AS day, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    f AS (SELECT user_id, min(day) AS cohort FROM uv GROUP BY 1),
+    j AS (SELECT uv.user_id, uv.day, uv.v, f.cohort,
+                 uv.day - f.cohort AS age
+          FROM uv JOIN f USING (user_id)),
+    mx AS (SELECT max(day) AS max_day FROM uv),
+    ages AS (SELECT unnest(range(0, 30)) AS age),
+    elig AS (
+        SELECT a.age, count(*) AS n_users
+        FROM ages a JOIN f ON f.cohort + a.age <= (SELECT max_day FROM mx)
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT a.age, sum(j.v) AS cv
+        FROM ages a JOIN j ON j.age <= a.age
+                  AND j.cohort + a.age <= (SELECT max_day FROM mx)
+        GROUP BY 1
+    )
+    SELECT e.age, CAST(e.n_users AS BIGINT) AS n_users,
+           round(COALESCE(c.cv, 0) / e.n_users, 6) + 0.0
+               AS cum_value_per_user
+    FROM elig e LEFT JOIN cum c USING (age)
+    WHERE e.n_users > 0
+    ORDER BY e.age
+"""
+
+
+def q_ewma_chart_daily(sf_dir: str) -> pd.DataFrame:
+    """EWMA control chart (Roberts 1959; λ=0.2, L=3): zₜ initialized at
+    the series mean μ, time-varying limits μ ± 3σ√(λ/(2−λ)·(1−(1−λ)²ᵗ)).
+    The recursion's closed form zₜ = λΣ(1−λ)^{t−j}vⱼ + (1−λ)ᵗμ is window-
+    expressible; flags compare ROUNDED z to ROUNDED limits."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    LAM = 0.2
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            v = g["v"].to_numpy(np.float64)
+            mu, sd = v.mean(), v.std(ddof=1)
+            z = np.empty_like(v)
+            acc = mu
+            for i, x in enumerate(v):
+                acc = LAM * x + (1 - LAM) * acc
+                z[i] = acc
+            t = np.arange(1, len(v) + 1, dtype=np.float64)
+            w = sd * np.sqrt(LAM / (2 - LAM) * (1 - (1 - LAM) ** (2 * t)))
+            zr = np.round(z, 6) + 0.0
+            ucl = np.round(mu + 3 * w, 6) + 0.0
+            lcl = np.round(mu - 3 * w, 6) + 0.0
+            g["ewma_z"] = zr
+            g["ucl"] = ucl
+            g["lcl"] = lcl
+            g["out_of_control"] = (zr > ucl) | (zr < lcl)
+            outs.append(g[["event_type", "d", "v", "ewma_z", "ucl", "lcl",
+                           "out_of_control"]])
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "ewma_z",
+                                  "ucl", "lcl", "out_of_control"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_EWMA_CHART = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd
+          FROM daily GROUP BY 1),
+    r AS (
+        SELECT d.event_type, d.d, d.v, m.mu, m.sd,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d) AS rn
+        FROM daily d JOIN m USING (event_type)
+    ),
+    z AS (
+        SELECT a.event_type, a.d, a.v, a.mu, a.sd, a.rn,
+               round(0.2 * sum(b.v * pow(0.8, a.rn - b.rn))
+                     + pow(0.8, a.rn) * a.mu, 6) + 0.0 AS ewma_z
+        FROM r a JOIN r b ON a.event_type = b.event_type AND b.rn <= a.rn
+        GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT event_type, d, v, ewma_z,
+           round(mu + 3 * sd * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * rn))),
+                 6) + 0.0 AS ucl,
+           round(mu - 3 * sd * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * rn))),
+                 6) + 0.0 AS lcl,
+           (ewma_z > round(mu + 3 * sd
+                * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * rn))), 6) + 0.0
+            OR ewma_z < round(mu - 3 * sd
+                * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * rn))), 6) + 0.0)
+               AS out_of_control
+    FROM z
+"""

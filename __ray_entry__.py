@@ -551,6 +551,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adstock_daily": Q.q_adstock_daily,
         "cohort_value_curve": Q.q_cohort_value_curve,
         "ewma_chart_daily": Q.q_ewma_chart_daily,
+        # kNN outliers, bilateral price indices, Theil decomposition
+        "knn_outlier_embeddings": Q.q_knn_outlier_embeddings,
+        "price_index_lineitem": Q.q_price_index_lineitem,
+        "theil_inequality_documents": Q.q_theil_inequality_documents,
     }
 
 
@@ -931,4 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "adstock_daily": Q.SQL_ADSTOCK,
         "cohort_value_curve": Q.SQL_COHORT_VALUE_CURVE,
         "ewma_chart_daily": Q.SQL_EWMA_CHART,
+        "knn_outlier_embeddings": Q.SQL_KNN_OUTLIER,
+        "price_index_lineitem": Q.SQL_PRICE_INDEX,
+        "theil_inequality_documents": Q.SQL_THEIL_INEQUALITY,
     }

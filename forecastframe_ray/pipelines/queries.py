@@ -18586,3 +18586,207 @@ SQL_EWMA_CHART = f"""
                AS out_of_control
     FROM z
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN outlier scores / price indices / Theil inequality decomposition
+# ---------------------------------------------------------------------------
+
+def q_knn_outlier_embeddings(sf_dir: str) -> pd.DataFrame:
+    """kNN-distance outlier scores: each vector's mean Euclidean distance
+    to its 5 nearest neighbors (the distance-based outlier primitive under
+    LOF), top 20 by (score desc, vec_id asc) on ROUNDED scores. Engine
+    side reuses the ANN pattern — broadcast matrix, per-batch matmul,
+    local top-k; never an all-pairs shuffle."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    all_df = emb.to_pandas().sort_values("vec_id")
+    X = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
+    ids = all_df["vec_id"].to_numpy(np.int64)
+    x_ref = ray.put((X, ids))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        Xa, ida = ray.get(x_ref)
+        Q = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        qid = b["vec_id"].to_numpy(np.int64)
+        d2 = ((Q ** 2).sum(1)[:, None] + (Xa ** 2).sum(1)[None, :]
+              - 2.0 * Q @ Xa.T)
+        d2 = np.maximum(d2, 0.0)
+        d2[qid[:, None] == ida[None, :]] = np.inf  # exclude self
+        part = np.sort(np.sqrt(d2), axis=1)[:, :5]
+        return pd.DataFrame({"vec_id": qid,
+                             "knn_score": np.round(part.mean(axis=1),
+                                                   6) + 0.0})
+
+    out = emb.map_batches(score, batch_format="pandas").to_pandas()
+    out = out.sort_values(["knn_score", "vec_id"],
+                          ascending=[False, True]).head(20)
+    return out.astype({"vec_id": np.int64}).reset_index(drop=True)
+
+
+SQL_KNN_OUTLIER = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    d AS (
+        SELECT a.vec_id, list_distance(a.v, b.v) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY list_distance(a.v, b.v),
+                                           b.vec_id) AS rk
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    s AS (SELECT vec_id, round(avg(dist), 6) + 0.0 AS knn_score
+          FROM d WHERE rk <= 5 GROUP BY 1)
+    SELECT vec_id, knn_score FROM s
+    ORDER BY knn_score DESC, vec_id LIMIT 20
+"""
+
+
+def q_price_index_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Bilateral price indices between the two shipdate halves of the
+    lineitem fact: per-part average price and total quantity per period,
+    then Laspeyres Σp₂q₁/Σp₁q₁, Paasche Σp₂q₂/Σp₁q₂ and Fisher (their
+    geometric mean) over parts present in BOTH periods — the econometric
+    deflator primitive. Per-(part, period) reduce first; k-part rows
+    cross."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_quantity"])
+    bounds = li.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["l_shipdate"].astype("int64")
+                                       .min()],
+                                "hi": [b["l_shipdate"].astype("int64")
+                                       .max()]}),
+        batch_format="pandas").to_pandas()
+    mid = (int(bounds["lo"].min()) + int(bounds["hi"].max())) // 2
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["period"] = np.where(b["l_shipdate"].astype("int64") <= mid,
+                               1, 2)
+        b["unit_price"] = (b["l_extendedprice"].to_numpy(np.float64)
+                           / b["l_quantity"].to_numpy(np.float64))
+        return b[["l_partkey", "period", "unit_price", "l_quantity"]]
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n"] = 1.0
+        return b
+
+    agg = hash_aggregate(
+        li.map_batches(tag, batch_format="pandas")
+          .map_batches(moments, batch_format="pandas"),
+        ["l_partkey", "period"],
+        {"sp": ("unit_price", "sum"), "n": ("n", "sum"),
+         "q": ("l_quantity", "sum")},
+        num_partitions=_NP).to_pandas()
+    agg["p"] = agg["sp"] / agg["n"]
+    piv = agg.pivot_table(index="l_partkey", columns="period",
+                          values=["p", "q"])
+    piv = piv.dropna()
+    p1 = piv[("p", 1)].to_numpy(np.float64)
+    p2 = piv[("p", 2)].to_numpy(np.float64)
+    q1 = piv[("q", 1)].to_numpy(np.float64)
+    q2 = piv[("q", 2)].to_numpy(np.float64)
+    lasp = (p2 * q1).sum() / (p1 * q1).sum()
+    paas = (p2 * q2).sum() / (p1 * q2).sum()
+    return pd.DataFrame({
+        "n_parts": [np.int64(len(piv))],
+        "laspeyres": [np.round(lasp, 6) + 0.0],
+        "paasche": [np.round(paas, 6) + 0.0],
+        "fisher": [np.round(np.sqrt(lasp * paas), 6) + 0.0],
+    })
+
+
+SQL_PRICE_INDEX = """
+    WITH mid AS (
+        SELECT (min(epoch_us(l_shipdate)) + max(epoch_us(l_shipdate)))
+               // 2 AS m
+        FROM lineitem
+    ),
+    t AS (
+        SELECT l_partkey,
+               CASE WHEN epoch_us(l_shipdate) <= mid.m THEN 1 ELSE 2 END
+                   AS period,
+               avg(l_extendedprice / l_quantity) AS p,
+               sum(l_quantity) AS q
+        FROM lineitem CROSS JOIN mid
+        GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT a.l_partkey, a.p AS p1, a.q AS q1, b.p AS p2, b.q AS q2
+        FROM t a JOIN t b ON a.l_partkey = b.l_partkey
+        WHERE a.period = 1 AND b.period = 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(p2 * q1) / sum(p1 * q1), 6) + 0.0 AS laspeyres,
+           round(sum(p2 * q2) / sum(p1 * q2), 6) + 0.0 AS paasche,
+           round(sqrt((sum(p2 * q1) / sum(p1 * q1))
+                      * (sum(p2 * q2) / sum(p1 * q2))), 6) + 0.0 AS fisher
+    FROM piv
+"""
+
+
+def q_theil_inequality_documents(sf_dir: str) -> pd.DataFrame:
+    """Theil T inequality of document lengths with its exact
+    between/within-source decomposition: T = Σ(xᵢ/X)ln(xᵢ/μ̄-ratio),
+    T_between from source means, T_within = Σ share·T_source — the
+    inequality audit that says whether length skew lives inside sources
+    or across them (T = between + within is an identity both engines
+    must reproduce)."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["text"].str.split().str.len().fillna(0) \
+            .astype(np.float64).to_numpy()
+        x = np.maximum(x, 1.0)  # zero-token docs floor at 1 (ln defined)
+        return pd.DataFrame({"source": b["source"], "x": x,
+                             "xlx": x * np.log(x), "n": 1.0})
+
+    g = hash_aggregate(docs.map_batches(toks, batch_format="pandas"),
+                       ["source"],
+                       {"sx": ("x", "sum"), "sxlx": ("xlx", "sum"),
+                        "n": ("n", "sum")},
+                       num_partitions=_NP).to_pandas()
+    N = g["n"].sum()
+    X = g["sx"].sum()
+    mu = X / N
+    # T_total = (1/N)·Σ (x/mu)·ln(x/mu) = (Σ x·ln x − X·ln mu) / (N·mu)
+    sxlx = g["sxlx"].sum()
+    t_total = (sxlx - X * np.log(mu)) / (N * mu)
+    mu_s = g["sx"].to_numpy(np.float64) / g["n"].to_numpy(np.float64)
+    t_between = ((g["sx"].to_numpy(np.float64) / X)
+                 * np.log(mu_s / mu)).sum()
+    return pd.DataFrame({
+        "n_docs": [np.int64(N)],
+        "theil_total": [np.round(t_total, 6) + 0.0],
+        "theil_between": [np.round(t_between, 6) + 0.0],
+        "theil_within": [np.round(t_total - t_between, 6) + 0.0],
+    })
+
+
+SQL_THEIL_INEQUALITY = r"""
+    WITH x AS (
+        SELECT source,
+               greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> '')), 1)::DOUBLE AS x
+        FROM documents
+    ),
+    g AS (SELECT source, sum(x) AS sx, sum(x * ln(x)) AS sxlx,
+                 count(*)::DOUBLE AS n
+          FROM x GROUP BY 1),
+    tot AS (SELECT sum(sx) AS X, sum(sxlx) AS sxlx, sum(n) AS N FROM g)
+    SELECT CAST(tot.N AS BIGINT) AS n_docs,
+           round((tot.sxlx - tot.X * ln(tot.X / tot.N))
+                 / (tot.N * (tot.X / tot.N)), 6) + 0.0 AS theil_total,
+           round(sum((g.sx / tot.X)
+                     * ln((g.sx / g.n) / (tot.X / tot.N))), 6) + 0.0
+               AS theil_between,
+           round((tot.sxlx - tot.X * ln(tot.X / tot.N))
+                 / (tot.N * (tot.X / tot.N))
+                 - sum((g.sx / tot.X)
+                       * ln((g.sx / g.n) / (tot.X / tot.N))), 6) + 0.0
+               AS theil_within
+    FROM g CROSS JOIN tot
+    GROUP BY tot.N, tot.X, tot.sxlx
+"""

@@ -555,6 +555,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_outlier_embeddings": Q.q_knn_outlier_embeddings,
         "price_index_lineitem": Q.q_price_index_lineitem,
         "theil_inequality_documents": Q.q_theil_inequality_documents,
+        # mutual information, spectral flatness, BH-FDR correction
+        "mutual_info_type_hour": Q.q_mutual_info_type_hour,
+        "spectral_flatness_daily": Q.q_spectral_flatness_daily,
+        "bh_fdr_pairs_events": Q.q_bh_fdr_pairs_events,
     }
 
 
@@ -938,4 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_outlier_embeddings": Q.SQL_KNN_OUTLIER,
         "price_index_lineitem": Q.SQL_PRICE_INDEX,
         "theil_inequality_documents": Q.SQL_THEIL_INEQUALITY,
+        "mutual_info_type_hour": Q.SQL_MUTUAL_INFO,
+        "spectral_flatness_daily": Q.SQL_SPECTRAL_FLATNESS,
+        "bh_fdr_pairs_events": Q.SQL_BH_FDR_PAIRS,
     }

@@ -18790,3 +18790,241 @@ SQL_THEIL_INEQUALITY = r"""
     FROM g CROSS JOIN tot
     GROUP BY tot.N, tot.X, tot.sxlx
 """
+
+
+# ---------------------------------------------------------------------------
+# mutual information / spectral flatness / Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------------
+
+def q_mutual_info_type_hour(sf_dir: str) -> pd.DataFrame:
+    """Mutual information between event type and hour-of-day (nats), plus
+    the normalized form MI/min(H_type, H_hour) — 'does when predict
+    what?'. One contingency-count aggregate; closed-form information
+    algebra on the k×24 table."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hod(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "h": (us % DAY_US) // HOUR_US})
+
+    ct = hash_count(ev.map_batches(hod, batch_format="pandas"),
+                    ["event_type", "h"], out_col="n",
+                    num_partitions=_NP).to_pandas()
+    N = float(ct["n"].sum())
+    p = ct["n"].to_numpy(np.float64) / N
+    pi = ct.groupby("event_type")["n"].sum() / N
+    pj = ct.groupby("h")["n"].sum() / N
+    mi = (p * np.log(p / (ct["event_type"].map(pi).to_numpy(np.float64)
+                          * ct["h"].map(pj).to_numpy(np.float64)))).sum()
+    hi = -(pi * np.log(pi)).sum()
+    hj = -(pj * np.log(pj)).sum()
+    return pd.DataFrame({
+        "n_events": [np.int64(N)],
+        "mi_nats": [np.round(mi, 6) + 0.0],
+        "nmi": [np.round(mi / min(hi, hj), 6) + 0.0],
+    })
+
+
+SQL_MUTUAL_INFO = f"""
+    WITH ct AS (
+        SELECT event_type, (epoch_us(ts) % {DAY_US}) // {HOUR_US} AS h,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS N FROM ct),
+    pi AS (SELECT event_type, sum(n) AS ni FROM ct GROUP BY 1),
+    pj AS (SELECT h, sum(n) AS nj FROM ct GROUP BY 1),
+    mi AS (
+        SELECT sum((ct.n / tot.N)
+                   * ln((ct.n / tot.N)
+                        / ((pi.ni / tot.N) * (pj.nj / tot.N)))) AS mi
+        FROM ct JOIN pi USING (event_type) JOIN pj USING (h)
+        CROSS JOIN tot
+    ),
+    hh AS (
+        SELECT (SELECT -sum((ni / tot.N) * ln(ni / tot.N))
+                FROM pi CROSS JOIN tot) AS hi,
+               (SELECT -sum((nj / tot.N) * ln(nj / tot.N))
+                FROM pj CROSS JOIN tot) AS hj
+    )
+    SELECT (SELECT CAST(N AS BIGINT) FROM tot) AS n_events,
+           round(mi.mi, 6) + 0.0 AS mi_nats,
+           round(mi.mi / least(hh.hi, hh.hj), 6) + 0.0 AS nmi
+    FROM mi CROSS JOIN hh
+"""
+
+
+def q_spectral_flatness_daily(sf_dir: str) -> pd.DataFrame:
+    """Wiener spectral flatness per series: periodogram power at Fourier
+    frequencies j = 1..14 (cos/sin projections of the demeaned series),
+    flatness = geometric mean / arithmetic mean of the powers — 1 = white,
+    →0 = tonal/seasonal. Powers round to 6 before the means so both
+    engines aggregate identical values (zero powers floor at 1e-12)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < 29:
+                rows.append((et, n, np.nan))
+                continue
+            dv = v - v.mean()
+            t = np.arange(n, dtype=np.float64)
+            pows = []
+            for j in range(1, 15):
+                w = 2.0 * np.pi * j / n
+                c = (dv * np.cos(w * t)).sum()
+                s = (dv * np.sin(w * t)).sum()
+                pows.append(max(np.round((c * c + s * s) / n, 6) + 0.0,
+                                1e-12))
+            pows = np.array(pows)
+            flat = np.exp(np.log(pows).mean()) / pows.mean()
+            rows.append((et, n, np.round(flat, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "flatness"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["flatness"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SPECTRAL_FLATNESS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, count(*) AS n
+          FROM daily GROUP BY 1),
+    r AS (
+        SELECT d.event_type, d.v - m.mu AS dv, m.n,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d) - 1.0 AS t
+        FROM daily d JOIN m USING (event_type)
+    ),
+    js AS (SELECT unnest(range(1, 15)) AS j),
+    pw AS (
+        SELECT r.event_type, js.j, any_value(r.n) AS n,
+               greatest(round((pow(sum(dv * cos(2 * pi() * js.j * t
+                                                / r.n)), 2)
+                              + pow(sum(dv * sin(2 * pi() * js.j * t
+                                                 / r.n)), 2))
+                              / any_value(r.n), 6) + 0.0, 1e-12) AS p
+        FROM js, r
+        WHERE r.n >= 29
+        GROUP BY r.event_type, js.j
+    ),
+    agg AS (
+        SELECT event_type, any_value(n) AS n,
+               exp(avg(ln(p))) / avg(p) AS flat
+        FROM pw GROUP BY 1
+    ),
+    base AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1)
+    SELECT base.event_type, CAST(base.n AS BIGINT) AS n_days,
+           COALESCE(round(agg.flat, 6) + 0.0, {NULLF}) AS flatness
+    FROM base LEFT JOIN agg USING (event_type)
+    ORDER BY 1
+"""
+
+
+def _phi_as(z: np.ndarray) -> np.ndarray:
+    """Standard normal CDF via the Abramowitz & Stegun 7.1.26 erf
+    polynomial (|error| < 1.5e-7) — implemented IDENTICALLY in the SQL
+    oracle so p-values match to the rounding digit."""
+    x = np.abs(z) / np.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    erf = 1.0 - (0.254829592 * t - 0.284496736 * t ** 2
+                 + 1.421413741 * t ** 3 - 1.453152027 * t ** 4
+                 + 1.061405429 * t ** 5) * np.exp(-x * x)
+    return np.where(z >= 0, (1.0 + erf) / 2.0, (1.0 - erf) / 2.0)
+
+
+def q_bh_fdr_pairs_events(sf_dir: str) -> pd.DataFrame:
+    """Benjamini-Hochberg FDR correction over the 10 pairwise mean tests
+    (large-sample z from the pooled-variance contrast, two-sided p via
+    the A&S normal CDF): p-values rank ascending, the BH cutoff is the
+    largest rank with p ≤ rank/m·0.05, and every pair at or below it
+    flags significant — the multiple-testing layer over the contrast
+    family."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["v2"] = b["value"].to_numpy(np.float64) ** 2
+        b["one"] = 1.0
+        return b[["event_type", "one", "value", "v2"]]
+
+    g = hash_aggregate(ev.map_batches(moments, batch_format="pandas"),
+                       ["event_type"],
+                       {"n": ("one", "sum"), "s": ("value", "sum"),
+                        "ss": ("v2", "sum")},
+                       num_partitions=_NP).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    m = g["s"].to_numpy(np.float64) / n
+    sse = g["ss"].to_numpy(np.float64) - n * m * m
+    s2p = sse.sum() / (n.sum() - len(n))
+    rows = []
+    for i in range(len(g)):
+        for j in range(i + 1, len(g)):
+            z = (m[i] - m[j]) / np.sqrt(s2p * (1 / n[i] + 1 / n[j]))
+            zr = np.round(z, 6) + 0.0  # p from ROUNDED z on both sides
+            p = 2.0 * (1.0 - _phi_as(np.array([abs(zr)]))[0])
+            rows.append((g["event_type"][i], g["event_type"][j],
+                         zr, np.round(p, 6) + 0.0))
+    df = pd.DataFrame(rows, columns=["et_a", "et_b", "z", "p"])
+    df = df.sort_values(["p", "et_a", "et_b"]).reset_index(drop=True)
+    M = len(df)
+    rank = np.arange(1, M + 1, dtype=np.float64)
+    ok = df["p"].to_numpy() <= rank / M * 0.05
+    cutoff = int(np.max(np.where(ok)[0])) + 1 if ok.any() else 0
+    df["bh_rank"] = rank.astype(np.int64)
+    df["significant"] = rank <= cutoff
+    return df
+
+
+SQL_BH_FDR_PAIRS = """
+    WITH g AS (
+        SELECT event_type, count(*)::DOUBLE AS n, avg(value) AS m,
+               sum(value * value) - count(*) * avg(value) * avg(value)
+                   AS sse
+        FROM events GROUP BY 1
+    ),
+    pool AS (SELECT sum(sse) / (sum(n) - count(*)) AS s2p FROM g),
+    pairs AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b,
+               (a.m - b.m) / sqrt(pool.s2p * (1 / a.n + 1 / b.n)) AS z
+        FROM g a JOIN g b ON a.event_type < b.event_type
+        CROSS JOIN pool
+    ),
+    pv AS (
+        SELECT et_a, et_b, round(z, 6) + 0.0 AS z,
+               round(2 * (1 - CASE WHEN TRUE THEN
+                   (1 + (1 - (0.254829592 * (1 / (1 + 0.3275911
+                        * (abs(z) / sqrt(2))))
+                     - 0.284496736 * pow(1 / (1 + 0.3275911
+                        * (abs(z) / sqrt(2))), 2)
+                     + 1.421413741 * pow(1 / (1 + 0.3275911
+                        * (abs(z) / sqrt(2))), 3)
+                     - 1.453152027 * pow(1 / (1 + 0.3275911
+                        * (abs(z) / sqrt(2))), 4)
+                     + 1.061405429 * pow(1 / (1 + 0.3275911
+                        * (abs(z) / sqrt(2))), 5))
+                     * exp(-abs(z) * abs(z) / 2))) / 2 END), 6) + 0.0 AS p
+        FROM pairs
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY p, et_a, et_b) AS bh_rank,
+               count(*) OVER () AS m
+        FROM pv
+    ),
+    cut AS (SELECT COALESCE(max(bh_rank), 0) AS c
+            FROM ranked WHERE p <= bh_rank * 1.0 / m * 0.05)
+    SELECT et_a, et_b, z, p, CAST(bh_rank AS BIGINT) AS bh_rank,
+           bh_rank <= cut.c AS significant
+    FROM ranked CROSS JOIN cut
+    ORDER BY bh_rank
+"""

@@ -559,6 +559,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info_type_hour": Q.q_mutual_info_type_hour,
         "spectral_flatness_daily": Q.q_spectral_flatness_daily,
         "bh_fdr_pairs_events": Q.q_bh_fdr_pairs_events,
+        # fulfillment span, exponential PPCC, Shamos robust scale
+        "fulfillment_span_orders": Q.q_fulfillment_span_orders,
+        "ppcc_expfit_events": Q.q_ppcc_expfit_events,
+        "shamos_scale_daily": Q.q_shamos_scale_daily,
     }
 
 
@@ -945,4 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info_type_hour": Q.SQL_MUTUAL_INFO,
         "spectral_flatness_daily": Q.SQL_SPECTRAL_FLATNESS,
         "bh_fdr_pairs_events": Q.SQL_BH_FDR_PAIRS,
+        "fulfillment_span_orders": Q.SQL_FULFILLMENT_SPAN,
+        "ppcc_expfit_events": Q.SQL_PPCC_EXPFIT,
+        "shamos_scale_daily": Q.SQL_SHAMOS_SCALE,
     }

@@ -19028,3 +19028,184 @@ SQL_BH_FDR_PAIRS = """
     FROM ranked CROSS JOIN cut
     ORDER BY bh_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# fulfillment span / exponential PPCC / Shamos pairwise scale
+# ---------------------------------------------------------------------------
+
+def q_fulfillment_span_orders(sf_dir: str) -> pd.DataFrame:
+    """Order-fulfillment span: days from order date to the LAST lineitem
+    shipment, summarized per priority (count, mean, p50, p90) — the
+    multi-table service-level metric. Per-order spans reduce via one
+    broadcast-free co-located join; priority rows are all that leave."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+    from forecastframe_ray.stages.join import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    last_ship = hash_aggregate(
+        li.map_batches(lambda b: b.rename(
+            columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"),
+        ["o_orderkey"], {"last_ship": ("l_shipdate", "max")},
+        num_partitions=_NP).repartition(8).materialize()
+    j = hash_join(orders, last_ship, on=["o_orderkey"],
+                  num_partitions=_NP)
+
+    def span(b: pd.DataFrame) -> pd.DataFrame:
+        d = ((b["last_ship"].astype("datetime64[us]").astype("int64")
+              // DAY_US)
+             - (b["o_orderdate"].astype("datetime64[us]").astype("int64")
+                // DAY_US))
+        return pd.DataFrame({"o_orderpriority": b["o_orderpriority"],
+                             "span": d.astype(np.float64)})
+
+    spans = j.map_batches(span, batch_format="pandas")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pr, g in part.groupby("o_orderpriority", sort=False):
+            s = g["span"].to_numpy(np.float64)
+            rows.append((pr, len(s), np.round(s.mean(), 6) + 0.0,
+                         np.round(np.quantile(s, 0.5), 6) + 0.0,
+                         np.round(np.quantile(s, 0.9), 6) + 0.0))
+        return pd.DataFrame(rows, columns=["o_orderpriority", "n_orders",
+                                           "mean_days", "p50_days",
+                                           "p90_days"])
+
+    out = keyed_map_partitions(spans, ["o_orderpriority"], kernel,
+                               num_partitions=4).to_pandas()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_FULFILLMENT_SPAN = """
+    WITH ls AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+                FROM lineitem GROUP BY 1),
+    sp AS (
+        SELECT o.o_orderpriority,
+               (epoch_us(ls.last_ship) // 86400000000
+                - epoch_us(o.o_orderdate) // 86400000000)::DOUBLE AS span
+        FROM orders o JOIN ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(span), 6) + 0.0 AS mean_days,
+           round(quantile_cont(span, 0.5), 6) + 0.0 AS p50_days,
+           round(quantile_cont(span, 0.9), 6) + 0.0 AS p90_days
+    FROM sp GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ppcc_expfit_events(sf_dir: str) -> pd.DataFrame:
+    """Probability-plot correlation coefficient (Filliben 1975) of the
+    inter-arrival gaps against the exponential model: Pearson r between
+    the sorted gaps and the quantiles −ln(1−(i−0.5)/n) — near 1 means
+    'straight QQ line', the visual exponentiality check quantified (the
+    distribution-shape complement to the KS gate)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            us = g["ts"].astype("int64").to_numpy()
+            if len(us) < 3:
+                rows.append((et, 0, np.nan))
+                continue
+            gaps = np.sort(np.diff(us) / 1e6)
+            n = len(gaps)
+            qi = -np.log(1.0 - (np.arange(1, n + 1) - 0.5) / n)
+            x, y = gaps - gaps.mean(), qi - qi.mean()
+            den = np.sqrt((x ** 2).sum() * (y ** 2).sum())
+            r = (x * y).sum() / den if den > 0 else np.nan
+            rows.append((et, n, np.round(r, 6) + 0.0 if np.isfinite(r)
+                         else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n_gaps", "ppcc"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_gaps"] = out["n_gaps"].astype(np.int64)
+    out = _fill(out, ["ppcc"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PPCC_EXPFIT = f"""
+    WITH o AS (
+        SELECT event_type, ts,
+               LAG(ts) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type, (epoch_us(ts) - epoch_us(prev)) / 1e6 AS g
+        FROM o WHERE prev IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, g,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY g)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM gaps
+    ),
+    q AS (SELECT event_type, g, -ln(1 - (rn - 0.5) / n) AS qi, n FROM r)
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_gaps,
+           COALESCE(round(corr(g, qi), 6) + 0.0, {NULLF}) AS ppcc
+    FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_shamos_scale_daily(sf_dir: str) -> pd.DataFrame:
+    """Shamos robust scale per series: the median of ALL pairwise
+    |vᵢ−vⱼ| (i<j) — 50% breakdown, no location estimate needed; reported
+    with the 1.048 consistency factor for the normal σ. Pair diffs round
+    to 6 before the median so tie handling matches."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["v"].to_numpy(np.float64)
+            if len(v) < 2:
+                rows.append((et, len(v), np.nan, np.nan))
+                continue
+            iu = np.triu_indices(len(v), k=1)
+            d = np.round(np.abs(v[iu[0]] - v[iu[1]]), 6) + 0.0
+            med = np.quantile(d, 0.5)
+            rows.append((et, len(v), np.round(med, 6) + 0.0,
+                         np.round(1.048 * med, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "shamos", "sigma_hat"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["shamos", "sigma_hat"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SHAMOS_SCALE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    pd AS (
+        SELECT a.event_type, round(abs(a.v - b.v), 6) + 0.0 AS ad
+        FROM r a JOIN r b ON a.event_type = b.event_type AND a.rn < b.rn
+    ),
+    m AS (SELECT event_type, quantile_cont(ad, 0.5) AS med,
+                 count(*) AS np_
+          FROM pd GROUP BY 1),
+    base AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1)
+    SELECT base.event_type, CAST(base.n AS BIGINT) AS n_days,
+           COALESCE(round(m.med, 6) + 0.0, {NULLF}) AS shamos,
+           COALESCE(round(1.048 * m.med, 6) + 0.0, {NULLF}) AS sigma_hat
+    FROM base LEFT JOIN m USING (event_type)
+    ORDER BY 1
+"""

@@ -563,6 +563,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulfillment_span_orders": Q.q_fulfillment_span_orders,
         "ppcc_expfit_events": Q.q_ppcc_expfit_events,
         "shamos_scale_daily": Q.q_shamos_scale_daily,
+        # AUC via rank-sum, beta-binomial shrinkage, bimodality
+        "auc_dupness_documents": Q.q_auc_dupness_documents,
+        "beta_shrunk_daily_share": Q.q_beta_shrunk_daily_share,
+        "bimodality_daily": Q.q_bimodality_daily,
     }
 
 
@@ -952,4 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "fulfillment_span_orders": Q.SQL_FULFILLMENT_SPAN,
         "ppcc_expfit_events": Q.SQL_PPCC_EXPFIT,
         "shamos_scale_daily": Q.SQL_SHAMOS_SCALE,
+        "auc_dupness_documents": Q.SQL_AUC_DUPNESS,
+        "beta_shrunk_daily_share": Q.SQL_BETA_SHRUNK_SHARE,
+        "bimodality_daily": Q.SQL_BIMODALITY,
     }

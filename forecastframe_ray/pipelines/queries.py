@@ -19209,3 +19209,205 @@ SQL_SHAMOS_SCALE = f"""
     FROM base LEFT JOIN m USING (event_type)
     ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# AUC of dup-ness / beta-binomial shrinkage / bimodality coefficient
+# ---------------------------------------------------------------------------
+
+def q_auc_dupness_documents(sf_dir: str) -> pd.DataFrame:
+    """ROC AUC of 'token count predicts near-dup blocking membership'
+    via the Mann-Whitney identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) with
+    average ranks on ties — the threshold-free classifier metric as a
+    pure rank aggregate. Positives = docs sharing their 5-token prefix
+    blocking key with another doc (the SymSpell-style candidate class).
+    Ranks form on ROUNDED scores."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feat(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split()
+        dg = toks.map(lambda t: " ".join(t[:5]) if isinstance(t, list)
+                      else "")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"], "dg": dg,
+            "score": toks.str.len().fillna(0).astype(np.float64)})
+
+    tagged = docs.map_batches(feat, batch_format="pandas").materialize()
+    sizes = hash_count(tagged, ["dg"], out_col="csize",
+                       num_partitions=_NP).to_pandas()
+    smap = dict(zip(sizes["dg"], sizes["csize"]))
+    df = tagged.to_pandas()
+    y = (df["dg"].map(smap) > 1).to_numpy()
+    s = np.round(df["score"].to_numpy(np.float64), 6) + 0.0
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s))
+    ss = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and ss[j + 1] == ss[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n1, n0 = int(y.sum()), int((~y).sum())
+    r1 = ranks[y].sum()
+    auc = (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n0) if n1 and n0 else np.nan
+    return pd.DataFrame({
+        "n_pos": [np.int64(n1)], "n_neg": [np.int64(n0)],
+        "auc": [np.round(auc, 6) + 0.0 if np.isfinite(auc) else NULLF],
+    })
+
+
+SQL_AUC_DUPNESS = r"""
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '')[1:5], ' ') AS dg,
+               round(len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> ''))::DOUBLE, 6) + 0.0
+                   AS score
+        FROM documents
+    ),
+    s AS (SELECT dg, count(*) AS csize FROM t GROUP BY 1),
+    lab AS (SELECT t.doc_id, t.score, s.csize > 1 AS pos
+            FROM t JOIN s USING (dg)),
+    rk AS (
+        SELECT pos,
+               rank() OVER (ORDER BY score)
+               + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS arank
+        FROM lab
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN pos THEN arank ELSE 0 END) AS r1,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE AS n1,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE AS n0
+        FROM rk
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) + 0.0 AS auc
+    FROM agg
+"""
+
+
+def q_beta_shrunk_daily_share(sf_dir: str) -> pd.DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of the daily purchase
+    share: method-of-moments beta prior (α, β) from the across-day share
+    mean/variance, each day's posterior mean (x+α)/(n+α+β) — the
+    proportion counterpart of the partial-pooling mean shrinkage. NULLF
+    prior when shares underdispersed (var ≥ m(1−m) or zero)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame({
+            "d": pd.to_datetime((us // DAY_US) * DAY_US, unit="us"),
+            "n": 1,
+            "x": (b["event_type"] == "purchase").astype(np.int64)})
+
+    agg = hash_aggregate(ev.map_batches(day_fn, batch_format="pandas"),
+                         ["d"], {"n": ("n", "sum"), "x": ("x", "sum")},
+                         num_partitions=_NP).to_pandas().sort_values("d")
+    n = agg["n"].to_numpy(np.float64)
+    x = agg["x"].to_numpy(np.float64)
+    p = x / n
+    m, v = p.mean(), p.var(ddof=1)
+    if 0 < v < m * (1 - m):
+        common = m * (1 - m) / v - 1.0
+        alpha, beta = m * common, (1 - m) * common
+        post = np.round((x + alpha) / (n + alpha + beta), 6) + 0.0
+        a_r, b_r = np.round(alpha, 6) + 0.0, np.round(beta, 6) + 0.0
+    else:
+        post = np.round(p, 6) + 0.0
+        a_r = b_r = NULLF
+    out = pd.DataFrame({
+        "d": agg["d"], "n_events": agg["n"].astype(np.int64),
+        "n_purchase": agg["x"].astype(np.int64),
+        "raw_share": np.round(p, 6) + 0.0, "post_share": post})
+    out["alpha"] = a_r
+    out["beta"] = b_r
+    return out.reset_index(drop=True)
+
+
+SQL_BETA_SHRUNK_SHARE = f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS d, count(*)::DOUBLE AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END)::DOUBLE AS x
+        FROM events GROUP BY 1
+    ),
+    m AS (SELECT avg(x / n) AS m, var_samp(x / n) AS v FROM d),
+    pr AS (
+        SELECT CASE WHEN v > 0 AND v < m * (1 - m)
+                    THEN m * (m * (1 - m) / v - 1) END AS alpha,
+               CASE WHEN v > 0 AND v < m * (1 - m)
+                    THEN (1 - m) * (m * (1 - m) / v - 1) END AS beta
+        FROM m
+    )
+    SELECT d.d, CAST(d.n AS BIGINT) AS n_events,
+           CAST(d.x AS BIGINT) AS n_purchase,
+           round(d.x / d.n, 6) + 0.0 AS raw_share,
+           CASE WHEN pr.alpha IS NOT NULL
+                THEN round((d.x + pr.alpha) / (d.n + pr.alpha + pr.beta),
+                           6) + 0.0
+                ELSE round(d.x / d.n, 6) + 0.0 END AS post_share,
+           COALESCE(round(pr.alpha, 6) + 0.0, {NULLF}) AS alpha,
+           COALESCE(round(pr.beta, 6) + 0.0, {NULLF}) AS beta
+    FROM d CROSS JOIN pr ORDER BY d.d
+"""
+
+
+def q_bimodality_daily(sf_dir: str) -> pd.DataFrame:
+    """Sarle's bimodality coefficient per series:
+    BC = (g₁² + 1) / (g₂ + 3(n−1)²/((n−2)(n−3))) from the simple moment
+    skewness/kurtosis — > 0.555 (the uniform's value) suggests two
+    regimes; the cheap screen before any mixture fit."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            d = v - v.mean()
+            m2 = (d ** 2).mean()
+            if n < 4 or m2 <= 0:
+                rows.append((et, n, np.nan))
+                continue
+            g1 = (d ** 3).mean() / m2 ** 1.5
+            g2 = (d ** 4).mean() / m2 ** 2 - 3.0
+            bc = (g1 * g1 + 1.0) / (g2 + 3.0 * (n - 1.0) ** 2
+                                    / ((n - 2.0) * (n - 3.0)))
+            rows.append((et, n, np.round(bc, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "bimodality"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["bimodality"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_BIMODALITY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, count(*)::DOUBLE AS n
+          FROM daily GROUP BY 1),
+    c AS (
+        SELECT d.event_type, any_value(m.n) AS n,
+               avg((d.v - m.mu) * (d.v - m.mu)) AS m2,
+               avg(pow(d.v - m.mu, 3)) AS m3,
+               avg(pow(d.v - m.mu, 4)) AS m4
+        FROM daily d JOIN m USING (event_type)
+        GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN n >= 4 AND m2 > 0
+                         THEN round((pow(m3 / pow(m2, 1.5), 2) + 1)
+                              / (m4 / (m2 * m2) - 3
+                                 + 3 * (n - 1) * (n - 1)
+                                   / ((n - 2) * (n - 3))), 6) + 0.0 END,
+                    {NULLF}) AS bimodality
+    FROM c ORDER BY 1
+"""

@@ -567,6 +567,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_dupness_documents": Q.q_auc_dupness_documents,
         "beta_shrunk_daily_share": Q.q_beta_shrunk_daily_share,
         "bimodality_daily": Q.q_bimodality_daily,
+        # NDCG@20, Youden threshold, Allan variance
+        "ndcg_blocking_documents": Q.q_ndcg_blocking_documents,
+        "youden_threshold_documents": Q.q_youden_threshold_documents,
+        "allan_variance_daily": Q.q_allan_variance_daily,
     }
 
 
@@ -959,4 +963,7 @@ def oracle_sql() -> dict[str, str]:
         "auc_dupness_documents": Q.SQL_AUC_DUPNESS,
         "beta_shrunk_daily_share": Q.SQL_BETA_SHRUNK_SHARE,
         "bimodality_daily": Q.SQL_BIMODALITY,
+        "ndcg_blocking_documents": Q.SQL_NDCG_BLOCKING,
+        "youden_threshold_documents": Q.SQL_YOUDEN_THRESHOLD,
+        "allan_variance_daily": Q.SQL_ALLAN_VARIANCE,
     }

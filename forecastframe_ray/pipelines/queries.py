@@ -19411,3 +19411,221 @@ SQL_BIMODALITY = f"""
                     {NULLF}) AS bimodality
     FROM c ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# NDCG of blocking ranking / Youden threshold / Allan variance
+# ---------------------------------------------------------------------------
+
+def q_ndcg_blocking_documents(sf_dir: str) -> pd.DataFrame:
+    """NDCG@20 of ranking docs by token count against the binary
+    'shares a 5-token prefix block' relevance: DCG with 1/log2(rank+1)
+    discounts over the (score desc, doc_id asc) order, normalized by the
+    ideal ordering — completing the IR-metric family (AUC, F1, RBO)
+    as pure rank algebra."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feat(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split()
+        dg = toks.map(lambda t: " ".join(t[:5]) if isinstance(t, list)
+                      else "")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"], "dg": dg,
+            "score": np.round(toks.str.len().fillna(0)
+                              .astype(np.float64), 6) + 0.0})
+
+    tagged = docs.map_batches(feat, batch_format="pandas").materialize()
+    sizes = hash_count(tagged, ["dg"], out_col="csize",
+                       num_partitions=_NP).to_pandas()
+    smap = dict(zip(sizes["dg"], sizes["csize"]))
+    df = tagged.to_pandas()
+    df["rel"] = (df["dg"].map(smap) > 1).astype(np.float64)
+    df = df.sort_values(["score", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True)
+    K = 20
+    disc = 1.0 / np.log2(np.arange(2, K + 2, dtype=np.float64))
+    dcg = float((df["rel"].to_numpy()[:K] * disc).sum())
+    n_pos = int(df["rel"].sum())
+    ideal = float(disc[:min(K, n_pos)].sum())
+    return pd.DataFrame({
+        "k": [np.int64(K)], "n_pos": [np.int64(n_pos)],
+        "dcg": [np.round(dcg, 6) + 0.0],
+        "ndcg": [np.round(dcg / ideal, 6) + 0.0 if ideal > 0 else NULLF],
+    })
+
+
+SQL_NDCG_BLOCKING = r"""
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '')[1:5], ' ') AS dg,
+               round(len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> ''))::DOUBLE, 6) + 0.0
+                   AS score
+        FROM documents
+    ),
+    s AS (SELECT dg, count(*) AS csize FROM t GROUP BY 1),
+    lab AS (SELECT t.doc_id, t.score,
+                   CASE WHEN s.csize > 1 THEN 1.0 ELSE 0.0 END AS rel
+            FROM t JOIN s USING (dg)),
+    rk AS (SELECT rel, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+               AS r FROM lab),
+    dcg AS (SELECT sum(rel / log2(r + 1)) AS dcg FROM rk WHERE r <= 20),
+    np_ AS (SELECT sum(rel) AS n_pos FROM rk),
+    ideal AS (
+        SELECT sum(1.0 / log2(i + 1)) AS idcg
+        FROM (SELECT unnest(range(1, 21)) AS i)
+        WHERE i <= (SELECT n_pos FROM np_)
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+           CAST((SELECT n_pos FROM np_) AS BIGINT) AS n_pos,
+           round(dcg.dcg, 6) + 0.0 AS dcg,
+           round(dcg.dcg / ideal.idcg, 6) + 0.0 AS ndcg
+    FROM dcg CROSS JOIN ideal
+"""
+
+
+def q_youden_threshold_documents(sf_dir: str) -> pd.DataFrame:
+    """Youden-J optimal operating point of the token-count → blocking-
+    membership classifier: sweeping every observed score threshold
+    (predict positive when score ≥ t), J = TPR − FPR maximized with ties
+    to the LOWEST threshold — the ROC-derived cutpoint chooser."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feat(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split()
+        dg = toks.map(lambda t: " ".join(t[:5]) if isinstance(t, list)
+                      else "")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"], "dg": dg,
+            "score": np.round(toks.str.len().fillna(0)
+                              .astype(np.float64), 6) + 0.0})
+
+    tagged = docs.map_batches(feat, batch_format="pandas").materialize()
+    sizes = hash_count(tagged, ["dg"], out_col="csize",
+                       num_partitions=_NP).to_pandas()
+    smap = dict(zip(sizes["dg"], sizes["csize"]))
+    df = tagged.to_pandas()
+    y = (df["dg"].map(smap) > 1).to_numpy()
+    s = df["score"].to_numpy(np.float64)
+    n1, n0 = int(y.sum()), int((~y).sum())
+    best = None
+    for t in np.unique(s):
+        pred = s >= t
+        tpr = np.round((pred & y).sum() / n1, 6) + 0.0
+        fpr = np.round((pred & ~y).sum() / n0, 6) + 0.0
+        j = np.round(tpr - fpr, 6) + 0.0  # from ROUNDED rates, as in SQL
+        key = (-j, t)
+        if best is None or key < best[0]:
+            best = (key, t, tpr, fpr, j)
+    return pd.DataFrame({
+        "threshold": [best[1]], "tpr": [best[2]], "fpr": [best[3]],
+        "youden_j": [best[4]],
+    })
+
+
+SQL_YOUDEN_THRESHOLD = r"""
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '')[1:5], ' ') AS dg,
+               round(len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> ''))::DOUBLE, 6) + 0.0
+                   AS score
+        FROM documents
+    ),
+    s AS (SELECT dg, count(*) AS csize FROM t GROUP BY 1),
+    lab AS (SELECT t.score, s.csize > 1 AS pos FROM t JOIN s USING (dg)),
+    n AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE AS n1,
+                 sum(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE AS n0
+          FROM lab),
+    thr AS (SELECT DISTINCT score AS t FROM lab),
+    sweep AS (
+        SELECT thr.t,
+               round(sum(CASE WHEN lab.score >= thr.t AND lab.pos
+                              THEN 1 ELSE 0 END) / n.n1, 6) + 0.0 AS tpr,
+               round(sum(CASE WHEN lab.score >= thr.t AND NOT lab.pos
+                              THEN 1 ELSE 0 END) / n.n0, 6) + 0.0 AS fpr
+        FROM thr CROSS JOIN lab CROSS JOIN n
+        GROUP BY thr.t, n.n1, n.n0
+    ),
+    best AS (
+        SELECT t AS threshold, tpr, fpr,
+               round(tpr - fpr, 6) + 0.0 AS youden_j,
+               ROW_NUMBER() OVER (ORDER BY round(tpr - fpr, 6) DESC, t)
+                   AS rk
+        FROM sweep
+    )
+    SELECT threshold, tpr, fpr, youden_j FROM best WHERE rk = 1
+"""
+
+
+def q_allan_variance_daily(sf_dir: str) -> pd.DataFrame:
+    """Allan variance of each series at block sizes τ ∈ {1, 2, 4} days:
+    AVAR(τ) = Σ(ȳᵢ₊₁−ȳᵢ)²/(2(M−1)) over means of consecutive
+    NON-overlapping τ-blocks — the drift-vs-noise separation metric from
+    clock metrology, useful on any telemetry series."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            for tau in (1, 2, 4):
+                M = len(v) // tau
+                if M < 2:
+                    rows.append((et, tau, 0, np.nan))
+                    continue
+                yb = v[:M * tau].reshape(M, tau).mean(axis=1)
+                av = (np.diff(yb) ** 2).sum() / (2.0 * (M - 1))
+                rows.append((et, tau, M, np.round(av, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "tau",
+                                           "n_blocks", "avar"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["tau", "n_blocks"]] = out[["tau", "n_blocks"]].astype(np.int64)
+    out = _fill(out, ["avar"])
+    return out.sort_values(["event_type", "tau"]).reset_index(drop=True)
+
+
+SQL_ALLAN_VARIANCE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1
+                   AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    taus AS (SELECT unnest([1, 2, 4]) AS tau),
+    blocks AS (
+        SELECT r.event_type, taus.tau, r.i // taus.tau AS blk,
+               avg(r.v) AS yb
+        FROM taus, r
+        WHERE r.i < (r.n // taus.tau) * taus.tau
+        GROUP BY 1, 2, 3
+    ),
+    diffs AS (
+        SELECT event_type, tau,
+               yb - LAG(yb) OVER (PARTITION BY event_type, tau
+                                  ORDER BY blk) AS dy
+        FROM blocks
+    ),
+    agg AS (
+        SELECT event_type, tau, count(*)::DOUBLE + 1 AS M,
+               sum(dy * dy) AS ss
+        FROM diffs WHERE dy IS NOT NULL GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT d.event_type, t.tau
+             FROM daily d CROSS JOIN taus t)
+    SELECT g.event_type, CAST(g.tau AS BIGINT) AS tau,
+           CAST(COALESCE(a.M, 0) AS BIGINT) AS n_blocks,
+           COALESCE(round(a.ss / (2.0 * (a.M - 1)), 6) + 0.0, {NULLF})
+               AS avar
+    FROM grid g LEFT JOIN agg a
+      ON a.event_type = g.event_type AND a.tau = g.tau
+    ORDER BY 1, 2
+"""

@@ -571,6 +571,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndcg_blocking_documents": Q.q_ndcg_blocking_documents,
         "youden_threshold_documents": Q.q_youden_threshold_documents,
         "allan_variance_daily": Q.q_allan_variance_daily,
+        # log-loss, Cramér's V, tenure-activity correlation
+        "logloss_users": Q.q_logloss_users,
+        "cramers_v_orders": Q.q_cramers_v_orders,
+        "tenure_activity_corr_users": Q.q_tenure_activity_corr_users,
     }
 
 
@@ -966,4 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_blocking_documents": Q.SQL_NDCG_BLOCKING,
         "youden_threshold_documents": Q.SQL_YOUDEN_THRESHOLD,
         "allan_variance_daily": Q.SQL_ALLAN_VARIANCE,
+        "logloss_users": Q.SQL_LOGLOSS_USERS,
+        "cramers_v_orders": Q.SQL_CRAMERS_V,
+        "tenure_activity_corr_users": Q.SQL_TENURE_ACTIVITY_CORR,
     }

@@ -19629,3 +19629,185 @@ SQL_ALLAN_VARIANCE = f"""
       ON a.event_type = g.event_type AND a.tau = g.tau
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# log-loss / Cramér's V / tenure-activity correlation
+# ---------------------------------------------------------------------------
+
+def q_logloss_users(sf_dir: str) -> pd.DataFrame:
+    """Cross-entropy (log-loss) of the first-half→second-half purchase
+    predictor, completing the eval family next to Brier/calibration:
+    −mean(y·ln p + (1−y)·ln(1−p)) with p CLIPPED to [1e−6, 1−1e−6]
+    (degenerate 0/1 predictions otherwise blow up — clip documented and
+    identical on both sides; p is the ROUNDED share)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    bounds = ev.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["ts"].astype("int64").min()],
+                                "hi": [b["ts"].astype("int64").max()]}),
+        batch_format="pandas").to_pandas()
+    mid = (int(bounds["lo"].min()) + int(bounds["hi"].max())) // 2
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64").to_numpy()
+        first = us <= mid
+        isp = (b["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "n1": first.astype(np.int64),
+            "p1": (first & isp).astype(np.int64),
+            "p2": (~first & isp).astype(np.int64)})
+
+    per_user = hash_aggregate(
+        ev.map_batches(flags, batch_format="pandas"), ["user_id"],
+        {"n1": ("n1", "sum"), "p1": ("p1", "sum"), "p2": ("p2", "max")},
+        num_partitions=_NP).to_pandas()
+    per_user = per_user[per_user["n1"] > 0]
+    pred = np.round(per_user["p1"].to_numpy(np.float64)
+                    / per_user["n1"].to_numpy(np.float64), 6) + 0.0
+    p = np.clip(pred, 1e-6, 1 - 1e-6)
+    y = per_user["p2"].to_numpy(np.float64)
+    ll = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+    return pd.DataFrame({
+        "n_users": [np.int64(len(p))],
+        "logloss": [np.round(ll, 6) + 0.0],
+        "base_rate": [np.round(y.mean(), 6) + 0.0],
+    })
+
+
+SQL_LOGLOSS_USERS = """
+    WITH mid AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               sum(CASE WHEN epoch_us(ts) <= mid.m THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN epoch_us(ts) <= mid.m
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p1,
+               max(CASE WHEN epoch_us(ts) > mid.m
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p2
+        FROM events CROSS JOIN mid GROUP BY 1
+    ),
+    t AS (
+        SELECT least(greatest(round(p1 * 1.0 / n1, 6) + 0.0, 1e-6),
+                     1 - 1e-6) AS p,
+               p2::DOUBLE AS y
+        FROM u WHERE n1 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 6) + 0.0
+               AS logloss,
+           round(avg(y), 6) + 0.0 AS base_rate
+    FROM t
+"""
+
+
+def q_cramers_v_orders(sf_dir: str) -> pd.DataFrame:
+    """Cramér's V association between order priority and status:
+    χ² over the contingency table, V = √(χ²/(N·min(r−1, c−1))) — the
+    normalized effect size the raw chi-square lacks. One contingency
+    aggregate; closed-form algebra."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    ct = hash_count(orders, ["o_orderpriority", "o_orderstatus"],
+                    out_col="n", num_partitions=4).to_pandas()
+    N = float(ct["n"].sum())
+    ri = ct.groupby("o_orderpriority")["n"].sum()
+    cj = ct.groupby("o_orderstatus")["n"].sum()
+    exp = (ct["o_orderpriority"].map(ri).to_numpy(np.float64)
+           * ct["o_orderstatus"].map(cj).to_numpy(np.float64)) / N
+    # absent cells contribute their expected count to chi2
+    chi2 = (((ct["n"].to_numpy(np.float64) - exp) ** 2) / exp).sum()
+    chi2 += N - exp.sum()  # Σexp over PRESENT cells vs N covers absents
+    k = min(len(ri) - 1, len(cj) - 1)
+    v = np.sqrt(chi2 / (N * k))
+    return pd.DataFrame({
+        "n_orders": [np.int64(N)],
+        "chi2": [np.round(chi2, 6) + 0.0],
+        "cramers_v": [np.round(v, 6) + 0.0],
+    })
+
+
+SQL_CRAMERS_V = """
+    WITH ct AS (
+        SELECT o_orderpriority AS pr, o_orderstatus AS st,
+               count(*)::DOUBLE AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS N FROM ct),
+    ri AS (SELECT pr, sum(n) AS r FROM ct GROUP BY 1),
+    cj AS (SELECT st, sum(n) AS c FROM ct GROUP BY 1),
+    chi AS (
+        SELECT sum((ct.n - ri.r * cj.c / tot.N)
+                   * (ct.n - ri.r * cj.c / tot.N)
+                   / (ri.r * cj.c / tot.N)) AS chi_present,
+               sum(ri.r * cj.c / tot.N) AS exp_present
+        FROM ct JOIN ri USING (pr) JOIN cj USING (st) CROSS JOIN tot
+    ),
+    k AS (SELECT least((SELECT count(*) FROM ri) - 1,
+                       (SELECT count(*) FROM cj) - 1)::DOUBLE AS k)
+    SELECT CAST(tot.N AS BIGINT) AS n_orders,
+           round(chi.chi_present + tot.N - chi.exp_present, 6) + 0.0
+               AS chi2,
+           round(sqrt((chi.chi_present + tot.N - chi.exp_present)
+                      / (tot.N * k.k)), 6) + 0.0 AS cramers_v
+    FROM chi CROSS JOIN tot CROSS JOIN k
+"""
+
+
+def q_tenure_activity_corr_users(sf_dir: str) -> pd.DataFrame:
+    """Does tenure predict intensity? Pearson correlation across users
+    between tenure (days from first event to the corpus end) and
+    activity rate (events per active-span day, span floored at 1) —
+    the cohort-maturity confound check before any engagement claim."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    bounds = ev.map_batches(
+        lambda b: pd.DataFrame({"hi": [b["ts"].astype("int64").max()]}),
+        batch_format="pandas").to_pandas()
+    end_day = int(bounds["hi"].max()) // DAY_US
+
+    def per_user(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["day"] = b["ts"].astype("int64") // DAY_US
+        b["one"] = 1
+        return b[["user_id", "day", "one"]]
+
+    agg = hash_aggregate(ev.map_batches(per_user, batch_format="pandas"),
+                         ["user_id"],
+                         {"first_day": ("day", "min"),
+                          "n": ("one", "sum")},
+                         num_partitions=_NP).to_pandas()
+    tenure = (end_day - agg["first_day"].to_numpy(np.int64) + 1) \
+        .astype(np.float64)
+    rate = agg["n"].to_numpy(np.float64) / tenure
+    x, y = tenure - tenure.mean(), rate - rate.mean()
+    den = np.sqrt((x ** 2).sum() * (y ** 2).sum())
+    r = (x * y).sum() / den if den > 0 else np.nan
+    return pd.DataFrame({
+        "n_users": [np.int64(len(agg))],
+        "mean_tenure_days": [np.round(tenure.mean(), 6) + 0.0],
+        "mean_rate": [np.round(rate.mean(), 6) + 0.0],
+        "corr": [np.round(r, 6) + 0.0 if np.isfinite(r) else NULLF],
+    })
+
+
+SQL_TENURE_ACTIVITY_CORR = f"""
+    WITH endd AS (SELECT max(epoch_us(ts)) // {DAY_US} AS e FROM events),
+    u AS (
+        SELECT user_id, min(epoch_us(ts)) // {DAY_US} AS fd,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT (endd.e - u.fd + 1)::DOUBLE AS tenure,
+               u.n / (endd.e - u.fd + 1) AS rate
+        FROM u CROSS JOIN endd
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(tenure), 6) + 0.0 AS mean_tenure_days,
+           round(avg(rate), 6) + 0.0 AS mean_rate,
+           COALESCE(round(corr(tenure, rate), 6) + 0.0, {NULLF}) AS corr
+    FROM t
+"""

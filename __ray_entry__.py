@@ -575,6 +575,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logloss_users": Q.q_logloss_users,
         "cramers_v_orders": Q.q_cramers_v_orders,
         "tenure_activity_corr_users": Q.q_tenure_activity_corr_users,
+        # Markov entropy rate, Sinkhorn sweeps, restricted mean survival
+        "markov_entropy_rate_events": Q.q_markov_entropy_rate_events,
+        "sinkhorn2_transitions": Q.q_sinkhorn2_transitions,
+        "rmst_users": Q.q_rmst_users,
     }
 
 
@@ -973,4 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "logloss_users": Q.SQL_LOGLOSS_USERS,
         "cramers_v_orders": Q.SQL_CRAMERS_V,
         "tenure_activity_corr_users": Q.SQL_TENURE_ACTIVITY_CORR,
+        "markov_entropy_rate_events": Q.SQL_MARKOV_ENTROPY_RATE,
+        "sinkhorn2_transitions": Q.SQL_SINKHORN2,
+        "rmst_users": Q.SQL_RMST_USERS,
     }

@@ -19811,3 +19811,217 @@ SQL_TENURE_ACTIVITY_CORR = f"""
            COALESCE(round(corr(tenure, rate), 6) + 0.0, {NULLF}) AS corr
     FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate / Sinkhorn normalization / restricted mean survival
+# ---------------------------------------------------------------------------
+
+def q_markov_entropy_rate_events(sf_dir: str) -> pd.DataFrame:
+    """Entropy rate of the first-order user event chain:
+    H = Σ_s w(s)·Σ_t −P(t|s)·ln P(t|s) with empirical source weights
+    w(s) = n_s/N (documented stand-in for the stationary distribution),
+    plus the branching perplexity e^H — how predictable the next event
+    is given the current one."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("user_id", sort=False):
+            t = g.sort_values(["ts", "event_id"])["event_type"].to_numpy()
+            if len(t) < 2:
+                continue
+            outs.append(pd.DataFrame({"cur": t[:-1], "nxt": t[1:]}))
+        if not outs:
+            return pd.DataFrame({"cur": pd.Series([], dtype="object"),
+                                 "nxt": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.concat(outs, ignore_index=True)
+        return df.groupby(["cur", "nxt"], sort=False).size() \
+            .rename("n").reset_index()
+
+    trans = hash_aggregate(
+        keyed_map_partitions(ev, ["user_id"], pairs, num_partitions=_NP),
+        ["cur", "nxt"], {"n": ("n", "sum")}, num_partitions=4).to_pandas()
+    N = float(trans["n"].sum())
+    ns = trans.groupby("cur")["n"].sum()
+    p = trans["n"].to_numpy(np.float64) \
+        / trans["cur"].map(ns).to_numpy(np.float64)
+    w = trans["cur"].map(ns).to_numpy(np.float64) / N
+    H = float((-w * p * np.log(p)).sum())
+    return pd.DataFrame({
+        "n_transitions": [np.int64(N)],
+        "entropy_rate_nats": [np.round(H, 6) + 0.0],
+        "branch_perplexity": [np.round(np.exp(H), 6) + 0.0],
+    })
+
+
+SQL_MARKOV_ENTROPY_RATE = """
+    WITH s AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    t AS (SELECT cur, nxt, count(*)::DOUBLE AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    ns AS (SELECT cur, sum(n) AS ns FROM t GROUP BY 1),
+    tot AS (SELECT sum(n) AS N FROM t)
+    SELECT CAST(tot.N AS BIGINT) AS n_transitions,
+           round(sum(-(ns.ns / tot.N) * (t.n / ns.ns)
+                     * ln(t.n / ns.ns)), 6) + 0.0 AS entropy_rate_nats,
+           round(exp(sum(-(ns.ns / tot.N) * (t.n / ns.ns)
+                         * ln(t.n / ns.ns))), 6) + 0.0
+               AS branch_perplexity
+    FROM t JOIN ns USING (cur) CROSS JOIN tot
+    GROUP BY tot.N
+"""
+
+
+def q_sinkhorn2_transitions(sf_dir: str) -> pd.DataFrame:
+    """Two fixed Sinkhorn-Knopp sweeps over the transition-count matrix
+    (row-normalize, then column-normalize — the deterministic prefix of
+    the doubly-stochastic projection used in optimal-transport pipelines).
+    Output: each present (cur, nxt) cell's value after sweep 2."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("user_id", sort=False):
+            t = g.sort_values(["ts", "event_id"])["event_type"].to_numpy()
+            if len(t) < 2:
+                continue
+            outs.append(pd.DataFrame({"cur": t[:-1], "nxt": t[1:]}))
+        if not outs:
+            return pd.DataFrame({"cur": pd.Series([], dtype="object"),
+                                 "nxt": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.concat(outs, ignore_index=True)
+        return df.groupby(["cur", "nxt"], sort=False).size() \
+            .rename("n").reset_index()
+
+    trans = hash_aggregate(
+        keyed_map_partitions(ev, ["user_id"], pairs, num_partitions=_NP),
+        ["cur", "nxt"], {"n": ("n", "sum")}, num_partitions=4).to_pandas()
+    m = trans.copy()
+    m["p"] = m["n"].astype(np.float64)
+    rs = m.groupby("cur")["p"].transform("sum")
+    m["p"] = m["p"] / rs
+    cs = m.groupby("nxt")["p"].transform("sum")
+    m["p"] = m["p"] / cs
+    m["p2"] = np.round(m["p"].to_numpy(np.float64), 6) + 0.0
+    out = m[["cur", "nxt", "n", "p2"]].astype({"n": np.int64})
+    return out.sort_values(["cur", "nxt"]).reset_index(drop=True)
+
+
+SQL_SINKHORN2 = """
+    WITH s AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    t AS (SELECT cur, nxt, count(*)::DOUBLE AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    r1 AS (SELECT cur, nxt, n,
+                  n / sum(n) OVER (PARTITION BY cur) AS p
+           FROM t),
+    r2 AS (SELECT cur, nxt, n,
+                  p / sum(p) OVER (PARTITION BY nxt) AS p
+           FROM r1)
+    SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+           round(p, 6) + 0.0 AS p2
+    FROM r2 ORDER BY 1, 2
+"""
+
+
+def q_rmst_users(sf_dir: str) -> pd.DataFrame:
+    """Restricted mean survival time at τ=20 days over the same
+    Kaplan-Meier lifetime table as kaplan_meier_users: with integer-day
+    lifetimes, RMST(τ) = Σ_{t=0..τ−1} S(t) where S(t) is the (ROUNDED)
+    KM survival after the deaths at ≤ t — the 'expected active days in
+    the first τ' summary a survival curve alone doesn't give."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    span = hash_aggregate(ev, ["user_id"],
+                          {"first_ts": ("ts", "min"),
+                           "last_ts": ("ts", "max")},
+                          num_partitions=_NP)
+    end = ev.map_batches(lambda b: pd.DataFrame({"m": [b["ts"].max()]}),
+                         batch_format="pandas").to_pandas()["m"].max()
+    cutoff = end - pd.Timedelta(days=7)
+
+    def life(b: pd.DataFrame) -> pd.DataFrame:
+        t = ((b["last_ts"].astype("datetime64[us]").astype("int64")
+              - b["first_ts"].astype("datetime64[us]").astype("int64"))
+             // DAY_US).astype(np.int64)
+        return pd.DataFrame({
+            "t": t,
+            "death": (b["last_ts"] <= cutoff).astype(np.int64),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    tab = hash_aggregate(span.map_batches(life, batch_format="pandas"),
+                         ["t"], {"d": ("death", "sum"),
+                                 "c": ("one", "sum")},
+                         num_partitions=4).to_pandas().sort_values("t")
+    total = int(tab["c"].sum())
+    at_risk = total - np.concatenate([[0],
+                                      np.cumsum(tab["c"].to_numpy())[:-1]])
+    surv = np.round(np.cumprod(1.0 - tab["d"].to_numpy(np.float64)
+                               / at_risk), 6) + 0.0
+    ts = tab["t"].to_numpy(np.int64)
+    TAU = 20
+    rmst = 0.0
+    for day in range(TAU):
+        # survival AFTER deaths at lifetimes <= day
+        idx = np.searchsorted(ts, day, side="right") - 1
+        rmst += surv[idx] if idx >= 0 else 1.0
+    return pd.DataFrame({
+        "tau_days": [np.int64(TAU)],
+        "n_users": [np.int64(total)],
+        "rmst_days": [np.round(rmst, 6) + 0.0],
+    })
+
+
+SQL_RMST_USERS = """
+    WITH u AS (
+        SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+    ),
+    ce AS (SELECT max(ts) AS e FROM events),
+    lt AS (
+        SELECT (epoch_us(l) - epoch_us(f)) // 86400000000 AS t,
+               CASE WHEN l <= (SELECT e - INTERVAL 7 DAY FROM ce)
+                    THEN 1 ELSE 0 END AS death
+        FROM u
+    ),
+    tab AS (SELECT t, sum(death) AS d, count(*) AS c FROM lt GROUP BY 1),
+    r AS (
+        SELECT t, d,
+               (SELECT sum(c) FROM tab) -
+               COALESCE(sum(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_at_risk
+        FROM tab
+    ),
+    km AS (
+        SELECT t,
+               round(exp(sum(ln(1 - d * 1.0 / n_at_risk))
+                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+                     6) + 0.0 AS s
+        FROM r
+    ),
+    days AS (SELECT unnest(range(0, 20)) AS day),
+    sd AS (
+        SELECT days.day,
+               COALESCE((SELECT s FROM km WHERE km.t <= days.day
+                         ORDER BY km.t DESC LIMIT 1), 1.0) AS s
+        FROM days
+    )
+    SELECT CAST(20 AS BIGINT) AS tau_days,
+           (SELECT CAST(sum(c) AS BIGINT) FROM tab) AS n_users,
+           round(sum(s), 6) + 0.0 AS rmst_days
+    FROM sd
+"""

@@ -579,6 +579,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy_rate_events": Q.q_markov_entropy_rate_events,
         "sinkhorn2_transitions": Q.q_sinkhorn2_transitions,
         "rmst_users": Q.q_rmst_users,
+        # exact 2-means split, doc-length CCDF, Ruzicka similarity
+        "two_means_split_daily": Q.q_two_means_split_daily,
+        "ccdf_doclen_documents": Q.q_ccdf_doclen_documents,
+        "ruzicka_sources": Q.q_ruzicka_sources,
     }
 
 
@@ -980,4 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_entropy_rate_events": Q.SQL_MARKOV_ENTROPY_RATE,
         "sinkhorn2_transitions": Q.SQL_SINKHORN2,
         "rmst_users": Q.SQL_RMST_USERS,
+        "two_means_split_daily": Q.SQL_TWO_MEANS_SPLIT,
+        "ccdf_doclen_documents": Q.SQL_CCDF_DOCLEN,
+        "ruzicka_sources": Q.SQL_RUZICKA_SOURCES,
     }

@@ -20025,3 +20025,193 @@ SQL_RMST_USERS = """
            round(sum(s), 6) + 0.0 AS rmst_days
     FROM sd
 """
+
+
+# ---------------------------------------------------------------------------
+# exact 1-D 2-means / doc-length CCDF / Ruzicka source similarity
+# ---------------------------------------------------------------------------
+
+def q_two_means_split_daily(sf_dir: str) -> pd.DataFrame:
+    """EXACT 2-means clustering of each series' values (1-D k-means is
+    solvable by split enumeration over the sorted order): the threshold
+    minimizing within-cluster SSE (ROUNDED, ties → smaller split index),
+    with both cluster means — the regime-split primitive fancier
+    changepoint methods refine."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = np.sort(g["v"].to_numpy(np.float64))
+            n = len(v)
+            if n < 2:
+                rows.append((et, n, 0, np.nan, np.nan, np.nan))
+                continue
+            cs = np.cumsum(v)
+            tot = cs[-1]
+            best = None
+            for k in range(1, n):  # left cluster = first k sorted values
+                sl, sr = cs[k - 1], tot - cs[k - 1]
+                sse = (np.round(
+                    (v[:k] ** 2).sum() - sl * sl / k
+                    + (v[k:] ** 2).sum() - sr * sr / (n - k), 6) + 0.0)
+                if best is None or (sse, k) < best[:2]:
+                    best = (sse, k, sl / k, sr / (n - k))
+            rows.append((et, n, best[1],
+                         np.round(best[2], 6) + 0.0,
+                         np.round(best[3], 6) + 0.0, best[0]))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "split_k", "mean_lo",
+                                           "mean_hi", "sse"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["n_days", "split_k"]] = out[["n_days", "split_k"]] \
+        .astype(np.int64)
+    out = _fill(out, ["mean_lo", "mean_hi", "sse"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_TWO_MEANS_SPLIT = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(v) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cs,
+               sum(v * v) OVER (PARTITION BY event_type ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS css,
+               sum(v) OVER (PARTITION BY event_type) AS tot,
+               sum(v * v) OVER (PARTITION BY event_type) AS tot2
+        FROM daily
+    ),
+    sp AS (
+        SELECT event_type, rn AS k, n,
+               cs / rn AS mean_lo, (tot - cs) / (n - rn) AS mean_hi,
+               round(css - cs * cs / rn
+                     + (tot2 - css) - (tot - cs) * (tot - cs) / (n - rn),
+                     6) + 0.0 AS sse
+        FROM r WHERE rn < n
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY sse, k) AS pos
+        FROM sp
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(k AS BIGINT) AS split_k,
+           round(mean_lo, 6) + 0.0 AS mean_lo,
+           round(mean_hi, 6) + 0.0 AS mean_hi, sse
+    FROM best WHERE pos = 1 ORDER BY 1
+"""
+
+
+def q_ccdf_doclen_documents(sf_dir: str) -> pd.DataFrame:
+    """Complementary CDF of document token lengths at decade thresholds
+    {10, 30, 100, 300, 1000} — the log-log survival view that exposes
+    heavy tails the mean hides (the Zipf/Heaps companion at document
+    grain)."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def lens(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.split().str.len().fillna(0) \
+            .astype(np.int64).to_numpy()
+        out = {"total": [len(n)]}
+        for thr in (10, 30, 100, 300, 1000):
+            out[f"ge_{thr}"] = [int((n >= thr).sum())]
+        return pd.DataFrame(out)
+
+    agg = docs.map_batches(lens, batch_format="pandas").to_pandas().sum()
+    total = float(agg["total"])
+    rows = [(thr, int(agg[f"ge_{thr}"]),
+             np.round(agg[f"ge_{thr}"] / total, 6) + 0.0)
+            for thr in (10, 30, 100, 300, 1000)]
+    return pd.DataFrame(rows, columns=["threshold", "n_ge", "ccdf"]) \
+        .astype({"threshold": np.int64, "n_ge": np.int64})
+
+
+SQL_CCDF_DOCLEN = r"""
+    WITH l AS (
+        SELECT len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS n
+        FROM documents
+    ),
+    thr AS (SELECT unnest([10, 30, 100, 300, 1000]) AS threshold)
+    SELECT CAST(thr.threshold AS BIGINT) AS threshold,
+           CAST(sum(CASE WHEN l.n >= thr.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge,
+           round(sum(CASE WHEN l.n >= thr.threshold THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) + 0.0 AS ccdf
+    FROM thr CROSS JOIN l
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ruzicka_sources(sf_dir: str) -> pd.DataFrame:
+    """Ruzicka (weighted Jaccard) similarity between the token-frequency
+    profiles of the first four sources: Σmin(fa, fb)/Σmax(fa, fb) over
+    the union vocabulary of each pair (relative frequencies) — the
+    continuous generalization of Jaccard the KL/Delta family lacks."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[["source"]].copy()
+        ex["tok"] = b["text"].str.split()
+        ex = ex.explode("tok").dropna(subset=["tok"])
+        vc = ex.groupby(["source", "tok"], sort=False).size()
+        return vc.rename("cnt").reset_index() \
+            .rename(columns={"tok": "token"})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["source", "token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP).materialize()
+    sub = tc.filter(lambda r: r["source"] in _KL_SOURCES).to_pandas()
+    counts = {s: dict(zip(g["token"], g["c"].astype(float)))
+              for s, g in sub.groupby("source")}
+    totals = {s: sum(counts.get(s, {}).values()) for s in _KL_SOURCES}
+    rows = []
+    for i, a in enumerate(_KL_SOURCES):
+        for b in _KL_SOURCES[i + 1:]:
+            ca, cb = counts.get(a, {}), counts.get(b, {})
+            na, nb = totals[a], totals[b]
+            smin = smax = 0.0
+            for t in set(ca) | set(cb):
+                fa = ca.get(t, 0.0) / na
+                fb = cb.get(t, 0.0) / nb
+                smin += min(fa, fb)
+                smax += max(fa, fb)
+            rows.append((a, b, np.round(smin / smax, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "ruzicka"])
+
+
+SQL_RUZICKA_SOURCES = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ),
+    tc AS (SELECT source, token, count(*)::DOUBLE AS c
+           FROM tok GROUP BY 1, 2),
+    n AS (SELECT source, sum(c) AS N FROM tc GROUP BY 1),
+    srcs AS (SELECT unnest(['src0', 'src1', 'src2', 'src3']) AS s),
+    pairs AS (SELECT a.s AS sa, b.s AS sb
+              FROM srcs a, srcs b WHERE a.s < b.s),
+    ut AS (
+        SELECT p.sa, p.sb, t.token,
+               max(CASE WHEN t.source = p.sa THEN t.c ELSE 0 END) AS ca,
+               max(CASE WHEN t.source = p.sb THEN t.c ELSE 0 END) AS cb
+        FROM pairs p JOIN tc t ON t.source IN (p.sa, p.sb)
+        GROUP BY 1, 2, 3
+    )
+    SELECT u.sa AS src_a, u.sb AS src_b,
+           round(sum(least(u.ca / na.N, u.cb / nb.N))
+                 / sum(greatest(u.ca / na.N, u.cb / nb.N)), 6) + 0.0
+               AS ruzicka
+    FROM ut u JOIN n na ON na.source = u.sa JOIN n nb ON nb.source = u.sb
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

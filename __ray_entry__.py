@@ -583,6 +583,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_means_split_daily": Q.q_two_means_split_daily,
         "ccdf_doclen_documents": Q.q_ccdf_doclen_documents,
         "ruzicka_sources": Q.q_ruzicka_sources,
+        # biweight location, term-rank correlation, inverse-vol weights
+        "biweight_location_daily": Q.q_biweight_location_daily,
+        "term_rank_corr_sources": Q.q_term_rank_corr_sources,
+        "inverse_vol_weights_daily": Q.q_inverse_vol_weights_daily,
     }
 
 
@@ -987,4 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "two_means_split_daily": Q.SQL_TWO_MEANS_SPLIT,
         "ccdf_doclen_documents": Q.SQL_CCDF_DOCLEN,
         "ruzicka_sources": Q.SQL_RUZICKA_SOURCES,
+        "biweight_location_daily": Q.SQL_BIWEIGHT_LOCATION,
+        "term_rank_corr_sources": Q.SQL_TERM_RANK_CORR,
+        "inverse_vol_weights_daily": Q.SQL_INVERSE_VOL_WEIGHTS,
     }

@@ -20215,3 +20215,196 @@ SQL_RUZICKA_SOURCES = r"""
     FROM ut u JOIN n na ON na.source = u.sa JOIN n nb ON nb.source = u.sb
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# biweight location / term-rank correlation / inverse-vol weights
+# ---------------------------------------------------------------------------
+
+def q_biweight_location_daily(sf_dir: str) -> pd.DataFrame:
+    """One-step Tukey biweight location per series (Mosteller & Tukey
+    1977): from the (ROUNDED) median and MAD, u = (v−med)/(9·MAD),
+    weights (1−u²)² for |u|<1, location = Σwv/Σw — the outlier-resistant
+    mean that degrades gracefully where the median is too coarse. NULLF
+    when MAD = 0."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["v"].to_numpy(np.float64)
+            med = np.round(np.quantile(v, 0.5), 6) + 0.0
+            mad = np.round(np.quantile(np.abs(v - med), 0.5), 6) + 0.0
+            if mad <= 0:
+                rows.append((et, len(v), med, mad, np.nan))
+                continue
+            u = (v - med) / (9.0 * mad)
+            w = np.where(np.abs(u) < 1.0, (1.0 - u * u) ** 2, 0.0)
+            loc = (w * v).sum() / w.sum()
+            rows.append((et, len(v), med, mad,
+                         np.round(loc, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "median", "mad", "biweight"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["biweight"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_BIWEIGHT_LOCATION = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    med AS (SELECT event_type, count(*) AS n,
+                   round(quantile_cont(v, 0.5), 6) + 0.0 AS med
+            FROM daily GROUP BY 1),
+    mad AS (
+        SELECT d.event_type,
+               round(quantile_cont(abs(d.v - med.med), 0.5), 6) + 0.0
+                   AS mad
+        FROM daily d JOIN med USING (event_type) GROUP BY 1, med.med
+    ),
+    w AS (
+        SELECT d.event_type, d.v,
+               CASE WHEN abs((d.v - med.med) / (9 * mad.mad)) < 1
+                    THEN pow(1 - pow((d.v - med.med) / (9 * mad.mad), 2),
+                             2)
+                    ELSE 0 END AS w
+        FROM daily d JOIN med USING (event_type)
+        JOIN mad USING (event_type)
+        WHERE mad.mad > 0
+    ),
+    loc AS (SELECT event_type, sum(w * v) / sum(w) AS loc
+            FROM w GROUP BY 1)
+    SELECT med.event_type, CAST(med.n AS BIGINT) AS n_days, med.med
+               AS median, mad.mad AS mad,
+           COALESCE(round(loc.loc, 6) + 0.0, {NULLF}) AS biweight
+    FROM med JOIN mad USING (event_type)
+    LEFT JOIN loc USING (event_type)
+    ORDER BY 1
+"""
+
+
+def q_term_rank_corr_sources(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary-rank stability between src0 and src1: Spearman
+    correlation of the two sources' count-ranks over the corpus top-50
+    tokens (average ranks on count ties — absent terms rank as count 0).
+    The drift-detection complement to KL at rank grain."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[["source"]].copy()
+        ex["tok"] = b["text"].str.split()
+        ex = ex.explode("tok").dropna(subset=["tok"])
+        vc = ex.groupby(["source", "tok"], sort=False).size()
+        return vc.rename("cnt").reset_index() \
+            .rename(columns={"tok": "token"})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["source", "token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP).materialize()
+    corpus = hash_aggregate(tc, ["token"], {"n": ("c", "sum")},
+                            num_partitions=_NP).to_pandas()
+    top = list(corpus.sort_values(["n", "token"],
+                                  ascending=[False, True]).head(50)
+               ["token"])
+    sub = tc.filter(
+        lambda r: r["source"] in ("src0", "src1")
+        and r["token"] in set(top)).to_pandas()
+
+    def ranks(src):
+        cmap = dict(zip(sub.loc[sub["source"] == src, "token"],
+                        sub.loc[sub["source"] == src, "c"]))
+        c = np.array([float(cmap.get(t, 0)) for t in top])
+        order = np.argsort(-c, kind="mergesort")
+        rk = np.empty(len(c))
+        cs = c[order]
+        i = 0
+        while i < len(c):
+            j = i
+            while j + 1 < len(c) and cs[j + 1] == cs[i]:
+                j += 1
+            rk[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return rk
+
+    ra, rb = ranks("src0"), ranks("src1")
+    x, y = ra - ra.mean(), rb - rb.mean()
+    rho = (x * y).sum() / np.sqrt((x ** 2).sum() * (y ** 2).sum())
+    return pd.DataFrame({
+        "n_terms": [np.int64(len(top))],
+        "spearman_rho": [np.round(rho, 6) + 0.0],
+    })
+
+
+SQL_TERM_RANK_CORR = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    corpus AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+    top AS (SELECT token FROM corpus ORDER BY n DESC, token LIMIT 50),
+    tc AS (
+        SELECT s.src, top.token, COALESCE(cnt.c, 0)::DOUBLE AS c
+        FROM (SELECT unnest(['src0', 'src1']) AS src) s
+        CROSS JOIN top
+        LEFT JOIN (SELECT source, token, count(*)::DOUBLE AS c
+                   FROM tok WHERE source IN ('src0', 'src1')
+                   GROUP BY 1, 2) cnt
+          ON cnt.source = s.src AND cnt.token = top.token
+    ),
+    rk AS (
+        SELECT src, token,
+               rank() OVER (PARTITION BY src ORDER BY c DESC)
+               + (count(*) OVER (PARTITION BY src, c) - 1) / 2.0 AS r
+        FROM tc
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM top) AS n_terms,
+           round(corr(a.r, b.r), 6) + 0.0 AS spearman_rho
+    FROM rk a JOIN rk b ON a.token = b.token
+    WHERE a.src = 'src0' AND b.src = 'src1'
+"""
+
+
+def q_inverse_vol_weights_daily(sf_dir: str) -> pd.DataFrame:
+    """Risk-parity (inverse-volatility) weights across the series family:
+    wᵢ = (1/σᵢ)/Σ(1/σⱼ) over each series' daily-value ddof=1 std — how a
+    monitoring budget or ensemble weight would allocate attention."""
+    ev = _bucket_series(sf_dir, DAY_US, "d")
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["v2"] = b["v"].to_numpy(np.float64) ** 2
+        b["one"] = 1.0
+        return b[["event_type", "one", "v", "v2"]]
+
+    g = hash_aggregate(ev.map_batches(moments, batch_format="pandas"),
+                       ["event_type"],
+                       {"n": ("one", "sum"), "s": ("v", "sum"),
+                        "ss": ("v2", "sum")},
+                       num_partitions=_NP).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    m = g["s"].to_numpy(np.float64) / n
+    sd = np.sqrt((g["ss"].to_numpy(np.float64) - n * m * m) / (n - 1.0))
+    inv = 1.0 / sd
+    w = inv / inv.sum()
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "sigma": np.round(sd, 6) + 0.0,
+        "weight": np.round(w, 6) + 0.0,
+    })
+
+
+SQL_INVERSE_VOL_WEIGHTS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    s AS (SELECT event_type, stddev_samp(v) AS sd FROM daily GROUP BY 1),
+    t AS (SELECT sum(1.0 / sd) AS tot FROM s)
+    SELECT s.event_type, round(s.sd, 6) + 0.0 AS sigma,
+           round((1.0 / s.sd) / t.tot, 6) + 0.0 AS weight
+    FROM s CROSS JOIN t ORDER BY 1
+"""

@@ -587,6 +587,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "biweight_location_daily": Q.q_biweight_location_daily,
         "term_rank_corr_sources": Q.q_term_rank_corr_sources,
         "inverse_vol_weights_daily": Q.q_inverse_vol_weights_daily,
+        # tabular CUSUM, Poisson rate ratio, diurnal harmonic
+        "tabular_cusum_daily": Q.q_tabular_cusum_daily,
+        "rate_ratio_events": Q.q_rate_ratio_events,
+        "diurnal_harmonic_events": Q.q_diurnal_harmonic_events,
     }
 
 
@@ -994,4 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "biweight_location_daily": Q.SQL_BIWEIGHT_LOCATION,
         "term_rank_corr_sources": Q.SQL_TERM_RANK_CORR,
         "inverse_vol_weights_daily": Q.SQL_INVERSE_VOL_WEIGHTS,
+        "tabular_cusum_daily": Q.SQL_TABULAR_CUSUM,
+        "rate_ratio_events": Q.SQL_RATE_RATIO,
+        "diurnal_harmonic_events": Q.SQL_DIURNAL_HARMONIC,
     }

@@ -20408,3 +20408,186 @@ SQL_INVERSE_VOL_WEIGHTS = f"""
            round((1.0 / s.sd) / t.tot, 6) + 0.0 AS weight
     FROM s CROSS JOIN t ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# tabular CUSUM / Poisson rate ratio / diurnal harmonic
+# ---------------------------------------------------------------------------
+
+def q_tabular_cusum_daily(sf_dir: str) -> pd.DataFrame:
+    """Two-sided tabular CUSUM (Page; NIST handbook form) per series with
+    slack k = 0.5σ around the mean: C⁺ₜ = max(0, C⁺ₜ₋₁ + zₜ − k) and the
+    mirrored C⁻ — each reset-recursion rewritten by the cumsum-minus-
+    running-min identity (exactly the stock-balance trick), so the oracle
+    is pure window algebra. Alarms flag on ROUNDED statistics vs h = 4σ
+    (in z-units, σ=1)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    K, H = 0.5, 4.0
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d").copy()
+            v = g["v"].to_numpy(np.float64)
+            mu, sd = v.mean(), v.std(ddof=1)
+            if sd <= 0:
+                continue
+            z = (v - mu) / sd
+            sp = np.cumsum(z - K)
+            cp = sp - np.minimum.accumulate(np.minimum(sp, 0.0))
+            sm = np.cumsum(-z - K)
+            cm = sm - np.minimum.accumulate(np.minimum(sm, 0.0))
+            cpr = np.round(cp, 6) + 0.0
+            cmr = np.round(cm, 6) + 0.0
+            g["cusum_hi"] = cpr
+            g["cusum_lo"] = cmr
+            g["alarm"] = (cpr > H) | (cmr > H)
+            outs.append(g[["event_type", "d", "v", "cusum_hi",
+                           "cusum_lo", "alarm"]])
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["event_type", "d", "v", "cusum_hi",
+                                  "cusum_lo", "alarm"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    return out.sort_values(["event_type", "d"]).reset_index(drop=True)
+
+
+SQL_TABULAR_CUSUM = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd
+          FROM daily GROUP BY 1),
+    z AS (
+        SELECT d.event_type, d.d, d.v, (d.v - m.mu) / m.sd AS z
+        FROM daily d JOIN m USING (event_type)
+        WHERE m.sd > 0
+    ),
+    s AS (
+        SELECT event_type, d, v,
+               sum(z - 0.5) OVER w AS sp,
+               sum(-z - 0.5) OVER w AS sm
+        FROM z WINDOW w AS (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+        SELECT event_type, d, v,
+               round(sp - least(min(sp) OVER w, 0), 6) + 0.0 AS cusum_hi,
+               round(sm - least(min(sm) OVER w, 0), 6) + 0.0 AS cusum_lo
+        FROM s WINDOW w AS (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, d, v, cusum_hi, cusum_lo,
+           (cusum_hi > 4.0 OR cusum_lo > 4.0) AS alarm
+    FROM c
+"""
+
+
+def q_rate_ratio_events(sf_dir: str) -> pd.DataFrame:
+    """Poisson rate ratio of error vs click events over the shared
+    exposure window: λ̂_e/λ̂_c with the Wald log-scale CI
+    exp(ln RR ± 1.96·√(1/n_e + 1/n_c)) — the incident-rate comparison
+    ops teams reach for before any alerting threshold change."""
+    ev = _read(sf_dir, "events", ["event_type"])
+    counts = hash_count(ev, ["event_type"], out_col="n",
+                        num_partitions=4).to_pandas() \
+        .set_index("event_type")["n"]
+    ne, nc = float(counts.get("error", 0)), float(counts.get("click", 0))
+    if ne > 0 and nc > 0:
+        rr = ne / nc
+        se = np.sqrt(1.0 / ne + 1.0 / nc)
+        lo = np.exp(np.log(rr) - 1.96 * se)
+        hi = np.exp(np.log(rr) + 1.96 * se)
+        vals = [np.round(rr, 6) + 0.0, np.round(lo, 6) + 0.0,
+                np.round(hi, 6) + 0.0]
+    else:
+        vals = [NULLF] * 3
+    return pd.DataFrame({
+        "n_error": [np.int64(ne)], "n_click": [np.int64(nc)],
+        "rate_ratio": [vals[0]], "ci_lo": [vals[1]], "ci_hi": [vals[2]],
+    })
+
+
+SQL_RATE_RATIO = f"""
+    WITH c AS (
+        SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                   END)::DOUBLE AS ne,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                   END)::DOUBLE AS nc
+        FROM events
+    )
+    SELECT CAST(ne AS BIGINT) AS n_error, CAST(nc AS BIGINT) AS n_click,
+           COALESCE(CASE WHEN ne > 0 AND nc > 0
+                         THEN round(ne / nc, 6) + 0.0 END, {NULLF})
+               AS rate_ratio,
+           COALESCE(CASE WHEN ne > 0 AND nc > 0
+                         THEN round(exp(ln(ne / nc)
+                              - 1.96 * sqrt(1 / ne + 1 / nc)), 6) + 0.0
+                    END, {NULLF}) AS ci_lo,
+           COALESCE(CASE WHEN ne > 0 AND nc > 0
+                         THEN round(exp(ln(ne / nc)
+                              + 1.96 * sqrt(1 / ne + 1 / nc)), 6) + 0.0
+                    END, {NULLF}) AS ci_hi
+    FROM c
+"""
+
+
+def q_diurnal_harmonic_events(sf_dir: str) -> pd.DataFrame:
+    """First diurnal harmonic of each type's hourly series: amplitude and
+    acrophase (peak hour) of the 24-h cosine fit via the discrete Fourier
+    projections a = Σv·cos(ωt), b = Σv·sin(ωt), ω = 2π/24 over
+    hour-of-day — the parametric sibling of the circular-mean profile.
+    Phase maps atan2 to [0, 24) hours."""
+    hourly = _bucket_series(sf_dir, HOUR_US, "h")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["h"].astype("datetime64[us]").astype("int64")
+        theta = 2.0 * np.pi * ((us % DAY_US) / float(DAY_US))
+        v = b["v"].to_numpy(np.float64)
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "a": v * np.cos(theta),
+                             "b": v * np.sin(theta), "n": 1.0,
+                             "s": v})
+
+    agg = hash_aggregate(hourly.map_batches(partial,
+                                            batch_format="pandas"),
+                         ["event_type"],
+                         {"a": ("a", "sum"), "b": ("b", "sum"),
+                          "n": ("n", "sum"), "s": ("s", "sum")},
+                         num_partitions=_NP).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    a = 2.0 * agg["a"].to_numpy(np.float64) / n
+    b = 2.0 * agg["b"].to_numpy(np.float64) / n
+    amp = np.sqrt(a * a + b * b)
+    phase = (np.arctan2(b, a) % (2.0 * np.pi)) * 24.0 / (2.0 * np.pi)
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_hours": n.astype(np.int64),
+        "mean_level": np.round(agg["s"].to_numpy(np.float64) / n, 6) + 0.0,
+        "amplitude": np.round(amp, 6) + 0.0,
+        "peak_hour": np.round(phase, 6) + 0.0,
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DIURNAL_HARMONIC = f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    t AS (
+        SELECT event_type, v,
+               2 * pi() * ((epoch_us(h) % {DAY_US}) * 1.0 / {DAY_US})
+                   AS theta
+        FROM hourly
+    ),
+    agg AS (
+        SELECT event_type, count(*)::DOUBLE AS n, sum(v) AS s,
+               2 * sum(v * cos(theta)) / count(*) AS a,
+               2 * sum(v * sin(theta)) / count(*) AS b
+        FROM t GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           round(s / n, 6) + 0.0 AS mean_level,
+           round(sqrt(a * a + b * b), 6) + 0.0 AS amplitude,
+           round(fmod(atan2(b, a) + 2 * pi(), 2 * pi())
+                 * 24 / (2 * pi()), 6) + 0.0 AS peak_hour
+    FROM agg ORDER BY 1
+"""

@@ -591,6 +591,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tabular_cusum_daily": Q.q_tabular_cusum_daily,
         "rate_ratio_events": Q.q_rate_ratio_events,
         "diurnal_harmonic_events": Q.q_diurnal_harmonic_events,
+        # gamma fit, lognormal tail check, variance-ratio test
+        "gamma_fit_events": Q.q_gamma_fit_events,
+        "lognormal_tail_events": Q.q_lognormal_tail_events,
+        "variance_ratio_daily": Q.q_variance_ratio_daily,
     }
 
 
@@ -1001,4 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "tabular_cusum_daily": Q.SQL_TABULAR_CUSUM,
         "rate_ratio_events": Q.SQL_RATE_RATIO,
         "diurnal_harmonic_events": Q.SQL_DIURNAL_HARMONIC,
+        "gamma_fit_events": Q.SQL_GAMMA_FIT,
+        "lognormal_tail_events": Q.SQL_LOGNORMAL_TAIL,
+        "variance_ratio_daily": Q.SQL_VARIANCE_RATIO,
     }

@@ -20591,3 +20591,172 @@ SQL_DIURNAL_HARMONIC = f"""
                  * 24 / (2 * pi()), 6) + 0.0 AS peak_hour
     FROM agg ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# gamma MoM fit / lognormal tail check / variance-ratio test
+# ---------------------------------------------------------------------------
+
+def q_gamma_fit_events(sf_dir: str) -> pd.DataFrame:
+    """Gamma method-of-moments fit of each type's positive values:
+    shape k = m²/s², scale θ = s²/m — the workhorse positive-skew model
+    (completes the distribution-fit family next to exp/GPD/GEV/NB)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"] > 0].copy()
+        b["v2"] = b["value"].to_numpy(np.float64) ** 2
+        b["one"] = 1.0
+        return b[["event_type", "one", "value", "v2"]]
+
+    g = hash_aggregate(ev.map_batches(moments, batch_format="pandas"),
+                       ["event_type"],
+                       {"n": ("one", "sum"), "s": ("value", "sum"),
+                        "ss": ("v2", "sum")},
+                       num_partitions=_NP).to_pandas()
+    n = g["n"].to_numpy(np.float64)
+    m = g["s"].to_numpy(np.float64) / n
+    s2 = (g["ss"].to_numpy(np.float64) - n * m * m) / (n - 1.0)
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "n_pos": g["n"].astype(np.int64),
+        "gamma_shape": np.round(m * m / s2, 6) + 0.0,
+        "gamma_scale": np.round(s2 / m, 6) + 0.0,
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_GAMMA_FIT = """
+    WITH p AS (SELECT event_type, value FROM events WHERE value > 0),
+    m AS (SELECT event_type, count(*)::DOUBLE AS n, avg(value) AS m,
+                 var_samp(value) AS s2
+          FROM p GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pos,
+           round(m * m / s2, 6) + 0.0 AS gamma_shape,
+           round(s2 / m, 6) + 0.0 AS gamma_scale
+    FROM m ORDER BY 1
+"""
+
+
+def q_lognormal_tail_events(sf_dir: str) -> pd.DataFrame:
+    """Lognormal tail check per type: fit μ, σ on ln(v) (v>0), compare the
+    implied p95 = exp(μ + 1.645σ) to the empirical p95 — the 'is the
+    parametric tail honest?' ratio that decides whether a lognormal
+    capacity model will underprovision."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            v = v[v > 0]
+            if len(v) < 2:
+                rows.append((et, len(v), np.nan, np.nan, np.nan))
+                continue
+            lv = np.log(v)
+            mu, sd = lv.mean(), lv.std(ddof=1)
+            implied = np.exp(mu + 1.645 * sd)
+            emp = np.quantile(v, 0.95)
+            rows.append((et, len(v), np.round(implied, 6) + 0.0,
+                         np.round(emp, 6) + 0.0,
+                         np.round(implied / emp, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_pos",
+                                           "p95_lognormal",
+                                           "p95_empirical", "tail_ratio"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_pos"] = out["n_pos"].astype(np.int64)
+    out = _fill(out, ["p95_lognormal", "p95_empirical", "tail_ratio"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LOGNORMAL_TAIL = f"""
+    WITH p AS (SELECT event_type, value FROM events WHERE value > 0),
+    m AS (SELECT event_type, count(*) AS n, avg(ln(value)) AS mu,
+                 stddev_samp(ln(value)) AS sd,
+                 quantile_cont(value, 0.95) AS emp
+          FROM p GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pos,
+           COALESCE(CASE WHEN n >= 2
+                         THEN round(exp(mu + 1.645 * sd), 6) + 0.0 END,
+                    {NULLF}) AS p95_lognormal,
+           COALESCE(CASE WHEN n >= 2
+                         THEN round(emp, 6) + 0.0 END, {NULLF})
+               AS p95_empirical,
+           COALESCE(CASE WHEN n >= 2
+                         THEN round(exp(mu + 1.645 * sd) / emp, 6) + 0.0
+                    END, {NULLF}) AS tail_ratio
+    FROM m ORDER BY 1
+"""
+
+
+def q_variance_ratio_daily(sf_dir: str) -> pd.DataFrame:
+    """Lo-MacKinlay variance ratio VR(q) of each series' day-over-day
+    changes at q ∈ {2, 4}: Var of q-period sums over q·Var of 1-period
+    changes (population variances of overlapping q-sums, the simple
+    uncorrected form, documented) — 1 under a random walk, <1 mean-
+    reverting, >1 trending."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            r = np.diff(v)
+            if len(r) < 5:
+                continue
+            v1 = r.var(ddof=0)
+            for q in (2, 4):
+                rq = np.convolve(r, np.ones(q), mode="valid")
+                vr = rq.var(ddof=0) / (q * v1) if v1 > 0 else np.nan
+                rows.append((et, q, len(rq),
+                             np.round(vr, 6) + 0.0 if np.isfinite(vr)
+                             else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "q", "n_windows",
+                                           "vr"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["q", "n_windows"]] = out[["q", "n_windows"]].astype(np.int64)
+    out = _fill(out, ["vr"])
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+SQL_VARIANCE_RATIO = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, d,
+               v - LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS r
+        FROM daily
+    ),
+    rr AS (SELECT event_type, d, r,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                      AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM r WHERE r IS NOT NULL),
+    v1 AS (SELECT event_type, var_pop(r) AS v1, any_value(n) AS n
+           FROM rr GROUP BY 1),
+    qs AS (SELECT unnest([2, 4]) AS q),
+    sums AS (
+        SELECT a.event_type, qs.q, a.rn,
+               sum(b.r) AS rq, count(*) AS cnt
+        FROM qs, rr a
+        JOIN rr b ON a.event_type = b.event_type
+                  AND b.rn BETWEEN a.rn AND a.rn + qs.q - 1
+        GROUP BY 1, 2, 3
+        HAVING count(*) = qs.q
+    ),
+    vq AS (SELECT event_type, q, var_pop(rq) AS vq, count(*) AS nw
+           FROM sums GROUP BY 1, 2)
+    SELECT vq.event_type, CAST(vq.q AS BIGINT) AS q,
+           CAST(vq.nw AS BIGINT) AS n_windows,
+           COALESCE(CASE WHEN v1.v1 > 0 AND v1.n >= 5
+                         THEN round(vq.vq / (vq.q * v1.v1), 6) + 0.0 END,
+                    {NULLF}) AS vr
+    FROM vq JOIN v1 USING (event_type)
+    ORDER BY 1, 2
+"""

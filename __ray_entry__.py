@@ -595,6 +595,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gamma_fit_events": Q.q_gamma_fit_events,
         "lognormal_tail_events": Q.q_lognormal_tail_events,
         "variance_ratio_daily": Q.q_variance_ratio_daily,
+        # shock half-life, mean excess, KPSS stationarity
+        "shock_halflife_daily": Q.q_shock_halflife_daily,
+        "mean_excess_events": Q.q_mean_excess_events,
+        "kpss_daily": Q.q_kpss_daily,
     }
 
 
@@ -1008,4 +1012,7 @@ def oracle_sql() -> dict[str, str]:
         "gamma_fit_events": Q.SQL_GAMMA_FIT,
         "lognormal_tail_events": Q.SQL_LOGNORMAL_TAIL,
         "variance_ratio_daily": Q.SQL_VARIANCE_RATIO,
+        "shock_halflife_daily": Q.SQL_SHOCK_HALFLIFE,
+        "mean_excess_events": Q.SQL_MEAN_EXCESS,
+        "kpss_daily": Q.SQL_KPSS_DAILY,
     }

@@ -20760,3 +20760,186 @@ SQL_VARIANCE_RATIO = f"""
     FROM vq JOIN v1 USING (event_type)
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# shock half-life / mean excess / KPSS stationarity
+# ---------------------------------------------------------------------------
+
+def q_shock_halflife_daily(sf_dir: str) -> pd.DataFrame:
+    """Shock persistence per series: from the exact AR(1) slope φ, the
+    half-life of a deviation ln(½)/ln|φ| days (NULLF when |φ| ≥ 1 —
+    shocks never decay — or φ ≈ 0). The 'how long does an incident
+    linger' readout of the AR(1) fit, φ computed from the same rounded
+    value both sides report."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            if len(v) < 3:
+                rows.append((et, np.nan, np.nan))
+                continue
+            x, y = v[:-1], v[1:]
+            xm, ym = x.mean(), y.mean()
+            sxx = ((x - xm) ** 2).sum()
+            if sxx <= 0:
+                rows.append((et, np.nan, np.nan))
+                continue
+            phi = np.round(((x - xm) * (y - ym)).sum() / sxx, 6) + 0.0
+            if phi == 0 or abs(phi) >= 1:
+                rows.append((et, phi, np.nan))
+                continue
+            rows.append((et, phi,
+                         np.round(np.log(0.5) / np.log(abs(phi)), 6)
+                         + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "phi",
+                                           "halflife_days"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out = _fill(out, ["phi", "halflife_days"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SHOCK_HALFLIFE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    p AS (
+        SELECT event_type, v,
+               LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS x
+        FROM daily
+    ),
+    fit AS (
+        SELECT event_type, count(*) AS n,
+               round(regr_slope(v, x), 6) + 0.0 AS phi
+        FROM p WHERE x IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type,
+           COALESCE(CASE WHEN n >= 2 THEN phi END, {NULLF}) AS phi,
+           COALESCE(CASE WHEN n >= 2 AND phi <> 0 AND abs(phi) < 1
+                         THEN round(ln(0.5) / ln(abs(phi)), 6) + 0.0 END,
+                    {NULLF}) AS halflife_days
+    FROM fit ORDER BY 1
+"""
+
+
+def q_mean_excess_events(sf_dir: str) -> pd.DataFrame:
+    """Mean-excess function at the p50/p75/p90 thresholds per type:
+    e(u) = mean(v − u | v > u) — rising e(u) ⇒ heavy (Pareto-ish) tail,
+    flat ⇒ exponential; the graphical EVT threshold-picker as a table.
+    Thresholds round to 6 before the conditional mean on both sides."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            for qq in (0.5, 0.75, 0.9):
+                u = np.round(np.quantile(v, qq), 6) + 0.0
+                exc = v[v > u] - u
+                rows.append((et, qq, u, len(exc),
+                             np.round(exc.mean(), 6) + 0.0 if len(exc)
+                             else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "q", "threshold",
+                                           "n_exc", "mean_excess"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_exc"] = out["n_exc"].astype(np.int64)
+    out = _fill(out, ["mean_excess"])
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+SQL_MEAN_EXCESS = f"""
+    WITH thr AS (
+        SELECT event_type, 0.5 AS q,
+               round(quantile_cont(value, 0.5), 6) + 0.0 AS u
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT event_type, 0.75,
+               round(quantile_cont(value, 0.75), 6) + 0.0
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT event_type, 0.9,
+               round(quantile_cont(value, 0.9), 6) + 0.0
+        FROM events GROUP BY 1
+    ),
+    exc AS (
+        SELECT t.event_type, t.q, t.u,
+               count(*) FILTER (WHERE e.value > t.u) AS n_exc,
+               avg(e.value - t.u) FILTER (WHERE e.value > t.u) AS me
+        FROM thr t JOIN events e USING (event_type)
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, q, u AS threshold,
+           CAST(n_exc AS BIGINT) AS n_exc,
+           COALESCE(round(me, 6) + 0.0, {NULLF}) AS mean_excess
+    FROM exc ORDER BY 1, 2
+"""
+
+
+def q_kpss_daily(sf_dir: str) -> pd.DataFrame:
+    """KPSS level-stationarity statistic per series (Kwiatkowski et al.
+    1992, lag-0 long-run variance — the simple form, documented):
+    η = Σ Sₜ²/(n²·σ̂²_pop) over partial sums of demeaned values. The
+    null-reversed companion to the Dickey-Fuller test (KPSS null =
+    stationary); 0.463 is the 5% critical value."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n = len(v)
+            e = v - v.mean()
+            s2 = (e ** 2).mean()
+            if n < 3 or s2 <= 0:
+                rows.append((et, n, np.nan, None))
+                continue
+            S = np.cumsum(e)
+            eta = np.round((S ** 2).sum() / (n * n * s2), 6) + 0.0
+            rows.append((et, n, eta, bool(eta > 0.463)))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "kpss_eta", "reject_level"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["kpss_eta"])
+    out["reject_level"] = out["reject_level"].fillna(False).astype(bool)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_KPSS_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, count(*)::DOUBLE AS n
+          FROM daily GROUP BY 1),
+    s AS (
+        SELECT d.event_type, m.n,
+               sum(d.v - m.mu) OVER (PARTITION BY d.event_type
+                                     ORDER BY d.d
+                                     ROWS UNBOUNDED PRECEDING) AS S,
+               (d.v - m.mu) * (d.v - m.mu) AS e2
+        FROM daily d JOIN m USING (event_type)
+    ),
+    agg AS (
+        SELECT event_type, any_value(n) AS n, sum(S * S) AS ss2,
+               sum(e2) / any_value(n) AS s2
+        FROM s GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN n >= 3 AND s2 > 0
+                         THEN round(ss2 / (n * n * s2), 6) + 0.0 END,
+                    {NULLF}) AS kpss_eta,
+           COALESCE(CASE WHEN n >= 3 AND s2 > 0
+                         THEN round(ss2 / (n * n * s2), 6) + 0.0 > 0.463
+                    END, false) AS reject_level
+    FROM agg ORDER BY 1
+"""

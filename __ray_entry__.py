@@ -599,6 +599,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shock_halflife_daily": Q.q_shock_halflife_daily,
         "mean_excess_events": Q.q_mean_excess_events,
         "kpss_daily": Q.q_kpss_daily,
+        # dominance matrix, Newey-West CI, Nelson-Aalen hazard
+        "dominance_matrix_daily": Q.q_dominance_matrix_daily,
+        "newey_west_daily": Q.q_newey_west_daily,
+        "nelson_aalen_users": Q.q_nelson_aalen_users,
+        # within-estimator trend, Juilland's D, dow eta-squared
+        "fixed_effects_trend_daily": Q.q_fixed_effects_trend_daily,
+        "juilland_d_documents": Q.q_juilland_d_documents,
+        "eta_squared_dow_daily": Q.q_eta_squared_dow_daily,
+        # Blomqvist beta, t-score collocations, daily mix divergence
+        "blomqvist_beta_daily": Q.q_blomqvist_beta_daily,
+        "tscore_bigrams_documents": Q.q_tscore_bigrams_documents,
+        "daily_mix_divergence": Q.q_daily_mix_divergence,
+        # ITS level shift, first-touch conversion, peak concentration
+        "its_level_shift_daily": Q.q_its_level_shift_daily,
+        "first_touch_conversion": Q.q_first_touch_conversion,
+        "peak_concentration_events": Q.q_peak_concentration_events,
     }
 
 
@@ -1015,4 +1031,16 @@ def oracle_sql() -> dict[str, str]:
         "shock_halflife_daily": Q.SQL_SHOCK_HALFLIFE,
         "mean_excess_events": Q.SQL_MEAN_EXCESS,
         "kpss_daily": Q.SQL_KPSS_DAILY,
+        "dominance_matrix_daily": Q.SQL_DOMINANCE_MATRIX,
+        "newey_west_daily": Q.SQL_NEWEY_WEST,
+        "nelson_aalen_users": Q.SQL_NELSON_AALEN,
+        "fixed_effects_trend_daily": Q.SQL_FIXED_EFFECTS_TREND,
+        "juilland_d_documents": Q.SQL_JUILLAND_D,
+        "eta_squared_dow_daily": Q.SQL_ETA_SQUARED_DOW,
+        "blomqvist_beta_daily": Q.SQL_BLOMQVIST_BETA,
+        "tscore_bigrams_documents": Q.SQL_TSCORE_BIGRAMS,
+        "daily_mix_divergence": Q.SQL_DAILY_MIX_DIVERGENCE,
+        "its_level_shift_daily": Q.SQL_ITS_LEVEL_SHIFT,
+        "first_touch_conversion": Q.SQL_FIRST_TOUCH_CONVERSION,
+        "peak_concentration_events": Q.SQL_PEAK_CONCENTRATION,
     }

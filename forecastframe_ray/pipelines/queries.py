@@ -20943,3 +20943,764 @@ SQL_KPSS_DAILY = f"""
                     END, false) AS reject_level
     FROM agg ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# pairwise dominance / Newey-West mean CI / Nelson-Aalen hazard
+# ---------------------------------------------------------------------------
+
+def q_dominance_matrix_daily(sf_dir: str) -> pd.DataFrame:
+    """Day-wise dominance between every series pair: over common days,
+    the share where a's value strictly exceeds b's (ties counted
+    separately) — the nonparametric 'who usually wins' matrix under the
+    Mann-Whitney story but paired by day."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    wide = daily.to_pandas().pivot_table(index="d", columns="event_type",
+                                         values="v", aggfunc="sum")
+    ets = sorted(wide.columns)
+    rows = []
+    for i, a in enumerate(ets):
+        for b in ets[i + 1:]:
+            m = wide[a].notna() & wide[b].notna()
+            va = wide.loc[m, a].to_numpy(np.float64)
+            vb = wide.loc[m, b].to_numpy(np.float64)
+            n = len(va)
+            wins = int((va > vb).sum())
+            ties = int((va == vb).sum())
+            rows.append((a, b, n, wins, ties,
+                         np.round(wins / n, 6) + 0.0 if n else NULLF))
+    return pd.DataFrame(rows, columns=["et_a", "et_b", "n_days",
+                                       "a_wins", "ties", "win_share"]) \
+        .astype({"n_days": np.int64, "a_wins": np.int64,
+                 "ties": np.int64})
+
+
+SQL_DOMINANCE_MATRIX = f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT a.event_type AS et_a, b.event_type AS et_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_wins,
+           CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties,
+           round(sum(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) + 0.0 AS win_share
+    FROM daily a JOIN daily b
+      ON a.d = b.d AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_newey_west_daily(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation-robust mean inference per series: Newey-West
+    long-run variance with Bartlett weights at lag L=3,
+    σ²_NW = γ₀ + 2Σₖ(1−k/(L+1))γₖ (population autocovariances), and the
+    95% CI mean ± 1.96·√(σ²_NW/n) — the honest uncertainty when daily
+    values autocorrelate (the naive CI is also reported for contrast)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    L = 3
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < L + 2:
+                rows.append((et, n, np.nan, np.nan, np.nan))
+                continue
+            dv = v - v.mean()
+            lrv = (dv ** 2).mean()
+            for k in range(1, L + 1):
+                gk = (dv[k:] * dv[:-k]).sum() / n
+                lrv += 2.0 * (1.0 - k / (L + 1.0)) * gk
+            se_nw = np.sqrt(max(lrv, 0.0) / n)
+            se_naive = np.sqrt((dv ** 2).sum() / (n - 1.0) / n)
+            rows.append((et, n, np.round(v.mean(), 6) + 0.0,
+                         np.round(1.96 * se_nw, 6) + 0.0,
+                         np.round(1.96 * se_naive, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "mean_v", "hw_neweywest",
+                                           "hw_naive"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["mean_v", "hw_neweywest", "hw_naive"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_NEWEY_WEST = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, count(*)::DOUBLE AS n
+          FROM daily GROUP BY 1),
+    r AS (
+        SELECT d.event_type, d.v - m.mu AS dv, m.n, m.mu,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d) AS rn
+        FROM daily d JOIN m USING (event_type)
+    ),
+    g0 AS (SELECT event_type, sum(dv * dv) / any_value(n) AS g0,
+                  sum(dv * dv) / (any_value(n) - 1) AS s2,
+                  any_value(n) AS n, any_value(mu) AS mu
+           FROM r GROUP BY 1),
+    gk AS (
+        SELECT a.event_type, k.k,
+               sum(a.dv * b.dv) / any_value(a.n) AS gk
+        FROM (SELECT unnest(range(1, 4)) AS k) k, r a
+        JOIN r b ON a.event_type = b.event_type AND a.rn = b.rn + k.k
+        GROUP BY 1, 2
+    ),
+    lrv AS (
+        SELECT g0.event_type, g0.n, g0.mu, g0.s2,
+               g0.g0 + 2 * sum((1 - gk.k / 4.0) * gk.gk) AS lrv
+        FROM g0 JOIN gk USING (event_type)
+        GROUP BY 1, 2, 3, 4, g0.g0
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN n >= 5
+                         THEN round(mu, 6) + 0.0 END, {NULLF}) AS mean_v,
+           COALESCE(CASE WHEN n >= 5
+                         THEN round(1.96 * sqrt(greatest(lrv, 0) / n),
+                                    6) + 0.0 END, {NULLF})
+               AS hw_neweywest,
+           COALESCE(CASE WHEN n >= 5
+                         THEN round(1.96 * sqrt(s2 / n), 6) + 0.0 END,
+                    {NULLF}) AS hw_naive
+    FROM lrv ORDER BY 1
+"""
+
+
+def q_nelson_aalen_users(sf_dir: str) -> pd.DataFrame:
+    """Nelson-Aalen cumulative hazard over the Kaplan-Meier lifetime
+    table (same lifetimes/censoring as kaplan_meier_users):
+    H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ — the additive companion whose exp(−H) bounds
+    the KM curve. One calendar-bounded table to the driver."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    span = hash_aggregate(ev, ["user_id"],
+                          {"first_ts": ("ts", "min"),
+                           "last_ts": ("ts", "max")},
+                          num_partitions=_NP)
+    end = ev.map_batches(lambda b: pd.DataFrame({"m": [b["ts"].max()]}),
+                         batch_format="pandas").to_pandas()["m"].max()
+    cutoff = end - pd.Timedelta(days=7)
+
+    def life(b: pd.DataFrame) -> pd.DataFrame:
+        t = ((b["last_ts"].astype("datetime64[us]").astype("int64")
+              - b["first_ts"].astype("datetime64[us]").astype("int64"))
+             // DAY_US).astype(np.int64)
+        return pd.DataFrame({
+            "t": t,
+            "death": (b["last_ts"] <= cutoff).astype(np.int64),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    tab = hash_aggregate(span.map_batches(life, batch_format="pandas"),
+                         ["t"], {"d": ("death", "sum"),
+                                 "c": ("one", "sum")},
+                         num_partitions=4).to_pandas().sort_values("t")
+    total = int(tab["c"].sum())
+    at_risk = total - np.concatenate(
+        [[0], np.cumsum(tab["c"].to_numpy())[:-1]])
+    H = np.cumsum(tab["d"].to_numpy(np.float64) / at_risk)
+    return pd.DataFrame({
+        "t_days": tab["t"].astype(np.int64).to_numpy(),
+        "n_at_risk": at_risk.astype(np.int64),
+        "n_deaths": tab["d"].astype(np.int64).to_numpy(),
+        "cum_hazard": np.round(H, 6) + 0.0,
+    }).reset_index(drop=True)
+
+
+SQL_NELSON_AALEN = """
+    WITH u AS (
+        SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+    ),
+    ce AS (SELECT max(ts) AS e FROM events),
+    lt AS (
+        SELECT (epoch_us(l) - epoch_us(f)) // 86400000000 AS t,
+               CASE WHEN l <= (SELECT e - INTERVAL 7 DAY FROM ce)
+                    THEN 1 ELSE 0 END AS death
+        FROM u
+    ),
+    tab AS (SELECT t, sum(death) AS d, count(*) AS c FROM lt GROUP BY 1),
+    r AS (
+        SELECT t, d,
+               (SELECT sum(c) FROM tab) -
+               COALESCE(sum(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_at_risk
+        FROM tab
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_deaths,
+           round(sum(d * 1.0 / n_at_risk)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) + 0.0
+               AS cum_hazard
+    FROM r ORDER BY t
+"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-effects trend / Juilland's D / dow eta-squared
+# ---------------------------------------------------------------------------
+
+def q_fixed_effects_trend_daily(sf_dir: str) -> pd.DataFrame:
+    """Panel within-estimator: the POOLED time trend after absorbing
+    series fixed effects — demean v and the day index within each series,
+    then one OLS slope over the stacked residuals (the two-way panel
+    primitive; cross-series level differences cannot contaminate the
+    trend). Per-series demeaning stays co-located; one moment row
+    crosses."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        sxx = sxy = n = 0.0
+        for _, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            us = g["d"].astype("datetime64[us]").astype("int64").to_numpy()
+            t = ((us - us.min()) // DAY_US).astype(np.float64)
+            v = g["v"].to_numpy(np.float64)
+            td, vd = t - t.mean(), v - v.mean()
+            sxx += (td ** 2).sum()
+            sxy += (td * vd).sum()
+            n += len(v)
+        return pd.DataFrame({"sxx": [sxx], "sxy": [sxy], "n": [n]})
+
+    m = keyed_map_partitions(daily, ["event_type"], kernel,
+                             num_partitions=_NP).to_pandas().sum()
+    slope = m["sxy"] / m["sxx"]
+    return pd.DataFrame({
+        "n_obs": [np.int64(m["n"])],
+        "within_slope": [np.round(slope, 6) + 0.0],
+    })
+
+
+SQL_FIXED_EFFECTS_TREND = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tt AS (
+        SELECT event_type, v,
+               CAST(datediff('day',
+                    min(d) OVER (PARTITION BY event_type), d) AS DOUBLE)
+                   AS t
+        FROM daily
+    ),
+    dm AS (
+        SELECT event_type,
+               t - avg(t) OVER (PARTITION BY event_type) AS td,
+               v - avg(v) OVER (PARTITION BY event_type) AS vd
+        FROM tt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_obs,
+           round(sum(td * vd) / sum(td * td), 6) + 0.0 AS within_slope
+    FROM dm
+"""
+
+
+def q_juilland_d_documents(sf_dir: str) -> pd.DataFrame:
+    """Juilland's dispersion D = 1 − CV/√(k−1) of each corpus top-10
+    token's RELATIVE frequency across the k sources (population CV) —
+    1 = evenly spread, →0 = concentrated in few sources; the corpus-
+    linguistics dispersion measure behind 'core vocabulary' lists."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[["source"]].copy()
+        ex["tok"] = b["text"].str.split()
+        ex = ex.explode("tok").dropna(subset=["tok"])
+        vc = ex.groupby(["source", "tok"], sort=False).size()
+        return vc.rename("cnt").reset_index() \
+            .rename(columns={"tok": "token"})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["source", "token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP).materialize()
+    corpus = hash_aggregate(tc, ["token"], {"n": ("c", "sum")},
+                            num_partitions=_NP).to_pandas()
+    top = list(corpus.sort_values(["n", "token"],
+                                  ascending=[False, True]).head(10)
+               ["token"])
+    sub = tc.filter(lambda r: r["token"] in set(top)).to_pandas()
+    totals = hash_aggregate(tc, ["source"], {"N": ("c", "sum")},
+                            num_partitions=_NP).to_pandas() \
+        .set_index("source")["N"].astype(float)
+    k = len(totals)
+    piv = sub.pivot_table(index="token", columns="source", values="c",
+                          aggfunc="sum", fill_value=0.0)
+    piv = piv.reindex(index=top, columns=totals.index, fill_value=0.0)
+    F = piv.to_numpy(np.float64) / totals.to_numpy(np.float64)[None, :]
+    mu = F.mean(axis=1)
+    sd = F.std(axis=1, ddof=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dj = 1.0 - (sd / mu) / np.sqrt(k - 1.0)
+    nmap = dict(zip(corpus["token"], corpus["n"].astype(np.int64)))
+    return pd.DataFrame({
+        "token": top,
+        "n_total": [nmap[t] for t in top],
+        "juilland_d": np.where(np.isfinite(dj),
+                               np.round(dj, 6) + 0.0, NULLF),
+    }).sort_values("token").reset_index(drop=True)
+
+
+SQL_JUILLAND_D = rf"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT source, token, count(*)::DOUBLE AS c
+           FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT token, sum(c) AS n FROM tc GROUP BY 1),
+    top AS (SELECT token, n AS ntot FROM corpus
+            ORDER BY n DESC, token LIMIT 10),
+    totals AS (SELECT source, sum(c) AS src_total FROM tc GROUP BY 1),
+    grid AS (SELECT top.token, top.ntot, t.source, t.src_total
+             FROM top CROSS JOIN totals t),
+    f AS (
+        SELECT g.token, g.ntot AS n, COALESCE(tc.c, 0) / g.src_total AS f
+        FROM grid g LEFT JOIN tc
+          ON tc.source = g.source AND tc.token = g.token
+    ),
+    k AS (SELECT count(*)::DOUBLE AS k FROM totals)
+    SELECT f.token, CAST(any_value(f.n) AS BIGINT) AS n_total,
+           COALESCE(CASE WHEN avg(f.f) > 0
+                         THEN round(1 - (stddev_pop(f.f) / avg(f.f))
+                                    / sqrt(any_value(k.k) - 1), 6) + 0.0
+                    END, {NULLF}) AS juilland_d
+    FROM f CROSS JOIN k
+    GROUP BY f.token ORDER BY f.token
+"""
+
+
+def q_eta_squared_dow_daily(sf_dir: str) -> pd.DataFrame:
+    """Effect size of day-of-week per series: η² = SS_between/SS_total
+    from the one-way dow grouping — 'how much of the variance does the
+    weekly cycle explain', the magnitude the ANOVA F obscures."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.copy()
+            g["dow"] = g["d"].dt.dayofweek
+            v = g["v"].to_numpy(np.float64)
+            gm = v.mean()
+            ss_tot = ((v - gm) ** 2).sum()
+            means = g.groupby("dow")["v"].agg(["mean", "size"])
+            ss_b = (means["size"].to_numpy(np.float64)
+                    * (means["mean"].to_numpy(np.float64) - gm) ** 2).sum()
+            eta2 = ss_b / ss_tot if ss_tot > 0 else np.nan
+            rows.append((et, len(v),
+                         np.round(eta2, 6) + 0.0 if np.isfinite(eta2)
+                         else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "eta_squared"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["eta_squared"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_ETA_SQUARED_DOW = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    t AS (SELECT event_type, v, isodow(d) AS dow FROM daily),
+    gm AS (SELECT event_type, avg(v) AS gm, count(*) AS n,
+                  sum(v * v) - count(*) * avg(v) * avg(v) AS ss_tot
+           FROM t GROUP BY 1),
+    b AS (
+        SELECT t.event_type,
+               sum(cnt * (m - gm.gm) * (m - gm.gm)) AS ss_b
+        FROM (SELECT event_type, dow, avg(v) AS m, count(*) AS cnt
+              FROM t GROUP BY 1, 2) t
+        JOIN gm USING (event_type)
+        GROUP BY 1
+    )
+    SELECT gm.event_type, CAST(gm.n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN gm.ss_tot > 0
+                         THEN round(b.ss_b / gm.ss_tot, 6) + 0.0 END,
+                    {NULLF}) AS eta_squared
+    FROM gm JOIN b USING (event_type)
+    ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blomqvist's beta / t-score collocations / daily mix divergence
+# ---------------------------------------------------------------------------
+
+def q_blomqvist_beta_daily(sf_dir: str) -> pd.DataFrame:
+    """Blomqvist's quadrant dependence β between every series pair:
+    concordance of signs around each series' (ROUNDED) median over common
+    days, β = (concordant − discordant)/n with points ON a median counted
+    neither — the 50%-breakdown dependence measure correlation can't
+    match."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    wide = daily.to_pandas().pivot_table(index="d", columns="event_type",
+                                         values="v", aggfunc="sum")
+    ets = sorted(wide.columns)
+    meds = {e: np.round(np.nanquantile(wide[e].to_numpy(np.float64), 0.5),
+                        6) + 0.0 for e in ets}
+    rows = []
+    for i, a in enumerate(ets):
+        for b in ets[i + 1:]:
+            m = wide[a].notna() & wide[b].notna()
+            sa = np.sign(wide.loc[m, a].to_numpy(np.float64) - meds[a])
+            sb = np.sign(wide.loc[m, b].to_numpy(np.float64) - meds[b])
+            valid = (sa != 0) & (sb != 0)
+            n = int(valid.sum())
+            conc = int((sa[valid] == sb[valid]).sum())
+            beta = (2.0 * conc - n) / n if n else np.nan
+            rows.append((a, b, n,
+                         np.round(beta, 6) + 0.0 if np.isfinite(beta)
+                         else NULLF))
+    return pd.DataFrame(rows, columns=["et_a", "et_b", "n_days", "beta"]) \
+        .astype({"n_days": np.int64})
+
+
+SQL_BLOMQVIST_BETA = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    med AS (SELECT event_type,
+                   round(quantile_cont(v, 0.5), 6) + 0.0 AS med
+            FROM daily GROUP BY 1),
+    s AS (
+        SELECT d.event_type, d.d,
+               CASE WHEN d.v > med.med THEN 1
+                    WHEN d.v < med.med THEN -1 ELSE 0 END AS sg
+        FROM daily d JOIN med USING (event_type)
+    ),
+    p AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b,
+               count(*) FILTER (WHERE a.sg <> 0 AND b.sg <> 0) AS n,
+               count(*) FILTER (WHERE a.sg <> 0 AND a.sg = b.sg) AS conc
+        FROM s a JOIN s b ON a.d = b.d AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT et_a, et_b, CAST(n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN n > 0
+                         THEN round((2.0 * conc - n) / n, 6) + 0.0 END,
+                    {NULLF}) AS beta
+    FROM p ORDER BY 1, 2
+"""
+
+
+def q_tscore_bigrams_documents(sf_dir: str) -> pd.DataFrame:
+    """Collocation extraction by t-score (Church & Hanks era alternative
+    to PMI that doesn't over-reward rare pairs): t = (O − E)/√O with
+    O = bigram count and E = c(w1)·c(w2)/N under independence; top 20 by
+    (ROUNDED t desc, bigram asc)."""
+    from forecastframe_ray.pipelines.tfidf import doc_bigram_freqs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bg = doc_bigram_freqs(docs).materialize()
+    cb = hash_aggregate(bg, ["w1", "w2"], {"c": ("tf", "sum")},
+                        num_partitions=_NP).to_pandas()
+    c1 = cb.groupby("w1")["c"].sum()
+    c2 = cb.groupby("w2")["c"].sum()
+    N = float(cb["c"].sum())
+    O = cb["c"].to_numpy(np.float64)
+    E = (cb["w1"].map(c1).to_numpy(np.float64)
+         * cb["w2"].map(c2).to_numpy(np.float64)) / N
+    t = np.round((O - E) / np.sqrt(O), 6) + 0.0
+    out = pd.DataFrame({"w1": cb["w1"], "w2": cb["w2"],
+                        "n": cb["c"].astype(np.int64), "t_score": t})
+    out = out.sort_values(["t_score", "w1", "w2"],
+                          ascending=[False, True, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+SQL_TSCORE_BIGRAMS = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    cb AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS n1 FROM cb GROUP BY 1),
+    c2 AS (SELECT w2, sum(c) AS n2 FROM cb GROUP BY 1),
+    tot AS (SELECT sum(c) AS N FROM cb)
+    SELECT cb.w1, cb.w2, CAST(cb.c AS BIGINT) AS n,
+           round((cb.c - c1.n1 * c2.n2 / tot.N) / sqrt(cb.c), 6) + 0.0
+               AS t_score
+    FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+    ORDER BY t_score DESC, w1, w2 LIMIT 20
+"""
+
+
+def q_daily_mix_divergence(sf_dir: str) -> pd.DataFrame:
+    """Composition-drift monitor: Jensen-Shannon divergence (nats)
+    between each day's event-type mix and the GLOBAL mix — the alarm
+    signal for 'today looks categorically different', robust to volume.
+    Count shares (not value shares) so zero-heavy days stay defined."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame({
+            "d": pd.to_datetime((us // DAY_US) * DAY_US, unit="us"),
+            "event_type": b["event_type"], "one": 1})
+
+    ct = hash_aggregate(ev.map_batches(day_fn, batch_format="pandas"),
+                        ["d", "event_type"], {"n": ("one", "sum")},
+                        num_partitions=_NP).to_pandas()
+    glob = ct.groupby("event_type")["n"].sum()
+    q = (glob / glob.sum()).to_dict()
+    rows = []
+    for d, g in ct.groupby("d"):
+        tot = float(g["n"].sum())
+        p = dict(zip(g["event_type"], g["n"] / tot))
+        js = 0.0
+        for et in set(q) | set(p):
+            pi, qi = p.get(et, 0.0), q.get(et, 0.0)
+            mi = (pi + qi) / 2.0
+            if pi > 0:
+                js += 0.5 * pi * np.log(pi / mi)
+            if qi > 0:
+                js += 0.5 * qi * np.log(qi / mi)
+        rows.append((d, int(tot), np.round(js, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["d", "n_events", "js_nats"]) \
+        .astype({"n_events": np.int64}) \
+        .sort_values("d").reset_index(drop=True)
+
+
+SQL_DAILY_MIX_DIVERGENCE = """
+    WITH ct AS (
+        SELECT date_trunc('day', ts) AS d, event_type,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1, 2
+    ),
+    gmix AS (SELECT event_type, sum(n) AS gn FROM ct GROUP BY 1),
+    gt AS (SELECT sum(gn) AS G FROM gmix),
+    dt AS (SELECT d, sum(n) AS T FROM ct GROUP BY 1),
+    grid AS (
+        SELECT dt.d, dt.T, gmix.event_type, gmix.gn, gt.G
+        FROM dt CROSS JOIN gmix CROSS JOIN gt
+    ),
+    terms AS (
+        SELECT g.d, g.T,
+               COALESCE(ct.n, 0) / g.T AS p,
+               g.gn / g.G AS q
+        FROM grid g LEFT JOIN ct ON ct.d = g.d
+                                AND ct.event_type = g.event_type
+    )
+    SELECT d, CAST(any_value(T) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN p > 0
+                          THEN 0.5 * p * ln(p / ((p + q) / 2))
+                          ELSE 0 END
+                     + CASE WHEN q > 0
+                            THEN 0.5 * q * ln(q / ((p + q) / 2))
+                            ELSE 0 END), 6) + 0.0 AS js_nats
+    FROM terms GROUP BY d ORDER BY d
+"""
+
+
+# ---------------------------------------------------------------------------
+# ITS level shift / first-touch conversion / peak concentration
+# ---------------------------------------------------------------------------
+
+def q_its_level_shift_daily(sf_dir: str) -> pd.DataFrame:
+    """Interrupted-time-series fit with a KNOWN intervention at day 15:
+    exact OLS of v on [1, t, post] (post = 1[t ≥ 15]) via Cramer's rule —
+    the causal-inference primitive that separates a LEVEL jump from the
+    ongoing trend (the slope-change sibling is piecewise_trend_daily)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    KNOT = 15.0
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            us = g["d"].astype("datetime64[us]").astype("int64").to_numpy()
+            t = ((us - us.min()) // DAY_US).astype(np.float64)
+            p = (t >= KNOT).astype(np.float64)
+            y = g["v"].to_numpy(np.float64)
+            X = np.stack([np.ones_like(t), t, p], axis=1)
+            A = X.T @ X
+            bvec = X.T @ y
+            det = np.linalg.det(A)
+            if abs(det) < 1e-9:
+                rows.append((et, len(y), np.nan, np.nan, np.nan))
+                continue
+            coef = []
+            for c in range(3):
+                M = A.copy()
+                M[:, c] = bvec
+                coef.append(np.linalg.det(M) / det)
+            rows.append((et, len(y), np.round(coef[0], 6) + 0.0,
+                         np.round(coef[1], 6) + 0.0,
+                         np.round(coef[2], 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "intercept", "slope",
+                                           "level_shift"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["intercept", "slope", "level_shift"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_ITS_LEVEL_SHIFT = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tt AS (
+        SELECT event_type, v,
+               CAST(datediff('day',
+                    min(d) OVER (PARTITION BY event_type), d) AS DOUBLE)
+                   AS t
+        FROM daily
+    ),
+    x AS (SELECT event_type, v, t,
+                 CASE WHEN t >= 15 THEN 1.0 ELSE 0.0 END AS h
+          FROM tt),
+    m AS (
+        SELECT event_type, count(*)::DOUBLE AS n, sum(t) AS st,
+               sum(h) AS sh, sum(t*t) AS stt, sum(t*h) AS sth,
+               sum(h*h) AS shh, sum(v) AS sy, sum(v*t) AS syt,
+               sum(v*h) AS syh
+        FROM x GROUP BY 1
+    ),
+    dets AS (
+        SELECT event_type, n,
+               n*(stt*shh - sth*sth) - st*(st*shh - sth*sh)
+                   + sh*(st*sth - stt*sh) AS det,
+               sy*(stt*shh - sth*sth) - st*(syt*shh - sth*syh)
+                   + sh*(syt*sth - stt*syh) AS det_a,
+               n*(syt*shh - syh*sth) - sy*(st*shh - sth*sh)
+                   + sh*(st*syh - syt*sh) AS det_b,
+               n*(stt*syh - sth*syt) - st*(st*syh - syt*sh)
+                   + sy*(st*sth - stt*sh) AS det_c
+        FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN abs(det) >= 1e-9
+                         THEN round(det_a / det, 6) + 0.0 END, {NULLF})
+               AS intercept,
+           COALESCE(CASE WHEN abs(det) >= 1e-9
+                         THEN round(det_b / det, 6) + 0.0 END, {NULLF})
+               AS slope,
+           COALESCE(CASE WHEN abs(det) >= 1e-9
+                         THEN round(det_c / det, 6) + 0.0 END, {NULLF})
+               AS level_shift
+    FROM dets ORDER BY 1
+"""
+
+
+def q_first_touch_conversion(sf_dir: str) -> pd.DataFrame:
+    """First-touch conversion: users cohort by their FIRST event's type
+    (ties at the first timestamp broken by lowest event_id) and each
+    cohort reports its eventual purchase rate — the acquisition-channel
+    read that last-touch attribution inverts."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in part.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            first = g.iloc[0]["event_type"]
+            purchased = int((g["event_type"] == "purchase").any())
+            rows.append((first, 1, purchased))
+        return pd.DataFrame(rows, columns=["first_type", "one",
+                                           "purchased"])
+
+    agg = hash_aggregate(
+        keyed_map_partitions(ev, ["user_id"], kernel,
+                             num_partitions=_NP),
+        ["first_type"], {"n_users": ("one", "sum"),
+                         "n_purchasers": ("purchased", "sum")},
+        num_partitions=4).to_pandas()
+    agg["conversion"] = np.round(
+        agg["n_purchasers"].to_numpy(np.float64)
+        / agg["n_users"].to_numpy(np.float64), 6) + 0.0
+    agg[["n_users", "n_purchasers"]] = \
+        agg[["n_users", "n_purchasers"]].astype(np.int64)
+    return agg.sort_values("first_type").reset_index(drop=True)
+
+
+SQL_FIRST_TOUCH_CONVERSION = """
+    WITH f AS (
+        SELECT user_id, event_type AS first_type
+        FROM (SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+    ),
+    p AS (SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS purchased
+          FROM events GROUP BY 1)
+    SELECT f.first_type, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(p.purchased) AS BIGINT) AS n_purchasers,
+           round(sum(p.purchased) * 1.0 / count(*), 6) + 0.0
+               AS conversion
+    FROM f JOIN p USING (user_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_peak_concentration_events(sf_dir: str) -> pd.DataFrame:
+    """Load concentration: share of ALL events landing in the top-k
+    busiest (weekday, hour) cells for k ∈ {5, 10, 20} of the 168 —
+    'how peaky is the week', the capacity-planning scalar behind the
+    heatmap. Cells rank by (count desc, dow, hour)."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def cell(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        day = us // DAY_US
+        return pd.DataFrame({
+            "dow": ((day + 3) % 7).astype(np.int64),  # 1970-01-01 = Thu
+            "hour": ((us % DAY_US) // HOUR_US).astype(np.int64),
+            "one": 1})
+
+    ct = hash_aggregate(ev.map_batches(cell, batch_format="pandas"),
+                        ["dow", "hour"], {"n": ("one", "sum")},
+                        num_partitions=_NP).to_pandas()
+    ct = ct.sort_values(["n", "dow", "hour"],
+                        ascending=[False, True, True])
+    total = float(ct["n"].sum())
+    cum = np.cumsum(ct["n"].to_numpy(np.float64))
+    rows = []
+    for k in (5, 10, 20):
+        kk = min(k, len(ct))
+        rows.append((k, np.round(cum[kk - 1] / total, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["k_cells", "share"]) \
+        .astype({"k_cells": np.int64})
+
+
+SQL_PEAK_CONCENTRATION = f"""
+    WITH ct AS (
+        SELECT (epoch_us(ts) // {DAY_US} + 3) % 7 AS dow,
+               (epoch_us(ts) % {DAY_US}) // {HOUR_US} AS hour,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, dow, hour) AS rk,
+               sum(n) OVER (ORDER BY n DESC, dow, hour
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT sum(n) FROM ct) AS total,
+               (SELECT count(*) FROM ct) AS ncells
+        FROM ct
+    ),
+    ks AS (SELECT unnest([5, 10, 20]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k_cells,
+           round(r.cum / r.total, 6) + 0.0 AS share
+    FROM ks JOIN r ON r.rk = least(ks.k, r.ncells)
+    ORDER BY ks.k
+"""

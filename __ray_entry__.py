@@ -615,6 +615,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "its_level_shift_daily": Q.q_its_level_shift_daily,
         "first_touch_conversion": Q.q_first_touch_conversion,
         "peak_concentration_events": Q.q_peak_concentration_events,
+        # Wilson interval, weekly coherence phase, holiday lift
+        "wilson_interval_daily": Q.q_wilson_interval_daily,
+        "weekly_coherence_pairs": Q.q_weekly_coherence_pairs,
+        "holiday_lift_daily": Q.q_holiday_lift_daily,
     }
 
 
@@ -1043,4 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "its_level_shift_daily": Q.SQL_ITS_LEVEL_SHIFT,
         "first_touch_conversion": Q.SQL_FIRST_TOUCH_CONVERSION,
         "peak_concentration_events": Q.SQL_PEAK_CONCENTRATION,
+        "wilson_interval_daily": Q.SQL_WILSON_INTERVAL,
+        "weekly_coherence_pairs": Q.SQL_WEEKLY_COHERENCE,
+        "holiday_lift_daily": Q.SQL_HOLIDAY_LIFT,
     }

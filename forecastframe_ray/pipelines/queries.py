@@ -21704,3 +21704,208 @@ SQL_PEAK_CONCENTRATION = f"""
     FROM ks JOIN r ON r.rk = least(ks.k, r.ncells)
     ORDER BY ks.k
 """
+
+
+# ---------------------------------------------------------------------------
+# Wilson interval / weekly coherence / holiday lift
+# ---------------------------------------------------------------------------
+
+def q_wilson_interval_daily(sf_dir: str) -> pd.DataFrame:
+    """Wilson score interval (1927) for each day's purchase share —
+    the binomial CI that behaves at small n and extreme p where the Wald
+    interval collapses: center (p̂ + z²/2n)/(1 + z²/n), half-width
+    z√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n), z = 1.96."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day_fn(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame({
+            "d": pd.to_datetime((us // DAY_US) * DAY_US, unit="us"),
+            "n": 1,
+            "x": (b["event_type"] == "purchase").astype(np.int64)})
+
+    agg = hash_aggregate(ev.map_batches(day_fn, batch_format="pandas"),
+                         ["d"], {"n": ("n", "sum"), "x": ("x", "sum")},
+                         num_partitions=_NP).to_pandas().sort_values("d")
+    n = agg["n"].to_numpy(np.float64)
+    p = agg["x"].to_numpy(np.float64) / n
+    Z = 1.96
+    denom = 1.0 + Z * Z / n
+    center = (p + Z * Z / (2 * n)) / denom
+    hw = Z * np.sqrt(p * (1 - p) / n + Z * Z / (4 * n * n)) / denom
+    return pd.DataFrame({
+        "d": agg["d"], "n_events": agg["n"].astype(np.int64),
+        "share": np.round(p, 6) + 0.0,
+        "wilson_lo": np.round(center - hw, 6) + 0.0,
+        "wilson_hi": np.round(center + hw, 6) + 0.0,
+    }).reset_index(drop=True)
+
+
+SQL_WILSON_INTERVAL = """
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS d, count(*)::DOUBLE AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END)::DOUBLE AS x
+        FROM events GROUP BY 1
+    )
+    SELECT d, CAST(n AS BIGINT) AS n_events,
+           round(x / n, 6) + 0.0 AS share,
+           round(((x / n + 1.9208 / n)
+                  - 1.96 * sqrt((x / n) * (1 - x / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) + 0.0 AS wilson_lo,
+           round(((x / n + 1.9208 / n)
+                  + 1.96 * sqrt((x / n) * (1 - x / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) + 0.0 AS wilson_hi
+    FROM d ORDER BY d
+"""
+
+
+def q_weekly_coherence_pairs(sf_dir: str) -> pd.DataFrame:
+    """Single-frequency cross-spectral coherence at the weekly period
+    between every series pair: with complex projections
+    Zₓ = Σx·e^{−iωt}, ω = 2π/7, coherence = |Zₓ·Z̄ᵧ|²/(|Zₓ|²|Zᵧ|²) ≡ 1
+    for a single frequency — so the INFORMATIVE part is the PHASE LAG
+    arg(Zₓ·Z̄ᵧ)·7/2π in days, plus each side's weekly power. Aligned on
+    common days, demeaned."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    wide = daily.to_pandas().pivot_table(index="d", columns="event_type",
+                                         values="v", aggfunc="sum")
+    ets = sorted(wide.columns)
+    rows = []
+    for i, a in enumerate(ets):
+        for b in ets[i + 1:]:
+            m = wide[a].notna() & wide[b].notna()
+            x = wide.loc[m, a].to_numpy(np.float64)
+            y = wide.loc[m, b].to_numpy(np.float64)
+            n = len(x)
+            t = np.arange(n, dtype=np.float64)
+            w = 2.0 * np.pi / 7.0
+            cx, sx = ((x - x.mean()) * np.cos(w * t)).sum(), \
+                ((x - x.mean()) * np.sin(w * t)).sum()
+            cy, sy = ((y - y.mean()) * np.cos(w * t)).sum(), \
+                ((y - y.mean()) * np.sin(w * t)).sum()
+            px = (cx * cx + sx * sx) / n
+            py = (cy * cy + sy * sy) / n
+            # Zx * conj(Zy) = (cx - i sx)(cy + i sy)
+            re = cx * cy + sx * sy
+            im = cx * sy - sx * cy
+            lag = (np.arctan2(im, re) % (2.0 * np.pi)) * 7.0 \
+                / (2.0 * np.pi)
+            rows.append((a, b, n, np.round(px, 6) + 0.0,
+                         np.round(py, 6) + 0.0,
+                         np.round(lag, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["et_a", "et_b", "n_days",
+                                       "weekly_power_a", "weekly_power_b",
+                                       "phase_lag_days"]) \
+        .astype({"n_days": np.int64})
+
+
+SQL_WEEKLY_COHERENCE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    j AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b,
+               a.d, a.v AS x, b.v AS y
+        FROM daily a JOIN daily b
+          ON a.d = b.d AND a.event_type < b.event_type
+    ),
+    r AS (
+        SELECT et_a, et_b, x, y,
+               avg(x) OVER w AS mx, avg(y) OVER w AS my,
+               (ROW_NUMBER() OVER (PARTITION BY et_a, et_b ORDER BY d)
+                - 1.0) AS t,
+               count(*) OVER w AS n
+        FROM j WINDOW w AS (PARTITION BY et_a, et_b)
+    ),
+    p AS (
+        SELECT et_a, et_b, any_value(n) AS n,
+               sum((x - mx) * cos(2 * pi() * t / 7)) AS cx,
+               sum((x - mx) * sin(2 * pi() * t / 7)) AS sx,
+               sum((y - my) * cos(2 * pi() * t / 7)) AS cy,
+               sum((y - my) * sin(2 * pi() * t / 7)) AS sy
+        FROM r GROUP BY 1, 2
+    )
+    SELECT et_a, et_b, CAST(n AS BIGINT) AS n_days,
+           round((cx * cx + sx * sx) / n, 6) + 0.0 AS weekly_power_a,
+           round((cy * cy + sy * sy) / n, 6) + 0.0 AS weekly_power_b,
+           round(fmod(atan2(cx * sy - sx * cy, cx * cy + sx * sy)
+                      + 2 * pi(), 2 * pi()) * 7 / (2 * pi()), 6) + 0.0
+               AS phase_lag_days
+    FROM p ORDER BY 1, 2
+"""
+
+
+def q_holiday_lift_daily(sf_dir: str) -> pd.DataFrame:
+    """Holiday lift per series: mean value on the fixed-list holiday days
+    (±1-day halo) vs the non-halo baseline, as a ratio — the calendar-
+    effect magnitude the holiday-distance features exist to feed."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    hol = np.array([pd.Timestamp(h).value // 1000 for h in _HOLIDAYS],
+                   dtype=np.int64)
+    halo = set()
+    for h in hol:
+        for k in (-1, 0, 1):
+            halo.add(h + k * DAY_US)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["d"].astype("datetime64[us]").astype("int64").to_numpy()
+        in_halo = np.isin(us, list(halo))
+        b = b.copy()
+        b["hn"] = in_halo.astype(np.int64)
+        b["hv"] = np.where(in_halo, b["v"].to_numpy(np.float64), 0.0)
+        b["bn"] = (~in_halo).astype(np.int64)
+        b["bv"] = np.where(~in_halo, b["v"].to_numpy(np.float64), 0.0)
+        return b[["event_type", "hn", "hv", "bn", "bv"]]
+
+    agg = hash_aggregate(daily.map_batches(tag, batch_format="pandas"),
+                         ["event_type"],
+                         {"hn": ("hn", "sum"), "hv": ("hv", "sum"),
+                          "bn": ("bn", "sum"), "bv": ("bv", "sum")},
+                         num_partitions=_NP).to_pandas()
+    hn = agg["hn"].to_numpy(np.float64)
+    bn = agg["bn"].to_numpy(np.float64)
+    hm = np.where(hn > 0, agg["hv"].to_numpy(np.float64) / hn, np.nan)
+    bm = np.where(bn > 0, agg["bv"].to_numpy(np.float64) / bn, np.nan)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lift = hm / bm
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_holiday_days": agg["hn"].astype(np.int64),
+        "mean_holiday": np.where(np.isnan(hm), NULLF,
+                                 np.round(hm, 6) + 0.0),
+        "mean_baseline": np.where(np.isnan(bm), NULLF,
+                                  np.round(bm, 6) + 0.0),
+        "lift": np.where(np.isfinite(lift), np.round(lift, 6) + 0.0,
+                         NULLF),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HOLIDAY_LIFT = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    hol AS (SELECT * FROM (VALUES {_HOLIDAY_VALUES}) AS t(h)),
+    halo AS (
+        SELECT DISTINCT h + to_days(k) AS hd
+        FROM hol, (SELECT unnest([-1, 0, 1]) AS k)
+    ),
+    t AS (
+        SELECT d.event_type, d.v,
+               CAST(d.d AS DATE) IN (SELECT hd FROM halo) AS in_halo
+        FROM daily d
+    ),
+    a AS (
+        SELECT event_type,
+               count(*) FILTER (in_halo) AS hn,
+               avg(v) FILTER (in_halo) AS hm,
+               count(*) FILTER (NOT in_halo) AS bn,
+               avg(v) FILTER (NOT in_halo) AS bm
+        FROM t GROUP BY 1
+    )
+    SELECT event_type, CAST(hn AS BIGINT) AS n_holiday_days,
+           COALESCE(round(hm, 6) + 0.0, {NULLF}) AS mean_holiday,
+           COALESCE(round(bm, 6) + 0.0, {NULLF}) AS mean_baseline,
+           COALESCE(CASE WHEN hn > 0 AND bn > 0 AND bm <> 0
+                         THEN round(hm / bm, 6) + 0.0 END, {NULLF})
+               AS lift
+    FROM a ORDER BY 1
+"""

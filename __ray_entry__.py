@@ -619,6 +619,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wilson_interval_daily": Q.q_wilson_interval_daily,
         "weekly_coherence_pairs": Q.q_weekly_coherence_pairs,
         "holiday_lift_daily": Q.q_holiday_lift_daily,
+        # weekly ICC, share trend, Friedman dow test
+        "icc_weekly_daily": Q.q_icc_weekly_daily,
+        "share_trend_daily": Q.q_share_trend_daily,
+        "friedman_dow_daily": Q.q_friedman_dow_daily,
     }
 
 
@@ -1050,4 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "wilson_interval_daily": Q.SQL_WILSON_INTERVAL,
         "weekly_coherence_pairs": Q.SQL_WEEKLY_COHERENCE,
         "holiday_lift_daily": Q.SQL_HOLIDAY_LIFT,
+        "icc_weekly_daily": Q.SQL_ICC_WEEKLY,
+        "share_trend_daily": Q.SQL_SHARE_TREND,
+        "friedman_dow_daily": Q.SQL_FRIEDMAN_DOW,
     }

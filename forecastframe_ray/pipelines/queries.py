@@ -21909,3 +21909,222 @@ SQL_HOLIDAY_LIFT = f"""
                AS lift
     FROM a ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# weekly ICC / share trend / Friedman dow test
+# ---------------------------------------------------------------------------
+
+def q_icc_weekly_daily(sf_dir: str) -> pd.DataFrame:
+    """Intraclass correlation ICC(1) of daily values grouped by ISO week
+    per series: (MSB − MSW)/(MSB + (k̄−1)·MSW) with the unbalanced-design
+    k̄ = (N − Σnⱼ²/N)/(J−1) — 'do days within a week resemble each
+    other', the clustering diagnostic before any within-week pooling."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.copy()
+            iso = g["d"].dt.isocalendar()
+            g["wk"] = (iso["year"].astype(str) + "-"
+                       + iso["week"].astype(str))
+            v = g["v"].to_numpy(np.float64)
+            N = len(v)
+            J = g["wk"].nunique()
+            if J < 2 or N <= J:
+                rows.append((et, N, J, np.nan))
+                continue
+            gm = v.mean()
+            grp = g.groupby("wk")["v"]
+            nj = grp.size().to_numpy(np.float64)
+            mj = grp.mean().to_numpy(np.float64)
+            ssb = (nj * (mj - gm) ** 2).sum()
+            ssw = ((v - g.groupby("wk")["v"].transform("mean")
+                    .to_numpy(np.float64)) ** 2).sum()
+            msb = ssb / (J - 1)
+            msw = ssw / (N - J)
+            kbar = (N - (nj ** 2).sum() / N) / (J - 1)
+            icc = (msb - msw) / (msb + (kbar - 1) * msw)
+            rows.append((et, N, J, np.round(icc, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "n_weeks", "icc1"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["n_days", "n_weeks"]] = out[["n_days", "n_weeks"]] \
+        .astype(np.int64)
+    out = _fill(out, ["icc1"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_ICC_WEEKLY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    t AS (SELECT event_type, v,
+                 CAST(isoyear(d) AS VARCHAR) || '-' ||
+                 CAST(week(d) AS VARCHAR) AS wk
+          FROM daily),
+    gm AS (SELECT event_type, avg(v) AS gm, count(*)::DOUBLE AS N
+           FROM t GROUP BY 1),
+    wg AS (SELECT event_type, wk, count(*)::DOUBLE AS nj, avg(v) AS mj
+           FROM t GROUP BY 1, 2),
+    ssb AS (
+        SELECT wg.event_type, count(*)::DOUBLE AS J,
+               sum(wg.nj * (wg.mj - gm.gm) * (wg.mj - gm.gm)) AS ssb,
+               sum(wg.nj * wg.nj) AS sn2
+        FROM wg JOIN gm USING (event_type) GROUP BY 1
+    ),
+    ssw AS (
+        SELECT t.event_type,
+               sum((t.v - wg.mj) * (t.v - wg.mj)) AS ssw
+        FROM t JOIN wg ON wg.event_type = t.event_type AND wg.wk = t.wk
+        GROUP BY 1
+    )
+    SELECT gm.event_type, CAST(gm.N AS BIGINT) AS n_days,
+           CAST(ssb.J AS BIGINT) AS n_weeks,
+           COALESCE(CASE WHEN ssb.J >= 2 AND gm.N > ssb.J
+                         THEN round(
+                (ssb.ssb / (ssb.J - 1) - ssw.ssw / (gm.N - ssb.J))
+                / (ssb.ssb / (ssb.J - 1)
+                   + ((gm.N - ssb.sn2 / gm.N) / (ssb.J - 1) - 1)
+                     * ssw.ssw / (gm.N - ssb.J)), 6) + 0.0 END, {NULLF})
+               AS icc1
+    FROM gm JOIN ssb USING (event_type) JOIN ssw USING (event_type)
+    ORDER BY 1
+"""
+
+
+def q_share_trend_daily(sf_dir: str) -> pd.DataFrame:
+    """Composition drift direction: OLS slope of each type's DAILY SHARE
+    of the total on the day index — which categories are structurally
+    gaining mix (shares are scale-free, so this sees drift that raw-value
+    trends confound with volume)."""
+    daily = _bucket_series(sf_dir, DAY_US, "d").materialize()
+    tot = hash_aggregate(daily, ["d"], {"T": ("v", "sum")},
+                         num_partitions=4).to_pandas()
+    tmap = dict(zip(tot["d"], tot["T"]))
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["d"].map(tmap).to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sh = np.where(t > 0, b["v"].to_numpy(np.float64) / t, np.nan)
+        return pd.DataFrame({"event_type": b["event_type"], "d": b["d"],
+                             "share": sh})
+
+    df = daily.map_batches(share, batch_format="pandas").to_pandas()
+    df = df[df["share"].notna()]
+    rows = []
+    for et, g in df.groupby("event_type"):
+        g = g.sort_values("d")
+        us = g["d"].astype("datetime64[us]").astype("int64").to_numpy()
+        t = ((us - us.min()) // DAY_US).astype(np.float64)
+        y = g["share"].to_numpy(np.float64)
+        td = t - t.mean()
+        slope = (td * (y - y.mean())).sum() / (td ** 2).sum()
+        rows.append((et, len(g), np.round(y.mean(), 6) + 0.0,
+                     np.round(slope, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                       "mean_share", "share_slope"]) \
+        .astype({"n_days": np.int64}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SHARE_TREND = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tot AS (SELECT d, sum(v) AS T FROM daily GROUP BY 1),
+    sh AS (
+        SELECT daily.event_type, daily.d, daily.v / tot.T AS share
+        FROM daily JOIN tot USING (d)
+        WHERE tot.T > 0
+    ),
+    tt AS (
+        SELECT event_type, share,
+               CAST(datediff('day',
+                    min(d) OVER (PARTITION BY event_type), d) AS DOUBLE)
+                   AS t
+        FROM sh
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(share), 6) + 0.0 AS mean_share,
+           round(regr_slope(share, t), 6) + 0.0 AS share_slope
+    FROM tt GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_friedman_dow_daily(sf_dir: str) -> pd.DataFrame:
+    """Friedman test per series over complete ISO weeks (blocks) × the 7
+    weekdays (treatments): within-week ranks of the daily values (ties
+    impossible a.s. on ROUNDED distinct values — equal values take
+    average ranks), Q = 12/(nk(k+1))·ΣRⱼ² − 3n(k+1) — the nonparametric
+    'does weekday matter' test robust to weekly level shifts."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.copy()
+            iso = g["d"].dt.isocalendar()
+            g["wk"] = (iso["year"].astype(str) + "-"
+                       + iso["week"].astype(str).str.zfill(2))
+            g["dow"] = g["d"].dt.dayofweek
+            full = g.groupby("wk")["dow"].nunique()
+            weeks = full[full == 7].index
+            g = g[g["wk"].isin(weeks)]
+            n = len(weeks)
+            if n < 1:
+                rows.append((et, 0, np.nan))
+                continue
+            g["rank"] = g.groupby("wk")["v"].rank(method="average")
+            R = g.groupby("dow")["rank"].sum().to_numpy(np.float64)
+            k = 7.0
+            Q = 12.0 / (n * k * (k + 1.0)) * (R ** 2).sum() \
+                - 3.0 * n * (k + 1.0)
+            rows.append((et, n, np.round(Q, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_weeks",
+                                           "friedman_q"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_weeks"] = out["n_weeks"].astype(np.int64)
+    out = _fill(out, ["friedman_q"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_FRIEDMAN_DOW = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    t AS (SELECT event_type, v, isodow(d) - 1 AS dow,
+                 CAST(isoyear(d) AS VARCHAR) || '-' ||
+                 lpad(CAST(week(d) AS VARCHAR), 2, '0') AS wk
+          FROM daily),
+    full_wk AS (
+        SELECT event_type, wk FROM t
+        GROUP BY 1, 2 HAVING count(DISTINCT dow) = 7
+    ),
+    f AS (SELECT t.* FROM t JOIN full_wk USING (event_type, wk)),
+    rk AS (
+        SELECT event_type, wk, dow,
+               rank() OVER (PARTITION BY event_type, wk ORDER BY v)
+               + (count(*) OVER (PARTITION BY event_type, wk, v) - 1)
+                 / 2.0 AS r
+        FROM f
+    ),
+    rs AS (SELECT event_type, dow, sum(r) AS R FROM rk GROUP BY 1, 2),
+    nn AS (SELECT event_type, count(*)::DOUBLE AS n
+           FROM full_wk GROUP BY 1),
+    q AS (
+        SELECT rs.event_type, any_value(nn.n) AS n,
+               12.0 / (any_value(nn.n) * 7 * 8) * sum(rs.R * rs.R)
+               - 3.0 * any_value(nn.n) * 8 AS Q
+        FROM rs JOIN nn USING (event_type) GROUP BY 1
+    ),
+    base AS (SELECT DISTINCT event_type FROM daily)
+    SELECT base.event_type,
+           CAST(COALESCE(q.n, 0) AS BIGINT) AS n_weeks,
+           COALESCE(round(q.Q, 6) + 0.0, {NULLF}) AS friedman_q
+    FROM base LEFT JOIN q USING (event_type)
+    ORDER BY 1
+"""

@@ -623,6 +623,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "icc_weekly_daily": Q.q_icc_weekly_daily,
         "share_trend_daily": Q.q_share_trend_daily,
         "friedman_dow_daily": Q.q_friedman_dow_daily,
+        # Cochran's Q, Zipf abbreviation law, repeat tendency
+        "cochran_q_users": Q.q_cochran_q_users,
+        "zipf_abbreviation_documents": Q.q_zipf_abbreviation_documents,
+        "repeat_tendency_events": Q.q_repeat_tendency_events,
     }
 
 
@@ -1057,4 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "icc_weekly_daily": Q.SQL_ICC_WEEKLY,
         "share_trend_daily": Q.SQL_SHARE_TREND,
         "friedman_dow_daily": Q.SQL_FRIEDMAN_DOW,
+        "cochran_q_users": Q.SQL_COCHRAN_Q,
+        "zipf_abbreviation_documents": Q.SQL_ZIPF_ABBREVIATION,
+        "repeat_tendency_events": Q.SQL_REPEAT_TENDENCY,
     }

@@ -22128,3 +22128,199 @@ SQL_FRIEDMAN_DOW = f"""
     FROM base LEFT JOIN q USING (event_type)
     ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q / Zipf abbreviation law / repeat tendency
+# ---------------------------------------------------------------------------
+
+def q_cochran_q_users(sf_dir: str) -> pd.DataFrame:
+    """Cochran's Q over users × the event span's first four ISO-ordered
+    7-day windows (binary 'active that week'): Q = (k−1)(k·ΣCⱼ² − N²) /
+    (k·N − ΣRᵢ²) — the repeated-measures test for 'is activity propensity
+    stable across weeks'. Users active in zero or all windows contribute
+    nothing (standard)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    bounds = ev.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["ts"].astype("int64").min()]}),
+        batch_format="pandas").to_pandas()
+    start = int(bounds["lo"].min())
+    WK = 7 * DAY_US
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64").to_numpy()
+        w = (us - start) // WK
+        out = {"user_id": b["user_id"]}
+        for j in range(4):
+            out[f"w{j}"] = (w == j).astype(np.int64)
+        return pd.DataFrame(out)
+
+    per_user = hash_aggregate(
+        ev.map_batches(flags, batch_format="pandas"), ["user_id"],
+        {f"w{j}": (f"w{j}", "max") for j in range(4)},
+        num_partitions=_NP).to_pandas()
+    X = per_user[[f"w{j}" for j in range(4)]].to_numpy(np.float64)
+    R = X.sum(axis=1)
+    keep = (R > 0) & (R < 4)
+    Xk = X[keep]
+    k = 4.0
+    C = Xk.sum(axis=0)
+    Rk = Xk.sum(axis=1)
+    N = Xk.sum()
+    den = k * N - (Rk ** 2).sum()
+    Q = (k - 1) * (k * (C ** 2).sum() - N * N) / den if den > 0 else np.nan
+    return pd.DataFrame({
+        "n_users_informative": [np.int64(keep.sum())],
+        "cochran_q": [np.round(Q, 6) + 0.0 if np.isfinite(Q) else NULLF],
+    })
+
+
+SQL_COCHRAN_Q = f"""
+    WITH start AS (SELECT min(epoch_us(ts)) AS s FROM events),
+    u AS (
+        SELECT user_id,
+               max(CASE WHEN (epoch_us(ts) - start.s)
+                        // {7 * DAY_US} = 0 THEN 1 ELSE 0 END) AS w0,
+               max(CASE WHEN (epoch_us(ts) - start.s)
+                        // {7 * DAY_US} = 1 THEN 1 ELSE 0 END) AS w1,
+               max(CASE WHEN (epoch_us(ts) - start.s)
+                        // {7 * DAY_US} = 2 THEN 1 ELSE 0 END) AS w2,
+               max(CASE WHEN (epoch_us(ts) - start.s)
+                        // {7 * DAY_US} = 3 THEN 1 ELSE 0 END) AS w3
+        FROM events CROSS JOIN start GROUP BY 1
+    ),
+    keep AS (
+        SELECT * FROM u
+        WHERE w0 + w1 + w2 + w3 BETWEEN 1 AND 3
+    ),
+    agg AS (
+        SELECT count(*)::DOUBLE AS nk,
+               sum(w0)::DOUBLE AS c0, sum(w1)::DOUBLE AS c1,
+               sum(w2)::DOUBLE AS c2, sum(w3)::DOUBLE AS c3,
+               sum(w0 + w1 + w2 + w3)::DOUBLE AS N,
+               sum((w0 + w1 + w2 + w3) * (w0 + w1 + w2 + w3))::DOUBLE
+                   AS sr2
+        FROM keep
+    )
+    SELECT CAST(nk AS BIGINT) AS n_users_informative,
+           COALESCE(CASE WHEN 4 * N - sr2 > 0
+                         THEN round(3 * (4 * (c0*c0 + c1*c1 + c2*c2
+                                              + c3*c3) - N * N)
+                                    / (4 * N - sr2), 6) + 0.0 END,
+                    {NULLF}) AS cochran_q
+    FROM agg
+"""
+
+
+def q_zipf_abbreviation_documents(sf_dir: str) -> pd.DataFrame:
+    """Zipf's law of abbreviation check: Pearson correlation between
+    ln(frequency) and character length over the corpus vocabulary —
+    natural language goes negative (frequent words are short); a flat or
+    positive value flags synthetic/templated text. Plus the
+    frequency-weighted vs unweighted mean lengths."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP).to_pandas()
+    ln_f = np.log(tc["c"].to_numpy(np.float64))
+    L = tc["token"].str.len().to_numpy(np.float64)
+    x, y = ln_f - ln_f.mean(), L - L.mean()
+    den = np.sqrt((x ** 2).sum() * (y ** 2).sum())
+    r = (x * y).sum() / den if den > 0 else np.nan
+    wmean = (L * tc["c"].to_numpy(np.float64)).sum() \
+        / tc["c"].sum()
+    return pd.DataFrame({
+        "n_types": [np.int64(len(tc))],
+        "corr_lnfreq_len": [np.round(r, 6) + 0.0 if np.isfinite(r)
+                            else NULLF],
+        "mean_len_types": [np.round(L.mean(), 6) + 0.0],
+        "mean_len_tokens": [np.round(wmean, 6) + 0.0],
+    })
+
+
+SQL_ZIPF_ABBREVIATION = rf"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           COALESCE(round(corr(ln(c), len(token)::DOUBLE), 6) + 0.0,
+                    {NULLF}) AS corr_lnfreq_len,
+           round(avg(len(token)::DOUBLE), 6) + 0.0 AS mean_len_types,
+           round(sum(len(token) * c) / sum(c), 6) + 0.0
+               AS mean_len_tokens
+    FROM tc
+"""
+
+
+def q_repeat_tendency_events(sf_dir: str) -> pd.DataFrame:
+    """Repeat tendency of user streams: observed share of transitions
+    that STAY on the same event type vs the independence expectation
+    Σp(s)² (source-marginal squared mass) — ratio > 1 means behavior is
+    sticky, the single-number read on the transition diagonal."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("user_id", sort=False):
+            t = g.sort_values(["ts", "event_id"])["event_type"].to_numpy()
+            if len(t) < 2:
+                continue
+            outs.append(pd.DataFrame({"cur": t[:-1], "nxt": t[1:]}))
+        if not outs:
+            return pd.DataFrame({"cur": pd.Series([], dtype="object"),
+                                 "nxt": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.concat(outs, ignore_index=True)
+        return df.groupby(["cur", "nxt"], sort=False).size() \
+            .rename("n").reset_index()
+
+    trans = hash_aggregate(
+        keyed_map_partitions(ev, ["user_id"], pairs, num_partitions=_NP),
+        ["cur", "nxt"], {"n": ("n", "sum")}, num_partitions=4).to_pandas()
+    N = float(trans["n"].sum())
+    diag = float(trans.loc[trans["cur"] == trans["nxt"], "n"].sum())
+    ps = trans.groupby("cur")["n"].sum() / N
+    expect = float((ps ** 2).sum())
+    obs = diag / N
+    return pd.DataFrame({
+        "n_transitions": [np.int64(N)],
+        "repeat_share": [np.round(obs, 6) + 0.0],
+        "independence_share": [np.round(expect, 6) + 0.0],
+        "stickiness_ratio": [np.round(obs / expect, 6) + 0.0],
+    })
+
+
+SQL_REPEAT_TENDENCY = """
+    WITH s AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    t AS (SELECT cur, nxt FROM s WHERE nxt IS NOT NULL),
+    tot AS (SELECT count(*)::DOUBLE AS N,
+                   sum(CASE WHEN cur = nxt THEN 1 ELSE 0 END)::DOUBLE
+                       AS diag
+            FROM t),
+    p AS (SELECT cur, count(*)::DOUBLE AS n FROM t GROUP BY 1)
+    SELECT CAST(tot.N AS BIGINT) AS n_transitions,
+           round(tot.diag / tot.N, 6) + 0.0 AS repeat_share,
+           round(sum((p.n / tot.N) * (p.n / tot.N)), 6) + 0.0
+               AS independence_share,
+           round((tot.diag / tot.N)
+                 / sum((p.n / tot.N) * (p.n / tot.N)), 6) + 0.0
+               AS stickiness_ratio
+    FROM p CROSS JOIN tot
+    GROUP BY tot.N, tot.diag
+"""

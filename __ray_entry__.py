@@ -627,6 +627,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cochran_q_users": Q.q_cochran_q_users,
         "zipf_abbreviation_documents": Q.q_zipf_abbreviation_documents,
         "repeat_tendency_events": Q.q_repeat_tendency_events,
+        # rank-1 power approximation, hod entropy, intraday concentration
+        "rank1_power_dow": Q.q_rank1_power_dow,
+        "hod_entropy_events": Q.q_hod_entropy_events,
+        "intraday_concentration_daily": Q.q_intraday_concentration_daily,
     }
 
 
@@ -1064,4 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "cochran_q_users": Q.SQL_COCHRAN_Q,
         "zipf_abbreviation_documents": Q.SQL_ZIPF_ABBREVIATION,
         "repeat_tendency_events": Q.SQL_REPEAT_TENDENCY,
+        "rank1_power_dow": Q.SQL_RANK1_POWER_DOW,
+        "hod_entropy_events": Q.SQL_HOD_ENTROPY,
+        "intraday_concentration_daily": Q.SQL_INTRADAY_CONCENTRATION,
     }

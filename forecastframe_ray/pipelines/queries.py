@@ -22324,3 +22324,146 @@ SQL_REPEAT_TENDENCY = """
     FROM p CROSS JOIN tot
     GROUP BY tot.N, tot.diag
 """
+
+
+# ---------------------------------------------------------------------------
+# rank-1 power approximation / hour-of-day entropy / intraday concentration
+# ---------------------------------------------------------------------------
+
+def q_rank1_power_dow(sf_dir: str) -> pd.DataFrame:
+    """Rank-1 structure of the type×weekday mean matrix via ONE
+    deterministic power half-iteration pair from the all-ones vector:
+    v = Mᵀ1 (weekday profile), u = Mv (type loadings), least-squares
+    scale c = ⟨M, uvᵀ⟩/‖uvᵀ‖², energy ratio = c²‖uvᵀ‖²/‖M‖² — 'is the
+    weekly pattern shared across types?' with all algebra as plain
+    aggregates (no eigensolver)."""
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+    df = daily.to_pandas()
+    df["dow"] = df["d"].dt.dayofweek
+    M = df.pivot_table(index="event_type", columns="dow", values="v",
+                       aggfunc="mean").fillna(0.0)
+    M = M.reindex(index=sorted(M.index), columns=range(7), fill_value=0.0)
+    A = M.to_numpy(np.float64)
+    v = A.sum(axis=0)          # M^T 1
+    u = A @ v                  # M v
+    uv = np.outer(u, v)
+    c = (A * uv).sum() / (uv * uv).sum()
+    ratio = c * c * (uv * uv).sum() / (A * A).sum()
+    return pd.DataFrame({
+        "n_types": [np.int64(A.shape[0])],
+        "energy_ratio": [np.round(ratio, 6) + 0.0],
+        "scale_c": [np.round(c, 6) + 0.0],
+    })
+
+
+SQL_RANK1_POWER_DOW = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type AS et, isodow(d) - 1 AS dow, avg(v) AS m
+          FROM daily GROUP BY 1, 2),
+    v AS (SELECT dow, sum(m) AS v FROM m GROUP BY 1),
+    u AS (SELECT m.et, sum(m.m * v.v) AS u
+          FROM m JOIN v USING (dow) GROUP BY 1),
+    uv AS (SELECT u.et, v.dow, u.u * v.v AS uv FROM u CROSS JOIN v),
+    dots AS (
+        SELECT sum(m.m * uv.uv) AS m_dot_uv
+        FROM m JOIN uv ON uv.et = m.et AND uv.dow = m.dow
+    ),
+    norms AS (
+        SELECT (SELECT sum(uv * uv) FROM uv) AS uv2,
+               (SELECT sum(m * m) FROM m) AS m2,
+               (SELECT count(DISTINCT et) FROM m) AS k
+    )
+    SELECT CAST(norms.k AS BIGINT) AS n_types,
+           round(pow(dots.m_dot_uv / norms.uv2, 2) * norms.uv2
+                 / norms.m2, 6) + 0.0 AS energy_ratio,
+           round(dots.m_dot_uv / norms.uv2, 6) + 0.0 AS scale_c
+    FROM dots CROSS JOIN norms
+"""
+
+
+def q_hod_entropy_events(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day entropy per type: Shannon H of the 24-bin arrival
+    distribution and the uniformity ratio H/ln(24) — 1 = around-the-clock,
+    low = office-hours traffic; the marginal complement of the
+    type×hour mutual information."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hod(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "h": (us % DAY_US) // HOUR_US, "one": 1})
+
+    ct = hash_aggregate(ev.map_batches(hod, batch_format="pandas"),
+                        ["event_type", "h"], {"n": ("one", "sum")},
+                        num_partitions=_NP).to_pandas()
+    rows = []
+    for et, g in ct.groupby("event_type"):
+        p = g["n"].to_numpy(np.float64)
+        p = p / p.sum()
+        H = float(-(p * np.log(p)).sum())
+        rows.append((et, int(g["n"].sum()), np.round(H, 6) + 0.0,
+                     np.round(H / np.log(24.0), 6) + 0.0))
+    return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                       "hod_entropy", "uniformity"]) \
+        .astype({"n_events": np.int64}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HOD_ENTROPY = f"""
+    WITH ct AS (
+        SELECT event_type, (epoch_us(ts) % {DAY_US}) // {HOUR_US} AS h,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(n) AS T FROM ct GROUP BY 1)
+    SELECT ct.event_type, CAST(any_value(tot.T) AS BIGINT) AS n_events,
+           round(sum(-(ct.n / tot.T) * ln(ct.n / tot.T)), 6) + 0.0
+               AS hod_entropy,
+           round(sum(-(ct.n / tot.T) * ln(ct.n / tot.T)) / ln(24),
+                 6) + 0.0 AS uniformity
+    FROM ct JOIN tot USING (event_type)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_intraday_concentration_daily(sf_dir: str) -> pd.DataFrame:
+    """Intraday concentration per day: the largest single-hour share of
+    the day's event count and the HHI over its 24 hourly shares —
+    'did one hour carry the day', the burst-compaction trigger signal."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def cell(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame({
+            "d": pd.to_datetime((us // DAY_US) * DAY_US, unit="us"),
+            "h": (us % DAY_US) // HOUR_US, "one": 1})
+
+    ct = hash_aggregate(ev.map_batches(cell, batch_format="pandas"),
+                        ["d", "h"], {"n": ("one", "sum")},
+                        num_partitions=_NP).to_pandas()
+    rows = []
+    for d, g in ct.groupby("d"):
+        tot = float(g["n"].sum())
+        sh = g["n"].to_numpy(np.float64) / tot
+        rows.append((d, int(tot), np.round(sh.max(), 6) + 0.0,
+                     np.round((sh ** 2).sum(), 6) + 0.0))
+    return pd.DataFrame(rows, columns=["d", "n_events", "max_hour_share",
+                                       "hhi"]) \
+        .astype({"n_events": np.int64}) \
+        .sort_values("d").reset_index(drop=True)
+
+
+SQL_INTRADAY_CONCENTRATION = f"""
+    WITH ct AS (
+        SELECT date_trunc('day', ts) AS d,
+               (epoch_us(ts) % {DAY_US}) // {HOUR_US} AS h,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT d, sum(n) AS T FROM ct GROUP BY 1)
+    SELECT ct.d, CAST(any_value(tot.T) AS BIGINT) AS n_events,
+           round(max(ct.n / tot.T), 6) + 0.0 AS max_hour_share,
+           round(sum((ct.n / tot.T) * (ct.n / tot.T)), 6) + 0.0 AS hhi
+    FROM ct JOIN tot USING (d)
+    GROUP BY 1 ORDER BY 1
+"""

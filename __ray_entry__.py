@@ -631,6 +631,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank1_power_dow": Q.q_rank1_power_dow,
         "hod_entropy_events": Q.q_hod_entropy_events,
         "intraday_concentration_daily": Q.q_intraday_concentration_daily,
+        # Siegel slope, source vocab entropy, two-proportion z-test
+        "siegel_slope_daily": Q.q_siegel_slope_daily,
+        "source_vocab_entropy": Q.q_source_vocab_entropy,
+        "weekend_share_ztest_events": Q.q_weekend_share_ztest_events,
     }
 
 
@@ -1071,4 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "rank1_power_dow": Q.SQL_RANK1_POWER_DOW,
         "hod_entropy_events": Q.SQL_HOD_ENTROPY,
         "intraday_concentration_daily": Q.SQL_INTRADAY_CONCENTRATION,
+        "siegel_slope_daily": Q.SQL_SIEGEL_SLOPE,
+        "source_vocab_entropy": Q.SQL_SOURCE_VOCAB_ENTROPY,
+        "weekend_share_ztest_events": Q.SQL_WEEKEND_SHARE_ZTEST,
     }

@@ -22467,3 +22467,184 @@ SQL_INTRADAY_CONCENTRATION = f"""
     FROM ct JOIN tot USING (d)
     GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Siegel repeated medians / source vocab entropy / two-proportion z
+# ---------------------------------------------------------------------------
+
+def q_siegel_slope_daily(sf_dir: str) -> pd.DataFrame:
+    """Siegel repeated-median slope per series (Siegel 1982): for each
+    point the MEDIAN of its pairwise slopes, then the median of those —
+    50% breakdown (vs Theil-Sen's 29%). Pairwise slopes round to 6 before
+    the inner median so tie handling matches; day index is the
+    regressor."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("d")
+            us = g["d"].astype("datetime64[us]").astype("int64").to_numpy()
+            t = ((us - us.min()) // DAY_US).astype(np.float64)
+            v = g["v"].to_numpy(np.float64)
+            n = len(v)
+            if n < 3:
+                rows.append((et, n, np.nan))
+                continue
+            inner = []
+            for i in range(n):
+                dt = t - t[i]
+                dv = v - v[i]
+                s = np.round(dv[dt != 0] / dt[dt != 0], 6) + 0.0
+                inner.append(np.quantile(s, 0.5))
+            slope = np.quantile(np.round(np.array(inner), 6) + 0.0, 0.5)
+            rows.append((et, n, np.round(slope, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "siegel_slope"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["siegel_slope"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SIEGEL_SLOPE = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tt AS (
+        SELECT event_type, v,
+               CAST(datediff('day',
+                    min(d) OVER (PARTITION BY event_type), d) AS DOUBLE)
+                   AS t
+        FROM daily
+    ),
+    sl AS (
+        SELECT a.event_type, a.t AS ti,
+               round((b.v - a.v) / (b.t - a.t), 6) + 0.0 AS s
+        FROM tt a JOIN tt b
+          ON a.event_type = b.event_type AND a.t <> b.t
+    ),
+    inner_med AS (
+        SELECT event_type, ti,
+               round(quantile_cont(s, 0.5), 6) + 0.0 AS med
+        FROM sl GROUP BY 1, 2
+    ),
+    cnt AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1)
+    SELECT c.event_type, CAST(c.n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN c.n >= 3
+                         THEN round(quantile_cont(i.med, 0.5), 6) + 0.0
+                    END, {NULLF}) AS siegel_slope
+    FROM cnt c LEFT JOIN inner_med i USING (event_type)
+    GROUP BY c.event_type, c.n ORDER BY 1
+"""
+
+
+def q_source_vocab_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-source token entropy and effective vocabulary e^H — how many
+    'effective' distinct tokens each slice really uses (the diversity
+    companion to the richness indices)."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[["source"]].copy()
+        ex["tok"] = b["text"].str.split()
+        ex = ex.explode("tok").dropna(subset=["tok"])
+        vc = ex.groupby(["source", "tok"], sort=False).size()
+        return vc.rename("cnt").reset_index() \
+            .rename(columns={"tok": "token"})
+
+    tc = hash_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                        ["source", "token"], {"c": ("cnt", "sum")},
+                        num_partitions=_NP).to_pandas()
+    rows = []
+    for s, g in tc.groupby("source"):
+        p = g["c"].to_numpy(np.float64)
+        p = p / p.sum()
+        H = float(-(p * np.log(p)).sum())
+        rows.append((s, int(g["c"].sum()), len(g),
+                     np.round(H, 6) + 0.0,
+                     np.round(np.exp(H), 6) + 0.0))
+    return pd.DataFrame(rows, columns=["source", "n_tokens", "n_types",
+                                       "entropy", "effective_vocab"]) \
+        .astype({"n_tokens": np.int64, "n_types": np.int64}) \
+        .sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_VOCAB_ENTROPY = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT source, token, count(*)::DOUBLE AS c
+           FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS T FROM tc GROUP BY 1)
+    SELECT tc.source, CAST(any_value(tot.T) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(sum(-(tc.c / tot.T) * ln(tc.c / tot.T)), 6) + 0.0
+               AS entropy,
+           round(exp(sum(-(tc.c / tot.T) * ln(tc.c / tot.T))), 6) + 0.0
+               AS effective_vocab
+    FROM tc JOIN tot USING (source)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weekend_share_ztest_events(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test: does the purchase share differ between
+    weekend and weekday events? Pooled-SE z, the classic A/B arithmetic
+    on a calendar split."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].astype("int64") // DAY_US
+        we = ((day + 3) % 7).isin([5, 6])  # 1970-01-01 = Thursday
+        isp = (b["event_type"] == "purchase").astype(np.int64)
+        return pd.DataFrame({
+            "we_n": we.astype(np.int64), "we_x": (we * isp),
+            "wd_n": (~we).astype(np.int64), "wd_x": ((~we) * isp)})
+
+    agg = ev.map_batches(flags, batch_format="pandas").to_pandas().sum()
+    n1, x1 = float(agg["we_n"]), float(agg["we_x"])
+    n2, x2 = float(agg["wd_n"]), float(agg["wd_x"])
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    se = np.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    z = (p1 - p2) / se if se > 0 else np.nan
+    return pd.DataFrame({
+        "n_weekend": [np.int64(n1)], "n_weekday": [np.int64(n2)],
+        "share_weekend": [np.round(p1, 6) + 0.0],
+        "share_weekday": [np.round(p2, 6) + 0.0],
+        "z": [np.round(z, 6) + 0.0 if np.isfinite(z) else NULLF],
+    })
+
+
+SQL_WEEKEND_SHARE_ZTEST = f"""
+    WITH t AS (
+        SELECT (epoch_us(ts) // {DAY_US} + 3) % 7 IN (5, 6) AS we,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        FROM events
+    ),
+    a AS (
+        SELECT sum(CASE WHEN we THEN 1 ELSE 0 END)::DOUBLE AS n1,
+               sum(CASE WHEN we THEN x ELSE 0 END)::DOUBLE AS x1,
+               sum(CASE WHEN we THEN 0 ELSE 1 END)::DOUBLE AS n2,
+               sum(CASE WHEN we THEN 0 ELSE x END)::DOUBLE AS x2
+        FROM t
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT)
+               AS n_weekday,
+           round(x1 / n1, 6) + 0.0 AS share_weekend,
+           round(x2 / n2, 6) + 0.0 AS share_weekday,
+           COALESCE(CASE WHEN (x1 + x2) > 0 AND (x1 + x2) < (n1 + n2)
+                         THEN round((x1 / n1 - x2 / n2)
+                              / sqrt(((x1 + x2) / (n1 + n2))
+                                     * (1 - (x1 + x2) / (n1 + n2))
+                                     * (1 / n1 + 1 / n2)), 6) + 0.0 END,
+                    {NULLF}) AS z
+    FROM a
+"""

@@ -635,6 +635,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "siegel_slope_daily": Q.q_siegel_slope_daily,
         "source_vocab_entropy": Q.q_source_vocab_entropy,
         "weekend_share_ztest_events": Q.q_weekend_share_ztest_events,
+        # permutation entropy, seasonality drift, memorylessness audit
+        "permutation_entropy_daily": Q.q_permutation_entropy_daily,
+        "seasonality_drift_daily": Q.q_seasonality_drift_daily,
+        "memoryless_check_events": Q.q_memoryless_check_events,
     }
 
 
@@ -1078,4 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "siegel_slope_daily": Q.SQL_SIEGEL_SLOPE,
         "source_vocab_entropy": Q.SQL_SOURCE_VOCAB_ENTROPY,
         "weekend_share_ztest_events": Q.SQL_WEEKEND_SHARE_ZTEST,
+        "permutation_entropy_daily": Q.SQL_PERMUTATION_ENTROPY,
+        "seasonality_drift_daily": Q.SQL_SEASONALITY_DRIFT,
+        "memoryless_check_events": Q.SQL_MEMORYLESS_CHECK,
     }

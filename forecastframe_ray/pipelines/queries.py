@@ -22648,3 +22648,244 @@ SQL_WEEKEND_SHARE_ZTEST = f"""
                     {NULLF}) AS z
     FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# permutation entropy / seasonality drift / memorylessness check
+# ---------------------------------------------------------------------------
+
+def q_permutation_entropy_daily(sf_dir: str) -> pd.DataFrame:
+    """Permutation entropy of order 3 per series (Bandt & Pompe 2002):
+    classify every consecutive triple into one of the 6 ordinal patterns
+    (strict comparisons; ties break toward the earlier index, i.e.
+    'later value wins the tie' is FALSE — v_j <= v_i counts as not
+    greater, documented), Shannon H over the pattern distribution
+    normalized by ln 6 — the model-free complexity measure."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            if len(v) < 5:
+                rows.append((et, 0, np.nan))
+                continue
+            a, b, c = v[:-2], v[1:-1], v[2:]
+            # pattern id: ordinal rank of (a,b,c) with index tie-break
+            gt_ab = (b > a).astype(np.int64)
+            gt_ac = (c > a).astype(np.int64)
+            gt_bc = (c > b).astype(np.int64)
+            pid = gt_ab * 4 + gt_ac * 2 + gt_bc
+            cnt = np.bincount(pid, minlength=8).astype(np.float64)
+            p = cnt[cnt > 0] / cnt.sum()
+            H = float(-(p * np.log(p)).sum())
+            rows.append((et, int(cnt.sum()),
+                         np.round(H / np.log(6.0), 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_triples",
+                                           "perm_entropy"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_triples"] = out["n_triples"].astype(np.int64)
+    out = _fill(out, ["perm_entropy"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PERMUTATION_ENTROPY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    w AS (
+        SELECT event_type, v AS a,
+               LEAD(v, 1) OVER s AS b, LEAD(v, 2) OVER s AS c
+        FROM daily WINDOW s AS (PARTITION BY event_type ORDER BY d)
+    ),
+    pat AS (
+        SELECT event_type,
+               (CASE WHEN b > a THEN 4 ELSE 0 END
+                + CASE WHEN c > a THEN 2 ELSE 0 END
+                + CASE WHEN c > b THEN 1 ELSE 0 END) AS pid
+        FROM w WHERE b IS NOT NULL AND c IS NOT NULL
+    ),
+    cnt AS (SELECT event_type, pid, count(*)::DOUBLE AS n
+            FROM pat GROUP BY 1, 2),
+    tot AS (SELECT event_type, sum(n) AS T FROM cnt GROUP BY 1)
+    SELECT cnt.event_type,
+           CAST(any_value(tot.T) AS BIGINT) AS n_triples,
+           COALESCE(CASE WHEN any_value(tot.T) >= 3
+                         THEN round(sum(-(cnt.n / tot.T)
+                                        * ln(cnt.n / tot.T)) / ln(6),
+                                    6) + 0.0 END, {NULLF})
+               AS perm_entropy
+    FROM cnt JOIN tot USING (event_type)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_seasonality_drift_daily(sf_dir: str) -> pd.DataFrame:
+    """Is the weekly cycle strengthening? Weekly-frequency spectral power
+    of each series' first vs second half (demeaned within each half,
+    ω = 2π/7), reported with the second/first ratio — the seasonality-
+    drift monitor that decides when to refit seasonal models."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def power(v: np.ndarray) -> float:
+        n = len(v)
+        t = np.arange(n, dtype=np.float64)
+        w = 2.0 * np.pi / 7.0
+        dv = v - v.mean()
+        c = (dv * np.cos(w * t)).sum()
+        s = (dv * np.sin(w * t)).sum()
+        return float((c * c + s * s) / n)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            h = len(v) // 2
+            if h < 7:
+                rows.append((et, len(v), np.nan, np.nan, np.nan))
+                continue
+            p1 = np.round(power(v[:h]), 6) + 0.0
+            p2 = np.round(power(v[h:2 * h]), 6) + 0.0
+            ratio = p2 / p1 if p1 > 0 else np.nan
+            rows.append((et, len(v), p1, p2,
+                         np.round(ratio, 6) + 0.0 if np.isfinite(ratio)
+                         else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "power_first", "power_second",
+                                           "drift_ratio"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["power_first", "power_second", "drift_ratio"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_SEASONALITY_DRIFT = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    seg AS (
+        SELECT event_type, v, n,
+               CASE WHEN rn <= n // 2 THEN 1
+                    WHEN rn <= 2 * (n // 2) THEN 2 END AS half,
+               CASE WHEN rn <= n // 2 THEN rn - 1.0
+                    ELSE rn - n // 2 - 1.0 END AS t
+        FROM r WHERE rn <= 2 * (n // 2)
+    ),
+    mu AS (SELECT event_type, half, avg(v) AS mu FROM seg
+           WHERE half IS NOT NULL GROUP BY 1, 2),
+    pw AS (
+        SELECT s.event_type, s.half, any_value(s.n) AS n,
+               round((pow(sum((s.v - mu.mu)
+                              * cos(2 * pi() * s.t / 7)), 2)
+                      + pow(sum((s.v - mu.mu)
+                                * sin(2 * pi() * s.t / 7)), 2))
+                     / count(*), 6) + 0.0 AS p
+        FROM seg s JOIN mu ON mu.event_type = s.event_type
+                           AND mu.half = s.half
+        GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT event_type, any_value(n) AS n,
+               max(CASE WHEN half = 1 THEN p END) AS p1,
+               max(CASE WHEN half = 2 THEN p END) AS p2,
+               count(*) FILTER (half = 1) AS c1
+        FROM pw GROUP BY 1
+    ),
+    base AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1)
+    SELECT base.event_type, CAST(base.n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN base.n // 2 >= 7 THEN piv.p1 END, {NULLF})
+               AS power_first,
+           COALESCE(CASE WHEN base.n // 2 >= 7 THEN piv.p2 END, {NULLF})
+               AS power_second,
+           COALESCE(CASE WHEN base.n // 2 >= 7 AND piv.p1 > 0
+                         THEN round(piv.p2 / piv.p1, 6) + 0.0 END,
+                    {NULLF}) AS drift_ratio
+    FROM base LEFT JOIN piv USING (event_type)
+    ORDER BY 1
+"""
+
+
+def q_memoryless_check_events(sf_dir: str) -> pd.DataFrame:
+    """Memorylessness audit of inter-arrival gaps per type: under an
+    exponential process P(G > a+b | G > a) = P(G > b); compare the
+    empirical P(G > 2·med | G > med) against P(G > med) (med = the
+    ROUNDED median gap) — equality ⇒ Poisson-like arrivals, excess ⇒
+    clustering."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            us = g["ts"].astype("int64").to_numpy()
+            if len(us) < 3:
+                rows.append((et, 0, np.nan, np.nan, np.nan))
+                continue
+            gaps = np.diff(us) / 1e6
+            med = np.round(np.quantile(gaps, 0.5), 6) + 0.0
+            n_gt = int((gaps > med).sum())
+            n_gt2 = int((gaps > 2 * med).sum())
+            p_b = n_gt / len(gaps)
+            p_cond = n_gt2 / n_gt if n_gt else np.nan
+            rows.append((et, len(gaps), np.round(p_b, 6) + 0.0,
+                         np.round(p_cond, 6) + 0.0 if np.isfinite(p_cond)
+                         else np.nan,
+                         np.round(p_cond / p_b, 6) + 0.0
+                         if np.isfinite(p_cond) and p_b > 0 else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                           "p_exceed_med",
+                                           "p_cond_exceed",
+                                           "memory_ratio"])
+
+    out = keyed_map_partitions(ev, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_gaps"] = out["n_gaps"].astype(np.int64)
+    out = _fill(out, ["p_exceed_med", "p_cond_exceed", "memory_ratio"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_MEMORYLESS_CHECK = f"""
+    WITH o AS (
+        SELECT event_type, ts,
+               LAG(ts) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type, (epoch_us(ts) - epoch_us(prev)) / 1e6 AS g
+        FROM o WHERE prev IS NOT NULL
+    ),
+    med AS (SELECT event_type, count(*) AS n,
+                   round(quantile_cont(g, 0.5), 6) + 0.0 AS med
+            FROM gaps GROUP BY 1),
+    c AS (
+        SELECT g.event_type, any_value(med.n) AS n,
+               sum(CASE WHEN g.g > med.med THEN 1 ELSE 0 END)::DOUBLE
+                   AS n_gt,
+               sum(CASE WHEN g.g > 2 * med.med THEN 1 ELSE 0 END)::DOUBLE
+                   AS n_gt2
+        FROM gaps g JOIN med USING (event_type)
+        GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           round(n_gt / n, 6) + 0.0 AS p_exceed_med,
+           COALESCE(CASE WHEN n_gt > 0
+                         THEN round(n_gt2 / n_gt, 6) + 0.0 END, {NULLF})
+               AS p_cond_exceed,
+           COALESCE(CASE WHEN n_gt > 0 AND n_gt / n > 0
+                         THEN round((n_gt2 / n_gt) / (n_gt / n), 6) + 0.0
+                    END, {NULLF}) AS memory_ratio
+    FROM c ORDER BY 1
+"""

@@ -639,6 +639,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "permutation_entropy_daily": Q.q_permutation_entropy_daily,
         "seasonality_drift_daily": Q.q_seasonality_drift_daily,
         "memoryless_check_events": Q.q_memoryless_check_events,
+        # event trigrams, median residual life, exact median CI
+        "trigram_sequences_events": Q.q_trigram_sequences_events,
+        "median_residual_life_users": Q.q_median_residual_life_users,
+        "median_ci_daily": Q.q_median_ci_daily,
     }
 
 
@@ -1085,4 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "permutation_entropy_daily": Q.SQL_PERMUTATION_ENTROPY,
         "seasonality_drift_daily": Q.SQL_SEASONALITY_DRIFT,
         "memoryless_check_events": Q.SQL_MEMORYLESS_CHECK,
+        "trigram_sequences_events": Q.SQL_TRIGRAM_SEQUENCES,
+        "median_residual_life_users": Q.SQL_MEDIAN_RESIDUAL_LIFE,
+        "median_ci_daily": Q.SQL_MEDIAN_CI,
     }

@@ -22889,3 +22889,244 @@ SQL_MEMORYLESS_CHECK = f"""
                     END, {NULLF}) AS memory_ratio
     FROM c ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# event trigrams / median residual life / exact median CI
+# ---------------------------------------------------------------------------
+
+def q_trigram_sequences_events(sf_dir: str) -> pd.DataFrame:
+    """Second-order sequence motifs: the 10 most frequent event-type
+    trigrams over per-user streams (count desc, lexicographic asc), each
+    with its continuation probability P(c | a→b) — the next step up from
+    the first-order transition matrix."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def tri(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("user_id", sort=False):
+            t = g.sort_values(["ts", "event_id"])["event_type"].to_numpy()
+            if len(t) < 3:
+                continue
+            outs.append(pd.DataFrame({"a": t[:-2], "b": t[1:-1],
+                                      "c": t[2:]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object"),
+                                 "c": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.concat(outs, ignore_index=True)
+        return df.groupby(["a", "b", "c"], sort=False).size() \
+            .rename("n").reset_index()
+
+    tg = hash_aggregate(
+        keyed_map_partitions(ev, ["user_id"], tri, num_partitions=_NP),
+        ["a", "b", "c"], {"n": ("n", "sum")}, num_partitions=4).to_pandas()
+    ab = tg.groupby(["a", "b"])["n"].sum()
+    tg["p_cont"] = np.round(
+        tg["n"].to_numpy(np.float64)
+        / tg.set_index(["a", "b"]).index.map(ab).to_numpy(np.float64),
+        6) + 0.0
+    tg = tg.sort_values(["n", "a", "b", "c"],
+                        ascending=[False, True, True, True]).head(10)
+    tg["n"] = tg["n"].astype(np.int64)
+    return tg.reset_index(drop=True)
+
+
+SQL_TRIGRAM_SEQUENCES = """
+    WITH s AS (
+        SELECT event_type AS a,
+               LEAD(event_type, 1) OVER w AS b,
+               LEAD(event_type, 2) OVER w AS c
+        FROM events WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
+    ),
+    t AS (SELECT a, b, c, count(*) AS n FROM s
+          WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3),
+    ab AS (SELECT a, b, sum(n) AS nab FROM t GROUP BY 1, 2)
+    SELECT t.a, t.b, t.c, CAST(t.n AS BIGINT) AS n,
+           round(t.n * 1.0 / ab.nab, 6) + 0.0 AS p_cont
+    FROM t JOIN ab USING (a, b)
+    ORDER BY t.n DESC, t.a, t.b, t.c LIMIT 10
+"""
+
+
+def q_median_residual_life_users(sf_dir: str) -> pd.DataFrame:
+    """Median residual lifetime at t₀ = 7 days from the Kaplan-Meier
+    curve (same lifetime table as kaplan_meier_users): the smallest event
+    time t with S(t) ≤ S(7)/2, minus 7 — 'a user who made it a week has
+    this much median life left' (NULLF when the curve never falls that
+    far). Survival values ROUND to 6 before the comparison."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    span = hash_aggregate(ev, ["user_id"],
+                          {"first_ts": ("ts", "min"),
+                           "last_ts": ("ts", "max")},
+                          num_partitions=_NP)
+    end = ev.map_batches(lambda b: pd.DataFrame({"m": [b["ts"].max()]}),
+                         batch_format="pandas").to_pandas()["m"].max()
+    cutoff = end - pd.Timedelta(days=7)
+
+    def life(b: pd.DataFrame) -> pd.DataFrame:
+        t = ((b["last_ts"].astype("datetime64[us]").astype("int64")
+              - b["first_ts"].astype("datetime64[us]").astype("int64"))
+             // DAY_US).astype(np.int64)
+        return pd.DataFrame({
+            "t": t,
+            "death": (b["last_ts"] <= cutoff).astype(np.int64),
+            "one": np.ones(len(b), dtype=np.int64)})
+
+    tab = hash_aggregate(span.map_batches(life, batch_format="pandas"),
+                         ["t"], {"d": ("death", "sum"),
+                                 "c": ("one", "sum")},
+                         num_partitions=4).to_pandas().sort_values("t")
+    total = int(tab["c"].sum())
+    at_risk = total - np.concatenate(
+        [[0], np.cumsum(tab["c"].to_numpy())[:-1]])
+    surv = np.round(np.cumprod(1.0 - tab["d"].to_numpy(np.float64)
+                               / at_risk), 6) + 0.0
+    ts = tab["t"].to_numpy(np.int64)
+    T0 = 7
+    idx0 = np.searchsorted(ts, T0, side="right") - 1
+    s0 = surv[idx0] if idx0 >= 0 else 1.0
+    target = s0 / 2.0
+    below = np.flatnonzero(surv <= target)
+    mrl = float(ts[below[0]] - T0) if len(below) else np.nan
+    return pd.DataFrame({
+        "t0_days": [np.int64(T0)],
+        "s_at_t0": [np.round(s0, 6) + 0.0],
+        "median_residual_days": [np.round(mrl, 6) + 0.0
+                                 if np.isfinite(mrl) else NULLF],
+    })
+
+
+SQL_MEDIAN_RESIDUAL_LIFE = f"""
+    WITH u AS (
+        SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+    ),
+    ce AS (SELECT max(ts) AS e FROM events),
+    lt AS (
+        SELECT (epoch_us(l) - epoch_us(f)) // 86400000000 AS t,
+               CASE WHEN l <= (SELECT e - INTERVAL 7 DAY FROM ce)
+                    THEN 1 ELSE 0 END AS death
+        FROM u
+    ),
+    tab AS (SELECT t, sum(death) AS d, count(*) AS c FROM lt GROUP BY 1),
+    r AS (
+        SELECT t, d,
+               (SELECT sum(c) FROM tab) -
+               COALESCE(sum(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_at_risk
+        FROM tab
+    ),
+    km AS (
+        SELECT t,
+               round(exp(sum(ln(1 - d * 1.0 / n_at_risk))
+                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+                     6) + 0.0 AS s
+        FROM r
+    ),
+    s0 AS (SELECT COALESCE((SELECT s FROM km WHERE t <= 7
+                            ORDER BY t DESC LIMIT 1), 1.0) AS s0),
+    mrl AS (
+        SELECT min(t) AS t_half FROM km CROSS JOIN s0
+        WHERE km.s <= s0.s0 / 2.0
+    )
+    SELECT CAST(7 AS BIGINT) AS t0_days,
+           round(s0.s0, 6) + 0.0 AS s_at_t0,
+           COALESCE(round((mrl.t_half - 7)::DOUBLE, 6) + 0.0, {NULLF})
+               AS median_residual_days
+    FROM s0 CROSS JOIN mrl
+"""
+
+
+def q_median_ci_daily(sf_dir: str) -> pd.DataFrame:
+    """Distribution-free exact 95% CI for each series' median via order
+    statistics: the (l, u) ranks where the Binomial(n, ½) CDF first
+    exceeds 2.5% / falls below 97.5% (computed with lgamma binomials —
+    identically in the SQL oracle), CI = (v₍l₎, v₍u₎). No normality, no
+    bootstrap."""
+    from math import lgamma
+
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def binom_cdf_half(n: int):
+        # P(X <= k) for X ~ Bin(n, 1/2), k = 0..n
+        logs = np.array([lgamma(n + 1) - lgamma(k + 1) - lgamma(n - k + 1)
+                         for k in range(n + 1)])
+        pmf = np.exp(logs - n * np.log(2.0))
+        return np.cumsum(pmf)
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = np.sort(g["v"].to_numpy(np.float64))
+            n = len(v)
+            if n < 6:
+                rows.append((et, n, np.nan, np.nan, np.nan))
+                continue
+            cdf = binom_cdf_half(n)
+            # l = largest k with P(X < k) <= 0.025 → rank l (1-based)
+            l = int(np.searchsorted(cdf, 0.025, side="right"))
+            u = n - l + 1  # symmetric upper rank
+            med = np.round(np.quantile(v, 0.5), 6) + 0.0
+            rows.append((et, n, med,
+                         np.round(v[max(l - 1, 0)], 6) + 0.0,
+                         np.round(v[min(u - 1, n - 1)], 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "median", "ci_lo", "ci_hi"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["median", "ci_lo", "ci_hi"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_MEDIAN_CI = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    cnt AS (SELECT event_type, count(*) AS n,
+                   round(quantile_cont(v, 0.5), 6) + 0.0 AS med
+            FROM daily GROUP BY 1),
+    ks AS (
+        SELECT c.event_type, c.n, k.k,
+               exp(lgamma(c.n + 1) - lgamma(k.k + 1)
+                   - lgamma(c.n - k.k + 1) - c.n * ln(2)) AS pmf
+        FROM cnt c, (SELECT unnest(range(0, 1000)) AS k) k
+        WHERE k.k <= c.n
+    ),
+    cdf AS (
+        SELECT event_type, k,
+               sum(pmf) OVER (PARTITION BY event_type ORDER BY k
+                              ROWS UNBOUNDED PRECEDING) AS cdf
+        FROM ks
+    ),
+    l AS (
+        SELECT event_type, count(*) AS l
+        FROM cdf WHERE cdf <= 0.025 GROUP BY 1
+    ),
+    ranks AS (
+        SELECT d.event_type, d.v,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.v) AS rk
+        FROM daily d
+    )
+    SELECT c.event_type, CAST(c.n AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN c.n >= 6 THEN c.med END, {NULLF}) AS median,
+           COALESCE(CASE WHEN c.n >= 6
+                         THEN (SELECT round(v, 6) + 0.0 FROM ranks
+                               WHERE ranks.event_type = c.event_type
+                                 AND ranks.rk = greatest(l.l, 1)) END,
+                    {NULLF}) AS ci_lo,
+           COALESCE(CASE WHEN c.n >= 6
+                         THEN (SELECT round(v, 6) + 0.0 FROM ranks
+                               WHERE ranks.event_type = c.event_type
+                                 AND ranks.rk = least(c.n - l.l + 1, c.n))
+                    END, {NULLF}) AS ci_hi
+    FROM cnt c LEFT JOIN l USING (event_type)
+    ORDER BY 1
+"""

@@ -643,6 +643,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_sequences_events": Q.q_trigram_sequences_events,
         "median_residual_life_users": Q.q_median_residual_life_users,
         "median_ci_daily": Q.q_median_ci_daily,
+        # CRPS climatology, calibration error, same-day multi-orders
+        "crps_climatology_daily": Q.q_crps_climatology_daily,
+        "ece_users": Q.q_ece_users,
+        "same_day_multiorders": Q.q_same_day_multiorders,
     }
 
 
@@ -1092,4 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "trigram_sequences_events": Q.SQL_TRIGRAM_SEQUENCES,
         "median_residual_life_users": Q.SQL_MEDIAN_RESIDUAL_LIFE,
         "median_ci_daily": Q.SQL_MEDIAN_CI,
+        "crps_climatology_daily": Q.SQL_CRPS_CLIMATOLOGY,
+        "ece_users": Q.SQL_ECE_USERS,
+        "same_day_multiorders": Q.SQL_SAME_DAY_MULTIORDERS,
     }

@@ -23130,3 +23130,189 @@ SQL_MEDIAN_CI = f"""
     FROM cnt c LEFT JOIN l USING (event_type)
     ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# CRPS climatology / expected calibration error / same-day multi-orders
+# ---------------------------------------------------------------------------
+
+def q_crps_climatology_daily(sf_dir: str) -> pd.DataFrame:
+    """CRPS of the climatology forecast per series: the empirical
+    distribution of all-but-last days scores the LAST day's value,
+    CRPS = E|X−y| − ½E|X−X′| with the Gini-mean-difference identity
+    E|X−X′| = 2Σ(2i−n−1)x₍ᵢ₎/n² — the proper scoring rule that rewards
+    sharp AND calibrated distributions (MAE is its degenerate point-mass
+    case)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            if len(v) < 3:
+                rows.append((et, len(v), np.nan))
+                continue
+            y = v[-1]
+            x = np.sort(v[:-1])
+            n = len(x)
+            e_xy = np.abs(x - y).mean()
+            i = np.arange(1, n + 1, dtype=np.float64)
+            e_xx = 2.0 * ((2 * i - n - 1) * x).sum() / (n * n)
+            rows.append((et, n, np.round(e_xy - 0.5 * e_xx, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_train",
+                                           "crps"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_train"] = out["n_train"].astype(np.int64)
+    out = _fill(out, ["crps"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_CRPS_CLIMATOLOGY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    last AS (SELECT event_type, arg_max(v, d) AS y, max(d) AS dmax,
+                    count(*) AS ntot
+             FROM daily GROUP BY 1),
+    train AS (
+        SELECT d.event_type, d.v, l.y
+        FROM daily d JOIN last l USING (event_type)
+        WHERE d.d < l.dmax
+    ),
+    rk AS (
+        SELECT event_type, v, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                   AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM train
+    )
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_train,
+           COALESCE(CASE WHEN any_value(n) >= 2
+                         THEN round(avg(abs(v - y))
+                              - sum((2.0 * i - n - 1) * v)
+                                / (any_value(n) * any_value(n)),
+                              6) + 0.0 END, {NULLF}) AS crps
+    FROM rk GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ece_users(sf_dir: str) -> pd.DataFrame:
+    """Expected calibration error of the first-half→second-half purchase
+    predictor over the decile bins: ECE = Σ(nₖ/N)·|p̄ₖ − ōₖ| plus the max
+    bin gap (MCE) — the single-number calibration summary on top of the
+    reliability table."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    bounds = ev.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["ts"].astype("int64").min()],
+                                "hi": [b["ts"].astype("int64").max()]}),
+        batch_format="pandas").to_pandas()
+    mid = (int(bounds["lo"].min()) + int(bounds["hi"].max())) // 2
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64").to_numpy()
+        first = us <= mid
+        isp = (b["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "n1": first.astype(np.int64),
+            "p1": (first & isp).astype(np.int64),
+            "p2": (~first & isp).astype(np.int64)})
+
+    per_user = hash_aggregate(
+        ev.map_batches(flags, batch_format="pandas"), ["user_id"],
+        {"n1": ("n1", "sum"), "p1": ("p1", "sum"), "p2": ("p2", "max")},
+        num_partitions=_NP).to_pandas()
+    per_user = per_user[per_user["n1"] > 0]
+    pred = np.round(per_user["p1"].to_numpy(np.float64)
+                    / per_user["n1"].to_numpy(np.float64), 6) + 0.0
+    obs = per_user["p2"].to_numpy(np.float64)
+    dec = np.minimum((pred * 10).astype(np.int64), 9)
+    df = pd.DataFrame({"k": dec, "p": pred, "o": obs})
+    g = df.groupby("k")
+    nk = g.size().to_numpy(np.float64)
+    gap = np.abs(g["p"].mean().to_numpy(np.float64)
+                 - g["o"].mean().to_numpy(np.float64))
+    N = nk.sum()
+    return pd.DataFrame({
+        "n_users": [np.int64(N)],
+        "ece": [np.round((nk * gap).sum() / N, 6) + 0.0],
+        "mce": [np.round(gap.max(), 6) + 0.0],
+    })
+
+
+SQL_ECE_USERS = """
+    WITH mid AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               sum(CASE WHEN epoch_us(ts) <= mid.m THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN epoch_us(ts) <= mid.m
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p1,
+               max(CASE WHEN epoch_us(ts) > mid.m
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p2
+        FROM events CROSS JOIN mid GROUP BY 1
+    ),
+    t AS (
+        SELECT round(p1 * 1.0 / n1, 6) + 0.0 AS pred, p2::DOUBLE AS obs,
+               least(CAST(floor((round(p1 * 1.0 / n1, 6) + 0.0) * 10)
+                          AS BIGINT), 9) AS k
+        FROM u WHERE n1 > 0
+    ),
+    bins AS (SELECT k, count(*)::DOUBLE AS nk,
+                    abs(avg(pred) - avg(obs)) AS gap
+             FROM t GROUP BY 1)
+    SELECT CAST(sum(nk) AS BIGINT) AS n_users,
+           round(sum(nk * gap) / sum(nk), 6) + 0.0 AS ece,
+           round(max(gap), 6) + 0.0 AS mce
+    FROM bins
+"""
+
+
+def q_same_day_multiorders(sf_dir: str) -> pd.DataFrame:
+    """Integrity/behavior audit: customers placing MULTIPLE orders on one
+    calendar day — how many customers, how many such days, and the share
+    of all orders involved (dedup pipelines treat these as suspects)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def day(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["day"] = b["o_orderdate"].astype("datetime64[us]") \
+            .astype("int64") // DAY_US
+        b["one"] = 1
+        return b[["o_custkey", "day", "one"]]
+
+    cd = hash_aggregate(orders.map_batches(day, batch_format="pandas"),
+                        ["o_custkey", "day"], {"n": ("one", "sum")},
+                        num_partitions=_NP).to_pandas()
+    multi = cd[cd["n"] > 1]
+    total_orders = int(cd["n"].sum())
+    return pd.DataFrame({
+        "n_multi_days": [np.int64(len(multi))],
+        "n_customers": [np.int64(multi["o_custkey"].nunique())],
+        "n_orders_involved": [np.int64(multi["n"].sum())],
+        "share_of_orders": [np.round(multi["n"].sum() / total_orders,
+                                     6) + 0.0],
+    })
+
+
+SQL_SAME_DAY_MULTIORDERS = f"""
+    WITH cd AS (
+        SELECT o_custkey, epoch_us(o_orderdate) // {DAY_US} AS day,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (SELECT * FROM cd WHERE n > 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_multi_days,
+           (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM m)
+               AS n_customers,
+           (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM m)
+               AS n_orders_involved,
+           round((SELECT COALESCE(sum(n), 0) FROM m) * 1.0
+                 / (SELECT sum(n) FROM cd), 6) + 0.0 AS share_of_orders
+"""

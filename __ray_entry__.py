@@ -647,6 +647,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crps_climatology_daily": Q.q_crps_climatology_daily,
         "ece_users": Q.q_ece_users,
         "same_day_multiorders": Q.q_same_day_multiorders,
+        # effective sample size, flow imbalance, hourly ACF-24/168
+        "ess_daily": Q.q_ess_daily,
+        "flow_imbalance_events": Q.q_flow_imbalance_events,
+        "hourly_acf24_events": Q.q_hourly_acf24_events,
     }
 
 
@@ -1099,4 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "crps_climatology_daily": Q.SQL_CRPS_CLIMATOLOGY,
         "ece_users": Q.SQL_ECE_USERS,
         "same_day_multiorders": Q.SQL_SAME_DAY_MULTIORDERS,
+        "ess_daily": Q.SQL_ESS_DAILY,
+        "flow_imbalance_events": Q.SQL_FLOW_IMBALANCE,
+        "hourly_acf24_events": Q.SQL_HOURLY_ACF24,
     }

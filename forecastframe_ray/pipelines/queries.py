@@ -23316,3 +23316,215 @@ SQL_SAME_DAY_MULTIORDERS = f"""
            round((SELECT COALESCE(sum(n), 0) FROM m) * 1.0
                  / (SELECT sum(n) FROM cd), 6) + 0.0 AS share_of_orders
 """
+
+
+# ---------------------------------------------------------------------------
+# effective sample size / flow imbalance / hourly ACF-24
+# ---------------------------------------------------------------------------
+
+def q_ess_daily(sf_dir: str) -> pd.DataFrame:
+    """Effective sample size per series from the integrated
+    autocorrelation time τ = 1 + 2Σₖ₌₁¹⁰ rₖ (rₖ the sample ACF, summed
+    over the fixed window; τ floored at 1): ESS = n/τ — how many
+    'independent' days the month really contains, the honest n for any
+    downstream mean test."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            n = len(v)
+            dv = v - v.mean()
+            den = (dv ** 2).sum()
+            if n < 12 or den <= 0:
+                rows.append((et, n, np.nan, np.nan))
+                continue
+            tau = 1.0
+            for k in range(1, 11):
+                tau += 2.0 * (dv[k:] * dv[:-k]).sum() / den
+            tau = max(tau, 1.0)
+            rows.append((et, n, np.round(tau, 6) + 0.0,
+                         np.round(n / tau, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                           "tau_int", "ess"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["tau_int", "ess"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_ESS_DAILY = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, count(*) AS n
+          FROM daily GROUP BY 1),
+    r AS (
+        SELECT d.event_type, d.v, m.mu, m.n,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d) AS rn
+        FROM daily d JOIN m USING (event_type)
+    ),
+    den AS (SELECT event_type, sum((v - mu) * (v - mu)) AS den,
+                   any_value(n) AS n
+            FROM r GROUP BY 1),
+    acf AS (
+        SELECT a.event_type,
+               sum((a.v - a.mu) * (b.v - b.mu)) AS num
+        FROM (SELECT unnest(range(1, 11)) AS k) k, r a
+        JOIN r b ON a.event_type = b.event_type AND a.rn = b.rn + k.k
+        GROUP BY 1
+    ),
+    tau AS (
+        SELECT den.event_type, den.n,
+               greatest(1.0 + 2.0 * acf.num / den.den, 1.0) AS tau
+        FROM den JOIN acf USING (event_type)
+        WHERE den.den > 0 AND den.n >= 12
+    ),
+    base AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1)
+    SELECT base.event_type, CAST(base.n AS BIGINT) AS n_days,
+           COALESCE(round(tau.tau, 6) + 0.0, {NULLF}) AS tau_int,
+           COALESCE(round(base.n / tau.tau, 6) + 0.0, {NULLF}) AS ess
+    FROM base LEFT JOIN tau USING (event_type)
+    ORDER BY 1
+"""
+
+
+def q_flow_imbalance_events(sf_dir: str) -> pd.DataFrame:
+    """Directional flow imbalance of the transition graph: for every
+    unordered type pair, net flow (a→b minus b→a) over gross flow — a
+    signed 'which way does traffic drift' audit of the Markov matrix's
+    asymmetry."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("user_id", sort=False):
+            t = g.sort_values(["ts", "event_id"])["event_type"].to_numpy()
+            if len(t) < 2:
+                continue
+            outs.append(pd.DataFrame({"cur": t[:-1], "nxt": t[1:]}))
+        if not outs:
+            return pd.DataFrame({"cur": pd.Series([], dtype="object"),
+                                 "nxt": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.concat(outs, ignore_index=True)
+        return df.groupby(["cur", "nxt"], sort=False).size() \
+            .rename("n").reset_index()
+
+    trans = hash_aggregate(
+        keyed_map_partitions(ev, ["user_id"], pairs, num_partitions=_NP),
+        ["cur", "nxt"], {"n": ("n", "sum")}, num_partitions=4).to_pandas()
+    tmap = {(r.cur, r.nxt): int(r.n) for r in trans.itertuples()}
+    ets = sorted(set(trans["cur"]) | set(trans["nxt"]))
+    rows = []
+    for i, a in enumerate(ets):
+        for b in ets[i + 1:]:
+            ab = tmap.get((a, b), 0)
+            ba = tmap.get((b, a), 0)
+            gross = ab + ba
+            imb = (ab - ba) / gross if gross else np.nan
+            rows.append((a, b, ab, ba,
+                         np.round(imb, 6) + 0.0 if np.isfinite(imb)
+                         else NULLF))
+    return pd.DataFrame(rows, columns=["et_a", "et_b", "n_ab", "n_ba",
+                                       "imbalance"]) \
+        .astype({"n_ab": np.int64, "n_ba": np.int64})
+
+
+SQL_FLOW_IMBALANCE = f"""
+    WITH s AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    t AS (SELECT cur, nxt, count(*) AS n FROM s
+          WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    ets AS (SELECT DISTINCT event_type AS et FROM events),
+    pairs AS (SELECT a.et AS et_a, b.et AS et_b
+              FROM ets a, ets b WHERE a.et < b.et),
+    j AS (
+        SELECT p.et_a, p.et_b,
+               COALESCE(tab.n, 0) AS n_ab, COALESCE(tba.n, 0) AS n_ba
+        FROM pairs p
+        LEFT JOIN t tab ON tab.cur = p.et_a AND tab.nxt = p.et_b
+        LEFT JOIN t tba ON tba.cur = p.et_b AND tba.nxt = p.et_a
+    )
+    SELECT et_a, et_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ba AS BIGINT) AS n_ba,
+           COALESCE(CASE WHEN n_ab + n_ba > 0
+                         THEN round((n_ab - n_ba) * 1.0 / (n_ab + n_ba),
+                                    6) + 0.0 END, {NULLF}) AS imbalance
+    FROM j ORDER BY 1, 2
+"""
+
+
+def q_hourly_acf24_events(sf_dir: str) -> pd.DataFrame:
+    """Hourly-grain autocorrelation at the diurnal (24h) and weekly
+    (168h) lags per type — the direct periodicity fingerprint at the
+    resolution the tier cascade actually ingests."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    hourly = _bucket_series(sf_dir, HOUR_US, "h")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("h")["v"].to_numpy(np.float64)
+            dv = v - v.mean()
+            den = (dv ** 2).sum()
+            for k in (24, 168):
+                if len(v) <= k or den <= 0:
+                    rows.append((et, k, len(v), np.nan))
+                    continue
+                rk = (dv[k:] * dv[:-k]).sum() / den
+                rows.append((et, k, len(v), np.round(rk, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "lag_h",
+                                           "n_hours", "acf"])
+
+    out = keyed_map_partitions(hourly, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out[["lag_h", "n_hours"]] = out[["lag_h", "n_hours"]] \
+        .astype(np.int64)
+    out = _fill(out, ["acf"])
+    return out.sort_values(["event_type", "lag_h"]).reset_index(drop=True)
+
+
+SQL_HOURLY_ACF24 = f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    m AS (SELECT event_type, avg(v) AS mu, count(*) AS n
+          FROM hourly GROUP BY 1),
+    r AS (
+        SELECT h.event_type, h.v, m.mu, m.n,
+               ROW_NUMBER() OVER (PARTITION BY h.event_type
+                                  ORDER BY h.h) AS rn
+        FROM hourly h JOIN m USING (event_type)
+    ),
+    den AS (SELECT event_type, sum((v - mu) * (v - mu)) AS den,
+                   any_value(n) AS n
+            FROM r GROUP BY 1),
+    acf AS (
+        SELECT a.event_type, k.k,
+               sum((a.v - a.mu) * (b.v - b.mu)) AS num
+        FROM (SELECT unnest([24, 168]) AS k) k, r a
+        JOIN r b ON a.event_type = b.event_type AND a.rn = b.rn + k.k
+        GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT m.event_type, k.k, m.n
+             FROM m CROSS JOIN (SELECT unnest([24, 168]) AS k) k)
+    SELECT g.event_type, CAST(g.k AS BIGINT) AS lag_h,
+           CAST(g.n AS BIGINT) AS n_hours,
+           COALESCE(CASE WHEN den.den > 0 AND g.n > g.k
+                         THEN round(acf.num / den.den, 6) + 0.0 END,
+                    {NULLF}) AS acf
+    FROM grid g
+    LEFT JOIN den ON den.event_type = g.event_type
+    LEFT JOIN acf ON acf.event_type = g.event_type AND acf.k = g.k
+    ORDER BY 1, 2
+"""

@@ -651,6 +651,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ess_daily": Q.q_ess_daily,
         "flow_imbalance_events": Q.q_flow_imbalance_events,
         "hourly_acf24_events": Q.q_hourly_acf24_events,
+        # Diebold-Mariano, Gini mean difference, down-day profile
+        "diebold_mariano_daily": Q.q_diebold_mariano_daily,
+        "gini_mean_diff_daily": Q.q_gini_mean_diff_daily,
+        "down_days_daily": Q.q_down_days_daily,
     }
 
 
@@ -1106,4 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "ess_daily": Q.SQL_ESS_DAILY,
         "flow_imbalance_events": Q.SQL_FLOW_IMBALANCE,
         "hourly_acf24_events": Q.SQL_HOURLY_ACF24,
+        "diebold_mariano_daily": Q.SQL_DIEBOLD_MARIANO,
+        "gini_mean_diff_daily": Q.SQL_GINI_MEAN_DIFF,
+        "down_days_daily": Q.SQL_DOWN_DAYS,
     }

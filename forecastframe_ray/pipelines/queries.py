@@ -23528,3 +23528,187 @@ SQL_HOURLY_ACF24 = f"""
     LEFT JOIN acf ON acf.event_type = g.event_type AND acf.k = g.k
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Diebold-Mariano / Gini mean difference / down-day profile
+# ---------------------------------------------------------------------------
+
+def q_diebold_mariano_daily(sf_dir: str) -> pd.DataFrame:
+    """Diebold-Mariano comparison of two one-step forecasters per series —
+    naive (lag-1) vs seasonal-naive (lag-7) — on squared-error loss over
+    the days both are defined: DM = d̄/√(σ²_pop(d)/n) with d = e₁² − e₂²
+    (lag-0 variance, the simple documented form). Negative DM favors the
+    naive, positive the seasonal — the principled 'which baseline wins'
+    test."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            if len(v) < 10:
+                rows.append((et, 0, np.nan, np.nan))
+                continue
+            e1 = v[7:] - v[6:-1]   # naive: predict v[t-1]
+            e2 = v[7:] - v[:-7]    # seasonal naive: predict v[t-7]
+            d = e1 ** 2 - e2 ** 2
+            n = len(d)
+            var = d.var(ddof=0)
+            dm = d.mean() / np.sqrt(var / n) if var > 0 else np.nan
+            rows.append((et, n, np.round(d.mean(), 6) + 0.0,
+                         np.round(dm, 6) + 0.0 if np.isfinite(dm)
+                         else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n_obs",
+                                           "mean_loss_diff", "dm_stat"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_obs"] = out["n_obs"].astype(np.int64)
+    out = _fill(out, ["mean_loss_diff", "dm_stat"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DIEBOLD_MARIANO = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    w AS (
+        SELECT event_type, v,
+               LAG(v, 1) OVER s AS v1, LAG(v, 7) OVER s AS v7,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily WINDOW s AS (PARTITION BY event_type ORDER BY d)
+    ),
+    d AS (
+        SELECT event_type,
+               (v - v1) * (v - v1) - (v - v7) * (v - v7) AS d
+        FROM w WHERE v7 IS NOT NULL AND n >= 10
+    ),
+    agg AS (SELECT event_type, count(*)::DOUBLE AS n, avg(d) AS md,
+                   var_pop(d) AS vd
+            FROM d GROUP BY 1),
+    base AS (SELECT DISTINCT event_type FROM daily)
+    SELECT base.event_type,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_obs,
+           COALESCE(round(agg.md, 6) + 0.0, {NULLF}) AS mean_loss_diff,
+           COALESCE(CASE WHEN agg.vd > 0
+                         THEN round(agg.md / sqrt(agg.vd / agg.n), 6)
+                              + 0.0 END, {NULLF}) AS dm_stat
+    FROM base LEFT JOIN agg USING (event_type)
+    ORDER BY 1
+"""
+
+
+def q_gini_mean_diff_daily(sf_dir: str) -> pd.DataFrame:
+    """Gini mean difference per series — E|X−X′| over all pairs via the
+    order-statistic identity 2Σ(2i−n−1)x₍ᵢ₎/(n(n−1)) (ddof-1 form) —
+    the L1 scale measure between the std (squares) and the Shamos
+    (pair medians)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            x = np.sort(g["v"].to_numpy(np.float64))
+            n = len(x)
+            if n < 2:
+                rows.append((et, n, np.nan))
+                continue
+            i = np.arange(1, n + 1, dtype=np.float64)
+            gmd = 2.0 * ((2 * i - n - 1) * x).sum() / (n * (n - 1.0))
+            rows.append((et, n, np.round(gmd, 6) + 0.0))
+        return pd.DataFrame(rows, columns=["event_type", "n_days", "gmd"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out = _fill(out, ["gmd"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_GINI_MEAN_DIFF = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                   AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    )
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_days,
+           COALESCE(CASE WHEN any_value(n) >= 2
+                         THEN round(2.0 * sum((2.0 * i - n - 1) * v)
+                              / (any_value(n) * (any_value(n) - 1.0)),
+                              6) + 0.0 END, {NULLF}) AS gmd
+    FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_down_days_daily(sf_dir: str) -> pd.DataFrame:
+    """Downside profile per series: share of day-over-day declines, the
+    mean decline magnitude, and the down/up magnitude ratio — the
+    asymmetry summary behind drawdown risk (a series can trend up while
+    falling MOST days)."""
+    from forecastframe_ray.stages.agg import keyed_map_partitions
+
+    daily = _bucket_series(sf_dir, DAY_US, "d")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g.sort_values("d")["v"].to_numpy(np.float64)
+            d = np.diff(v)
+            if len(d) < 2:
+                rows.append((et, len(d), np.nan, np.nan, np.nan))
+                continue
+            down = d[d < 0]
+            up = d[d > 0]
+            share = len(down) / len(d)
+            md = -down.mean() if len(down) else np.nan
+            mu = up.mean() if len(up) else np.nan
+            ratio = md / mu if len(down) and len(up) and mu > 0 else np.nan
+            rows.append((et, len(d), np.round(share, 6) + 0.0,
+                         np.round(md, 6) + 0.0 if np.isfinite(md)
+                         else np.nan,
+                         np.round(ratio, 6) + 0.0 if np.isfinite(ratio)
+                         else np.nan))
+        return pd.DataFrame(rows, columns=["event_type", "n_moves",
+                                           "down_share", "mean_down",
+                                           "down_up_ratio"])
+
+    out = keyed_map_partitions(daily, ["event_type"], kernel,
+                               num_partitions=_NP).to_pandas()
+    out["n_moves"] = out["n_moves"].astype(np.int64)
+    out = _fill(out, ["down_share", "mean_down", "down_up_ratio"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DOWN_DAYS = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    d AS (
+        SELECT event_type,
+               v - LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS dv
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, count(*)::DOUBLE AS n,
+               count(*) FILTER (WHERE dv < 0)::DOUBLE AS nd,
+               count(*) FILTER (WHERE dv > 0)::DOUBLE AS nu,
+               avg(-dv) FILTER (WHERE dv < 0) AS md,
+               avg(dv) FILTER (WHERE dv > 0) AS mu
+        FROM d WHERE dv IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_moves,
+           COALESCE(CASE WHEN n >= 2
+                         THEN round(nd / n, 6) + 0.0 END, {NULLF})
+               AS down_share,
+           COALESCE(CASE WHEN n >= 2 AND nd > 0
+                         THEN round(md, 6) + 0.0 END, {NULLF})
+               AS mean_down,
+           COALESCE(CASE WHEN n >= 2 AND nd > 0 AND nu > 0 AND mu > 0
+                         THEN round(md / mu, 6) + 0.0 END, {NULLF})
+               AS down_up_ratio
+    FROM m ORDER BY 1
+"""

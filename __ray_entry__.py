@@ -655,6 +655,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diebold_mariano_daily": Q.q_diebold_mariano_daily,
         "gini_mean_diff_daily": Q.q_gini_mean_diff_daily,
         "down_days_daily": Q.q_down_days_daily,
+        # diversification ratio, weekend QTE, cointegration screen
+        "diversification_ratio_daily": Q.q_diversification_ratio_daily,
+        "qte_weekend_daily": Q.q_qte_weekend_daily,
+        "cointegration_lite_daily": Q.q_cointegration_lite_daily,
     }
 
 
@@ -1113,4 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "diebold_mariano_daily": Q.SQL_DIEBOLD_MARIANO,
         "gini_mean_diff_daily": Q.SQL_GINI_MEAN_DIFF,
         "down_days_daily": Q.SQL_DOWN_DAYS,
+        "diversification_ratio_daily": Q.SQL_DIVERSIFICATION_RATIO,
+        "qte_weekend_daily": Q.SQL_QTE_WEEKEND,
+        "cointegration_lite_daily": Q.SQL_COINTEGRATION_LITE,
     }

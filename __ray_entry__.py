@@ -659,6 +659,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversification_ratio_daily": Q.q_diversification_ratio_daily,
         "qte_weekend_daily": Q.q_qte_weekend_daily,
         "cointegration_lite_daily": Q.q_cointegration_lite_daily,
+        # trend t-test, PIT calibration, priority migration
+        "trend_ttest_daily": Q.q_trend_ttest_daily,
+        "pit_naive_daily": Q.q_pit_naive_daily,
+        "priority_migration_customers": Q.q_priority_migration_customers,
     }
 
 
@@ -1120,4 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "diversification_ratio_daily": Q.SQL_DIVERSIFICATION_RATIO,
         "qte_weekend_daily": Q.SQL_QTE_WEEKEND,
         "cointegration_lite_daily": Q.SQL_COINTEGRATION_LITE,
+        "trend_ttest_daily": Q.SQL_TREND_TTEST,
+        "pit_naive_daily": Q.SQL_PIT_NAIVE,
+        "priority_migration_customers": Q.SQL_PRIORITY_MIGRATION,
     }

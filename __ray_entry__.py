@@ -663,6 +663,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_ttest_daily": Q.q_trend_ttest_daily,
         "pit_naive_daily": Q.q_pit_naive_daily,
         "priority_migration_customers": Q.q_priority_migration_customers,
+        # Durbin-Watson, Yule's K lexical trio, log-rank survival test
+        "durbin_watson_daily": Q.q_durbin_watson_daily,
+        "yule_k_documents": Q.q_yule_k_documents,
+        "logrank_users": Q.q_logrank_users,
     }
 
 
@@ -1127,4 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_ttest_daily": Q.SQL_TREND_TTEST,
         "pit_naive_daily": Q.SQL_PIT_NAIVE,
         "priority_migration_customers": Q.SQL_PRIORITY_MIGRATION,
+        "durbin_watson_daily": Q.SQL_DURBIN_WATSON,
+        "yule_k_documents": Q.SQL_YULE_K,
+        "logrank_users": Q.SQL_LOGRANK_USERS,
     }

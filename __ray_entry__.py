@@ -667,6 +667,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "durbin_watson_daily": Q.q_durbin_watson_daily,
         "yule_k_documents": Q.q_yule_k_documents,
         "logrank_users": Q.q_logrank_users,
+        # Granger lag-1 F-test, ARCH LM, Weibull gap fit
+        "granger_lag1_daily": Q.q_granger_lag1_daily,
+        "arch_lm_daily": Q.q_arch_lm_daily,
+        "weibull_fit_gaps": Q.q_weibull_fit_gaps,
     }
 
 
@@ -1134,4 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "durbin_watson_daily": Q.SQL_DURBIN_WATSON,
         "yule_k_documents": Q.SQL_YULE_K,
         "logrank_users": Q.SQL_LOGRANK_USERS,
+        "granger_lag1_daily": Q.SQL_GRANGER_LAG1,
+        "arch_lm_daily": Q.SQL_ARCH_LM,
+        "weibull_fit_gaps": Q.SQL_WEIBULL_GAPS,
     }

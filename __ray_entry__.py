@@ -671,6 +671,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "granger_lag1_daily": Q.q_granger_lag1_daily,
         "arch_lm_daily": Q.q_arch_lm_daily,
         "weibull_fit_gaps": Q.q_weibull_fit_gaps,
+        # McNemar paired halves, Davies-Bouldin index, conformal coverage
+        "mcnemar_users": Q.q_mcnemar_users,
+        "davies_bouldin_embeddings": Q.q_davies_bouldin_embeddings,
+        "conformal_naive_daily": Q.q_conformal_naive_daily,
     }
 
 
@@ -1141,4 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "granger_lag1_daily": Q.SQL_GRANGER_LAG1,
         "arch_lm_daily": Q.SQL_ARCH_LM,
         "weibull_fit_gaps": Q.SQL_WEIBULL_GAPS,
+        "mcnemar_users": Q.SQL_MCNEMAR_USERS,
+        "davies_bouldin_embeddings": Q.SQL_DAVIES_BOULDIN,
+        "conformal_naive_daily": Q.SQL_CONFORMAL_NAIVE,
     }

@@ -675,6 +675,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mcnemar_users": Q.q_mcnemar_users,
         "davies_bouldin_embeddings": Q.q_davies_bouldin_embeddings,
         "conformal_naive_daily": Q.q_conformal_naive_daily,
+        # GK gamma, OLS influence maxima, jackknife CV SE
+        "gk_gamma_lineitem": Q.q_goodman_kruskal_gamma,
+        "ols_influence_daily": Q.q_ols_influence_daily,
+        "jackknife_cv_daily": Q.q_jackknife_cv_daily,
     }
 
 
@@ -1148,4 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "mcnemar_users": Q.SQL_MCNEMAR_USERS,
         "davies_bouldin_embeddings": Q.SQL_DAVIES_BOULDIN,
         "conformal_naive_daily": Q.SQL_CONFORMAL_NAIVE,
+        "gk_gamma_lineitem": Q.SQL_GK_GAMMA,
+        "ols_influence_daily": Q.SQL_OLS_INFLUENCE,
+        "jackknife_cv_daily": Q.SQL_JACKKNIFE_CV,
     }

@@ -679,6 +679,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gk_gamma_lineitem": Q.q_goodman_kruskal_gamma,
         "ols_influence_daily": Q.q_ols_influence_daily,
         "jackknife_cv_daily": Q.q_jackknife_cv_daily,
+        # Bhattacharyya pairs, seasonal MK, cents uniformity
+        "bhattacharyya_sources": Q.q_bhattacharyya_sources,
+        "seasonal_mk_daily": Q.q_seasonal_mann_kendall_daily,
+        "price_cents_uniformity": Q.q_price_cents_uniformity,
     }
 
 
@@ -1155,4 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "gk_gamma_lineitem": Q.SQL_GK_GAMMA,
         "ols_influence_daily": Q.SQL_OLS_INFLUENCE,
         "jackknife_cv_daily": Q.SQL_JACKKNIFE_CV,
+        "bhattacharyya_sources": Q.SQL_BHATTACHARYYA,
+        "seasonal_mk_daily": Q.SQL_SEASONAL_MK,
+        "price_cents_uniformity": Q.SQL_PRICE_CENTS,
     }

@@ -683,6 +683,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bhattacharyya_sources": Q.q_bhattacharyya_sources,
         "seasonal_mk_daily": Q.q_seasonal_mann_kendall_daily,
         "price_cents_uniformity": Q.q_price_cents_uniformity,
+        # Calinski-Harabasz, Breusch-Pagan, Chow break
+        "calinski_harabasz_embeddings": Q.q_calinski_harabasz_embeddings,
+        "breusch_pagan_daily": Q.q_breusch_pagan_daily,
+        "chow_break_daily": Q.q_chow_break_daily,
     }
 
 
@@ -1162,4 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "bhattacharyya_sources": Q.SQL_BHATTACHARYYA,
         "seasonal_mk_daily": Q.SQL_SEASONAL_MK,
         "price_cents_uniformity": Q.SQL_PRICE_CENTS,
+        "calinski_harabasz_embeddings": Q.SQL_CALINSKI_HARABASZ,
+        "breusch_pagan_daily": Q.SQL_BREUSCH_PAGAN,
+        "chow_break_daily": Q.SQL_CHOW_BREAK,
     }

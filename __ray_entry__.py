@@ -687,6 +687,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calinski_harabasz_embeddings": Q.q_calinski_harabasz_embeddings,
         "breusch_pagan_daily": Q.q_breusch_pagan_daily,
         "chow_break_daily": Q.q_chow_break_daily,
+        # brand return rate, Brown-Forsythe, Kruskal-Wallis
+        "brand_return_rate": Q.q_brand_return_rate,
+        "brown_forsythe_dow": Q.q_brown_forsythe_dow,
+        "kruskal_wallis_dow": Q.q_kruskal_wallis_dow,
     }
 
 
@@ -1169,4 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "calinski_harabasz_embeddings": Q.SQL_CALINSKI_HARABASZ,
         "breusch_pagan_daily": Q.SQL_BREUSCH_PAGAN,
         "chow_break_daily": Q.SQL_CHOW_BREAK,
+        "brand_return_rate": Q.SQL_BRAND_RETURN_RATE,
+        "brown_forsythe_dow": Q.SQL_BROWN_FORSYTHE,
+        "kruskal_wallis_dow": Q.SQL_KRUSKAL_WALLIS,
     }

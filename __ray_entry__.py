@@ -691,6 +691,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_return_rate": Q.q_brand_return_rate,
         "brown_forsythe_dow": Q.q_brown_forsythe_dow,
         "kruskal_wallis_dow": Q.q_kruskal_wallis_dow,
+        # Cochran-Armitage, IQR outlier profile, decile lift
+        "cochran_armitage_lineitem": Q.q_cochran_armitage_lineitem,
+        "iqr_outliers_lineitem": Q.q_iqr_outliers_lineitem,
+        "decile_lift_users": Q.q_decile_lift_users,
     }
 
 
@@ -1176,4 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_return_rate": Q.SQL_BRAND_RETURN_RATE,
         "brown_forsythe_dow": Q.SQL_BROWN_FORSYTHE,
         "kruskal_wallis_dow": Q.SQL_KRUSKAL_WALLIS,
+        "cochran_armitage_lineitem": Q.SQL_COCHRAN_ARMITAGE,
+        "iqr_outliers_lineitem": Q.SQL_IQR_OUTLIERS,
+        "decile_lift_users": Q.SQL_DECILE_LIFT,
     }

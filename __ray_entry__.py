@@ -695,6 +695,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cochran_armitage_lineitem": Q.q_cochran_armitage_lineitem,
         "iqr_outliers_lineitem": Q.q_iqr_outliers_lineitem,
         "decile_lift_users": Q.q_decile_lift_users,
+        # Mood median, Hodges-Lehmann shift, Jonckheere-Terpstra
+        "mood_median_dow": Q.q_mood_median_dow,
+        "hodges_lehmann_weekend": Q.q_hodges_lehmann_weekend,
+        "jonckheere_weeks": Q.q_jonckheere_weeks,
     }
 
 
@@ -1183,4 +1187,7 @@ def oracle_sql() -> dict[str, str]:
         "cochran_armitage_lineitem": Q.SQL_COCHRAN_ARMITAGE,
         "iqr_outliers_lineitem": Q.SQL_IQR_OUTLIERS,
         "decile_lift_users": Q.SQL_DECILE_LIFT,
+        "mood_median_dow": Q.SQL_MOOD_MEDIAN,
+        "hodges_lehmann_weekend": Q.SQL_HODGES_LEHMANN,
+        "jonckheere_weeks": Q.SQL_JONCKHEERE,
     }

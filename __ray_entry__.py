@@ -699,6 +699,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mood_median_dow": Q.q_mood_median_dow,
         "hodges_lehmann_weekend": Q.q_hodges_lehmann_weekend,
         "jonckheere_weeks": Q.q_jonckheere_weeks,
+        # Welch ANOVA, winsorized market corr, crosstab residuals
+        "welch_anova_dow": Q.q_welch_anova_dow,
+        "winsorized_corr_market_daily": Q.q_winsorized_corr_market_daily,
+        "crosstab_residuals_type_dow": Q.q_crosstab_residuals_type_dow,
     }
 
 
@@ -1190,4 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "mood_median_dow": Q.SQL_MOOD_MEDIAN,
         "hodges_lehmann_weekend": Q.SQL_HODGES_LEHMANN,
         "jonckheere_weeks": Q.SQL_JONCKHEERE,
+        "welch_anova_dow": Q.SQL_WELCH_ANOVA,
+        "winsorized_corr_market_daily": Q.SQL_WINSORIZED_CORR,
+        "crosstab_residuals_type_dow": Q.SQL_CROSSTAB_RESIDUALS,
     }

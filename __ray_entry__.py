@@ -703,6 +703,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_anova_dow": Q.q_welch_anova_dow,
         "winsorized_corr_market_daily": Q.q_winsorized_corr_market_daily,
         "crosstab_residuals_type_dow": Q.q_crosstab_residuals_type_dow,
+        # Dixon Q, Bartels rank RVN, Pettitt change-point
+        "dixon_q_daily": Q.q_dixon_q_daily,
+        "bartels_rank_daily": Q.q_bartels_rank_daily,
+        "pettitt_daily": Q.q_pettitt_daily,
     }
 
 
@@ -1197,4 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "welch_anova_dow": Q.SQL_WELCH_ANOVA,
         "winsorized_corr_market_daily": Q.SQL_WINSORIZED_CORR,
         "crosstab_residuals_type_dow": Q.SQL_CROSSTAB_RESIDUALS,
+        "dixon_q_daily": Q.SQL_DIXON_Q,
+        "bartels_rank_daily": Q.SQL_BARTELS_RANK,
+        "pettitt_daily": Q.SQL_PETTITT,
     }

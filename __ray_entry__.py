@@ -707,6 +707,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dixon_q_daily": Q.q_dixon_q_daily,
         "bartels_rank_daily": Q.q_bartels_rank_daily,
         "pettitt_daily": Q.q_pettitt_daily,
+        # Cox-Stuart, SNHT, Katz fractal dimension
+        "cox_stuart_daily": Q.q_cox_stuart_daily,
+        "snht_daily": Q.q_snht_daily,
+        "katz_fd_daily": Q.q_katz_fd_daily,
     }
 
 
@@ -1204,4 +1208,7 @@ def oracle_sql() -> dict[str, str]:
         "dixon_q_daily": Q.SQL_DIXON_Q,
         "bartels_rank_daily": Q.SQL_BARTELS_RANK,
         "pettitt_daily": Q.SQL_PETTITT,
+        "cox_stuart_daily": Q.SQL_COX_STUART,
+        "snht_daily": Q.SQL_SNHT,
+        "katz_fd_daily": Q.SQL_KATZ_FD,
     }

@@ -711,6 +711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cox_stuart_daily": Q.q_cox_stuart_daily,
         "snht_daily": Q.q_snht_daily,
         "katz_fd_daily": Q.q_katz_fd_daily,
+        # X-bar/R chart, monthly seasonal index, Benford 2nd digit
+        "xbar_r_chart_weekly": Q.q_xbar_r_chart_weekly,
+        "monthly_seasonal_index_orders": Q.q_monthly_seasonal_index_orders,
+        "benford_second_digit_lineitem": Q.q_benford_second_digit_lineitem,
     }
 
 
@@ -1211,4 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "cox_stuart_daily": Q.SQL_COX_STUART,
         "snht_daily": Q.SQL_SNHT,
         "katz_fd_daily": Q.SQL_KATZ_FD,
+        "xbar_r_chart_weekly": Q.SQL_XBAR_R,
+        "monthly_seasonal_index_orders": Q.SQL_MONTHLY_SEASONAL,
+        "benford_second_digit_lineitem": Q.SQL_BENFORD_SECOND,
     }

@@ -715,6 +715,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xbar_r_chart_weekly": Q.q_xbar_r_chart_weekly,
         "monthly_seasonal_index_orders": Q.q_monthly_seasonal_index_orders,
         "benford_second_digit_lineitem": Q.q_benford_second_digit_lineitem,
+        # TPC-H join suite: Q7 / Q10 / Q13 shapes
+        "volume_shipping_nations": Q.q_volume_shipping_nations,
+        "returned_items_customers": Q.q_returned_items_customers,
+        "customer_order_distribution": Q.q_customer_order_distribution,
     }
 
 
@@ -1218,4 +1222,7 @@ def oracle_sql() -> dict[str, str]:
         "xbar_r_chart_weekly": Q.SQL_XBAR_R,
         "monthly_seasonal_index_orders": Q.SQL_MONTHLY_SEASONAL,
         "benford_second_digit_lineitem": Q.SQL_BENFORD_SECOND,
+        "volume_shipping_nations": Q.SQL_VOLUME_SHIPPING,
+        "returned_items_customers": Q.SQL_RETURNED_ITEMS,
+        "customer_order_distribution": Q.SQL_CUSTOMER_ORDER_DIST,
     }

@@ -644,3 +644,134 @@ def gopher_filter(ds, text_col: str = "text", line_col: str | None = None,
     return ds.map_batches(
         lambda b: gopher_filter_batch(b, text_col, line_col, id_cols),
         batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style n-gram LM perplexity filter (Wenzek et al. 2020, public:
+# train a language model on the corpus, score each document's perplexity,
+# keep/bucket by it). KenLM's 5-gram is replaced by an exactly-specified
+# Laplace-smoothed bigram LM so the whole train+score chain is
+# SQL-oracle-checkable; the Ray plumbing (two count passes over exploded
+# tokens, pruned-vocab broadcast, vectorized scoring pass) is the real
+# scale path either way.
+# ---------------------------------------------------------------------------
+
+_UNK = "<unk>"
+
+
+def _explode_tokens(b: pd.DataFrame, text_col: str):
+    """batch → (doc_id repeat, flat lowercase whitespace tokens, doc lens)."""
+    from itertools import chain
+
+    t = b[text_col].str.lower().str.split()
+    lens = t.str.len().to_numpy(np.int64)
+    flat = np.array(list(chain.from_iterable(t)), dtype=object)
+    return b["doc_id"].to_numpy().repeat(lens), flat, lens
+
+
+def ccnet_perplexity(docs, text_col: str = "text", min_count: int = 2):
+    """Per-document bigram-LM perplexity, LM trained on the corpus itself.
+
+    Three streaming passes (the CCNet layout): (1) unigram counts — exploded
+    tokens pre-count per batch, one narrow (token, count) shuffle, tokens
+    below ``min_count`` folded into ``<unk>`` DISTRIBUTEDLY so the table the
+    driver collects is already pruned-vocab-sized (the fold is what bounds
+    the broadcast at corpus scale — CCNet's vocabulary truncation); (2)
+    bigram counts over ``<unk>``-mapped tokens, same pre-count + shuffle
+    shape; (3) a scoring map with the two count dicts broadcast via
+    ``ray.put`` once — per batch the lookup runs through vectorized
+    ``Series.map``, no per-token Python. At 100 TB the bigram broadcast
+    would switch to shard-scoring (hash-join exploded bigrams against the
+    count table on w1); the parameterization is the same.
+
+    P(w|prev) is Laplace-smoothed: first token (c1(w)+1)/(T+V), else
+    (c2(prev,w)+1)/(c1(prev)+V); ppl = round(exp(-Σlog p / n), 6).
+    Empty-token docs drop out. Returns (doc_id, n_tokens, ppl).
+    """
+    import ray
+
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        _, flat, _ = _explode_tokens(b, text_col)
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"w": vc.index.to_numpy(object),
+                             "c": vc.to_numpy(np.int64)})
+
+    raw = hash_aggregate(docs.map_batches(uni_partial,
+                                          batch_format="pandas"),
+                         ["w"], {"c": ("c", "sum")}, num_partitions=8)
+
+    def fold_unk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["w"] = np.where(b["c"].to_numpy(np.int64) >= min_count,
+                          b["w"], _UNK)
+        return b
+
+    c1_df = hash_aggregate(raw.map_batches(fold_unk,
+                                           batch_format="pandas"),
+                           ["w"], {"c": ("c", "sum")},
+                           num_partitions=8).to_pandas()
+    c1 = dict(zip(c1_df["w"], c1_df["c"].astype(np.int64)))
+    T = int(c1_df["c"].sum())
+    V = int(len(c1_df))
+    vocab = set(c1_df.loc[c1_df["w"] != _UNK, "w"])
+    vocab_ref = ray.put(vocab)
+
+    def _mapped(b: pd.DataFrame):
+        vc = ray.get(vocab_ref)
+        ids, flat, lens = _explode_tokens(b, text_col)
+        s = pd.Series(flat)
+        mapped = np.where(s.isin(vc).to_numpy(bool), flat, _UNK)
+        return ids, mapped, lens
+
+    def bi_partial(b: pd.DataFrame) -> pd.DataFrame:
+        _, mapped, lens = _mapped(b)
+        if len(mapped) < 2:
+            return pd.DataFrame({"w1": [], "w2": [], "c": []})
+        last = np.cumsum(lens) - 1  # last token of each doc
+        valid = np.ones(len(mapped) - 1, dtype=bool)
+        valid[last[last < len(mapped) - 1]] = False
+        pairs = pd.DataFrame({"w1": mapped[:-1][valid],
+                              "w2": mapped[1:][valid]})
+        vc = pairs.value_counts()
+        out = vc.index.to_frame(index=False)
+        out["c"] = vc.to_numpy(np.int64)
+        return out
+
+    c2_df = hash_aggregate(docs.map_batches(bi_partial,
+                                            batch_format="pandas"),
+                           ["w1", "w2"], {"c": ("c", "sum")},
+                           num_partitions=8).to_pandas()
+    c2 = dict(zip(zip(c2_df["w1"], c2_df["w2"]),
+                  c2_df["c"].astype(np.int64)))
+    c1_ref, c2_ref = ray.put(c1), ray.put(c2)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        d1, d2 = ray.get(c1_ref), ray.get(c2_ref)
+        ids, mapped, lens = _mapped(b)
+        if len(mapped) == 0:
+            return pd.DataFrame({"doc_id": [], "n_tokens": [], "ppl": []})
+        starts = np.cumsum(lens) - lens
+        first = np.zeros(len(mapped), dtype=bool)
+        first[starts[lens > 0]] = True
+        cw = pd.Series(mapped).map(d1).to_numpy(np.float64)
+        prev = np.empty(len(mapped), dtype=object)
+        prev[1:] = mapped[:-1]
+        keys = pd.Series(list(zip(prev, mapped)))
+        cpair = keys.map(d2).fillna(0.0).to_numpy(np.float64)
+        cprev = pd.Series(prev).map(d1).fillna(0.0).to_numpy(np.float64)
+        lp = np.where(first,
+                      np.log((cw + 1.0) / (T + V)),
+                      np.log((cpair + 1.0) / (cprev + V)))
+        g = pd.DataFrame({"doc_id": ids, "lp": lp})
+        agg = g.groupby("doc_id", sort=False)["lp"] \
+            .agg(["sum", "size"]).reset_index()
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"],
+            "n_tokens": agg["size"].astype(np.int64),
+            "ppl": np.round(np.exp(-agg["sum"].to_numpy(np.float64)
+                                   / agg["size"].to_numpy(np.float64)),
+                            6)})
+
+    return docs.map_batches(score, batch_format="pandas")

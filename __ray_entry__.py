@@ -738,6 +738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_profile_daily": Q.q_matrix_profile_daily,
         # CCNet-style corpus-LM perplexity filter (train + score chain)
         "ccnet_perplexity_documents": Q.q_ccnet_perplexity_documents,
+        # DSIR importance-resampling weights (target vs raw unigram LM)
+        "dsir_weights_documents": Q.q_dsir_weights_documents,
     }
 
 
@@ -1257,4 +1259,5 @@ def oracle_sql() -> dict[str, str]:
         "nation_profit": Q.SQL_NATION_PROFIT,
         "matrix_profile_daily": Q.SQL_MATRIX_PROFILE_DAILY,
         "ccnet_perplexity_documents": Q.SQL_CCNET_PERPLEXITY,
+        "dsir_weights_documents": Q.SQL_DSIR_WEIGHTS,
     }

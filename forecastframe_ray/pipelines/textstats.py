@@ -775,3 +775,67 @@ def ccnet_perplexity(docs, text_col: str = "text", min_count: int = 2):
                             6)})
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def dsir_weights(docs, target_filter, text_col: str = "text"):
+    """DSIR importance weights (Xie et al. 2023, public: Data Selection
+    via Importance Resampling): per document the log-ratio of a
+    target-domain LM to the raw-corpus LM — documents that look like the
+    target domain get high weight. The paper's hashed-ngram feature LMs
+    are Laplace unigram models here (exactly SQL-checkable); both train
+    passes are the same pre-count + narrow (token, count) shuffle as
+    :func:`ccnet_perplexity`, and scoring is one broadcast-dict map.
+    Smoothing shares the RAW corpus vocabulary size V so the ratio is
+    defined for target-unseen tokens.
+
+    ``target_filter(batch) -> bool mask`` selects the target-domain rows.
+    Returns (doc_id, n_tokens, log_ratio, avg_log_ratio), 6dp.
+    """
+    import ray
+
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    def uni_partial(filt):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            if filt is not None:
+                b = b[filt(b)]
+            _, flat, _ = _explode_tokens(b, text_col)
+            vc = pd.Series(flat).value_counts()
+            return pd.DataFrame({"w": vc.index.to_numpy(object),
+                                 "c": vc.to_numpy(np.int64)})
+        return fn
+
+    def counts(filt):
+        df = hash_aggregate(docs.map_batches(uni_partial(filt),
+                                             batch_format="pandas"),
+                            ["w"], {"c": ("c", "sum")},
+                            num_partitions=8).to_pandas()
+        return (dict(zip(df["w"], df["c"].astype(np.int64))),
+                int(df["c"].sum()), int(len(df)))
+
+    c_raw, t_raw, v_raw = counts(None)
+    c_tgt, t_tgt, _ = counts(target_filter)
+    raw_ref, tgt_ref = ray.put(c_raw), ray.put(c_tgt)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        d_raw, d_tgt = ray.get(raw_ref), ray.get(tgt_ref)
+        ids, flat, _ = _explode_tokens(b, text_col)
+        if len(flat) == 0:
+            return pd.DataFrame({"doc_id": [], "n_tokens": [],
+                                 "log_ratio": [], "avg_log_ratio": []})
+        s = pd.Series(flat)
+        cr = s.map(d_raw).fillna(0.0).to_numpy(np.float64)
+        ct = s.map(d_tgt).fillna(0.0).to_numpy(np.float64)
+        lr = (np.log((ct + 1.0) / (t_tgt + v_raw))
+              - np.log((cr + 1.0) / (t_raw + v_raw)))
+        g = pd.DataFrame({"doc_id": ids, "lr": lr}) \
+            .groupby("doc_id", sort=False)["lr"] \
+            .agg(["sum", "size"]).reset_index()
+        n = g["size"].to_numpy(np.int64)
+        tot = g["sum"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"], "n_tokens": n,
+            "log_ratio": np.round(tot, 6),
+            "avg_log_ratio": np.round(tot / n, 6)})
+
+    return docs.map_batches(score, batch_format="pandas")

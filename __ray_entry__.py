@@ -740,6 +740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_perplexity_documents": Q.q_ccnet_perplexity_documents,
         # DSIR importance-resampling weights (target vs raw unigram LM)
         "dsir_weights_documents": Q.q_dsir_weights_documents,
+        # OLS (MinT-identity) hierarchical forecast reconciliation
+        "ols_reconciliation_daily": Q.q_ols_reconciliation_daily,
     }
 
 
@@ -1260,4 +1262,5 @@ def oracle_sql() -> dict[str, str]:
         "matrix_profile_daily": Q.SQL_MATRIX_PROFILE_DAILY,
         "ccnet_perplexity_documents": Q.SQL_CCNET_PERPLEXITY,
         "dsir_weights_documents": Q.SQL_DSIR_WEIGHTS,
+        "ols_reconciliation_daily": Q.SQL_OLS_RECONCILIATION,
     }

@@ -742,6 +742,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_documents": Q.q_dsir_weights_documents,
         # OLS (MinT-identity) hierarchical forecast reconciliation
         "ols_reconciliation_daily": Q.q_ols_reconciliation_daily,
+        # TPC-H join suite: Q16 / Q11 / Q20 / Q2 shapes
+        "supplier_part_diversity": Q.q_supplier_part_diversity,
+        "important_nation_stock": Q.q_important_nation_stock,
+        "heavy_small_part_suppliers": Q.q_heavy_small_part_suppliers,
+        "best_balance_supplier_per_class":
+            Q.q_best_balance_supplier_per_class,
     }
 
 
@@ -1263,4 +1269,8 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_perplexity_documents": Q.SQL_CCNET_PERPLEXITY,
         "dsir_weights_documents": Q.SQL_DSIR_WEIGHTS,
         "ols_reconciliation_daily": Q.SQL_OLS_RECONCILIATION,
+        "supplier_part_diversity": Q.SQL_SUPPLIER_PART_DIVERSITY,
+        "important_nation_stock": Q.SQL_IMPORTANT_NATION_STOCK,
+        "heavy_small_part_suppliers": Q.SQL_HEAVY_SMALL_PART_SUPPLIERS,
+        "best_balance_supplier_per_class": Q.SQL_BEST_BALANCE_SUPPLIER,
     }

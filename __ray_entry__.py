@@ -748,6 +748,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_small_part_suppliers": Q.q_heavy_small_part_suppliers,
         "best_balance_supplier_per_class":
             Q.q_best_balance_supplier_per_class,
+        # point-process clumpiness + long-memory diagnostics
+        "burstiness_fano_events": Q.q_burstiness_fano_events,
+        "hurst_rs_daily": Q.q_hurst_rs_daily,
     }
 
 
@@ -1273,4 +1276,6 @@ def oracle_sql() -> dict[str, str]:
         "important_nation_stock": Q.SQL_IMPORTANT_NATION_STOCK,
         "heavy_small_part_suppliers": Q.SQL_HEAVY_SMALL_PART_SUPPLIERS,
         "best_balance_supplier_per_class": Q.SQL_BEST_BALANCE_SUPPLIER,
+        "burstiness_fano_events": Q.SQL_BURSTINESS_FANO,
+        "hurst_rs_daily": Q.SQL_HURST_RS_DAILY,
     }

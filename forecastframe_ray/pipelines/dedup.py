@@ -788,6 +788,40 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # colliding partitions, bounded by its band count).
         verify_partitions = scaled_verify_partitions(n_rows)
 
+        # Bucket-LOCALITY assignment (round-5 weak-scaling lever): each
+        # (band, bucket) goes to the partition of its MIN member id (the
+        # bucket's "anchor") instead of hash(band, bucket). A near-dup
+        # cluster's buckets share their anchor across bands, so the
+        # cluster's texts ship to ONE partition instead of up to num_bands
+        # distinct ones — on a dup-heavy corpus that cuts the verify text
+        # exchange ~num_bands× (the stage that saturates this box's single
+        # memory bus in weak mode) without changing results: pairs are
+        # deduped per-partition by the kernel and globally by the final
+        # aggregate, so partition placement is semantics-free. Peak
+        # per-partition heap is comparable (an anchor's docs are the union
+        # of its buckets' members — mostly the same docs). The anchor map
+        # is int-only and bounded by the wave's candidate rows; if it ever
+        # outgrew the driver limit we fall back to hash(band, bucket).
+        cand_df = meta_ds.to_pandas() if n_rows <= driver_meta_limit else None
+        if cand_df is not None:
+            bucket_map = cand_df.groupby(["band", "bucket"], sort=False,
+                                         as_index=False)[id_col].min() \
+                .rename(columns={id_col: "__anchor"})
+        else:
+            bm = hash_aggregate(meta_ds, ["band", "bucket"],
+                                {"__anchor": (id_col, "min")}).materialize()
+            bucket_map = bm.to_pandas() if bm.count() <= driver_meta_limit \
+                else None
+        if bucket_map is not None:
+            bucket_map[VPART] = K.partition_ids(
+                bucket_map, ["__anchor"], verify_partitions)
+            bucket_map = bucket_map[["band", "bucket", VPART]]
+            bucket_map["band"] = bucket_map["band"].astype(np.int32)
+            bucket_map["bucket"] = bucket_map["bucket"].astype(np.uint64)
+            bmap_ref = ray.put(bucket_map)
+        else:
+            bmap_ref = None
+
         def assign_verify(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
             batch["band"] = batch["band"].astype(np.int32)
@@ -797,20 +831,22 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             # break union
             batch[text_col] = pd.Series([""] * len(batch), dtype="string",
                                         index=batch.index)
-            batch[VPART] = K.partition_ids(batch, ["band", "bucket"],
-                                           verify_partitions)
+            if bmap_ref is not None:
+                batch = batch.merge(ray.get(bmap_ref), how="left",
+                                    on=["band", "bucket"])
+                batch[VPART] = batch[VPART].astype(np.int32)
+            else:
+                batch[VPART] = K.partition_ids(batch, ["band", "bucket"],
+                                               verify_partitions)
             return batch[_cols]
 
         meta_p = meta_ds.map_batches(assign_verify, batch_format="pandas")
 
-        cand_df = meta_ds.to_pandas() if n_rows <= driver_meta_limit else None
         if cand_df is not None:
             # broadcast path: the distinct (doc id → verify partition) map
             # is int-only and ships via the object store once; texts stream
             # past it
-            dp = cand_df.copy()
-            dp[VPART] = K.partition_ids(dp, ["band", "bucket"],
-                                        verify_partitions)
+            dp = cand_df.merge(bucket_map, on=["band", "bucket"])
             dp = dp[[id_col, VPART]].drop_duplicates()
             dp_ref = ray.put(dp)
             textrows = ds.select_columns([id_col, text_col]).map_batches(

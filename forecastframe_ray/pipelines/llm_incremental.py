@@ -443,6 +443,7 @@ def append_shard(shard_ds, index_dir: str, shard_id: str | None = None,
     #    docs involved (keeps transitive chains through old members exact)
     remap = _load_remap(index_dir)
     extra_edges = None
+    live_old: set = set()
     if n_pairs and old_ids is not None:
         pdf = new_pairs.to_pandas() if n_pairs <= driver_pair_limit else None
         if pdf is not None:
@@ -459,7 +460,11 @@ def append_shard(shard_ds, index_dir: str, shard_id: str | None = None,
                     inv, id_col, BROADCAST_LIMIT).to_pandas()
                 rows["rep_id"] = rows["rep_id"].map(
                     lambda r: remap.get(r, r)).astype(np.int64)
-                rows = rows[rows["rep_id"] != rows[id_col]]
+                same = rows["rep_id"] == rows[id_col]
+                # involved old docs that ARE their own (resolved) rep —
+                # only these need redirect rows if their cluster merges
+                live_old.update(rows.loc[same, id_col])
+                rows = rows[~same]
                 if len(rows):
                     extra_edges = rows[[id_col, "rep_id"]]
         else:  # pair list beyond the driver: ship member→rep edges as a
@@ -503,16 +508,18 @@ def append_shard(shard_ds, index_dir: str, shard_id: str | None = None,
         for doc, rep in rep_map.items():
             if doc > max_seen:
                 new_rep_map[doc] = rep
-            elif rep != doc:
-                cur = remap.get(doc, doc)
-                if cur == doc:  # doc was a live rep until this merge
-                    remap_rows.append((doc, rep))
+            elif rep != doc and doc in live_old:
+                # doc was a live rep until this merge → redirect row
+                remap_rows.append((doc, rep))
         corpus_delta = _apply_rep(kept, new_rep_map, id_col)
     else:
         corpus_delta = _apply_rep_distributed(kept, labels, id_col,
                                               num_partitions)
         lab = labels.to_pandas()
         old_lab = lab[lab["doc_id"] <= max_seen]
+        # scale path: liveness isn't collected driver-side; rows keyed by
+        # non-rep member ids are inert (no rep_id ever equals them) and
+        # bounded by pair participants, so over-appending is size-only
         for doc, rep in zip(old_lab["doc_id"], old_lab["rep_id"]):
             if rep != doc and remap.get(doc, doc) == doc:
                 remap_rows.append((int(doc), int(rep)))

@@ -157,8 +157,12 @@ def test_multimodal_decode_and_resize():
                          batch_format="pyarrow").to_pandas()
     assert rs["width"].max() <= 64 and rs["height"].max() <= 64
 
-    with pytest.raises(NotImplementedError):
-        multimodal.DecodeStage(real=True)
+    # round 5: real=True is a REAL pure-stdlib BMP/PPM decoder now
+    # (tests/test_multimodal_codec.py pins golden pixel sums); here just
+    # the contract boundary — constructs, rejects non-image bytes
+    st = multimodal.DecodeStage(real=True)
+    with pytest.raises(ValueError, match="undecodable"):
+        st._real_decode(b"not an image")
 
 
 def test_c4_clean():

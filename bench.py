@@ -144,6 +144,10 @@ _BENCH_QUERIES = [
     "bm25_search_documents",
     "seasonal_decompose_daily",
     "shipping_priority",
+    # round-5 additions
+    "llm_incremental_funnel_documents",
+    "gbm_cv_daily",
+    "gbm_shap_daily",
 ]
 
 
@@ -453,6 +457,104 @@ def main():
         m["num_cpus"] = num_cpus
         print(json.dumps(m))
         import ray
+        ray.shutdown()
+        return
+
+    if "--llm-incremental" in args:
+        # Incremental corpus maintenance vs full rebuild (round-5 flagship
+        # capability, pipelines/llm_incremental.py): build the probe index
+        # on 90% of a boilerplate-stripped corpus, append the last 10% as
+        # a shard, and compare the append wall against rebuilding the
+        # index over 100% from scratch. Equality of the two final corpora
+        # is asserted (the incremental == full-rebuild invariant at bench
+        # scale). Boilerplate is stripped upstream once — the corpus-
+        # frequency pass is outside the incremental contract by design
+        # (module docstring); without it the synth corpus's shared
+        # boilerplate lines make every doc LSH-collide and the probe
+        # degenerates to the whole corpus.
+        import shutil
+
+        num_docs = int(args[args.index("--docs") + 1]) if "--docs" in args \
+            else 400_000
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        _init_ray(num_cpus)
+        import pandas as pd
+        import ray
+        import ray.data
+
+        from forecastframe_ray import synth
+        from forecastframe_ray.pipelines import llm_incremental as LI
+        from forecastframe_ray.pipelines import textstats as T
+
+        # corpus shape: "diverse" (default) = content-diverse docs where
+        # LSH collisions track TRUE duplicates (the fair maintenance-cost
+        # measurement); "template" = the template-saturated docs_dataset
+        # corpus whose corpus-wide collisions deliberately degenerate the
+        # probe (measured and recorded in BASELINE.md as the
+        # collision-bound case)
+        shape = args[args.index("--corpus") + 1] if "--corpus" in args \
+            else "diverse"
+        if shape == "diverse":
+            clean_dir = f"/tmp/llm_div_corpus_{num_docs}"
+            if not os.path.isdir(clean_dir) or not os.listdir(clean_dir):
+                tmp = clean_dir + ".building"
+                shutil.rmtree(tmp, ignore_errors=True)
+                synth.diverse_docs_dataset(
+                    num_docs, override_num_blocks=32).write_parquet(tmp)
+                os.replace(tmp, clean_dir)
+        else:
+            corpus = f"/tmp/llm_corpus_{num_docs}_s42"
+            if not os.path.isdir(corpus) or not os.listdir(corpus):
+                tmp = corpus + ".building"
+                shutil.rmtree(tmp, ignore_errors=True)
+                synth.write_docs_corpus(tmp, num_docs, seed=42,
+                                        num_blocks=32)
+                os.replace(tmp, corpus)
+            clean_dir = corpus + "_stripped"
+            if not os.path.isdir(clean_dir) or not os.listdir(clean_dir):
+                docs = ray.data.read_parquet(corpus,
+                                             columns=["doc_id", "text"])
+                tmp = clean_dir + ".building"
+                shutil.rmtree(tmp, ignore_errors=True)
+                T.remove_boilerplate_lines(
+                    docs, max_repeats=max(3, num_docs // 50)) \
+                    .write_parquet(tmp)
+                os.replace(tmp, clean_dir)
+
+        cut = int(num_docs * 0.9)
+        docs = ray.data.read_parquet(clean_dir, columns=["doc_id", "text"])
+        base = docs.map_batches(
+            lambda b: b[b["doc_id"].to_numpy() < cut],
+            batch_format="pandas")
+        shard = docs.map_batches(
+            lambda b: b[b["doc_id"].to_numpy() >= cut],
+            batch_format="pandas")
+        kw = dict(minhash_threshold=0.7, min_words_per_line=3,
+                  require_terminal=False, num_partitions=32)
+
+        full_dir, inc_dir = "/tmp/llm_incr_full", "/tmp/llm_incr_inc"
+        shutil.rmtree(full_dir, ignore_errors=True)
+        shutil.rmtree(inc_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        LI.build_index(docs, full_dir, **kw)
+        wall_full = time.perf_counter() - t0
+        LI.build_index(base, inc_dir, **kw)
+        t0 = time.perf_counter()
+        m = LI.append_shard(shard, inc_dir)
+        wall_append = time.perf_counter() - t0
+        fc, ic = LI.final_corpus(full_dir), LI.final_corpus(inc_dir)
+        full_n, inc_n = fc.count(), ic.count()
+        # surviving-id-set equality (texts are id-determined): count + sum
+        equal = full_n == inc_n and fc.sum("doc_id") == ic.sum("doc_id")
+        print(json.dumps({
+            "metric": "incremental append (10% shard) vs full index rebuild",
+            "corpus_shape": shape, "num_docs": num_docs, "shard_docs": num_docs - cut,
+            "wall_full_rebuild_s": round(wall_full, 3),
+            "wall_append_s": round(wall_append, 3),
+            "append_speedup": round(wall_full / wall_append, 2),
+            "old_docs_probed": m["old_docs_probed"],
+            "corpora_equal": bool(equal),
+            "final_docs": int(full_n), "num_cpus": num_cpus}))
         ray.shutdown()
         return
 

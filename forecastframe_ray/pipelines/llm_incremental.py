@@ -9,9 +9,12 @@ mirrors the tier path's continuous-aggregate maintenance
 funnel: a **persisted, partitioned corpus index** that new shards PROBE.
 
 Index layout under ``index_dir`` (all tables written through
-``checkpoint.merge_partitioned`` — hash-partitioned parquet, atomic
-renames, per-partition lineage manifest, idempotent per ``delta_id`` so a
-crashed append can simply be re-submitted):
+``checkpoint.write_partitioned`` in the append-only DELTA layout — each
+shard writes its own hash-partitioned parquet files at a shard-unique
+partition-id offset, atomic renames, per-partition lineage manifest whose
+(tier, part) skip makes a crashed append re-submittable; no stored
+partition is ever read-merge-rewritten, so an append's write cost is
+O(shard), not O(corpus)):
 
 - ``tier=corpus``  — ``(doc_id, text_clean, rep_id)`` for every
   exact-dedup survivor ever seen; near-dup NON-representatives stay here
@@ -39,10 +42,17 @@ row-for-row, provided:
 1. doc ids are append-monotonic (each shard's min id > ``max_seen_id``) —
    asserted at append; this is what makes the stored exact-dedup winner
    and the stored representative stable under new data (min-id rules);
-2. no LSH bucket crosses ``bucket_cap`` *between* runs (the cap is a
-   scale-hardening heuristic at 100k members; candidate generation on the
-   probed subset sees the bucket's FULL membership — old members come back
-   via the band index — so below the cap the candidate sets are identical).
+2. no LSH bucket crosses a verify-kernel CAP boundary *between* runs —
+   ``bucket_cap`` (100k members), ``CLASS_CAP`` (32 distinct-text classes
+   per bucket → star emission) and ``CLIQUE_CAP``/``FANOUT_CAP``. The
+   caps are scale-hardening heuristics for pathological mega-clusters;
+   candidate generation on the probed subset sees every touched bucket's
+   FULL membership (old members come back via the band index), so below
+   the caps the candidate sets — and hence the verified pairs — are
+   identical. A corpus whose duplicate CLUSTERS are mega-scale (e.g. one
+   doc with 200k near-copies) sits outside the exact-equivalence
+   contract, in both directions: the full rebuild's own star caps are
+   then already approximating.
 
 Proof sketch (encoded in ``tests/test_llm_incremental.py`` against the
 one-shot pipeline): exact survivors match because min-id per digest is
@@ -234,10 +244,10 @@ def build_index(docs_ds, index_dir: str, *, id_col: str = "doc_id",
                 shard_id: str = "shard-000") -> dict:
     """One-shot funnel over the first shard, persisting the probe index.
 
-    Re-submitting after a crash is safe: every table write is
-    ``merge_partitioned`` keyed by ``delta_id=shard_id`` (partitions whose
-    files already carry the delta are skipped / re-manifested, never
-    double-merged) and the meta file is written last, atomically.
+    Re-submitting after a crash is safe: every table write is an
+    append-only ``write_partitioned`` delta whose (tier, part) manifest
+    rows skip already-written partitions, and the meta file is written
+    last, atomically.
     """
     p = {"minhash_threshold": minhash_threshold,
          "min_words_per_line": min_words_per_line,
@@ -272,11 +282,10 @@ def build_index(docs_ds, index_dir: str, *, id_col: str = "doc_id",
     corpus = _apply_rep(kept, rep_map, id_col) if labels is None else \
         _apply_rep_distributed(kept, labels, id_col, num_partitions)
 
-    bands = _band_rows(kept, id_col, p).map_batches(
-        lambda b: b.assign(m=np.int8(1)), batch_format="pandas")
+    bands = _band_rows(kept, id_col, p)
 
-    _merge_tables(index_dir, corpus, digests, bands, None, id_col,
-                  num_partitions, shard_id)
+    _write_tables(index_dir, corpus, digests, bands, None, id_col,
+                  num_partitions, shard_index=0)
 
     max_id = int(docs_ds.max(id_col) or -1)
     _write_meta(index_dir, {**p, "id_col": id_col,
@@ -288,28 +297,42 @@ def build_index(docs_ds, index_dir: str, *, id_col: str = "doc_id",
             "wall_s": round(time.perf_counter() - t0, 3)}
 
 
-def _merge_tables(index_dir, corpus, digests, bands, remap_df, id_col,
-                  num_partitions, shard_id):
-    """Idempotent (per ``shard_id``) append of the four index tables."""
-    checkpoint.merge_partitioned(
-        corpus, index_dir, "corpus", [id_col], [id_col],
-        {"text_clean": ("text_clean", "first"), "rep_id": ("rep_id", "first")},
-        delta_id=shard_id, num_partitions=num_partitions, sort_cols=[id_col])
-    checkpoint.merge_partitioned(
-        digests, index_dir, "digests", ["digest"], ["digest"],
-        {"keep_id": ("keep_id", "min")},
-        delta_id=shard_id, num_partitions=num_partitions, sort_cols=["digest"])
-    checkpoint.merge_partitioned(
-        bands, index_dir, "bands", ["band", "bucket"],
-        ["band", "bucket", id_col], {"m": ("m", "min")},
-        delta_id=shard_id, num_partitions=num_partitions,
-        sort_cols=["band", "bucket", id_col])
+def _write_tables(index_dir, corpus, digests, bands, remap_df, id_col,
+                  num_partitions, shard_index,
+                  fail_after: int | None = None):
+    """Append-only DELTA write of the index tables: every table here is
+    insert-only by construction (doc ids are append-monotonic; digests and
+    band rows are pre-deduped against the index before writing; remap only
+    ever gains redirects), so each shard writes its OWN partition files
+    (``part = shard_index·N + hash``) instead of read-merge-rewriting
+    shared partitions — a merge layout costs O(stored corpus) per append
+    (measured: a 10% shard rewrote every partition and the append lost to
+    the full rebuild). Crash-retry idempotence = the checkpoint manifest's
+    (tier, part) skip; shard offsets make those ids shard-unique.
+
+    Readers see one extra file set per shard; a periodic compaction pass
+    (rewrite tier files at offset 0, truncate the manifest) would bound
+    the fan-in on long shard chains — metadata-scale work, out of scope
+    here."""
+    off = shard_index * num_partitions
+    checkpoint.write_partitioned(
+        corpus, index_dir, "corpus", [id_col],
+        num_partitions=num_partitions, sort_cols=[id_col], part_offset=off)
+    checkpoint.write_partitioned(
+        digests, index_dir, "digests", ["digest"],
+        num_partitions=num_partitions, sort_cols=["digest"],
+        part_offset=off)
     if remap_df is not None and len(remap_df):
         import ray.data
-        checkpoint.merge_partitioned(
-            ray.data.from_pandas(remap_df.assign(m=np.int8(1))), index_dir,
-            "remap", ["old_rep"], ["old_rep", "new_rep"], {"m": ("m", "min")},
-            delta_id=shard_id, num_partitions=1, sort_cols=["old_rep"])
+        checkpoint.write_partitioned(
+            ray.data.from_pandas(remap_df), index_dir, "remap",
+            ["old_rep"], num_partitions=1, sort_cols=["old_rep"],
+            part_offset=shard_index)
+    checkpoint.write_partitioned(
+        bands, index_dir, "bands", ["band", "bucket"],
+        num_partitions=num_partitions,
+        sort_cols=["band", "bucket", id_col], part_offset=off,
+        fail_after=fail_after)
 
 
 def _load_remap(index_dir: str) -> dict:
@@ -351,10 +374,11 @@ def append_shard(shard_ds, index_dir: str, shard_id: str | None = None,
     only where the shard's digests or LSH buckets land.
 
     Idempotent per ``shard_id`` (defaults to ``shard-{k}`` from the meta
-    shard log): crash-retry re-runs skip already-merged partitions via the
-    checkpoint manifest + file-footer delta ids, and the meta file — the
-    commit point — is written last. ``fail_after`` is the test hook
-    forwarded to the LAST table merge to simulate a mid-append crash.
+    shard log): crash-retry re-runs skip already-written delta partitions
+    via the checkpoint manifest (shard-offset partition ids are
+    shard-unique), and the meta file — the commit point — is written
+    last. ``fail_after`` is the test hook forwarded to the LAST table
+    write to simulate a mid-append crash.
     """
     meta = _load_meta(index_dir)
     p = {k: meta[k] for k in _PARAM_KEYS}
@@ -419,7 +443,13 @@ def append_shard(shard_ds, index_dir: str, shard_id: str | None = None,
             checkpoint.read_tier(index_dir, "corpus")
             .select_columns([id_col, "text_clean"]),
             keep_old, id_col, BROADCAST_LIMIT)
-        subset = kept.union(old_docs).materialize()
+        # consolidate blocks: the union inherits shard blocks + one block
+        # set PER delta file of the corpus tier — measured ~500 near-empty
+        # blocks whose fixed per-block cost made the verify sort exchange
+        # 58 s of a 66 s pair stage (the subset is collision-scale, so one
+        # extra copy is cheap)
+        subset = kept.union(old_docs).repartition(num_partitions) \
+            .materialize()
     else:
         subset = kept
     n_subset = subset.count()
@@ -528,28 +558,12 @@ def append_shard(shard_ds, index_dir: str, shard_id: str | None = None,
     stage_wall["components_s"] = round(time.perf_counter() - t2, 3)
     t3 = time.perf_counter()
 
-    # 6. idempotent merges; meta (the commit point) last
-    bands_delta = new_bands.map_batches(
-        lambda b: b.assign(m=np.int8(1)), batch_format="pandas")
-    checkpoint.merge_partitioned(
-        corpus_delta, index_dir, "corpus", [id_col], [id_col],
-        {"text_clean": ("text_clean", "first"), "rep_id": ("rep_id", "first")},
-        delta_id=shard_id, num_partitions=num_partitions, sort_cols=[id_col])
-    checkpoint.merge_partitioned(
-        fresh_digests, index_dir, "digests", ["digest"], ["digest"],
-        {"keep_id": ("keep_id", "min")},
-        delta_id=shard_id, num_partitions=num_partitions, sort_cols=["digest"])
-    if remap_df is not None:
-        import ray.data
-        checkpoint.merge_partitioned(
-            ray.data.from_pandas(remap_df.assign(m=np.int8(1))), index_dir,
-            "remap", ["old_rep"], ["old_rep", "new_rep"], {"m": ("m", "min")},
-            delta_id=shard_id, num_partitions=1, sort_cols=["old_rep"])
-    checkpoint.merge_partitioned(
-        bands_delta, index_dir, "bands", ["band", "bucket"],
-        ["band", "bucket", id_col], {"m": ("m", "min")},
-        delta_id=shard_id, num_partitions=num_partitions,
-        sort_cols=["band", "bucket", id_col], fail_after=fail_after)
+    # 6. idempotent delta writes (shard-offset partition files — no
+    #    read-merge-rewrite of stored partitions); meta (the commit
+    #    point) last
+    _write_tables(index_dir, corpus_delta, fresh_digests, new_bands,
+                  remap_df, id_col, num_partitions,
+                  shard_index=len(meta["shards"]), fail_after=fail_after)
 
     meta["max_seen_id"] = int(shard_ds.max(id_col) or meta["max_seen_id"])
     meta["shards"] = meta["shards"] + [shard_id]
@@ -579,9 +593,23 @@ def _anti_probe_digests(new_digests, index_dir: str, num_partitions: int,
         lambda b: b.loc[b["keep_id"].to_numpy() <= max_id, ["digest"]],
         batch_format="pandas")
     if stored.count() <= BROADCAST_LIMIT:
-        from forecastframe_ray.stages.join import broadcast_semi_join
-        return broadcast_semi_join(new_digests, stored.to_pandas(),
-                                   on=["digest"], anti=True)
+        # EXACT anti-membership on the 32-hex digests as fixed-width S32
+        # byte arrays + searchsorted (vectorized C) — unlike the bands
+        # probe this filter may not use lossy hashes: a collision would
+        # silently DROP a non-duplicate document
+        import ray
+        arr = np.sort(np.asarray(stored.to_pandas()["digest"], dtype="S32"))
+        ref = ray.put(arr)
+
+        def drop_hits(b: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(ref)
+            if not len(ks):
+                return b
+            h = np.asarray(b["digest"], dtype="S32")
+            idx = np.clip(np.searchsorted(ks, h), 0, len(ks) - 1)
+            return b[ks[idx] != h]
+
+        return new_digests.map_batches(drop_hits, batch_format="pandas")
     from forecastframe_ray.stages.join import hash_join
     marked = stored.map_batches(lambda b: b.assign(__hit=True),
                                 batch_format="pandas")
@@ -600,6 +628,10 @@ def _probe_bands(new_bands, index_dir: str, id_col: str, max_id: int):
     distinct shard buckets, hash join above. Rows with ``doc_id > max_id``
     (crash residue of this shard, see :func:`_anti_probe_digests`) are
     dropped."""
+    import ray
+
+    from forecastframe_ray import keys as K
+
     tier_dir = os.path.join(index_dir, "tier=bands")
     if not os.path.isdir(tier_dir) or not os.listdir(tier_dir):
         return None
@@ -609,9 +641,24 @@ def _probe_bands(new_bands, index_dir: str, id_col: str, max_id: int):
         batch_format="pandas")
     touched = new_bands.select_columns(["band", "bucket"])
     if touched.count() <= BROADCAST_LIMIT:
-        from forecastframe_ray.stages.join import broadcast_semi_join
-        keys = touched.to_pandas().drop_duplicates()
-        return broadcast_semi_join(stored, keys, on=["band", "bucket"])
+        # broadcast the shard's distinct bucket keys as ONE sorted uint64
+        # hash array and probe with vectorized searchsorted — a
+        # MultiIndex.isin over (band, bucket) tuples hashed per-row Python
+        # objects and dominated the append wall (measured 70 s of a 90 s
+        # append at a 5.8M-row stored index). Hash collisions can only
+        # ADD old docs to the probed subset (their pairs are old-old and
+        # filtered), never drop a true member — equivalence unaffected.
+        keys = np.unique(K.hash_key_columns(touched.to_pandas(),
+                                            ["band", "bucket"]))
+        ref = ray.put(keys)
+
+        def hit(b: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(ref)
+            h = K.hash_key_columns(b, ["band", "bucket"])
+            idx = np.clip(np.searchsorted(ks, h), 0, len(ks) - 1)
+            return b[ks[idx] == h]
+
+        return stored.map_batches(hit, batch_format="pandas")
     from forecastframe_ray.stages.agg import hash_aggregate
     from forecastframe_ray.stages.join import hash_join
     keys = hash_aggregate(touched, ["band", "bucket"],

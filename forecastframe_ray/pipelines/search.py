@@ -1208,6 +1208,10 @@ def premade_grids(style: str = "fast") -> dict:
         "fast": {"season": ["dow", "none"], "blend": [0.0, 0.5]},
         "full": {"season": ["dow", "dom", "none"],
                  "blend": [0.0, 0.25, 0.5, 0.75, 1.0]},
+        # boosted-tree grid (estimator="gbm") in the reference's
+        # get_lgb_params("light") spirit — small trees, shrinkage sweep
+        "gbm": {"n_trees": [1, 2, 4], "max_depth": [1, 2],
+                "learning_rate": [0.3, 0.5], "min_child": [1]},
     }
     return grids[style]
 

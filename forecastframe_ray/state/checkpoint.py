@@ -59,7 +59,8 @@ def _partition_checksum(df: pd.DataFrame) -> int:
 def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
                       num_partitions: int = 32, sort_cols: list[str] | None = None,
                       fail_after: int | None = None,
-                      overwrite_parts: set | None = None) -> list[dict]:
+                      overwrite_parts: set | None = None,
+                      part_offset: int = 0) -> list[dict]:
     """Write ``ds`` as hash-partitioned parquet with per-partition lineage.
 
     Skips partitions already in the manifest (resume = a filter, not replay),
@@ -68,6 +69,14 @@ def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
     by an incremental append); their manifest rows chain ``gen``.
     ``fail_after`` is a test hook: raise after N partitions to simulate a
     mid-job crash.
+
+    ``part_offset`` shifts the partition ids (part = offset + hash % N) —
+    the APPEND-ONLY delta layout: each shard of an insert-only table
+    writes its own ``num_partitions`` files under the same tier instead of
+    read-merge-rewriting shared partitions (which costs O(stored table)
+    per append); readers just see more files, and crash-retry idempotence
+    falls out of the manifest skip because offsets make (tier, part)
+    shard-unique.
     """
     tier_dir = os.path.join(out_dir, f"tier={tier}")
     os.makedirs(tier_dir, exist_ok=True)
@@ -78,7 +87,8 @@ def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
 
     def assign(batch: pd.DataFrame):
         batch = batch.copy()  # upstream fused map may hand us a slice view
-        batch[PART_COL] = K.partition_ids(batch, partition_keys, num_partitions)
+        batch[PART_COL] = part_offset + K.partition_ids(
+            batch, partition_keys, num_partitions)
         if done:
             batch = batch[~batch[PART_COL].isin(list(done))]
         if len(batch) == 0:
@@ -307,4 +317,18 @@ def expire_tier(out_dir: str, tier: str, cutoff_us: int,
 
 def read_tier(out_dir: str, tier: str):
     import ray.data
-    return ray.data.read_parquet(os.path.join(out_dir, f"tier={tier}"))
+
+    # merge_partitioned stamps ``delta_ids`` into the parquet footer (the
+    # crash-retry backstop); pa.Schema with metadata is unhashable
+    # (pyarrow 16) and trips Ray's schema-dedup at the read and at every
+    # downstream shuffle input ("Failed to hash the schemas" log spam) —
+    # so hand read_parquet an explicit metadata-free schema from the
+    # first file's footer (files within a tier are uniform)
+    tier_dir = os.path.join(out_dir, f"tier={tier}")
+    schema = None
+    for fname in sorted(os.listdir(tier_dir)):
+        if fname.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(tier_dir, fname)) \
+                .remove_metadata()
+            break
+    return ray.data.read_parquet(tier_dir, schema=schema)

@@ -303,3 +303,58 @@ def write_docs_corpus(path: str, num_docs: int, seed: int = 42,
     """Materialize a documents corpus to partitioned Parquet (bench input)."""
     docs_dataset(num_docs, seed, num_templates,
                  override_num_blocks=num_blocks).write_parquet(path)
+
+
+def diverse_docs_dataset(num_docs: int, dup_fraction: float = 0.1,
+                         words_per_doc: int = 80, seed: int = 5,
+                         override_num_blocks: int | None = None):
+    """Content-DIVERSE deterministic corpus: every base doc's words embed
+    its id (so docs share no shingles by construction), and a
+    ``dup_fraction`` of docs are near-duplicates of a deterministically
+    chosen EARLIER doc (last ~20% of words replaced → char-shingle
+    Jaccard ≈ 0.75). The corpus shape where LSH collisions track true
+    duplicates instead of template reuse — the measurement corpus for
+    incremental-maintenance cost (``bench.py --llm-incremental``), the
+    complement of :func:`docs_dataset`'s template-saturated shape."""
+    import ray.data
+
+    mod = max(2, int(round(1.0 / max(dup_fraction, 1e-9))))
+
+    def _words(doc: int, count: int, salt: int = 0) -> list[str]:
+        # 12-hex-char words from a per-doc seeded generator: no two docs
+        # share a word, so no two non-dup docs share a 5-char shingle
+        # beyond separator noise (short formatted words like "w3x7" DID
+        # share shingles doc-to-doc and collapsed the whole corpus into
+        # one LSH component — measured before this form)
+        rng = np.random.default_rng((doc * 2 + salt) * 1_000_003 + seed)
+        return [f"{v:012x}" for v in
+                rng.integers(0, 1 << 48, size=count, dtype=np.int64)]
+
+    def gen(batch: dict) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        texts = []
+        for i in ids:
+            if i % mod == mod - 1 and i >= mod:
+                # near-dup of a deterministic UNIFORMLY-CHOSEN earlier doc
+                # (seeded rng, not modular arithmetic: (i·a+c) mod (i−r)
+                # collapses to the constant a·r+c for all i, which made
+                # every variant reference ONE base doc — a 200k-member
+                # mega-clique that crossed the verify CLASS_CAP star
+                # heuristic differently between full and probed runs);
+                # ~10% of words perturbed → char-shingle Jaccard ≈ 0.8
+                base = int(np.random.default_rng(seed * 31 + i)
+                           .integers(0, i - i % mod))
+                words = _words(base, words_per_doc)
+                tail = max(1, words_per_doc // 10)
+                words[-tail:] = _words(int(i), tail, salt=1)
+            else:
+                words = _words(int(i), words_per_doc)
+            # ≥3 words/line + terminal '.' so C4 cleaning keeps the lines
+            lines = [" ".join(words[k: k + 8]) + "."
+                     for k in range(0, len(words), 8)]
+            texts.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(texts, type=pa.string())})
+
+    ds = ray.data.range(num_docs, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen, batch_format="numpy", batch_size=8192)

@@ -590,7 +590,10 @@ def gbm_shap_frame(b: pd.DataFrame, state: dict, dtc: str,
             for S in combinations([j for j in idx if j != i], r):
                 phi += w * (v[tuple(sorted(S + (i,)))] - v[S])
         out[prefix + feats[i]] = phi
-    out[prefix + "base"] = state["base"] + v[()]
+    from forecastframe_ray.pipelines.search import _gbm_base_vec
+    out[prefix + "base"] = _gbm_base_vec(
+        b, state["base"], state.get("series_base"),
+        state.get("keys", [])) + v[()]
     return out
 
 

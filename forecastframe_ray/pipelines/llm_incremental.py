@@ -695,3 +695,62 @@ def final_corpus(index_dir: str):
 
     return checkpoint.read_tier(index_dir, "corpus") \
         .map_batches(keep_reps, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+
+def compact_index(index_dir: str, dest_dir: str,
+                  num_partitions: int | None = None) -> dict:
+    """Offline maintenance for long shard chains: rewrite the index into a
+    FRESH directory with one consolidated file set per tier (partition ids
+    back at offset 0), representative redirects resolved into the corpus
+    rows, and the remap log cleared. Bounds reader fan-in — each append
+    adds a file set per tier, and a chain of k shards makes every probe
+    open ~k× the files.
+
+    Copy-semantics for crash safety: ``dest_dir`` is only valid once its
+    meta file (written last) exists; a crashed compaction leaves the
+    source untouched and the destination resumable (the checkpoint
+    manifest skips finished partitions). The caller switches directories
+    afterwards; subsequent :func:`append_shard` calls on the compacted
+    index keep working (their shard offsets continue past the shard log).
+    """
+    import ray
+
+    meta = _load_meta(index_dir)
+    id_col = meta["id_col"]
+    n = num_partitions or int(meta["num_partitions"])
+    t0 = time.perf_counter()
+
+    remap = _load_remap(index_dir)
+    ref = ray.put(remap)
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        if m:
+            b = b.copy()
+            rep = b["rep_id"]
+            b["rep_id"] = rep.map(m).fillna(rep).astype(np.int64)
+        return b
+
+    corpus = checkpoint.read_tier(index_dir, "corpus") \
+        .map_batches(resolve, batch_format="pandas")
+    checkpoint.write_partitioned(corpus, dest_dir, "corpus", [id_col],
+                                 num_partitions=n, sort_cols=[id_col])
+    checkpoint.write_partitioned(
+        checkpoint.read_tier(index_dir, "digests"), dest_dir, "digests",
+        ["digest"], num_partitions=n, sort_cols=["digest"])
+    checkpoint.write_partitioned(
+        checkpoint.read_tier(index_dir, "bands"), dest_dir, "bands",
+        ["band", "bucket"], num_partitions=n,
+        sort_cols=["band", "bucket", id_col])
+
+    _write_meta(dest_dir, {**{k: meta[k] for k in _PARAM_KEYS},
+                           "id_col": id_col, "max_seen_id": meta["max_seen_id"],
+                           "num_partitions": n, "shards": meta["shards"],
+                           "compacted_from": index_dir})
+    return {"resolved_remaps": len(remap),
+            "wall_s": round(time.perf_counter() - t0, 3)}

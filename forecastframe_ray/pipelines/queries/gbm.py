@@ -31,7 +31,8 @@ def q_gbm_cv_daily(sf_dir: str) -> pd.DataFrame:
     fr = _daily_frame(sf_dir)
     results, _best = search.search_cv(
         fr, grid={"n_trees": [2], "max_depth": [1],
-                  "learning_rate": [0.5], "min_child": [1]},
+                  "learning_rate": [0.5], "min_child": [1],
+                  "base_mode": ["global"]},
         estimator="gbm", n_splits=2)
     out = results[["fold", "n_test", "rmse", "mape"]].copy()
     for c in ("fold", "n_test"):

@@ -1051,10 +1051,21 @@ def _gbm_best_split(hn: pd.DataFrame, n0: float, s0: float,
     return best
 
 
+def _gbm_base_vec(b: pd.DataFrame, bv: float, bdf, keys: list[str]):
+    """Per-row base level: the per-series train mean when fitted with
+    ``base_mode="series"`` (unseen series fall back to the global mean),
+    else the global mean."""
+    if bdf is None:
+        return np.full(len(b), bv)
+    m = b[list(keys)].merge(bdf, how="left", on=list(keys))
+    return m["__sb"].fillna(bv).to_numpy()
+
+
 def fit_gbm(train_ds, keys: list[str], dtc: str, target: str,
             n_trees: int = 2, max_depth: int = 2,
             learning_rate: float = 0.5, features: tuple = ("dow", "dom"),
-            min_child: int = 1, gain_digits: int = 6) -> dict:
+            min_child: int = 1, gain_digits: int = 6,
+            base_mode: str = "global") -> dict:
     """A REAL fitted gradient-boosted tree regressor, from scratch on the
     distributed-aggregate plan — closing the reference's LightGBM gap
     (``model.py:802-953`` fit driver, ``model.py:397-513`` premade params)
@@ -1091,6 +1102,13 @@ def fit_gbm(train_ds, keys: list[str], dtc: str, target: str,
     ).to_pandas()
     base_val = float(g["__s"].iloc[0] / g["__n"].iloc[0]) if len(g) and \
         g["__n"].iloc[0] else 0.0
+    # base_mode="series": boost on residuals from the per-series train
+    # mean (one tiny aggregate, broadcast) — the trees then model only the
+    # shared calendar shape, the reference's hierarchical intuition
+    series_base = None
+    if base_mode == "series" and keys:
+        series_base = hash_aggregate(
+            clean, list(keys), {"__sb": (target, "mean")}).to_pandas()
 
     trees: list[dict] = []
     for _t in range(n_trees):
@@ -1102,13 +1120,14 @@ def fit_gbm(train_ds, keys: list[str], dtc: str, target: str,
         for _level in range(max_depth):
             if not frontier:
                 break
-            ref = ray.put((trees, dict(internal), base_val))
+            ref = ray.put((trees, dict(internal), base_val, series_base))
 
             def part(b: pd.DataFrame) -> pd.DataFrame:
-                tr, inner, bv = ray.get(ref)
+                tr, inner, bv, bdf = ray.get(ref)
                 b = b[b[target].notna()]
                 F = _gbm_feature_frame(b, dtc, features)
-                r = (b[target].to_numpy(np.float64) - bv
+                r = (b[target].to_numpy(np.float64)
+                     - _gbm_base_vec(b, bv, bdf, keys)
                      - lr * _gbm_apply_trees(tr, F, features))
                 node = (_gbm_assign_nodes(inner, F, features) if inner
                         else np.zeros(len(b), dtype=np.int64))
@@ -1155,6 +1174,7 @@ def fit_gbm(train_ds, keys: list[str], dtc: str, target: str,
                       "cover": {nid: n for nid, (n, _s) in stats.items()}})
 
     return {"trees": trees, "learning_rate": lr, "base": base_val,
+            "series_base": series_base, "keys": list(keys),
             "features": features}
 
 
@@ -1164,14 +1184,16 @@ def score_gbm(ds, state: dict, keys: list[str], dtc: str, target: str,
     few dicts of scalars — one ``ray.put``, applied batch-wide."""
     import ray
 
-    ref = ray.put((state["trees"], state["base"], state["learning_rate"],
-                   tuple(state["features"])))
+    ref = ray.put((state["trees"], state["base"],
+                   state.get("series_base"), state.get("keys", keys),
+                   state["learning_rate"], tuple(state["features"])))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
-        trees, bv, lr, feats = ray.get(ref)
+        trees, bv, bdf, ks, lr, feats = ray.get(ref)
         b = b.copy()
         F = _gbm_feature_frame(b, dtc, feats)
-        b[out_col] = bv + lr * _gbm_apply_trees(trees, F, feats)
+        b[out_col] = (_gbm_base_vec(b, bv, bdf, ks)
+                      + lr * _gbm_apply_trees(trees, F, feats))
         return b
 
     return ds.map_batches(score, batch_format="pandas")
@@ -1196,7 +1218,8 @@ ESTIMATORS = {
     "drift": (fit_drift, score_drift, ()),
     "tsb": (fit_tsb, score_tsb, ("alpha", "beta")),
     "gbm": (fit_gbm, score_gbm,
-            ("n_trees", "max_depth", "learning_rate", "min_child")),
+            ("n_trees", "max_depth", "learning_rate", "min_child",
+             "base_mode")),
 }
 
 
@@ -1211,7 +1234,8 @@ def premade_grids(style: str = "fast") -> dict:
         # boosted-tree grid (estimator="gbm") in the reference's
         # get_lgb_params("light") spirit — small trees, shrinkage sweep
         "gbm": {"n_trees": [1, 2, 4], "max_depth": [1, 2],
-                "learning_rate": [0.3, 0.5], "min_child": [1]},
+                "learning_rate": [0.3, 0.5], "min_child": [1],
+                "base_mode": ["global", "series"]},
     }
     return grids[style]
 

@@ -42,6 +42,9 @@ def main() -> int:
     ap.add_argument("--index", required=True, help="index directory")
     ap.add_argument("--build", action="store_true",
                     help="build the index from this shard (first run)")
+    ap.add_argument("--compact", metavar="DEST",
+                    help="offline compaction: rewrite the index into DEST "
+                         "(consolidated files, remaps resolved) and exit")
     ap.add_argument("--shard-id", default=None)
     ap.add_argument("--num-partitions", type=int, default=16)
     ap.add_argument("--minhash-threshold", type=float, default=0.7)
@@ -56,6 +59,13 @@ def main() -> int:
                  include_dashboard=False)
 
     from forecastframe_ray.pipelines import llm_incremental as LI
+
+    if args.compact:
+        metrics = LI.compact_index(args.index, args.compact)
+        metrics["final_corpus_docs"] = \
+            int(LI.final_corpus(args.compact).count())
+        print(json.dumps(metrics, sort_keys=True))
+        return 0
 
     if args.synth_docs:
         import pandas as pd

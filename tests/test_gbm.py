@@ -121,8 +121,46 @@ def test_gbm_through_search_cv():
     fr = RayForecastFrame(ray.data.from_pandas(df), "d", "v", ["series"])
     results, best = search.search_cv(
         fr, grid={"n_trees": [1, 2], "max_depth": [2],
-                  "learning_rate": [0.5], "min_child": [1]},
+                  "learning_rate": [0.5], "min_child": [1],
+                  "base_mode": ["global"]},
         estimator="gbm", n_splits=2)
     assert len(results) == 2 * 2  # candidates × folds
     assert results["rmse"].notna().all()
     assert best["n_trees"] in (1, 2)
+
+
+def test_series_base_mode_closed_form():
+    """base_mode="series": one stump fitted on residuals from the
+    per-series train means — replicated exactly with a 12-line pandas
+    twin (pooled residual histogram → best split → leaf means)."""
+    rows = []
+    dates = pd.date_range("2021-03-01", periods=14, freq="D")
+    for si, series in enumerate(["a", "b"]):
+        for di, d in enumerate(dates):
+            rows.append((series, d,
+                         30.0 + 40 * si
+                         + 5 * np.sin(2 * np.pi * d.dayofweek / 7)
+                         + ((si + di * 3) % 5)))
+    df = pd.DataFrame(rows, columns=["series", "d", "v"])
+    ds = ray.data.from_pandas(df)
+    state = search.fit_gbm(ds, ["series"], "d", "v", n_trees=1,
+                           max_depth=1, learning_rate=1.0,
+                           base_mode="series")
+    got = search.score_gbm(ds, state, ["series"], "d", "v", "pred") \
+        .to_pandas().sort_values(["series", "d"]).reset_index(drop=True)
+
+    # pandas twin
+    sb = df.groupby("series")["v"].transform("mean")
+    r = (df["v"] - sb).to_numpy()
+    F = {"dow": df["d"].dt.dayofweek.to_numpy(np.int64),
+         "dom": df["d"].dt.day.to_numpy(np.int64)}
+    best = _ref_split(F, ["dow", "dom"], r, np.arange(len(df)), 1, 6)
+    assert best is not None
+    _g, fi, thr = best
+    m = F[["dow", "dom"][fi]] <= thr
+    stump = np.where(m, r[m].mean(), r[~m].mean())
+    want = (sb.to_numpy() + stump)
+    want = pd.DataFrame({"series": df["series"], "d": df["d"],
+                         "pred": want}).sort_values(["series", "d"])
+    np.testing.assert_allclose(got["pred"].to_numpy(),
+                               want["pred"].to_numpy(), atol=1e-9)

@@ -130,3 +130,28 @@ def test_crash_retry_idempotent(tmp_path, shards):
                     shard_id="shard-001")
     pd.testing.assert_frame_equal(want, _corpus(crash_dir))
     assert LI._load_meta(crash_dir)["shards"] == ["shard-000", "shard-001"]
+
+
+def test_compact_then_append(tmp_path, shards):
+    """Compaction resolves remaps into the corpus rows, clears the remap
+    log, preserves the final corpus byte-for-byte, and the compacted
+    index keeps accepting appends with unchanged semantics."""
+    sh1, sh2 = shards
+    sh3 = pd.DataFrame({"doc_id": [60, 61],
+                        "text": [sh1["text"].iloc[0],
+                                 "fresh unique text about w0001 w0002"]})
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    full_dir = str(tmp_path / "full")
+
+    LI.build_index(ray.data.from_pandas(sh1), src, **KW)
+    LI.append_shard(ray.data.from_pandas(sh2), src)  # creates a remap row
+    assert LI._load_remap(src)
+    m = LI.compact_index(src, dst)
+    assert m["resolved_remaps"] >= 1
+    assert not LI._load_remap(dst)  # redirects folded into rep_id
+    pd.testing.assert_frame_equal(_corpus(src), _corpus(dst))
+
+    LI.append_shard(ray.data.from_pandas(sh3), dst)
+    LI.build_index(ray.data.from_pandas(
+        pd.concat([sh1, sh2, sh3], ignore_index=True)), full_dir, **KW)
+    pd.testing.assert_frame_equal(_corpus(full_dir), _corpus(dst))

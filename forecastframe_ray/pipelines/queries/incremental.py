@@ -53,7 +53,8 @@ def q_llm_incremental_funnel_documents(sf_dir: str) -> pd.DataFrame:
     tmp = tempfile.mkdtemp(prefix="ffr_incr_", dir="/tmp")
     try:
         LI.build_index(sh1, tmp, minhash_threshold=2.0,
-                       min_words_per_line=3, require_terminal=False)
+                       min_words_per_line=3, require_terminal=False,
+                       num_partitions=8)
         LI.append_shard(sh2, tmp)
         out = LI.final_corpus(tmp).to_pandas()
     finally:
@@ -103,7 +104,7 @@ def q_llm_incremental_neardup_gate(sf_dir: str) -> pd.DataFrame:
     from forecastframe_ray.pipelines import llm_incremental as LI
 
     kw = dict(minhash_threshold=0.7, min_words_per_line=3,
-              require_terminal=False)
+              require_terminal=False, num_partitions=8)
     full_dir = tempfile.mkdtemp(prefix="ffr_incrF_", dir="/tmp")
     inc_dir = tempfile.mkdtemp(prefix="ffr_incrI_", dir="/tmp")
     try:

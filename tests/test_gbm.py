@@ -164,3 +164,22 @@ def test_series_base_mode_closed_form():
                          "pred": want}).sort_values(["series", "d"])
     np.testing.assert_allclose(got["pred"].to_numpy(),
                                want["pred"].to_numpy(), atol=1e-9)
+
+
+def test_predict_future_with_gbm():
+    """The frame-level predict driver (fit-on-all-history → future-grid
+    scoring) accepts the GBM like any registered estimator."""
+    rows = []
+    for si, s in enumerate(["a", "b"]):
+        for d in pd.date_range("2021-03-01", periods=28, freq="D"):
+            rows.append((s, d, 50.0 + 10 * si
+                         + 6 * np.sin(2 * np.pi * d.dayofweek / 7)))
+    df = pd.DataFrame(rows, columns=["series", "d", "v"])
+    fr = RayForecastFrame(ray.data.from_pandas(df), "d", "v", ["series"])
+    out = fr.predict(periods=7, estimator="gbm")
+    p = out.to_pandas() if hasattr(out, "to_pandas") else out
+    fut = p[p["v"].isna()]
+    assert len(fut) == 14  # 7 days × 2 series
+    assert fut["predicted_v"].notna().all()
+    # predictions sit at plausible series levels (50±6 / 60±6 bands)
+    assert fut.groupby("series")["predicted_v"].mean().between(40, 72).all()

@@ -240,17 +240,57 @@ class DecodeStage:
         return out
 
 
+def resample_nearest(arr: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (H, W, C) array — one fancy-index
+    gather per axis (pixel-center convention: src = floor((i+0.5)·s))."""
+    h, w = arr.shape[:2]
+    iy = np.minimum((np.arange(new_h) + 0.5) * h / new_h, h - 1).astype(int)
+    ix = np.minimum((np.arange(new_w) + 0.5) * w / new_w, w - 1).astype(int)
+    return arr[iy][:, ix]
+
+
 class ResizeStage:
     """Actor-pool resize/frame-sample stage: rewrites payloads + metadata.
-    The byte transform is a deterministic truncate-and-tag fake (same
-    contract note as DecodeStage); the metadata math is real."""
+
+    ``real=True`` (round 5): decode the payload with the pure-stdlib
+    BMP/PPM codec, nearest-neighbor resample to fit ``max_side``, and
+    re-encode in the SAME container — actual pixels in, actual pixels
+    out; decoded dimensions (not the metadata columns) drive the scale.
+    ``real=False`` (default) keeps the deterministic truncate-and-tag fake
+    the SQL-oracled ``multimodal_resize`` entry is pinned to (its metadata
+    math is the same formula)."""
 
     def __init__(self, max_side: int = 256, real: bool = False):
-        if real:
-            raise NotImplementedError("image resample codec unavailable; use real=False")
         self.max_side = max_side
+        self.real = real
+        if real:
+            self._codecs = ((b"BM", decode_bmp, encode_bmp),
+                            (b"P6", decode_ppm, encode_ppm))
+
+    def _real_resize(self, payload: bytes) -> tuple[bytes, int, int]:
+        for magic, dec, enc in self._codecs:
+            if payload[: len(magic)] == magic:
+                arr = dec(payload)
+                h, w = arr.shape[:2]
+                scale = min(1.0, self.max_side / max(h, w, 1))
+                nh = max(1, int(round(h * scale)))
+                nw = max(1, int(round(w * scale)))
+                if (nh, nw) != (h, w):
+                    arr = resample_nearest(arr, nh, nw)
+                return enc(arr), nw, nh
+        raise ValueError("undecodable payload (expect BMP or P6 PPM)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            out = [self._real_resize(p) for p in batch["payload"].to_pylist()]
+            cols = {name: batch[name] for name in batch.column_names}
+            cols["payload"] = pa.array([o[0] for o in out],
+                                       type=pa.binary())
+            cols["width"] = pa.array(
+                np.array([o[1] for o in out], dtype=np.int32))
+            cols["height"] = pa.array(
+                np.array([o[2] for o in out], dtype=np.int32))
+            return pa.table(cols)
         w = batch["width"].to_numpy().astype(np.float64)
         h = batch["height"].to_numpy().astype(np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))

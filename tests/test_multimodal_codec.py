@@ -80,3 +80,36 @@ def test_fake_decoder_contract_unchanged():
     f = st._fake_decode(b"payload")
     assert f.shape == (4,) and np.all((f >= 0) & (f < 1))
     np.testing.assert_array_equal(f, st._fake_decode(b"payload"))
+
+
+def test_real_resize_actor_pool():
+    """real=True resize: decode → nearest-neighbor resample → re-encode in
+    the same container, through the actual actor pool; pixels pinned
+    against an independent fancy-index twin."""
+    arrs = [gradient(10, 7), gradient(3, 3), gradient(5, 12)]
+    payloads = [M.encode_bmp(arrs[0]), M.encode_ppm(arrs[1]),
+                M.encode_bmp(arrs[2])]
+    tbl = pa.table({
+        "media_id": pa.array([0, 1, 2], type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(np.zeros(3, dtype=np.int32)),   # decode wins
+        "height": pa.array(np.zeros(3, dtype=np.int32)),
+    })
+    out = ray.data.from_arrow(tbl).map_batches(
+        M.ResizeStage, fn_constructor_kwargs={"real": True, "max_side": 4},
+        concurrency=(1, 2), batch_size=2, batch_format="pyarrow",
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+
+    for i, arr in enumerate(arrs):
+        h, w = arr.shape[:2]
+        scale = min(1.0, 4 / max(h, w))
+        nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+        assert (out["width"].iloc[i], out["height"].iloc[i]) == (nw, nh)
+        payload = out["payload"].iloc[i]
+        dec = M.decode_bmp(payload) if payload[:2] == b"BM" \
+            else M.decode_ppm(payload)
+        # independent nearest-neighbor twin
+        iy = np.minimum((np.arange(nh) + 0.5) * h / nh, h - 1).astype(int)
+        ix = np.minimum((np.arange(nw) + 0.5) * w / nw, w - 1).astype(int)
+        want = arr[iy][:, ix] if (nh, nw) != (h, w) else arr
+        np.testing.assert_array_equal(dec, want)

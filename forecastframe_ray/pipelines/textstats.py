@@ -839,3 +839,92 @@ def dsir_weights(docs, target_filter, text_col: str = "text"):
             "avg_log_ratio": np.round(tot / n, 6)})
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# trained quality/language classifier (round 5): distributed IRLS logistic
+# regression over the heuristic quality features — the MODEL-BASED corpus
+# filter (CCNet/fastText intent, Wenzek et al. 2020) built from scratch on
+# the same per-batch-partials → coarse-hash-reduce plan as the
+# normal-equation estimators (pipelines/search.py fit_linear_trend)
+# ---------------------------------------------------------------------------
+
+
+def _logit_design(b: pd.DataFrame, features: tuple,
+                  text_col: str) -> np.ndarray:
+    """(n × k+1) design matrix [1, f1, …, fk] from the vectorized quality
+    kernel — features computed on the fly per batch, never materialized."""
+    q = quality_batch(b[[text_col]].reset_index(drop=True), text_col)
+    X = np.column_stack([np.ones(len(b))]
+                        + [q[f].to_numpy(np.float64) for f in features])
+    return X
+
+
+def fit_quality_logistic(docs_ds, label_fn,
+                         features: tuple = ("stopword_frac", "alpha_ratio"),
+                         iters: int = 2, text_col: str = "text") -> dict:
+    """Distributed IRLS (Fisher scoring) logistic fit, unrolled a fixed
+    ``iters`` from β=0 (deterministic — at β=0 the working response is
+    exactly 4(y−½)): each iteration is ONE streaming pass whose per-batch
+    combiner reduces rows to the (k+1)² upper-triangle of X′WX plus X′Wz
+    (10 floats at k=2), one coarse-hash sum, and a driver-side (k+1)×(k+1)
+    solve. ``label_fn(batch) -> {0,1}`` supplies weak labels (e.g.
+    ``lang == "en"``); the fitted model is a (k+1)-vector broadcast at
+    score time. IRLS weights are floored at 1e-12 so a saturated row
+    cannot divide by zero."""
+    import ray
+
+    from forecastframe_ray.stages.agg import hash_aggregate
+
+    k = len(features) + 1
+    iu = np.triu_indices(k)
+    beta = np.zeros(k)
+    for _ in range(iters):
+        ref = ray.put(beta)
+
+        def part(b: pd.DataFrame) -> pd.DataFrame:
+            bt = ray.get(ref)
+            X = _logit_design(b, features, text_col)
+            y = np.asarray(label_fn(b), dtype=np.float64)
+            eta = X @ bt
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = np.maximum(mu * (1.0 - mu), 1e-12)
+            z = eta + (y - mu) / w
+            Xw = X * w[:, None]
+            A = X.T @ Xw          # (k×k) X'WX
+            v = Xw.T @ z          # (k,)  X'Wz
+            row = {"__k": np.int8(0)}
+            for i, j in zip(*iu):
+                row[f"a{i}{j}"] = A[i, j]
+            for i in range(k):
+                row[f"b{i}"] = v[i]
+            return pd.DataFrame([row])
+
+        sums = hash_aggregate(
+            docs_ds.map_batches(part, batch_format="pandas"), ["__k"],
+            {c: (c, "sum") for c in
+             [f"a{i}{j}" for i, j in zip(*iu)] + [f"b{i}" for i in range(k)]}
+        ).to_pandas()
+        A = np.zeros((k, k))
+        for i, j in zip(*iu):
+            A[i, j] = A[j, i] = float(sums[f"a{i}{j}"].iloc[0])
+        v = np.array([float(sums[f"b{i}"].iloc[0]) for i in range(k)])
+        beta = np.linalg.solve(A, v)
+    return {"beta": beta, "features": tuple(features), "iters": iters}
+
+
+def score_quality_logistic(docs_ds, state: dict, text_col: str = "text",
+                           out_col: str = "p_quality"):
+    """Broadcast scorer: p = σ(Xβ) per document, one vectorized pass."""
+    import ray
+
+    ref = ray.put((state["beta"], tuple(state["features"])))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        bt, feats = ray.get(ref)
+        X = _logit_design(b, feats, text_col)
+        b = b.copy()
+        b[out_col] = 1.0 / (1.0 + np.exp(-(X @ bt)))
+        return b
+
+    return docs_ds.map_batches(score, batch_format="pandas")

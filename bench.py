@@ -521,14 +521,17 @@ def main():
                     .write_parquet(tmp)
                 os.replace(tmp, clean_dir)
 
-        cut = int(num_docs * 0.9)
+        n_shards = int(args[args.index("--shards") + 1]) \
+            if "--shards" in args else 1
         docs = ray.data.read_parquet(clean_dir, columns=["doc_id", "text"])
-        base = docs.map_batches(
-            lambda b: b[b["doc_id"].to_numpy() < cut],
-            batch_format="pandas")
-        shard = docs.map_batches(
-            lambda b: b[b["doc_id"].to_numpy() >= cut],
-            batch_format="pandas")
+
+        def id_range(lo, hi):
+            return docs.map_batches(
+                lambda b, lo=lo, hi=hi: b[
+                    (b["doc_id"].to_numpy() >= lo)
+                    & (b["doc_id"].to_numpy() < hi)],
+                batch_format="pandas")
+
         kw = dict(minhash_threshold=0.7, min_words_per_line=3,
                   require_terminal=False, num_partitions=32)
 
@@ -538,21 +541,43 @@ def main():
         t0 = time.perf_counter()
         LI.build_index(docs, full_dir, **kw)
         wall_full = time.perf_counter() - t0
-        LI.build_index(base, inc_dir, **kw)
-        t0 = time.perf_counter()
-        m = LI.append_shard(shard, inc_dir)
-        wall_append = time.perf_counter() - t0
+
+        # base = first (1 − n_shards·10%) of ids, then n_shards 10%
+        # appends — per-append walls expose whether cost stays
+        # shard-priced as the index grows
+        shard_w = num_docs // 10
+        cut = num_docs - n_shards * shard_w
+        LI.build_index(id_range(0, cut), inc_dir, **kw)
+        append_walls, probed = [], []
+        for k in range(n_shards):
+            lo = cut + k * shard_w
+            t0 = time.perf_counter()
+            m = LI.append_shard(id_range(lo, lo + shard_w), inc_dir)
+            append_walls.append(round(time.perf_counter() - t0, 3))
+            probed.append(m["old_docs_probed"])
+        compact_s = None
+        if "--compact" in args:
+            cdir = inc_dir + "_compacted"
+            shutil.rmtree(cdir, ignore_errors=True)
+            t0 = time.perf_counter()
+            LI.compact_index(inc_dir, cdir)
+            compact_s = round(time.perf_counter() - t0, 3)
+            inc_dir = cdir
+
         fc, ic = LI.final_corpus(full_dir), LI.final_corpus(inc_dir)
         full_n, inc_n = fc.count(), ic.count()
         # surviving-id-set equality (texts are id-determined): count + sum
         equal = full_n == inc_n and fc.sum("doc_id") == ic.sum("doc_id")
         print(json.dumps({
-            "metric": "incremental append (10% shard) vs full index rebuild",
-            "corpus_shape": shape, "num_docs": num_docs, "shard_docs": num_docs - cut,
+            "metric": "incremental appends (10% shards) vs full index "
+                      "rebuild",
+            "corpus_shape": shape, "num_docs": num_docs,
+            "shard_docs": shard_w, "n_shards": n_shards,
             "wall_full_rebuild_s": round(wall_full, 3),
-            "wall_append_s": round(wall_append, 3),
-            "append_speedup": round(wall_full / wall_append, 2),
-            "old_docs_probed": m["old_docs_probed"],
+            "wall_append_s": append_walls,
+            "append_speedup": round(
+                wall_full / (sum(append_walls) / len(append_walls)), 2),
+            "old_docs_probed": probed, "compact_s": compact_s,
             "corpora_equal": bool(equal),
             "final_docs": int(full_n), "num_cpus": num_cpus}))
         ray.shutdown()

@@ -52,15 +52,33 @@ def append_manifest(out_dir: str, rows: list[dict]):
 
 
 def _partition_checksum(df: pd.DataFrame) -> int:
-    h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
-    return int(zlib.crc32(h.tobytes()))
+    # list/array columns (e.g. an ANN index's embedding vectors) are
+    # unhashable for hash_pandas_object — fold them in as raw bytes
+    plain, arrays = [], []
+    for c in df.columns:
+        v = df[c]
+        first = v.iloc[0] if len(v) else None
+        if v.dtype == object and isinstance(first, (np.ndarray, list)):
+            arrays.append(v)
+        else:
+            plain.append(c)
+    crc = 0
+    if plain:
+        h = pd.util.hash_pandas_object(df[plain], index=False) \
+            .to_numpy(dtype=np.uint64)
+        crc = zlib.crc32(h.tobytes(), crc)
+    for v in arrays:
+        for x in v:
+            crc = zlib.crc32(np.asarray(x, dtype=np.float64).tobytes(), crc)
+    return int(crc)
 
 
 def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
                       num_partitions: int = 32, sort_cols: list[str] | None = None,
                       fail_after: int | None = None,
                       overwrite_parts: set | None = None,
-                      part_offset: int = 0) -> list[dict]:
+                      part_offset: int = 0,
+                      direct_part_col: str | None = None) -> list[dict]:
     """Write ``ds`` as hash-partitioned parquet with per-partition lineage.
 
     Skips partitions already in the manifest (resume = a filter, not replay),
@@ -77,6 +95,13 @@ def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
     per append); readers just see more files, and crash-retry idempotence
     falls out of the manifest skip because offsets make (tier, part)
     shard-unique.
+
+    ``direct_part_col`` uses an existing INTEGER column's value (must lie
+    in [0, num_partitions)) as the partition id instead of hashing
+    ``partition_keys`` — the identity layout that lets readers prune at
+    the FILE level by semantic id (e.g. an ANN index partitioned by
+    coarse-quantizer centroid: a query opens only its probed centroids'
+    files).
     """
     tier_dir = os.path.join(out_dir, f"tier={tier}")
     os.makedirs(tier_dir, exist_ok=True)
@@ -87,8 +112,10 @@ def write_partitioned(ds, out_dir: str, tier: str, partition_keys: list[str],
 
     def assign(batch: pd.DataFrame):
         batch = batch.copy()  # upstream fused map may hand us a slice view
-        batch[PART_COL] = part_offset + K.partition_ids(
-            batch, partition_keys, num_partitions)
+        batch[PART_COL] = part_offset + (
+            batch[direct_part_col].to_numpy().astype(np.int64)
+            if direct_part_col else
+            K.partition_ids(batch, partition_keys, num_partitions))
         if done:
             batch = batch[~batch[PART_COL].isin(list(done))]
         if len(batch) == 0:

@@ -583,6 +583,97 @@ def main():
         ray.shutdown()
         return
 
+    if "--ann-bench" in args:
+        # persisted ANN index at scale: build on N synthetic vectors,
+        # append a 10% shard (O(shard) delta files), then compare probed
+        # search (opens nprobe/num_centroids of the files) against the
+        # full-probe exact scan — the "prune at the read" evidence.
+        import shutil
+
+        import numpy as np
+        import pandas as pd
+        import ray
+        import ray.data
+
+        from forecastframe_ray.pipelines import ann_index as AI
+
+        num_vecs = int(args[args.index("--vecs") + 1]) \
+            if "--vecs" in args else 2_000_000
+        dim, kc = 64, 64
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        _init_ray(num_cpus)
+
+        # clustered mixture (512 gaussian clusters, σ=0.05 around unit
+        # centers) — the workload IVF exists for; i.i.d. gaussian vectors
+        # have no neighborhood structure and IVF recall is meaningless on
+        # them (measured 0.28 before this corpus)
+        n_clusters = 512
+        vec_dir = f"/tmp/ann_vecs_{num_vecs}_{dim}c"
+        if not os.path.isdir(vec_dir) or not os.listdir(vec_dir):
+            centers_rng = np.random.default_rng(99)
+            centers = centers_rng.standard_normal((n_clusters, dim))
+            centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+            def gen(batch: dict) -> pd.DataFrame:
+                ids = np.asarray(batch["id"], dtype=np.int64)
+                rng = np.random.default_rng(int(ids[0]) + 17)
+                M = centers[ids % n_clusters] \
+                    + 0.05 * rng.standard_normal((len(ids), dim))
+                return pd.DataFrame({"vec_id": ids,
+                                     "embedding": list(M)})
+            tmp = vec_dir + ".building"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ray.data.range(num_vecs, override_num_blocks=64) \
+                .map_batches(gen, batch_format="numpy", batch_size=32_768) \
+                .write_parquet(tmp)
+            os.replace(tmp, vec_dir)
+
+        vecs = ray.data.read_parquet(vec_dir)
+        cut = int(num_vecs * 0.9)
+        base = vecs.map_batches(
+            lambda b: b[b["vec_id"].to_numpy() < cut],
+            batch_format="pandas")
+        shard = vecs.map_batches(
+            lambda b: b[b["vec_id"].to_numpy() >= cut],
+            batch_format="pandas")
+
+        idx = "/tmp/ann_idx_bench"
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        AI.build_ann_index(base, idx, num_centroids=kc)
+        build_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        AI.append_ann(shard, idx)
+        append_s = round(time.perf_counter() - t0, 3)
+
+        centers_rng = np.random.default_rng(99)
+        centers = centers_rng.standard_normal((n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rng = np.random.default_rng(3)
+        q = centers[rng.integers(0, n_clusters, 8)] \
+            + 0.02 * rng.standard_normal((8, dim))
+        t0 = time.perf_counter()
+        probed = AI.search_ann(idx, q, k=10, nprobe=4)
+        probed_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        full = AI.search_ann(idx, q, k=10, nprobe=kc)
+        full_s = round(time.perf_counter() - t0, 3)
+        got = set(zip(probed["query_ix"].astype(int), probed["vec_id"]))
+        want = set(zip(full["query_ix"].astype(int), full["vec_id"]))
+        print(json.dumps({
+            "metric": "persisted ANN index: probe-pruned search vs full "
+                      "scan", "num_vecs": num_vecs, "dim": dim,
+            "num_centroids": kc, "nprobe": 4,
+            "build_s": build_s, "append_10pct_s": append_s,
+            "search_probed_s": probed_s, "search_full_s": full_s,
+            "probe_speedup": round(full_s / probed_s, 2),
+            "files_total": len(os.listdir(
+                os.path.join(idx, "tier=vectors"))),
+            "recall_at_10": round(len(got & want) / max(len(want), 1), 3),
+            "num_cpus": num_cpus}))
+        ray.shutdown()
+        return
+
     if "--scaling" in args:
         num_pages = int(args[args.index("--pages") + 1]) if "--pages" in args else 2_400_000
         levels = (8, 32)

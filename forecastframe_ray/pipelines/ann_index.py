@@ -102,7 +102,8 @@ def build_ann_index(emb_ds, index_dir: str, num_centroids: int = 16,
     centroids)."""
     t0 = time.perf_counter()
     C = centroids if centroids is not None else \
-        train_centroids(emb_ds, num_centroids, vec_col, seed=seed)
+        train_centroids(emb_ds, num_centroids, vec_col, seed=seed,
+                        sort_col=id_col)
     _assign_and_write(emb_ds, index_dir, C, vec_col, id_col, 0)
     _write_meta(index_dir, {"centroids": C, "num_centroids": len(C),
                             "vec_col": vec_col, "id_col": id_col,

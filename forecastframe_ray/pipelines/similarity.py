@@ -74,10 +74,17 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
 
 def train_centroids(ds, num_centroids: int = 16, vec_col: str = "embedding",
-                    sample_rows: int = 4096, iters: int = 10, seed: int = 5) -> np.ndarray:
+                    sample_rows: int = 4096, iters: int = 10, seed: int = 5,
+                    sort_col: str | None = None) -> np.ndarray:
     """k-means on a driver-side sample (standard IVF training — the coarse
-    quantizer is tiny and trained once, then broadcast)."""
+    quantizer is tiny and trained once, then broadcast). Pass ``sort_col``
+    to make the sample ORDER-insensitive: ``limit()`` returns rows in
+    block order, which is not deterministic run-to-run, and the seeded
+    init indexes into that order — a persisted index's quantizer
+    (ann_index.build_ann_index) must not depend on it."""
     sample = ds.limit(sample_rows).to_pandas()
+    if sort_col is not None:
+        sample = sample.sort_values(sort_col).reset_index(drop=True)
     X = _normalize(_stack(sample[vec_col]))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]

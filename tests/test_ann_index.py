@@ -54,14 +54,14 @@ def test_append_equals_rebuild_with_same_centroids(tmp_path):
     AI.append_ann(sh2, inc)
     C = AI._load_meta(inc)["centroids"]
     AI.build_ann_index(ray.data.from_pandas(df), full, centroids=C)
+    from forecastframe_ray.pipelines.queries.annidx import _same_topk
     q = _queries(df)
     for nprobe in (2, 8):
         a = AI.search_ann(inc, q, 10, nprobe)
         b = AI.search_ann(full, q, 10, nprobe)
-        # ids+ranks exact; cos_sim compared at tolerance (sum-order noise)
-        pd.testing.assert_frame_equal(a[["query_ix", "rank", "vec_id"]],
-                                      b[["query_ix", "rank", "vec_id"]])
-        np.testing.assert_allclose(a["cos_sim"], b["cos_sim"], atol=1e-12)
+        # tie-tolerant: block layouts differ → last-bit cos_sim noise can
+        # legally swap near-equal neighbors (see annidx._same_topk)
+        assert _same_topk(a, b)
 
 
 def test_probe_pruning_layout(tmp_path):
